@@ -1,0 +1,413 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+
+/** Core relational operator coverage (SURVEY.md §2.2, §2.4-§2.7) expressed
+  * as batch queries over the driver's parquet tables, each with a DuckDB
+  * oracle. Everything is declarative DataFrame API so Catalyst gets full
+  * visibility: filters/projections push to the parquet scan, joins pick
+  * broadcast automatically for the small dims, aggregations do partial
+  * (map-side) combine. Outputs are deterministically ordered and
+  * float-rounded so the driver's hash compare is stable.
+  *
+  * Scale notes (100 TB north star): every query here is a single scan →
+  * shuffle-on-group/join-key plan with no driver-side collection; the only
+  * broadcast sides are the TPC-H dims (nation/region/customer ≤ SF·150k
+  * rows), which stay broadcastable at any SF because their size is bounded
+  * by the key domain, not the fact tables.
+  */
+object Relational {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P1 projection with renaming, literals, scalar exprs
+    "p1_project_rename" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey").as("okey"),
+          upper(col("o_orderstatus")).as("status"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"),
+          concat(col("o_orderpriority"), lit(":"), col("o_orderstatus")).as("tagged"))
+        .orderBy("okey")
+    }),
+
+    // P2 nested-field access (JSON prop extraction from string column)
+    "p2_json_access" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(
+          col("event_id"),
+          regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long").as("k"))
+        .orderBy("event_id")
+    }),
+
+    // P3 ROW constructor → nested struct, serialized as JSON for compare
+    "p3_struct_construct" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey").as("okey"),
+          to_json(struct(
+            lit("signal").as("kind"),
+            col("o_orderstatus").as("status"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))).as("payload"))
+        .orderBy("okey")
+    }),
+
+    // P4 ARRAY constructor (literal + column arrays), JSON-serialized
+    "p4_array_construct" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey").as("okey"),
+          to_json(array(col("o_orderstatus"), col("o_orderpriority"))).as("arr"),
+          to_json(array(lit("a"), lit("b"))).as("lit_arr"))
+        .orderBy("okey")
+    }),
+
+    // P5/P6/P7 filter with equality, IN-list, range on event-time column
+    "p5_filter_in_eq" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_returnflag").isin("A", "R") && col("l_linestatus") === "F"
+          && col("l_shipdate") < to_timestamp(lit("1996-01-01")))
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+        .orderBy("flag")
+    }),
+
+    // P9 LIKE with %-wildcards (prefix/suffix/infix)
+    "p6_like_patterns" -> ((s, dir) => {
+      t(s, dir, "part")
+        .filter(col("p_type").like("%BRASS") || col("p_name").like("a%")
+          || col("p_type").like("%PLATED%"))
+        .select(col("p_partkey").as("pkey"), col("p_name").as("pname"), col("p_type").as("ptype"))
+        .orderBy("pkey")
+    }),
+
+    // P10 regex predicate (rlike; oracle uses regexp_matches)
+    "p7_rlike" -> ((s, dir) => {
+      t(s, dir, "events")
+        .filter(col("event_type").rlike("^(click|view)$"))
+        .groupBy(col("event_type").as("etype"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("etype")
+    }),
+
+    // P8 IS NULL handling via nullif
+    "p8_isnull" -> ((s, dir) => {
+      t(s, dir, "events")
+        .filter(expr("nullif(event_type, 'click')").isNull)
+        .select(col("event_id"))
+        .orderBy("event_id")
+    }),
+
+    // P11 boolean combinations incl. NOT over parenthesized groups
+    "p11_boolean" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter((col("l_quantity") > 30 || col("l_discount") >= 0.08)
+          && !(col("l_returnflag") === "N" && col("l_linestatus") === "O")
+          && col("l_tax") =!= 0.0)
+        .groupBy(col("l_returnflag").as("flag"), col("l_linestatus").as("status"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("flag", "status")
+    }),
+
+    // P12 subquery in FROM (derived table), then aggregate
+    "p12_subquery" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") > 10)
+        .select(col("l_returnflag").as("flag"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+        .groupBy("flag")
+        .agg(round(sum("rev"), 2).as("revenue"))
+        .orderBy("flag")
+    }),
+
+    // U1 UNION ALL with bag semantics (overlapping branches kept)
+    "u1_union_all" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val a = ev.filter(col("value") > 100).select(lit("hi").as("src"), col("event_type").as("etype"))
+      val b = ev.filter(col("event_type") === "click").select(lit("click").as("src"), col("event_type").as("etype"))
+      a.unionAll(b).groupBy("src", "etype").agg(count(lit(1)).as("n")).orderBy("src", "etype")
+    }),
+
+    // §2.4 hash aggregation, TPC-H Q1 shape (partial agg + single shuffle)
+    "agg_q1_pricing" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-01")))
+        .groupBy(col("l_returnflag").as("flag"), col("l_linestatus").as("status"))
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("n"))
+        .orderBy("flag", "status")
+    }),
+
+    // distinct aggregation (two-phase distinct under the hood)
+    "agg_distinct" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type").as("etype"))
+        .agg(countDistinct("user_id").as("users"), count(lit(1)).as("n"))
+        .orderBy("etype")
+    }),
+
+    // ROLLUP grouping sets
+    "agg_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("n"), col("qty"))
+        .orderBy("flag", "status")
+    }),
+
+    // broadcast hash join: fact ⋈ small dim (explicit broadcast hint)
+    "join_broadcast" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(round(sum("o_totalprice"), 2).as("total"), count(lit(1)).as("n"))
+        .orderBy("segment")
+    }),
+
+    // 5-way join through the dim chain (TPC-H Q5 shape)
+    "join_5way" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy("nation")
+    }),
+
+    // left-semi join (EXISTS)
+    "join_semi" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey").as("ckey"), col("c_name").as("cname"))
+        .orderBy("ckey")
+    }),
+
+    // left-anti join (NOT EXISTS)
+    "join_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey").as("ckey"), col("c_name").as("cname"))
+        .orderBy("ckey")
+    }),
+
+    // §2.5 ranking window function: top-3 orders per customer
+    "win_rank_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey").as("ckey"), col("o_orderkey").as("okey"), col("rn"))
+        .orderBy("ckey", "rn")
+    }),
+
+    // analytic window: running sum per user over event time
+    "win_running_sum" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("running", round(sum("value").over(w), 2))
+        .select(col("user_id").as("uid"), col("event_id"), col("running"))
+        .orderBy("uid", "event_id")
+    }),
+
+    // §2.6 global sort + limit (top-k via TakeOrderedAndProject)
+    "sort_limit" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey").as("okey"), round(col("o_totalprice"), 2).as("price"))
+    }),
+
+    // §2.9 T4 tumbling event-time window (batch analog of streaming agg)
+    "time_tumbling_1h" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type").as("etype"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .select(unix_micros(col("h")).as("hour_us"), col("etype"), col("n"), col("total"))
+        .orderBy("hour_us", "etype")
+    }),
+
+    // §2.9 session windows (10-minute gap) per user
+    "time_session_10m" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .select(col("user_id").as("uid"),
+          unix_micros(col("session_window.start")).as("sess_us"), col("n"), col("total"))
+        .orderBy("uid", "sess_us")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "p1_project_rename" ->
+      """SELECT o_orderkey AS okey, upper(o_orderstatus) AS status,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderpriority || ':' || o_orderstatus AS tagged
+         FROM orders ORDER BY okey""",
+
+    "p2_json_access" ->
+      """SELECT event_id, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+         FROM events ORDER BY event_id""",
+
+    "p3_struct_construct" ->
+      """SELECT o_orderkey AS okey,
+         to_json({'kind': 'signal', 'status': o_orderstatus,
+                  'cents': CAST(round(o_totalprice * 100) AS BIGINT)}) AS payload
+         FROM orders ORDER BY okey""",
+
+    "p4_array_construct" ->
+      """SELECT o_orderkey AS okey,
+         to_json([o_orderstatus, o_orderpriority]) AS arr,
+         to_json(['a', 'b']) AS lit_arr
+         FROM orders ORDER BY okey""",
+
+    "p5_filter_in_eq" ->
+      """SELECT l_returnflag AS flag, count(*) AS n, round(sum(l_quantity), 2) AS qty
+         FROM lineitem
+         WHERE l_returnflag IN ('A', 'R') AND l_linestatus = 'F'
+           AND l_shipdate < TIMESTAMP '1996-01-01'
+         GROUP BY 1 ORDER BY flag""",
+
+    "p6_like_patterns" ->
+      """SELECT p_partkey AS pkey, p_name AS pname, p_type AS ptype
+         FROM part
+         WHERE p_type LIKE '%BRASS' OR p_name LIKE 'a%' OR p_type LIKE '%PLATED%'
+         ORDER BY pkey""",
+
+    "p7_rlike" ->
+      """SELECT event_type AS etype, count(*) AS n
+         FROM events WHERE regexp_matches(event_type, '^(click|view)$')
+         GROUP BY 1 ORDER BY etype""",
+
+    "p8_isnull" ->
+      """SELECT event_id FROM events
+         WHERE nullif(event_type, 'click') IS NULL ORDER BY event_id""",
+
+    "p11_boolean" ->
+      """SELECT l_returnflag AS flag, l_linestatus AS status, count(*) AS n
+         FROM lineitem
+         WHERE (l_quantity > 30 OR l_discount >= 0.08)
+           AND NOT (l_returnflag = 'N' AND l_linestatus = 'O')
+           AND l_tax <> 0.0
+         GROUP BY 1, 2 ORDER BY flag, status""",
+
+    "p12_subquery" ->
+      """SELECT flag, round(sum(rev), 2) AS revenue FROM (
+           SELECT l_returnflag AS flag, l_extendedprice * (1 - l_discount) AS rev
+           FROM lineitem WHERE l_quantity > 10
+         ) GROUP BY flag ORDER BY flag""",
+
+    "u1_union_all" ->
+      """SELECT src, etype, count(*) AS n FROM (
+           SELECT 'hi' AS src, event_type AS etype FROM events WHERE value > 100
+           UNION ALL
+           SELECT 'click' AS src, event_type AS etype FROM events WHERE event_type = 'click'
+         ) GROUP BY src, etype ORDER BY src, etype""",
+
+    "agg_q1_pricing" ->
+      """SELECT l_returnflag AS flag, l_linestatus AS status,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+         round(avg(l_quantity), 4) AS avg_qty,
+         round(avg(l_discount), 4) AS avg_disc,
+         count(*) AS n
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+         GROUP BY 1, 2 ORDER BY flag, status""",
+
+    "agg_distinct" ->
+      """SELECT event_type AS etype, count(DISTINCT user_id) AS users, count(*) AS n
+         FROM events GROUP BY 1 ORDER BY etype""",
+
+    "agg_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+                coalesce(l_linestatus, 'ALL') AS status,
+                count(*) AS n, round(sum(l_quantity), 2) AS qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY flag, status""",
+
+    "join_broadcast" ->
+      """SELECT c_mktsegment AS segment, round(sum(o_totalprice), 2) AS total, count(*) AS n
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY segment""",
+
+    "join_5way" ->
+      """SELECT n_name AS nation,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1 ORDER BY nation""",
+
+    "join_semi" ->
+      """SELECT c_custkey AS ckey, c_name AS cname FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+         ORDER BY ckey""",
+
+    "join_anti" ->
+      """SELECT c_custkey AS ckey, c_name AS cname FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY ckey""",
+
+    "win_rank_topk" ->
+      """SELECT ckey, okey, rn FROM (
+           SELECT o_custkey AS ckey, o_orderkey AS okey,
+                  row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders
+         ) WHERE rn <= 3 ORDER BY ckey, rn""",
+
+    "win_running_sum" ->
+      """SELECT user_id AS uid, event_id,
+                round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+         FROM events ORDER BY uid, event_id""",
+
+    "sort_limit" ->
+      """SELECT o_orderkey AS okey, round(o_totalprice, 2) AS price
+         FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+
+    "time_tumbling_1h" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type AS etype,
+                count(*) AS n, round(sum(value), 2) AS total
+         FROM events GROUP BY 1, 2 ORDER BY hour_us, etype""",
+
+    "time_session_10m" ->
+      """WITH gaps AS (
+           SELECT user_id, ts, value,
+                  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            >= INTERVAL '10 minutes' OR
+                            lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       THEN 1 ELSE 0 END AS brk
+           FROM events),
+         sess AS (
+           SELECT user_id, ts, value,
+                  sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM gaps)
+         SELECT user_id AS uid, epoch_us(min(ts)) AS sess_us,
+                count(*) AS n, round(sum(value), 2) AS total
+         FROM sess GROUP BY user_id, sid ORDER BY uid, sess_us"""
+  )
+}
