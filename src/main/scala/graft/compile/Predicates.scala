@@ -1,0 +1,157 @@
+package graft.compile
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Predicate AST for detection rules.
+  *
+  * This is the compiler IR between Sigma YAML (or the hand-curated rule
+  * corpus) and Spark. Keeping rules as a small AST instead of SQL text means:
+  * (a) zero string-escaping bugs — the reference corpus is full of Windows
+  * paths (`'%\lsass.exe'`, cf. /root/reference/rules/sigma/
+  * windows-process-access.sql:160) whose backslashes would be mangled by a
+  * second SQL-literal parse; (b) every predicate renders directly to a
+  * Catalyst `Column`, so the whole rule fan-out stays inside whole-stage
+  * codegen; (c) the same AST can render DuckDB SQL for the oracle harness.
+  *
+  * LIKE semantics (fidelity decision, SURVEY.md §7 "hard parts"): `%` is the
+  * multi-char wildcard, `_` the single-char wildcard, and `\` escapes the
+  * character after it (an escaped char is literal; a trailing lone `\` is
+  * literal). This matches the behavior the reference deployment relies on:
+  * `CallTrace LIKE '%C:\\Windows\\SYSTEM32\\ntdll.dll+%'`
+  * (windows-process-access.sql:160) must match single-backslash CallTrace
+  * data, and `'%\lsass.exe'` (…:520) must too. Spark's built-in LIKE
+  * *rejects* `\l` ("escape character is not allowed to precede 'l'"), so we
+  * never hand patterns to Spark's LIKE: simple patterns compile to
+  * startsWith/endsWith/contains/equalTo (same specialization Catalyst's
+  * LikeSimplification does), general ones to an anchored regex via rlike.
+  */
+sealed trait Pred {
+  def toColumn(field: String => Column): Column
+  def toDuckDb(field: String => String): String
+  def and(o: Pred): Pred = And(this, o)
+  def or(o: Pred): Pred = Or(this, o)
+  def unary_! : Pred = Not(this)
+}
+
+object Pred {
+  /** SQL-quote a string literal (standard: only '' needs escaping). */
+  def sq(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** Escape a char for use as a literal inside a Java/RE2 regex. */
+  private def regexEscapeChar(c: Char): String =
+    if ("\\^$.|?*+()[]{}".indexOf(c) >= 0) "\\" + c else c.toString
+
+  /** Parsed LIKE pattern: literal runs interleaved with wildcards. */
+  sealed trait Tok
+  case class Lit(s: String) extends Tok
+  case object Any_ extends Tok // '_'
+  case object AnyN extends Tok // '%'
+
+  def parseLike(pattern: String): List[Tok] = {
+    val out = scala.collection.mutable.ListBuffer.empty[Tok]
+    val lit = new StringBuilder
+    def flush(): Unit = if (lit.nonEmpty) { out += Lit(lit.toString); lit.clear() }
+    var i = 0
+    while (i < pattern.length) {
+      pattern.charAt(i) match {
+        case '\\' if i + 1 < pattern.length => lit += pattern.charAt(i + 1); i += 2
+        case '\\' => lit += '\\'; i += 1
+        case '%' => flush(); out += AnyN; i += 1
+        case '_' => flush(); out += Any_; i += 1
+        case c => lit += c; i += 1
+      }
+    }
+    flush()
+    // collapse consecutive %
+    out.foldLeft(List.empty[Tok]) {
+      case (AnyN :: rest, AnyN) => AnyN :: rest
+      case (acc, t) => t :: acc
+    }.reverse
+  }
+
+  def likeToRegex(pattern: String): String =
+    parseLike(pattern).map {
+      case Lit(s) => s.flatMap(regexEscapeChar)
+      case Any_ => "."
+      case AnyN => ".*"
+    }.mkString("^", "", "$")
+
+  /** Make a corpus `SIMILAR TO` pattern valid Java regex: escape `{` that
+    * does not open a quantifier (e.g. the literal GUID braces in
+    * windows-process-creation.sql:117). RE2/DuckDB treat such `{` as
+    * literal already; Java throws, so both engines get the fixed form. */
+  def fixRegex(pattern: String): String =
+    pattern.replaceAll("""\{(?![0-9]+(?:,[0-9]*)?\})""", """\\{""")
+}
+
+/** event_data string-field predicates (field resolution is injected so the
+  * same AST runs against the nested sysmon schema or a flat oracle table). */
+case class Eq(f: String, v: String) extends Pred {
+  def toColumn(field: String => Column): Column = field(f) === v
+  def toDuckDb(field: String => String): String = s"${field(f)} = ${Pred.sq(v)}"
+}
+case class In(f: String, vs: Seq[String]) extends Pred {
+  def toColumn(field: String => Column): Column = field(f).isin(vs: _*)
+  def toDuckDb(field: String => String): String =
+    s"${field(f)} IN (${vs.map(Pred.sq).mkString(", ")})"
+}
+case class IsNull(f: String) extends Pred {
+  def toColumn(field: String => Column): Column = field(f).isNull
+  def toDuckDb(field: String => String): String = s"${field(f)} IS NULL"
+}
+case class Like(f: String, pattern: String) extends Pred {
+  import Pred._
+  def toColumn(field: String => Column): Column = parseLike(pattern) match {
+    case List(Lit(s)) => field(f) === s
+    case List(AnyN) => field(f).isNotNull
+    case List(AnyN, Lit(s)) => field(f).endsWith(s)
+    case List(Lit(s), AnyN) => field(f).startsWith(s)
+    case List(AnyN, Lit(s), AnyN) => field(f).contains(s)
+    case _ => field(f).rlike(likeToRegex(pattern))
+  }
+  def toDuckDb(field: String => String): String =
+    s"regexp_matches(${field(f)}, ${Pred.sq(likeToRegex(pattern))})"
+}
+/** SQL `SIMILAR TO` — fully anchored regex match (SURVEY §2.2 P10). The
+  * corpus patterns are Java-flavored already; we anchor with ^(?:…)$. */
+case class SimilarTo(f: String, pattern: String) extends Pred {
+  private val fixed = Pred.fixRegex(pattern)
+  def toColumn(field: String => Column): Column =
+    field(f).rlike(s"^(?:$fixed)$$")
+  def toDuckDb(field: String => String): String =
+    s"regexp_matches(${field(f)}, ${Pred.sq(s"^(?:$fixed)$$")})"
+}
+/** Top-level (non-event_data) column equality, e.g. event_id = 10. */
+case class TopEq(colName: String, v: Long) extends Pred {
+  def toColumn(field: String => Column): Column = col(colName) === v
+  def toDuckDb(field: String => String): String = s"$colName = $v"
+}
+case class And(l: Pred, r: Pred) extends Pred {
+  def toColumn(field: String => Column): Column = l.toColumn(field) && r.toColumn(field)
+  def toDuckDb(field: String => String): String =
+    s"(${l.toDuckDb(field)} AND ${r.toDuckDb(field)})"
+}
+case class Or(l: Pred, r: Pred) extends Pred {
+  def toColumn(field: String => Column): Column = l.toColumn(field) || r.toColumn(field)
+  def toDuckDb(field: String => String): String =
+    s"(${l.toDuckDb(field)} OR ${r.toDuckDb(field)})"
+}
+case class Not(p: Pred) extends Pred {
+  def toColumn(field: String => Column): Column = !p.toColumn(field)
+  def toDuckDb(field: String => String): String = s"(NOT ${p.toDuckDb(field)})"
+}
+
+/** Terse DSL for transcribing the reference rule corpus. */
+object dsl {
+  implicit class FieldOps(val name: String) extends AnyVal {
+    def like(p: String): Pred = Like(name, p)
+    def eq_(v: String): Pred = Eq(name, v)
+    def in_(vs: String*): Pred = In(name, vs)
+    def similarTo(p: String): Pred = SimilarTo(name, p)
+    def isNull_ : Pred = IsNull(name)
+  }
+  def eventId(v: Long): Pred = TopEq("event_id", v)
+  def all(ps: Pred*): Pred = ps.reduce(And(_, _))
+  def any(ps: Pred*): Pred = ps.reduce(Or(_, _))
+}

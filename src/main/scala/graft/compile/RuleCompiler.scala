@@ -1,0 +1,249 @@
+package graft.compile
+
+import scala.jdk.CollectionConverters._
+import graft.rules.RuleDef
+
+/** Scala port of the reference's Sigma-YAML → SQL transpiler
+  * (/root/reference/sigma-transf/main.py), emitting [[Pred]] ASTs instead
+  * of SQL text. Behavior replicated function-for-function, with the quirks
+  * kept (SURVEY.md §2.11):
+  *
+  *  - C1 `trans_flink_sql` (main.py:34-68): `contains` strips `*` from BOTH
+  *    ends of a scalar but only the LEFT of list items (main.py:38 vs :41);
+  *    `contains|all` strips nothing (main.py:66); `base64offset|` modifier
+  *    dropped (main.py:35).
+  *  - C2 `get_where` (main.py:89-143): bare field → `=`, list → `IN`,
+  *    null → `IS NULL`; category process_access/process_creation →
+  *    event_id 10/1 prefix.
+  *  - C3 `proc_of_conditon` (main.py:71-86): `1 of x*` → OR over
+  *    prefix-matched selections, `1 of them` → OR over all; `all of` is
+  *    NOT supported (parity = same subset).
+  *  - C4 `get_attack_tech` (main.py:15-31): tags partitioned into
+  *    tactic / technique / subtechnique; a subtechnique tag
+  *    `attack.tNNNN.MMM` also appends the bare `tNNNN` to technique
+  *    (visible in the corpus: technique arrays mixing `t1003` and
+  *    `attack.t1055` forms).
+  *  - C5 `severity_level` (main.py:180-187): critical/high/medium/low →
+  *    9/7/5/3.
+  *  - C7 `parse` (main.py:179-208): rules with `timeframe` are rejected
+  *    (returns None here; §2.4's streaming extension handles them
+  *    separately).
+  *
+  * Documented deviations (self-evident upstream bugs, recorded per SURVEY
+  * §2.11 guidance): (1) numeric/boolean scalar values are stringified
+  * instead of raising (Sigma commonly writes `DestinationPort: 80`);
+  * (2) parenthesized multi-token conditions parse correctly with SQL
+  * precedence (NOT > AND > OR) where main.py:139-142 splices broken text;
+  * (3) an unknown severity level maps to 0 where main.py's `None` would
+  * crash the template concat.
+  */
+object RuleCompiler {
+
+  private val tactics = Set(
+    "attack.reconnaissance", "attack.resource_development", "attack.initial_access",
+    "attack.execution", "attack.persistence", "attack.privilege_escalation",
+    "attack.defense_evasion", "attack.credential_access", "attack.discovery",
+    "attack.lateral_movement", "attack.collection", "attack.command_and_control",
+    "attack.exfiltration", "attack.impact")
+  private val TechRe = """^attack\.t[0-9]+$""".r
+  private val SubTechRe = """^attack\.t[0-9]+\.[0-9]+$""".r
+
+  /** C4: tag partition. Returns (tactic, technique, subtechnique). */
+  def attackTech(tags: Seq[String]): (Seq[String], Seq[String], Seq[String]) = {
+    val tactic = Seq.newBuilder[String]
+    val technique = Seq.newBuilder[String]
+    val subtech = Seq.newBuilder[String]
+    tags.foreach {
+      case t if tactics(t) => tactic += t
+      case t if TechRe.matches(t) => technique += t
+      case t if SubTechRe.matches(t) =>
+        technique += t.split('.')(1); subtech += t
+      case _ => ()
+    }
+    (tactic.result(), technique.result(), subtech.result())
+  }
+
+  /** C5: Sigma level → severity int. */
+  def severity(level: String): Int = level match {
+    case "critical" => 9
+    case "high" => 7
+    case "medium" => 5
+    case "low" => 3
+    case _ => 0
+  }
+
+  private def asString(v: Any): String = v match {
+    case s: String => s
+    case b: java.lang.Boolean => b.toString
+    case other => String.valueOf(other)
+  }
+
+  /** C1: field modifier translation (main.py:34-68), quirks intact. */
+  def transModifier(key: String, cond0: String, value: Any): Pred = {
+    val cond = cond0.replace("base64offset|", "")
+    def ors(ps: Seq[Pred]): Pred = ps.reduce(Or(_, _))
+    (cond, value) match {
+      case ("contains", s: String) =>
+        // python strip("*"): remove ALL leading AND trailing asterisks
+        val stripped = s.dropWhile(_ == '*').reverse.dropWhile(_ == '*').reverse
+        Like(key, "%" + stripped + "%")
+      case ("contains", l: java.util.List[_]) =>
+        ors(l.asScala.toSeq.map(v => Like(key, "%" + asString(v).dropWhile(_ == '*') + "%")))
+      case ("endswith", s: String) => Like(key, "%" + asString(s).dropWhile(_ == '*'))
+      case ("endswith", l: java.util.List[_]) =>
+        ors(l.asScala.toSeq.map(v => Like(key, "%" + asString(v).dropWhile(_ == '*'))))
+      case ("startswith", s: String) =>
+        Like(key, asString(s).reverse.dropWhile(_ == '*').reverse + "%")
+      case ("startswith", l: java.util.List[_]) =>
+        ors(l.asScala.toSeq.map(v => Like(key, asString(v).reverse.dropWhile(_ == '*').reverse + "%")))
+      case ("re", s: String) => SimilarTo(key, s)
+      case ("re", l: java.util.List[_]) =>
+        ors(l.asScala.toSeq.map(v => SimilarTo(key, asString(v))))
+      case ("contains|all", l: java.util.List[_]) =>
+        l.asScala.toSeq.map(v => Like(key, "%" + asString(v) + "%")).reduce[Pred](And(_, _))
+      case _ => throw new IllegalArgumentException(s"sigma condition not found: $cond0")
+    }
+  }
+
+  /** One selection (field → matcher map, or list of such maps) → AND-joined Pred. */
+  def selectionPred(selection: Any): Pred = {
+    val fields: Seq[(String, Any)] = selection match {
+      case m: java.util.Map[_, _] =>
+        m.asScala.toSeq.map { case (k, v) => (k.toString, v) }
+      case l: java.util.List[_] =>
+        l.asScala.toSeq.collect { case m: java.util.Map[_, _] =>
+          val e = m.asScala.head; (e._1.toString, e._2.asInstanceOf[Any])
+        }
+      case other => throw new IllegalArgumentException(s"bad selection: $other")
+    }
+    fields.map { case (field, value) =>
+      if (!field.contains("|")) value match {
+        case null => IsNull(field)
+        case l: java.util.List[_] => In(field, l.asScala.toSeq.map(asString))
+        case v => Eq(field, asString(v))
+      } else {
+        val Array(key, cond) = field.split("\\|", 2)
+        transModifier(key, cond, value)
+      }
+    }.reduce(And(_, _))
+  }
+
+  /** C3 + the condition grammar of C2 (main.py:96-143). */
+  def conditionPred(condition: String, selDict: Map[String, Pred]): Pred = {
+    def procOf(tokRaw: String): Option[Pred] = {
+      val tok = tokRaw.dropWhile(_ == '(').reverse.dropWhile(_ == ')').reverse
+      if (tok.startsWith("1OF") && tok.endsWith("*")) {
+        val prefix = tok.substring(3, tok.length - 1)
+        val matches = selDict.collect { case (k, v) if k.startsWith(prefix) => v }.toSeq
+        if (matches.isEmpty) None else Some(matches.reduce(Or(_, _)))
+      } else if (tok == "1OFTHEM") {
+        Some(selDict.values.reduce(Or(_, _)))
+      } else selDict.get(tok)
+    }
+
+    val norm = condition.replace("1 of ", "1of").toUpperCase
+    // split parens into their own tokens so parenthesized conditions parse
+    val toks: List[String] = norm
+      .replace("(", " ( ").replace(")", " ) ")
+      .split("\\s+").filter(_.nonEmpty).toList
+
+    // recursive descent: expr := term (OR term)* ; term := fact (AND fact)* ;
+    // fact := NOT fact | '(' expr ')' | atom
+    var rest = toks
+    def peek: Option[String] = rest.headOption
+    def next(): String = { val h = rest.head; rest = rest.tail; h }
+    def parseExpr(): Pred = {
+      var p = parseTerm()
+      while (peek.contains("OR")) { next(); p = Or(p, parseTerm()) }
+      p
+    }
+    def parseTerm(): Pred = {
+      var p = parseFact()
+      while (peek.contains("AND")) { next(); p = And(p, parseFact()) }
+      p
+    }
+    def parseFact(): Pred = peek match {
+      case Some("NOT") => next(); Not(parseFact())
+      case Some("(") =>
+        next(); val p = parseExpr()
+        if (peek.contains(")")) next()
+        p
+      case Some(tok) =>
+        next()
+        procOf(tok).getOrElse(
+          throw new IllegalArgumentException(s"unknown condition token: $tok"))
+      case None => throw new IllegalArgumentException("empty condition")
+    }
+    val result = parseExpr()
+    result
+  }
+
+  /** C2 `get_where`: logsource category prefix + detection → Pred. */
+  def getWhere(logCategory: String, detection: Map[String, Any], condition: String): Pred = {
+    val selDict: Map[String, Pred] = detection.map { case (k, v) =>
+      k.toUpperCase -> selectionPred(v)
+    }
+    val cond = conditionPred(condition, selDict)
+    logCategory match {
+      case "process_access" => And(TopEq("event_id", 10), cond)
+      case "process_creation" => And(TopEq("event_id", 1), cond)
+      case _ => cond
+    }
+  }
+
+  /** C7 `parse`: full Sigma YAML document → RuleDef. Returns None for
+    * timeframe rules exactly like main.py:194-195 (the streaming timeframe
+    * extension compiles those separately — graft.streaming). */
+  def compile(yamlText: String): Option[RuleDef] = {
+    val root = loadYaml(yamlText)
+    val detectionAll = root.get("detection") match {
+      case Some(m: java.util.Map[_, _]) => m.asScala.map { case (k, v) => k.toString -> v.asInstanceOf[Any] }.toMap
+      case _ => return None
+    }
+    if (detectionAll.contains("timeframe")) return None
+    val condition = detectionAll.getOrElse("condition", return None).toString
+    val detection = detectionAll - "condition" - "timeframe"
+
+    val tags = root.get("tags") match {
+      case Some(l: java.util.List[_]) => l.asScala.toSeq.map(_.toString)
+      case _ => Seq.empty
+    }
+    val (tactic, technique, subtech) = attackTech(tags)
+    val logCate = root.get("logsource") match {
+      case Some(m: java.util.Map[_, _]) =>
+        m.asScala.collectFirst { case (k, v) if k.toString == "category" => v.toString }.getOrElse("")
+      case _ => ""
+    }
+    val refs = root.get("references") match {
+      case Some(l: java.util.List[_]) => l.asScala.toSeq.map(_.toString)
+      case _ => Seq.empty
+    }
+    Some(RuleDef(
+      name = root.getOrElse("title", "").toString,
+      author = root.getOrElse("author", "").toString,
+      severity = severity(root.getOrElse("level", "").toString),
+      description = root.getOrElse("description", "").toString,
+      references = refs,
+      tactic = tactic, technique = technique, subtechnique = subtech,
+      module = None,
+      where = getWhere(logCate, detection, condition)))
+  }
+
+  /** C8 `walk_path`: compile every YAML file under a directory. */
+  def compileDir(path: String): Seq[RuleDef] = {
+    val root = new java.io.File(path)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName).flatMap(walk)
+      else if (f.getName.endsWith(".yml") || f.getName.endsWith(".yaml")) Seq(f)
+      else Seq.empty
+    walk(root).flatMap { f =>
+      compile(new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+    }
+  }
+
+  private def loadYaml(text: String): Map[String, Any] = {
+    val yaml = new org.yaml.snakeyaml.Yaml()
+    val obj = yaml.load[java.util.Map[String, Object]](text)
+    obj.asScala.map { case (k, v) => k -> v.asInstanceOf[Any] }.toMap
+  }
+}

@@ -1,0 +1,162 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+import graft.rules.RuleDef
+import graft.schema.Schemas
+
+/** The detection pipeline: sysmon events in, MITRE-tagged alerts out.
+  *
+  * Topology (one query, one source scan per micro-batch — the Spark
+  * equivalent of the reference's statement set / union view,
+  * /root/reference/rules/sigma/windows-process-access.sql:72-601 and
+  * …/windows-process-creation.sql:107-135):
+  *
+  *   kafka/json → from_json(PERMISSIVE) → null-filter → N×(filter→project)
+  *     → unionAll → to_json → sink
+  *
+  * The middle section is a pure DataFrame => DataFrame, so the identical
+  * logical plan runs in batch (tests, oracle harness) and streaming
+  * (production). All N rule predicates are Catalyst expressions inside one
+  * whole-stage-codegen'd stage: no shuffle, no state, driver never sees a
+  * row. Scale: the plan is embarrassingly parallel in source partitions;
+  * 1000 executors each evaluate all rules on their slice, so rule fan-out
+  * costs CPU-per-row, not extra scans or exchanges (do NOT run one query
+  * per rule — that would multiply Kafka consumers by N,
+  * SURVEY.md §4 "shared source scan").
+  */
+object AlertPipeline {
+
+  /** Resolve a rule's event_data field on the nested sysmon schema. */
+  val nestedField: String => Column = f => col("event_data").getField(f)
+
+  /** JSON bytes/string → typed sysmon rows; unparseable records dropped
+    * (the `json.ignore-parse-errors=true` semantics of the reference,
+    * windows-process-access.sql:34). `jsonCol` must be a string column;
+    * the event-time column `timestamp` is taken from `tsCol` (the Kafka
+    * record timestamp — METADATA in the reference DDL, :24). */
+  def parseJson(raw: DataFrame, jsonCol: String = "value", tsCol: String = "timestamp"): DataFrame = {
+    val parsed = raw.select(
+      from_json(col(jsonCol).cast("string"), Schemas.sysmonNoTs).as("r"),
+      col(tsCol).cast("timestamp").as("timestamp"))
+    parsed
+      .filter(col("r").isNotNull && (col("r.computer_name").isNotNull
+        || col("r.event_id").isNotNull || col("r.uuid").isNotNull))
+      .select(col("r.computer_name").as("computer_name"), col("r.event_id").as("event_id"),
+        col("r.host").as("host"), col("r.event_data").as("event_data"),
+        col("r.uuid").as("uuid"), col("timestamp"))
+  }
+
+  private def strArray(vs: Seq[String]): Column =
+    if (vs.isEmpty) array().cast("array<string>") else array(vs.map(lit): _*)
+
+  /** One rule's alert projection (the outer SELECT of each reference INSERT,
+    * windows-process-access.sql:77-89): constant threat/rule structs +
+    * per-event `event` struct with kind='signal', origin_ids=[uuid],
+    * count=1, start=end=time=event timestamp. */
+  def ruleAlerts(sysmon: DataFrame, rule: RuleDef): DataFrame =
+    sysmon.filter(rule.where.toColumn(nestedField)).select(
+      col("computer_name"),
+      col("host"),
+      struct(
+        lit("signal").as("kind"),
+        rule.module.map(m => lit(m)).getOrElse(lit(null).cast("string")).as("module"),
+        array(col("uuid")).as("origin_ids"),
+        lit(1L).as("count"),
+        col("timestamp").as("start"),
+        col("timestamp").as("end"),
+        col("timestamp").as("time")).as("event"),
+      struct(
+        strArray(rule.tactic).as("tactic"),
+        strArray(rule.technique).as("technique"),
+        strArray(rule.subtechnique).as("subtechnique")).as("threat"),
+      struct(
+        lit(rule.name).as("name"),
+        lit(rule.author).as("author"),
+        lit(rule.category).as("category"),
+        lit(rule.severity).as("severity"),
+        lit(rule.description).as("description"),
+        strArray(rule.references).as("reference"),
+        lit(rule.version).as("version"),
+        lit(rule.source).as("source")).as("rule"))
+
+  /** The full fan-out: UNION ALL of every rule's filter→project. Bag
+    * semantics — an event matching k rules emits k alerts, exactly like
+    * the reference's k INSERTs / UNION ALL branches. */
+  def alerts(sysmon: DataFrame, rules: Seq[RuleDef]): DataFrame =
+    rules.map(ruleAlerts(sysmon, _)).reduce(_ unionAll _)
+
+  /** Build an in-memory sysmon DataFrame from (field → value) maps —
+    * fixture entry point for tests and the oracle harness. */
+  def sysmonFrame(spark: SparkSession, rows: Seq[Map[String, Any]]): DataFrame = {
+    val data = rows.map { m =>
+      Row(
+        m.getOrElse("computer_name", null),
+        m.get("event_id").map(v => v.toString.toLong).orNull,
+        m.getOrElse("host", null),
+        Row(Schemas.eventDataFields.map(f => m.getOrElse(f, null)): _*),
+        m.getOrElse("uuid", null),
+        m.get("ts_us").map(v => java.sql.Timestamp.from(
+          java.time.Instant.EPOCH.plusNanos(v.toString.toLong * 1000L))).orNull)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(data).asJava),
+      Schemas.sysmon)
+  }
+
+  // ---- streaming entry points -------------------------------------------
+
+  /** Kafka streaming source (SURVEY §2.1 S1/S3): subscribe + earliest
+    * offsets, record timestamp exposed as the event-time column. */
+  def kafkaSource(spark: SparkSession, brokers: String, topic: String,
+      groupId: String, startingOffsets: String = "earliest"): DataFrame = {
+    val raw = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .option("kafka.group.id", groupId)
+      .load()
+    parseJson(raw)
+  }
+
+  /** Kafka alert sink (S4): nested alert row → JSON `value`. At-least-once
+    * (checkpointed offsets) — the accepted parity with the reference's
+    * non-transactional Flink sink (SURVEY §2.9 T6). */
+  def kafkaSink(alertsDf: DataFrame, brokers: String, topic: String,
+      checkpoint: String): DataStreamWriter[Row] =
+    alertsDf
+      .select(to_json(struct(col("computer_name"), col("host"), col("event"),
+        col("threat"), col("rule"))).as("value"))
+      .writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+
+  /** End-to-end streaming job from resolved config (S5 templating). */
+  def start(spark: SparkSession, rules: Seq[RuleDef], conf: Map[String, String]): StreamingQuery = {
+    val src = kafkaSource(spark,
+      conf("kafka_brokers"), conf("kafka_source_topic"), conf("kafka_group_id"))
+    val watermarked = src.withWatermark("timestamp", conf.getOrElse("watermark", "5 seconds"))
+    kafkaSink(alerts(watermarked, rules),
+      conf("kafka_brokers"), conf("kafka_sink_topic"),
+      conf.getOrElse("checkpoint", "/tmp/graft-checkpoint"))
+      .trigger(Trigger.ProcessingTime(conf.getOrElse("trigger", "0 seconds")))
+      .start()
+  }
+}
+
+/** `${var}` substitution for deploy-time config, the Spark-side equivalent
+  * of the reference's templated DDL options
+  * (windows-process-access.sql:28-30: '${kafka_source_topic}' etc.). */
+object Templating {
+  private val VarRef = """\$\{([A-Za-z0-9_.]+)\}""".r
+  def resolve(text: String, vars: Map[String, String]): String =
+    VarRef.replaceAllIn(text, m => java.util.regex.Matcher.quoteReplacement(
+      vars.getOrElse(m.group(1),
+        sys.env.getOrElse(m.group(1),
+          throw new IllegalArgumentException(s"unresolved config variable: ${m.group(1)}")))))
+}
