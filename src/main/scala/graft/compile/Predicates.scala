@@ -14,16 +14,17 @@ import org.apache.spark.sql.functions._
   * Catalyst `Column`, so the whole rule fan-out stays inside whole-stage
   * codegen; (c) the same AST can render DuckDB SQL for the oracle harness.
   *
-  * LIKE semantics (fidelity decision, SURVEY.md §7 "hard parts"): `%` is the
-  * multi-char wildcard, `_` the single-char wildcard, and `\` escapes the
-  * character after it (an escaped char is literal; a trailing lone `\` is
-  * literal). This matches the behavior the reference deployment relies on:
-  * `CallTrace LIKE '%C:\\Windows\\SYSTEM32\\ntdll.dll+%'`
-  * (windows-process-access.sql:160) must match single-backslash CallTrace
-  * data, and `'%\lsass.exe'` (…:520) must too. Spark's built-in LIKE
-  * *rejects* `\l` ("escape character is not allowed to precede 'l'"), so we
-  * never hand patterns to Spark's LIKE: simple patterns compile to
-  * startsWith/endsWith/contains/equalTo (same specialization Catalyst's
+  * LIKE semantics (fidelity decision, SURVEY.md §2.2 P9 + §7 "hard parts"):
+  * `%` is the multi-char wildcard, `_` the single-char wildcard, and there
+  * is NO escape character — `\` is an ordinary literal. This is what the
+  * reference deployment relies on: its patterns are Windows paths
+  * (`'%\lsass.exe'`, windows-process-access.sql:160) that must match
+  * single-backslash data, and its doubled-backslash patterns
+  * (`'%C:\\Windows\\SYSTEM32\\ntdll.dll+%'`, :140-146) accordingly match
+  * only doubled-backslash data — the corpus's own quirk, replicated. Spark's
+  * built-in LIKE *rejects* `\l` ("escape character is not allowed to precede
+  * 'l'"), so we never hand patterns to Spark's LIKE: simple patterns compile
+  * to startsWith/endsWith/contains/equalTo (same specialization Catalyst's
   * LikeSimplification does), general ones to an anchored regex via rlike.
   */
 sealed trait Pred {
@@ -55,8 +56,6 @@ object Pred {
     var i = 0
     while (i < pattern.length) {
       pattern.charAt(i) match {
-        case '\\' if i + 1 < pattern.length => lit += pattern.charAt(i + 1); i += 2
-        case '\\' => lit += '\\'; i += 1
         case '%' => flush(); out += AnyN; i += 1
         case '_' => flush(); out += Any_; i += 1
         case c => lit += c; i += 1

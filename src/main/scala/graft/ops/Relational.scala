@@ -77,8 +77,8 @@ object Relational {
     // P9 LIKE with %-wildcards (prefix/suffix/infix)
     "p6_like_patterns" -> ((s, dir) => {
       t(s, dir, "part")
-        .filter(col("p_type").like("%BRASS") || col("p_name").like("a%")
-          || col("p_type").like("%PLATED%"))
+        .filter(col("p_type").like("%PROMO") || col("p_name").like("small%")
+          || col("p_type").like("%ANDAR%"))
         .select(col("p_partkey").as("pkey"), col("p_name").as("pname"), col("p_type").as("ptype"))
         .orderBy("pkey")
     }),
@@ -197,10 +197,11 @@ object Relational {
         .orderBy("ckey")
     }),
 
-    // left-anti join (NOT EXISTS)
+    // left-anti join (NOT EXISTS); orders filtered so the anti side is
+    // non-empty (every customer has some order in the generator)
     "join_anti" -> ((s, dir) => {
       val c = t(s, dir, "customer")
-      val o = t(s, dir, "orders")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 200000)
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select(col("c_custkey").as("ckey"), col("c_name").as("cname"))
         .orderBy("ckey")
@@ -289,7 +290,7 @@ object Relational {
     "p6_like_patterns" ->
       """SELECT p_partkey AS pkey, p_name AS pname, p_type AS ptype
          FROM part
-         WHERE p_type LIKE '%BRASS' OR p_name LIKE 'a%' OR p_type LIKE '%PLATED%'
+         WHERE p_type LIKE '%PROMO' OR p_name LIKE 'small%' OR p_type LIKE '%ANDAR%'
          ORDER BY pkey""",
 
     "p7_rlike" ->
@@ -367,7 +368,8 @@ object Relational {
 
     "join_anti" ->
       """SELECT c_custkey AS ckey, c_name AS cname FROM customer
-         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_totalprice > 200000)
          ORDER BY ckey""",
 
     "win_rank_topk" ->

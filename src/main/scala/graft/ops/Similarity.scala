@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.engine.Tables
+
+/** Similarity search over the `embeddings` table (64-dim Array[Float]):
+  * brute-force cosine top-k as the exact baseline, and a random-hyperplane
+  * LSH-bucketed variant as the scale path.
+  *
+  * Dot products run as `aggregate(zip_with(...))` column algebra in pure
+  * doubles — no UDFs, stays inside codegen. Ranking rounds cosine to 6
+  * decimals before ordering (ties broken by vec_id) so Spark and DuckDB
+  * order identically despite float-summation noise.
+  *
+  * Scale (100 TB): brute-force is a broadcast of the (small) query set
+  * against a full scan of the corpus — one pass, no shuffle except the
+  * per-query top-k (tiny). The LSH variant buckets the corpus once
+  * (narrow), then probes only the query's bucket: candidate count drops by
+  * the bucket fan-out (16 here; more planes at scale), which is the
+  * standard ANN trade. An IVF variant would swap the hash for k-means
+  * centroids — same join topology.
+  */
+object Similarity {
+
+  private val dotExpr =
+    """aggregate(zip_with(qe, ce, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+         CAST(0 AS DOUBLE), (acc, v) -> acc + v)"""
+  private def normExpr(c: String) =
+    s"""sqrt(aggregate($c, CAST(0 AS DOUBLE),
+          (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact ANN baseline: 8 query vectors × full corpus, cosine top-3.
+    "sim_topk_bruteforce" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val c = e.filter(col("vec_id") >= 8)
+        .select(col("vec_id").as("nid"), col("embedding").as("ce"))
+      val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("nid"))
+      c.crossJoin(broadcast(q)) // broadcast the tiny query set; the corpus scan stays partition-local
+        .withColumn("cos_r",
+          round(expr(dotExpr) / (expr(normExpr("qe")) * expr(normExpr("ce"))), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("rank"), col("nid"))
+        .orderBy("qid", "rank")
+    }),
+
+    // LSH-bucketed ANN: 4 deterministic integer hyperplanes → 16 buckets;
+    // probe only the query's bucket, exact cosine inside it.
+    "sim_lsh_ann" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      // plane weights w(p, d) = ((p*131 + d*137) % 97) - 48, d 0-based
+      val planes = s.range(4).select(col("id").cast("int").as("p"))
+      val comp = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      val buckets = comp.crossJoin(planes)
+        .withColumn("wpd", (col("p") * 131 + col("d") * 137) % 97 - 48)
+        .groupBy("vec_id", "p")
+        .agg(sum(col("x").cast("double") * col("wpd")).as("dot"))
+        .withColumn("bit", when(col("dot") >= 0, 1).otherwise(0))
+        .groupBy("vec_id")
+        .agg(sum(col("bit") * expr("CAST(pow(2, p) AS BIGINT)")).as("bucket"))
+      val withB = e.join(buckets, "vec_id")
+      val q = withB.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
+      val c = withB.filter(col("vec_id") >= 8)
+        .select(col("vec_id").as("nid"), col("embedding").as("ce"), col("bucket").as("cb"))
+      val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("nid"))
+      q.join(c, col("bucket") === col("cb"))
+        .withColumn("cos_r",
+          round(expr(dotExpr) / (expr(normExpr("qe")) * expr(normExpr("ce"))), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("rank"), col("nid"))
+        .orderBy("qid", "rank")
+    })
+  )
+
+  private val dotsSql =
+    """SELECT qid, nid,
+              sum(CAST(xq AS DOUBLE) * CAST(xc AS DOUBLE)) AS dot,
+              sqrt(sum(CAST(xq AS DOUBLE) * CAST(xq AS DOUBLE))) AS nq,
+              sqrt(sum(CAST(xc AS DOUBLE) * CAST(xc AS DOUBLE))) AS nc
+       FROM (SELECT qid, nid, unnest(qe) AS xq, unnest(ce) AS xc FROM pairs)
+       GROUP BY qid, nid"""
+
+  val oracles: Map[String, String] = Map(
+    "sim_topk_bruteforce" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
+          c AS (SELECT vec_id AS nid, embedding AS ce FROM embeddings WHERE vec_id >= 8),
+          pairs AS (SELECT * FROM q CROSS JOIN c),
+          dots AS ($dotsSql),
+          ranked AS (
+            SELECT qid, nid, round(dot / (nq * nc), 6) AS cos_r,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY round(dot / (nq * nc), 6) DESC, nid) AS rank
+            FROM dots)
+          SELECT qid, rank, nid FROM ranked WHERE rank <= 3 ORDER BY qid, rank""",
+
+    "sim_lsh_ann" ->
+      s"""WITH comp AS (
+            SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) - 1 AS d
+            FROM embeddings),
+          pd AS (
+            SELECT vec_id, p, sum(CAST(x AS DOUBLE) * ((p * 131 + d * 137) % 97 - 48)) AS dot
+            FROM comp CROSS JOIN (SELECT i AS p FROM range(4) t(i))
+            GROUP BY vec_id, p),
+          buckets AS (
+            SELECT vec_id,
+                   CAST(sum(CASE WHEN dot >= 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END)
+                        AS BIGINT) AS bucket
+            FROM pd GROUP BY vec_id),
+          withb AS (SELECT e.vec_id, e.embedding, b.bucket
+                    FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id),
+          q AS (SELECT vec_id AS qid, embedding AS qe, bucket FROM withb WHERE vec_id < 8),
+          c AS (SELECT vec_id AS nid, embedding AS ce, bucket AS cb FROM withb WHERE vec_id >= 8),
+          pairs AS (SELECT qid, nid, qe, ce FROM q JOIN c ON bucket = cb),
+          dots AS ($dotsSql),
+          ranked AS (
+            SELECT qid, nid, round(dot / (nq * nc), 6) AS cos_r,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY round(dot / (nq * nc), 6) DESC, nid) AS rank
+            FROM dots)
+          SELECT qid, rank, nid FROM ranked WHERE rank <= 3 ORDER BY qid, rank"""
+  )
+}
