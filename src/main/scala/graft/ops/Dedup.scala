@@ -90,7 +90,7 @@ object Dedup {
     }),
 
     // MinHash + LSH: shingle → dictionary id → 8 permutations → minhash
-    // signature → 4 bands of 2 → band-bucket self-join → exact-Jaccard
+    // signature → 8 bands → band-bucket self-join → exact-Jaccard
     // verification of candidates only.
     "dedup_minhash_lsh" -> ((s, dir) => {
       val sh = shingles(nearDupCorpus(s, dir))
@@ -98,13 +98,13 @@ object Dedup {
         .withColumn("sid", row_number().over(Window.orderBy("shingle")).cast("long"))
       val docSh = sh.join(dict, "shingle").select(col("doc_id"), col("sid"))
       val perms = s.range(8).select(col("id").cast("long").as("i"),
-        (col("id") * 4 + 7).as("a"), (col("id") * 6 + 3).as("b"))
+        (col("id") * 12345L + 1103515245L).as("a"), (col("id") * 987654L + 67867967L).as("b"))
       val sig = docSh.crossJoin(perms)
         .groupBy(col("doc_id"), col("i"))
         .agg(min((col("a") * col("sid") + col("b")) % P).as("mh"))
       val bands = sig
-        .groupBy(col("doc_id"), expr("i div 2").as("band"))
-        .agg(sum(col("mh") * when(col("i") % 2 === 0, 1L).otherwise(1000003L)).as("bsig"))
+        .groupBy(col("doc_id"), col("i").as("band"))
+        .agg(min(col("mh")).as("bsig")) // 8 bands x 1 row: high recall, FPs filtered by verify
       val cand = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig")
             && col("x.doc_id") < col("y.doc_id"))
@@ -133,13 +133,13 @@ object Dedup {
       val sh = shingles(nearDupCorpus(s, dir))
         .select(col("doc_id"), (abs(xxhash64(col("shingle"))) % P).as("sid"))
       val perms = s.range(8).select(col("id").cast("long").as("i"),
-        (col("id") * 4 + 7).as("a"), (col("id") * 6 + 3).as("b"))
+        (col("id") * 12345L + 1103515245L).as("a"), (col("id") * 987654L + 67867967L).as("b"))
       val sig = sh.crossJoin(perms)
         .groupBy(col("doc_id"), col("i"))
         .agg(min((col("a") * col("sid") + col("b")) % P).as("mh"))
       val bands = sig
-        .groupBy(col("doc_id"), expr("i div 2").as("band"))
-        .agg(sum(col("mh") * when(col("i") % 2 === 0, 1L).otherwise(1000003L)).as("bsig"))
+        .groupBy(col("doc_id"), col("i").as("band"))
+        .agg(min(col("mh")).as("bsig")) // 8 bands x 1 row: high recall, FPs filtered by verify
       bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig")
             && col("x.doc_id") < col("y.doc_id"))
@@ -205,12 +205,12 @@ object Dedup {
           dict AS (SELECT shingle, row_number() OVER (ORDER BY shingle) AS sid
                    FROM (SELECT DISTINCT shingle FROM sh)),
           doc_sh AS (SELECT sh.doc_id, dict.sid FROM sh JOIN dict USING (shingle)),
-          perms AS (SELECT i, 4 * i + 7 AS a, 6 * i + 3 AS b FROM range(8) t(i)),
+          perms AS (SELECT i, 12345 * i + 1103515245 AS a, 987654 * i + 67867967 AS b
+                    FROM range(8) t(i)),
           sig AS (SELECT doc_id, i, min((a * sid + b) % $P) AS mh
                   FROM doc_sh CROSS JOIN perms GROUP BY doc_id, i),
-          bands AS (SELECT doc_id, i // 2 AS band,
-                           CAST(sum(mh * CASE WHEN i % 2 = 0 THEN 1 ELSE 1000003 END) AS BIGINT) AS bsig
-                    FROM sig GROUP BY doc_id, i // 2),
+          bands AS (SELECT doc_id, i AS band, CAST(min(mh) AS BIGINT) AS bsig
+                    FROM sig GROUP BY doc_id, i),
           cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
                    FROM bands x JOIN bands y
                      ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id),

@@ -1,0 +1,98 @@
+package graft.engine
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.rules.ReferenceCorpus
+
+/** Batch end-to-end tests of the rule pipeline: matching + near-miss
+  * fixtures per representative rule, alert shaping, fan-out multiplicity,
+  * and JSON parse tolerance (SURVEY §5 items 2 and 4). */
+class AlertPipelineSpec extends SparkSpec {
+
+  private def ev(fields: (String, Any)*): Map[String, Any] =
+    Map("computer_name" -> "pc1", "host" -> "h1", "uuid" -> "u1",
+      "event_id" -> 10L, "ts_us" -> 1700000000000000L) ++ fields.toMap
+
+  test("LaZagne rule: match requires all CallTrace parts + GrantedAccess") {
+    val matching = ev(
+      "TargetImage" -> """C:\Windows\System32\lsass.exe""",
+      "GrantedAccess" -> "0x1FFFFF",
+      "CallTrace" -> ("""C:\\Windows\\SYSTEM32\\ntdll.dll+1|C:\\Windows\\System32\\KERNELBASE.dll+2""" +
+        """|_ctypes.pyd+3|python27.dll+4"""))
+    val nearMiss = matching + ("GrantedAccess" -> "0x1410")
+    val df = AlertPipeline.sysmonFrame(spark, Seq(matching, nearMiss))
+    val alerts = AlertPipeline.ruleAlerts(df, ReferenceCorpus.lazagne).collect()
+    assert(alerts.length == 1)
+    val event = alerts(0).getAs[Row]("event")
+    assert(event.getAs[String]("kind") == "signal")
+    assert(event.getAs[String]("module") == "process_access")
+    assert(event.getAs[scala.collection.Seq[String]]("origin_ids").toSeq == Seq("u1"))
+    assert(event.getAs[Long]("count") == 1L)
+    val rule = alerts(0).getAs[Row]("rule")
+    assert(rule.getAs[String]("name") == "Credential Dumping by LaZagne")
+    assert(rule.getAs[Int]("severity") == 9)
+    val threat = alerts(0).getAs[Row]("threat")
+    assert(threat.getAs[scala.collection.Seq[String]]("tactic").toSeq == Seq("attack.credential_access"))
+  }
+
+  test("event_id gate: process_access rules ignore event_id=1 rows") {
+    val e = ev("TargetImage" -> """C:\x\lsass.exe""",
+      "SourceImage" -> """C:\Windows\system32\wsmprovhost.exe""")
+    val df = AlertPipeline.sysmonFrame(spark, Seq(e, e + ("event_id" -> 1L)))
+    assert(AlertPipeline.ruleAlerts(df, ReferenceCorpus.mimikatzWinrm).count() == 1)
+  }
+
+  test("fan-out multiplicity: one event matching k rules emits k alerts") {
+    // UNKNOWN% CallTrace + lsass + excluded-source=false fires directSyscall;
+    // with GrantedAccess in the credDump IN-list it also fires credDumpTools.
+    val e = ev(
+      "TargetImage" -> """C:\Windows\System32\lsass.exe""",
+      "GrantedAccess" -> "0x1410",
+      "SourceImage" -> """C:\evil\dump.exe""",
+      "CallTrace" -> "UNKNOWN(1)|UNKNOWN(2)")
+    val df = AlertPipeline.sysmonFrame(spark, Seq(e))
+    val alerts = AlertPipeline.alerts(df, ReferenceCorpus.active)
+    val names = alerts.select("rule.name").collect().map(_.getString(0)).sorted
+    assert(names.contains("Direct Syscall of NtOpenProcess"))
+    assert(names.contains("Credentials Dumping Tools Accessing LSASS Memory"))
+    assert(names.length >= 2)
+    assert(alerts.count() == names.length) // bag semantics, one alert per rule
+  }
+
+  test("parseJson drops malformed records, keeps timestamp metadata (S2/S3)") {
+    import spark.implicits._
+    val raw = Seq(
+      ("""{"computer_name":"pc1","event_id":10,"host":"h","uuid":"u1",""" +
+        """"event_data":{"TargetImage":"C:\\x\\lsass.exe"}}""", "2024-01-01T00:00:00Z"),
+      ("""not json at all""", "2024-01-01T00:00:01Z"),
+      ("""{"truncated": """, "2024-01-01T00:00:02Z"))
+      .toDF("value", "timestamp")
+      .withColumn("timestamp", col("timestamp").cast("timestamp"))
+    val parsed = AlertPipeline.parseJson(raw)
+    val rows = parsed.collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[String]("uuid") == "u1")
+    assert(rows(0).getAs[Row]("event_data")
+      .getAs[String]("TargetImage") == """C:\x\lsass.exe""")
+    assert(rows(0).getAs[java.sql.Timestamp]("timestamp") != null)
+  }
+
+  test("missing JSON fields read as NULL (reference null semantics)") {
+    import spark.implicits._
+    val raw = Seq(("""{"computer_name":"pc1","event_id":10,"uuid":"u2"}""", "2024-01-01T00:00:00Z"))
+      .toDF("value", "timestamp")
+      .withColumn("timestamp", col("timestamp").cast("timestamp"))
+    val rows = AlertPipeline.parseJson(raw).collect()
+    assert(rows.length == 1 && rows(0).getAs[String]("host") == null)
+    assert(rows(0).getAs[Row]("event_data") == null ||
+      rows(0).getAs[Row]("event_data").getAs[String]("CallTrace") == null)
+  }
+
+  test("Templating resolves ${vars} and rejects unknowns") {
+    assert(Templating.resolve("t=${a}/${b}", Map("a" -> "x", "b" -> "y")) == "t=x/y")
+    intercept[IllegalArgumentException] {
+      Templating.resolve("${nope_missing_var}", Map.empty)
+    }
+  }
+}

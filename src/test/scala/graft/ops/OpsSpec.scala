@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Self-consistency tests for the training-data-pipeline ops on the sf0.001
+  * tables (the oracle harness hash-checks them at sf0.01; these assert the
+  * semantic properties the hashes alone don't explain). */
+class OpsSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("dedup_exact finds exactly the planted byte-exact copies") {
+    val out = Dedup.queries("dedup_exact")(spark, dir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getLong(1) == 2)) // every group = original + copy
+    assert(out.forall(_.getLong(0) % 4 == 0)) // canonical = planted doc ids
+  }
+
+  test("minhash LSH and fast variant both recall the planted near-dups") {
+    val lsh = Dedup.queries("dedup_minhash_lsh")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 3 === 0).select("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 100000)).toSet
+    assert(planted.subsetOf(lsh), s"missed: ${planted -- lsh}")
+    val fast = Dedup.queries("dedup_minhash_fast")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.subsetOf(fast), s"fast variant missed: ${planted -- fast}")
+  }
+
+  test("embedding near-dup finds exactly the planted scaled copies") {
+    val out = Dedup.queries("dedup_embedding_cosine")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") % 5 === 0).select("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 100000)).toSet
+    assert(out == planted)
+  }
+
+  test("brute-force top-k: ranks are 1..3 per query, neighbors distinct") {
+    val out = Similarity.queries("sim_topk_bruteforce")(spark, dir).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.forall { case (_, rs) => rs.map(_.getInt(1)).sorted.sameElements(Array(1, 2, 3)) })
+    assert(byQ.forall { case (_, rs) => rs.map(_.getLong(2)).distinct.length == 3 })
+  }
+
+  test("LSH ANN returns a subset of brute-force candidates per query") {
+    // every LSH neighbor must at least be a valid corpus vector != query
+    val out = Similarity.queries("sim_lsh_ann")(spark, dir).collect()
+    assert(out.forall(r => r.getLong(2) >= 8))
+    assert(out.nonEmpty)
+  }
+
+  test("multimodal decode stub: chunk means match a direct computation") {
+    val row = Multimodal.queries("mm_decode_features")(spark, dir)
+      .filter(col("doc_id") === 0).collect()(0)
+    val text = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") === 0).select("text").collect()(0).getString(0)
+    val bytes = text.getBytes("UTF-8")
+    val n = bytes.length
+    val chunk0 = bytes.zipWithIndex.filter { case (_, i) => i.toLong * 4 / n == 0 }.map(_._1 & 0xff)
+    val expect = math.round(chunk0.sum.toDouble / chunk0.length * 1000) / 1000.0
+    assert(row.getAs[Double]("c0") == expect)
+    assert(row.getAs[Int]("n_bytes") == n)
+  }
+
+  test("text quality/tokens: spot-check one document") {
+    val doc = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") === 1).collect()(0)
+    val words = doc.getAs[String]("text").split(" ")
+    val t = TextOps.queries("text_tokens")(spark, dir)
+      .filter(col("doc_id") === 1).collect()(0)
+    assert(t.getAs[Int]("ws_tokens") == words.length)
+    assert(t.getAs[Int]("chars") == doc.getAs[String]("text").length)
+  }
+}

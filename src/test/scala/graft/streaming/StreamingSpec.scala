@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.engine.AlertPipeline
+import graft.rules.ReferenceCorpus
+
+/** Streaming-semantics tests (SURVEY §5 item 4, §2.9) over MemoryStream —
+  * no Kafka in the container; the logical plan is identical to the Kafka
+  * path because the pipeline middle is a pure DataFrame => DataFrame. */
+class StreamingSpec extends SparkSpec {
+
+  private def json(uuid: String, target: String): String =
+    s"""{"computer_name":"pc1","event_id":10,"host":"h","uuid":"$uuid",""" +
+      s""""event_data":{"TargetImage":"$target",""" +
+      s""""SourceImage":"C:\\\\Windows\\\\system32\\\\wsmprovhost.exe"}}"""
+
+  test("streaming fan-out: rules evaluate per micro-batch, bad JSON dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    val raw = mem.toDF().toDF("value", "timestamp")
+    val alerts = AlertPipeline.alerts(
+      AlertPipeline.parseJson(raw), Seq(ReferenceCorpus.mimikatzWinrm))
+    val q = alerts.writeStream.format("memory").queryName("alerts_t1")
+      .outputMode("append").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      mem.addData(
+        (json("u1", "C:\\\\Windows\\\\System32\\\\lsass.exe"), t0),
+        (json("u2", "C:\\\\Windows\\\\System32\\\\notepad.exe"), t0),
+        ("garbage{{", t0))
+      q.processAllAvailable()
+      val out = spark.table("alerts_t1").collect()
+      assert(out.length == 1)
+      assert(out(0).getAs[Row]("event").getAs[scala.collection.Seq[String]]("origin_ids").toSeq == Seq("u1"))
+    } finally q.stop()
+  }
+
+  test("timeframe rule: windowed count with watermark, update-on-threshold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String, String, java.sql.Timestamp)]
+    val src = mem.toDF().toDF("computer_name", "host", "uuid", "timestamp")
+      .withColumn("event_id", lit(10L))
+      .withColumn("event_data", struct(lit("UNKNOWN(1)").as("CallTrace")))
+    val rule = TimeframeRules.TimeframeRule(
+      ReferenceCorpus.directSyscall, "10 minutes", 3L, "computer_name")
+    val alerts = TimeframeRules.alerts(
+      src.withWatermark("timestamp", "5 seconds"), rule,
+      f => if (f == "CallTrace") col("event_data.CallTrace") else lit(null))
+    val q = alerts.writeStream.format("memory").queryName("tf_t1")
+      .outputMode("update").start()
+    try {
+      def ts(m: Int, s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:$s%02d")
+      // 3 events for pc1 inside one 10-min window; only 2 for pc2
+      mem.addData(
+        ("pc1", "h", "a1", ts(1, 0)), ("pc1", "h", "a2", ts(2, 0)),
+        ("pc2", "h", "b1", ts(3, 0)), ("pc2", "h", "b2", ts(4, 0)),
+        ("pc1", "h", "a3", ts(5, 0)))
+      q.processAllAvailable()
+      val out = spark.table("tf_t1").collect()
+      assert(out.length == 1)
+      assert(out(0).getAs[String]("computer_name") == "pc1")
+      val event = out(0).getAs[Row]("event")
+      assert(event.getAs[Long]("count") == 3L)
+      assert(event.getAs[scala.collection.Seq[String]]("origin_ids").toSeq == Seq("a1", "a2", "a3"))
+      assert(event.getAs[java.sql.Timestamp]("start").toString == "2024-01-01 00:00:00.0")
+      assert(event.getAs[java.sql.Timestamp]("end").toString == "2024-01-01 00:10:00.0")
+    } finally q.stop()
+  }
+
+  test("late data beyond watermark is dropped in append mode (T3 semantics)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String, String, java.sql.Timestamp)]
+    val src = mem.toDF().toDF("computer_name", "host", "uuid", "timestamp")
+      .withColumn("event_id", lit(10L))
+      .withColumn("event_data", struct(lit("UNKNOWN(1)").as("CallTrace")))
+    val rule = TimeframeRules.TimeframeRule(
+      ReferenceCorpus.directSyscall, "10 minutes", 1L, "computer_name")
+    val alerts = TimeframeRules.alerts(
+      src.withWatermark("timestamp", "5 seconds"), rule,
+      f => if (f == "CallTrace") col("event_data.CallTrace") else lit(null))
+    val q = alerts.writeStream.format("memory").queryName("tf_t2")
+      .outputMode("append").start()
+    try {
+      def ts(t: String) = java.sql.Timestamp.valueOf(t)
+      mem.addData(("pc1", "h", "a1", ts("2024-01-01 00:01:00")))
+      q.processAllAvailable()
+      // advance watermark far past the first window
+      mem.addData(("pc1", "h", "a2", ts("2024-01-01 01:00:00")))
+      q.processAllAvailable()
+      // late arrival for the long-closed first window: must be dropped
+      mem.addData(("pc1", "h", "late", ts("2024-01-01 00:02:00")))
+      q.processAllAvailable()
+      val finalized = spark.table("tf_t2").collect()
+      assert(finalized.length == 1) // only the closed 00:00-00:10 window emitted
+      assert(finalized(0).getAs[Row]("event")
+        .getAs[scala.collection.Seq[String]]("origin_ids").toSeq == Seq("a1")) // without the late row
+    } finally q.stop()
+  }
+}
