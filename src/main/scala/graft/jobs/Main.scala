@@ -1,0 +1,56 @@
+package graft.jobs
+
+import org.apache.spark.sql.SparkSession
+
+import graft.compile.RuleCompiler
+import graft.engine.{AlertPipeline, Templating}
+import graft.rules.ReferenceCorpus
+
+/** Job submission entry point — the Spark equivalent of submitting the
+  * reference's rule SQL scripts to the Flink SQL gateway (SURVEY §3
+  * entry point 2).
+  *
+  * Usage:
+  *   graft.jobs.Main --rules <sigma-yaml-dir | builtin> \
+  *     --conf kafka_brokers=host:9092 --conf kafka_source_topic=sysmon \
+  *     --conf kafka_sink_topic=alerts --conf kafka_group_id=graft \
+  *     [--conf watermark='5 seconds'] [--conf checkpoint=/path]
+  *
+  * Config values support `${var}` templating resolved against --conf pairs
+  * then the environment (the reference's `'topic' = '${kafka_source_topic}'`
+  * deployment shape, windows-process-access.sql:28-30). `--rules builtin`
+  * runs the transcribed 25-rule reference corpus; a directory compiles
+  * every Sigma YAML file through [[RuleCompiler]] (C8, main.py:211-229).
+  *
+  * Topology: ONE streaming query — shared Kafka scan, N×(filter→project),
+  * UNION ALL, one sink (never one query per rule; SURVEY §4).
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val parsed = parseArgs(args.toList)
+    val conf = parsed.conf.map { case (k, v) => k -> Templating.resolve(v, parsed.conf) }
+    val rules = parsed.rules match {
+      case "builtin" => ReferenceCorpus.active
+      case dir => RuleCompiler.compileDir(dir)
+    }
+    require(rules.nonEmpty, "no rules compiled")
+
+    val spark = SparkSession.builder()
+      .appName("graft-alerts")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    val query = AlertPipeline.start(spark, rules, conf)
+    query.awaitTermination()
+  }
+
+  final case class Args(rules: String = "builtin", conf: Map[String, String] = Map.empty)
+
+  def parseArgs(args: List[String], acc: Args = Args()): Args = args match {
+    case "--rules" :: v :: rest => parseArgs(rest, acc.copy(rules = v))
+    case "--conf" :: kv :: rest =>
+      val Array(k, v) = kv.split("=", 2)
+      parseArgs(rest, acc.copy(conf = acc.conf + (k -> v)))
+    case Nil => acc
+    case other => throw new IllegalArgumentException(s"unknown args: $other")
+  }
+}

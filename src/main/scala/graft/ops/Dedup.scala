@@ -172,7 +172,12 @@ object Dedup {
         (col("vec_id") + 100000).as("vec_id"),
         expr("transform(embedding, x -> CAST(x AS FLOAT) * CAST(1.01 AS FLOAT))").as("embedding"),
         col("label"))
+      // norm once per vector BEFORE the pair join — the per-pair work is
+      // then a single zip_with dot product (3x less lambda work per pair)
       val all = e.select(col("vec_id"), col("embedding"), col("label")).unionAll(dup)
+        .withColumn("norm", expr(
+          """sqrt(aggregate(embedding, CAST(0 AS DOUBLE),
+               (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"""))
       val pairs = all.as("a").join(all.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       pairs
@@ -180,13 +185,7 @@ object Dedup {
           """aggregate(zip_with(a.embedding, b.embedding,
                (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
                CAST(0 AS DOUBLE), (acc, v) -> acc + v)"""))
-        .withColumn("na", expr(
-          """sqrt(aggregate(a.embedding, CAST(0 AS DOUBLE),
-               (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"""))
-        .withColumn("nb", expr(
-          """sqrt(aggregate(b.embedding, CAST(0 AS DOUBLE),
-               (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"""))
-        .filter(col("dot") / (col("na") * col("nb")) >= 0.9)
+        .filter(col("dot") / (col("a.norm") * col("b.norm")) >= 0.9)
         .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
         .orderBy("va", "vb")
     })

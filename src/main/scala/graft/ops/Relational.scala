@@ -207,6 +207,48 @@ object Relational {
         .orderBy("ckey")
     }),
 
+    // As-of join (beyond-reference operator): latest order per customer at
+    // event time. Implemented the scalable way — tag + union + one
+    // sort-within-key window carrying the last seen order forward — a
+    // single shuffle on the key, no range-explosion join. Event times are
+    // deterministically remapped into the order-date range so the as-of
+    // pick is non-trivial; (custkey, date) ties pre-deduped to max okey so
+    // the semantics are well-defined on both engines.
+    "join_asof" -> ((s, dir) => {
+      val spanUs = 207705600000000L // 1995-01-01 .. 2001-08-01
+      val ev = t(s, dir, "events").select(
+        col("user_id").as("k"),
+        timestamp_micros(lit(788918400000000L)
+          + (unix_micros(col("ts")) * 131) % spanUs).as("t"),
+        col("event_id"), lit(null).cast("long").as("okey"), lit(1).as("src"))
+      val od = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("k"), col("o_orderdate").as("t"))
+        .agg(max("o_orderkey").as("okey"))
+        .select(col("k"), col("t"), lit(null).cast("long").as("event_id"),
+          col("okey"), lit(0).as("src"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("k").orderBy("t", "src")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.unionAll(od)
+        .withColumn("asof_okey", last("okey", ignoreNulls = true).over(w))
+        .filter(col("src") === 1 && col("asof_okey").isNotNull)
+        .select(col("event_id"), col("k").as("uid"), col("asof_okey").as("okey"))
+        .orderBy("event_id")
+    }),
+
+    // Approximate sketches (HLL distinct, quantile sketch) — rows-only
+    // check (no DuckDB equivalent of Spark's sketch impls); OpsSpec bounds
+    // them against exact values.
+    "agg_approx_sketch" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type").as("etype"))
+        .agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_p50"),
+          count(lit(1)).as("n"))
+        .orderBy("etype")
+    }),
+
     // §2.5 ranking window function: top-3 orders per customer
     "win_rank_topk" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -371,6 +413,16 @@ object Relational {
          WHERE NOT EXISTS (SELECT 1 FROM orders
                            WHERE o_custkey = c_custkey AND o_totalprice > 200000)
          ORDER BY ckey""",
+
+    "join_asof" ->
+      """WITH od AS (SELECT o_custkey AS k, o_orderdate AS t, max(o_orderkey) AS okey
+                     FROM orders GROUP BY 1, 2),
+          ev AS (SELECT event_id, user_id AS k,
+                        make_timestamp(788918400000000 + (epoch_us(ts) * 131) % 207705600000000) AS t
+                 FROM events)
+         SELECT e.event_id, e.k AS uid, o.okey
+         FROM ev e ASOF JOIN od o ON e.k = o.k AND e.t >= o.t
+         ORDER BY event_id""",
 
     "win_rank_topk" ->
       """SELECT ckey, okey, rn FROM (

@@ -36,13 +36,14 @@ object Similarity {
     "sim_topk_bruteforce" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          expr(normExpr("embedding")).as("qn"))
       val c = e.filter(col("vec_id") >= 8)
-        .select(col("vec_id").as("nid"), col("embedding").as("ce"))
+        .select(col("vec_id").as("nid"), col("embedding").as("ce"),
+          expr(normExpr("embedding")).as("cn"))
       val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("nid"))
       c.crossJoin(broadcast(q)) // broadcast the tiny query set; the corpus scan stays partition-local
-        .withColumn("cos_r",
-          round(expr(dotExpr) / (expr(normExpr("qe")) * expr(normExpr("ce"))), 6))
+        .withColumn("cos_r", round(expr(dotExpr) / (col("qn") * col("cn")), 6))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select(col("qid"), col("rank"), col("nid"))
@@ -65,13 +66,14 @@ object Similarity {
         .agg(sum(col("bit") * expr("CAST(pow(2, p) AS BIGINT)")).as("bucket"))
       val withB = e.join(buckets, "vec_id")
       val q = withB.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"),
+          expr(normExpr("embedding")).as("qn"))
       val c = withB.filter(col("vec_id") >= 8)
-        .select(col("vec_id").as("nid"), col("embedding").as("ce"), col("bucket").as("cb"))
+        .select(col("vec_id").as("nid"), col("embedding").as("ce"), col("bucket").as("cb"),
+          expr(normExpr("embedding")).as("cn"))
       val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("nid"))
       q.join(c, col("bucket") === col("cb"))
-        .withColumn("cos_r",
-          round(expr(dotExpr) / (expr(normExpr("qe")) * expr(normExpr("ce"))), 6))
+        .withColumn("cos_r", round(expr(dotExpr) / (col("qn") * col("cn")), 6))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select(col("qid"), col("rank"), col("nid"))

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Guards the scale-critical plan shapes (the properties that make these
+  * queries survive a 100 TB / 1000-executor deployment): predicate
+  * pushdown + column pruning reach the parquet scan, small dims broadcast,
+  * the rule fan-out stays shuffle-free, and nothing collects to the driver.
+  * A regression that silently turns a broadcast join into a sort-merge join
+  * or widens a scan shows up here, not at 100 TB. */
+class PlanSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def physical(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filter + projection push into the parquet scan (p5)") {
+    val p = physical("p5_filter_in_eq")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("l_returnflag"), p)
+    // pruned read schema: only the 5 referenced columns, not all 16
+    assert(!p.contains("l_comment") && !p.contains("l_shipmode"), p)
+  }
+
+  test("5-way dim join is all-broadcast — zero shuffle joins (join_5way)") {
+    val p = physical("join_5way")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("rule fan-out plan has no exchange before the union (sig fan-out)") {
+    val df = ops.Detection.queries("sig_fanout_counts")(spark, dir)
+    val plan = df.queryExecution.optimizedPlan.toString
+    // the N filter→project branches must be shuffle-free; the only
+    // aggregation shuffle is the final groupBy(rule.name)
+    val exchanges = df.queryExecution.executedPlan.toString
+      .linesIterator.count(_.trim.startsWith("+- Exchange"))
+    assert(exchanges <= 3, s"unexpected exchanges:\n$plan")
+  }
+
+  test("detection rules compile to codegen-able predicates (no UDFs)") {
+    val df = ops.Detection.queries("sig_credential_dumping_by_lazagne")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"), p)
+    assert(p.contains("WholeStageCodegen") ||
+      df.queryExecution.executedPlan.isInstanceOf[AdaptiveSparkPlanExec], p)
+  }
+
+  test("brute-force ANN broadcasts the query side, not the corpus") {
+    val df = ops.Similarity.queries("sim_topk_bruteforce")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+}

@@ -64,6 +64,35 @@ class OpsSpec extends SparkSpec {
     assert(row.getAs[Int]("n_bytes") == n)
   }
 
+  test("approx sketches stay within tolerance of exact values") {
+    val approx = Relational.queries("agg_approx_sketch")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exact = graft.engine.Tables(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("d"), expr("percentile(value, 0.5)").as("p50"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    exact.foreach { case (k, (d, p50)) =>
+      val (ad, ap50) = approx(k)
+      assert(math.abs(ad - d).toDouble / d <= 0.05, s"$k distinct: $ad vs $d")
+      assert(math.abs(ap50 - p50) / math.max(math.abs(p50), 1) <= 0.1, s"$k p50: $ap50 vs $p50")
+    }
+  }
+
+  test("as-of join picks the latest order at-or-before event time") {
+    val out = Relational.queries("join_asof")(spark, dir)
+    val row = out.filter(col("event_id") === 5).collect()(0)
+    // recompute directly for one event
+    val uid = row.getLong(1)
+    val ts = graft.engine.Tables(spark, dir, "events").filter(col("event_id") === 5)
+      .select(timestamp_micros(lit(788918400000000L)
+        + (unix_micros(col("ts")) * 131) % 207705600000000L)).collect()(0).getTimestamp(0)
+    val expect = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_custkey") === uid && col("o_orderdate") <= lit(ts))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      .select("o_orderkey").collect()(0).getLong(0)
+    assert(row.getLong(2) == expect)
+  }
+
   test("text quality/tokens: spot-check one document") {
     val doc = spark.read.parquet(s"$dir/documents.parquet")
       .filter(col("doc_id") === 1).collect()(0)
