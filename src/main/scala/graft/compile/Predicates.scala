@@ -103,7 +103,9 @@ case class Like(f: String, pattern: String) extends Pred {
   import Pred._
   def toColumn(field: String => Column): Column = parseLike(pattern) match {
     case List(Lit(s)) => field(f) === s
-    case List(AnyN) => field(f).isNotNull
+    // NOT isNotNull: SQL `x LIKE '%'` is NULL for NULL x (matters under
+    // negation); startsWith("") is true for any string, NULL for NULL
+    case List(AnyN) => field(f).startsWith("")
     case List(AnyN, Lit(s)) => field(f).endsWith(s)
     case List(Lit(s), AnyN) => field(f).startsWith(s)
     case List(AnyN, Lit(s), AnyN) => field(f).contains(s)
