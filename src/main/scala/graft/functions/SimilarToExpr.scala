@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.commons.text.StringEscapeUtils
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, StringRegexExpression}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.compile.Pred
+
+/** Native Catalyst `similar_to(str, pattern)` — the strict-fidelity
+  * implementation of the reference's `SIMILAR TO` predicate
+  * (SURVEY §2.2 P10; used at windows-process-access.sql:340 and
+  * windows-process-creation.sql:117,126).
+  *
+  * Semantics: fully-anchored regex match — `SIMILAR TO` matches the WHOLE
+  * string, unlike `rlike`'s substring search. The corpus patterns are
+  * Java-flavored (`{4,6}` quantifiers, `(?i)` flags), so the pattern
+  * dialect is Java regex with [[Pred.fixRegex]] brace fixing — identical
+  * to what the reference's Flink deployment actually executed.
+  *
+  * Codegen: when the pattern is foldable (every corpus rule — patterns are
+  * literals), the compiled `java.util.regex.Pattern` is hoisted into
+  * operator mutable state once per task, and the per-row code is a single
+  * `matcher(...).find()` — stays inside whole-stage codegen, no fallback.
+  * Non-foldable patterns use the parent's per-value compile cache.
+  */
+case class SimilarToExpr(left: Expression, right: Expression)
+    extends StringRegexExpression {
+
+  override def escape(v: String): String = s"^(?:${Pred.fixRegex(v)})$$"
+  override def matches(regex: java.util.regex.Pattern, str: String): Boolean =
+    regex.matcher(str).find(0)
+
+  override def prettyName: String = "similar_to"
+  override def toString: String = s"$left SIMILAR TO $right"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val patternClass = classOf[java.util.regex.Pattern].getName
+    if (right.foldable) {
+      val rVal = right.eval()
+      if (rVal != null) {
+        val regexStr = StringEscapeUtils.escapeJava(escape(rVal.asInstanceOf[UTF8String].toString))
+        // compile once per task, not per row
+        val patternRef = ctx.addMutableState(patternClass, "similarToPattern",
+          v => s"""$v = $patternClass.compile("$regexStr");""")
+        val eval = left.genCode(ctx)
+        import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+        ev.copy(code =
+          code"""
+            ${eval.code}
+            boolean ${ev.isNull} = ${eval.isNull};
+            boolean ${ev.value} = false;
+            if (!${ev.isNull}) {
+              ${ev.value} = $patternRef.matcher(${eval.value}.toString()).find(0);
+            }
+          """)
+      } else {
+        import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+        ev.copy(code =
+          code"""
+            boolean ${ev.isNull} = true;
+            boolean ${ev.value} = false;
+          """)
+      }
+    } else {
+      // pattern is per-row: compile inline (rare path; corpus never hits it)
+      nullSafeCodeGen(ctx, ev, (l, r) =>
+        s"""${ev.value} = $patternClass.compile(
+           |  "^(?:" + graft.compile.Pred.fixRegex($r.toString()) + ")$$")
+           |  .matcher($l.toString()).find(0);""".stripMargin)
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Function registration: both the `SparkSessionExtensions` path (for
+  * `spark.sql.extensions=graft.functions.GraftExtensions`) and a direct
+  * registry helper for sessions that already exist. */
+object GraftFunctions {
+  val similarTo: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("similar_to"),
+    new ExpressionInfo(classOf[SimilarToExpr].getName, "similar_to"),
+    (children: Seq[Expression]) => SimilarToExpr(children.head, children(1)))
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      similarTo._1, similarTo._2, similarTo._3)
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftFunctions.similarTo)
+}

@@ -249,6 +249,18 @@ object Relational {
         .orderBy("etype")
     }),
 
+    // P10 strict SIMILAR TO via the native Catalyst expression
+    // (graft.functions.SimilarToExpr) — anchored whole-string regex,
+    // codegen'd with a task-hoisted compiled pattern.
+    "p10_similar_to" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      t(s, dir, "events")
+        .filter(expr("similar_to(event_type, '(click|view|purchas.)')"))
+        .groupBy(col("event_type").as("etype"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("etype")
+    }),
+
     // §2.5 ranking window function: top-3 orders per customer
     "win_rank_topk" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -413,6 +425,11 @@ object Relational {
          WHERE NOT EXISTS (SELECT 1 FROM orders
                            WHERE o_custkey = c_custkey AND o_totalprice > 200000)
          ORDER BY ckey""",
+
+    "p10_similar_to" ->
+      """SELECT event_type AS etype, count(*) AS n
+         FROM events WHERE regexp_matches(event_type, '^(?:(click|view|purchas.))$')
+         GROUP BY 1 ORDER BY etype""",
 
     "join_asof" ->
       """WITH od AS (SELECT o_custkey AS k, o_orderdate AS t, max(o_orderkey) AS okey
