@@ -136,6 +136,22 @@ object AlertPipeline {
       .option("topic", topic)
       .option("checkpointLocation", checkpoint)
 
+  /** S7 statement-set alternative: the reference's 17-INSERT statement set
+    * shares one source and one job (windows-process-access.sql:72-601).
+    * Our primary mapping is the UNION ALL plan ([[alerts]]); when rules
+    * must reach DIFFERENT sinks, this fans one streaming query out to N
+    * writers per micro-batch — the batch is computed once (persisted),
+    * still one source scan, one checkpoint, exactly like the statement
+    * set's shared-scan semantics (SURVEY §2.1 S7). */
+  def foreachBatchFanOut(alertsDf: DataFrame,
+      sinks: Seq[DataFrame => Unit]): DataStreamWriter[Row] =
+    alertsDf.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      batch.persist()
+      try sinks.foreach(write => write(batch))
+      finally batch.unpersist()
+      ()
+    }
+
   /** End-to-end streaming job from resolved config (S5 templating). */
   def start(spark: SparkSession, rules: Seq[RuleDef], conf: Map[String, String]): StreamingQuery = {
     val src = kafkaSource(spark,

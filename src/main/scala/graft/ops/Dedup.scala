@@ -148,6 +148,33 @@ object Dedup {
         .orderBy("da", "db")
     }),
 
+    // Standalone n-gram Jaccard near-dup: candidate pairs blocked by the
+    // first-3-words prefix key (append-mutations preserve it), then exact
+    // word-3-gram Jaccard ≥ 0.3. The blocked self-join is the scale story:
+    // pair space is per-block, one shuffle on the block key.
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      val corpus = nearDupCorpus(s, dir)
+        .withColumn("blk", concat_ws(" ", slice(split(col("text"), " "), 1, 3)))
+      val sh = shingles(corpus.select(col("doc_id"), col("text")))
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+      val keys = corpus.select(col("doc_id"), col("blk"))
+      val cand = keys.as("x").join(keys.as("y"),
+          col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      val common = cand
+        .join(sh.as("sa"), col("da") === col("sa.doc_id"))
+        .join(sh.as("sb"), col("db") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+        .groupBy("da", "db").agg(count(lit(1)).as("common"))
+      common
+        .join(cnt.as("ca"), col("da") === col("ca.doc_id"))
+        .join(cnt.as("cb"), col("db") === col("cb.doc_id"))
+        .withColumn("jaccard",
+          round(col("common") / (col("ca.c") + col("cb.c") - col("common")), 3))
+        .filter(col("jaccard") >= 0.3)
+        .select(col("da"), col("db"), col("jaccard"))
+        .orderBy("da", "db")
+    }),
+
     // SimHash: 16-bit signature from signed per-(word, bit) contributions.
     "dedup_simhash" -> ((s, dir) => {
       val words = Tables(s, dir, "documents")
@@ -222,6 +249,27 @@ object Dedup {
           SELECT da, db, round(common / (ca.c + cb.c - common * 1.0), 3) AS jaccard
           FROM com JOIN cnt ca ON com.da = ca.doc_id JOIN cnt cb ON com.db = cb.doc_id
           WHERE round(common / (ca.c + cb.c - common * 1.0), 3) >= 0.5
+          ORDER BY da, db""",
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH corpus AS (
+            SELECT doc_id, text FROM ($nearDupSql)),
+          blocks AS (
+            SELECT doc_id, array_to_string(string_split(text, ' ')[1:3], ' ') AS blk
+            FROM corpus),
+          sh AS ($shinglesSql),
+          cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+          cand AS (SELECT x.doc_id AS da, y.doc_id AS db
+                   FROM blocks x JOIN blocks y
+                     ON x.blk = y.blk AND x.doc_id < y.doc_id),
+          com AS (SELECT da, db, count(*) AS common
+                  FROM cand
+                  JOIN sh sa ON cand.da = sa.doc_id
+                  JOIN sh sb ON cand.db = sb.doc_id AND sa.shingle = sb.shingle
+                  GROUP BY da, db)
+          SELECT da, db, round(common / (ca.c + cb.c - common * 1.0), 3) AS jaccard
+          FROM com JOIN cnt ca ON com.da = ca.doc_id JOIN cnt cb ON com.db = cb.doc_id
+          WHERE round(common / (ca.c + cb.c - common * 1.0), 3) >= 0.3
           ORDER BY da, db""",
 
     "dedup_simhash" ->

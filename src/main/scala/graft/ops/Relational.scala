@@ -300,6 +300,17 @@ object Relational {
         .orderBy("hour_us", "etype")
     }),
 
+    // §2.9 T4 sliding window (2h length, 1h slide): each event lands in 2
+    // windows; batch analog of the streaming sliding aggregation.
+    "time_sliding_2h_1h" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .select(unix_micros(col("window.start")).as("start_us"),
+          col("event_type").as("etype"), col("n"), col("total"))
+        .orderBy("start_us", "etype")
+    }),
+
     // §2.9 session windows (10-minute gap) per user
     "time_session_10m" -> ((s, dir) => {
       t(s, dir, "events")
@@ -463,6 +474,13 @@ object Relational {
       """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type AS etype,
                 count(*) AS n, round(sum(value), 2) AS total
          FROM events GROUP BY 1, 2 ORDER BY hour_us, etype""",
+
+    // each event belongs to windows starting at hour(ts)-1 and hour(ts)
+    "time_sliding_2h_1h" ->
+      """SELECT (epoch_us(date_trunc('hour', ts)) - k * 3600000000) AS start_us,
+                event_type AS etype, count(*) AS n, round(sum(value), 2) AS total
+         FROM events CROSS JOIN (SELECT i AS k FROM range(2) t(i))
+         GROUP BY 1, 2 ORDER BY start_us, etype""",
 
     "time_session_10m" ->
       """WITH gaps AS (

@@ -72,6 +72,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("statement-set shape: one query fans out to N sinks via foreachBatch (S7)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    val raw = mem.toDF().toDF("value", "timestamp")
+    val alerts = AlertPipeline.alerts(
+      AlertPipeline.parseJson(raw), Seq(ReferenceCorpus.mimikatzWinrm))
+    val out1 = java.nio.file.Files.createTempDirectory("graft-sink1").toString
+    val out2 = java.nio.file.Files.createTempDirectory("graft-sink2").toString
+    val q = AlertPipeline.foreachBatchFanOut(alerts, Seq(
+        b => b.select("computer_name", "host").write.mode("append").parquet(out1),
+        b => b.select(col("rule.name")).write.mode("append").parquet(out2)))
+      .start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      mem.addData((json("u1", "C:\\\\Windows\\\\System32\\\\lsass.exe"), t0))
+      q.processAllAvailable()
+      assert(spark.read.parquet(out1).count() == 1)
+      assert(spark.read.parquet(out2).collect()(0).getString(0)
+        == "Mimikatz through Windows Remote Management")
+    } finally q.stop()
+  }
+
   test("late data beyond watermark is dropped in append mode (T3 semantics)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
