@@ -152,14 +152,13 @@ object AlertPipeline {
       ()
     }
 
-  /** End-to-end streaming job from resolved config (S5 templating). */
+  /** End-to-end streaming job from resolved config (S5 templating): any
+    * [[Sources]] source → watermark → rule fan-out → any [[Sources]] sink,
+    * as ONE streaming query. */
   def start(spark: SparkSession, rules: Seq[RuleDef], conf: Map[String, String]): StreamingQuery = {
-    val src = kafkaSource(spark,
-      conf("kafka_brokers"), conf("kafka_source_topic"), conf("kafka_group_id"))
+    val src = Sources.source(spark, conf)
     val watermarked = src.withWatermark("timestamp", conf.getOrElse("watermark", "5 seconds"))
-    kafkaSink(alerts(watermarked, rules),
-      conf("kafka_brokers"), conf("kafka_sink_topic"),
-      conf.getOrElse("checkpoint", "/tmp/graft-checkpoint"))
+    Sources.sink(alerts(watermarked, rules), conf)
       .trigger(Trigger.ProcessingTime(conf.getOrElse("trigger", "0 seconds")))
       .start()
   }

@@ -1,0 +1,55 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** Source/sink definitions resolved from deploy config (SURVEY §7.4) — the
+  * Spark analog of the reference's `CREATE TEMPORARY TABLE … WITH
+  * ('connector' = …)` DDL blocks (windows-process-access.sql:8-35, :38-70).
+  *
+  * `source.type`:
+  *  - `kafka`  — the production path (S1/S3): record timestamp becomes the
+  *    event-time column, exactly the `TIMESTAMP(3) METADATA` declaration.
+  *  - `files`  — a directory of JSON-lines files streamed with the file
+  *    source; no broker metadata exists, so event time is ingestion time
+  *    (`current_timestamp()` at micro-batch planning) — the documented
+  *    substitute, fine for replay/testing.
+  *
+  * `sink.type`: `kafka` (alerts as JSON `value`) or `files` (parquet dir).
+  * All values pass through [[Templating]] first, so `${kafka_brokers}`
+  * style configs deploy unchanged.
+  */
+object Sources {
+
+  /** Streaming sysmon frame from config. */
+  def source(spark: SparkSession, conf: Map[String, String]): DataFrame =
+    conf.getOrElse("source.type", "kafka") match {
+      case "kafka" =>
+        AlertPipeline.kafkaSource(spark,
+          conf("kafka_brokers"), conf("kafka_source_topic"),
+          conf("kafka_group_id"), conf.getOrElse("startingOffsets", "earliest"))
+      case "files" =>
+        val raw = spark.readStream
+          .option("maxFilesPerTrigger", conf.getOrElse("source.maxFilesPerTrigger", "100"))
+          .text(conf("source.path"))
+          .withColumn("timestamp", current_timestamp())
+        AlertPipeline.parseJson(raw)
+      case other => throw new IllegalArgumentException(s"unknown source.type: $other")
+    }
+
+  /** Alert sink writer from config. */
+  def sink(alerts: DataFrame, conf: Map[String, String]): DataStreamWriter[Row] =
+    conf.getOrElse("sink.type", "kafka") match {
+      case "kafka" =>
+        AlertPipeline.kafkaSink(alerts,
+          conf("kafka_brokers"), conf("kafka_sink_topic"),
+          conf.getOrElse("checkpoint", "/tmp/graft-checkpoint"))
+      case "files" =>
+        alerts.writeStream
+          .format(conf.getOrElse("sink.format", "parquet"))
+          .option("path", conf("sink.path"))
+          .option("checkpointLocation", conf.getOrElse("checkpoint", "/tmp/graft-checkpoint"))
+      case other => throw new IllegalArgumentException(s"unknown sink.type: $other")
+    }
+}

@@ -95,6 +95,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source end-to-end job: JSON-lines dir → rule fan-out → parquet sink") {
+    val inDir = java.nio.file.Files.createTempDirectory("graft-in")
+    val outDir = java.nio.file.Files.createTempDirectory("graft-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    java.nio.file.Files.writeString(inDir.resolve("events.json"),
+      json("u1", "C:\\\\Windows\\\\System32\\\\lsass.exe") + "\n" +
+        json("u2", "C:\\\\Windows\\\\System32\\\\calc.exe") + "\n" +
+        "not-json\n")
+    val conf = Map(
+      "source.type" -> "files", "source.path" -> inDir.toString,
+      "sink.type" -> "files", "sink.path" -> outDir, "checkpoint" -> ckpt)
+    val q = AlertPipeline.start(spark, Seq(ReferenceCorpus.mimikatzWinrm), conf)
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == 1)
+    assert(out.select("event.origin_ids").collect()(0)
+      .getAs[scala.collection.Seq[String]](0).toSeq == Seq("u1"))
+  }
+
   test("late data beyond watermark is dropped in append mode (T3 semantics)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
