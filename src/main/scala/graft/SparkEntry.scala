@@ -9,9 +9,11 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   * DuckDB at sf0.01; names without an oracle get a weaker rows-only check.
   */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's core capability: the full 25-rule detection fan-out
+    * (shared scan → N×(filter→project) → UNION ALL) with per-rule counts. */
   def entry(spark: SparkSession): DataFrame =
-    queries("agg_q1_pricing")(spark, "/root/testdata/sf0.001")
+    queries("sig_fanout_counts")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -22,6 +22,32 @@ object Relational {
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S6 temp-view + spark.sql entry path: the SQL-first surface the
+    // reference exposes (CREATE TEMPORARY VIEW + SQL text). TPC-H Q3 shape.
+    "sql_q3_shipping" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT l_orderkey AS okey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS odate_us
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, okey LIMIT 10""")
+    }),
+
+    // S6 + correlated scalar subquery through the SQL entry
+    "sql_corr_subquery" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT p_partkey AS pkey, round(p_retailprice, 2) AS price
+        FROM part p
+        WHERE p_retailprice > (SELECT avg(p2.p_retailprice) * 1.04 FROM part p2
+                               WHERE p2.p_brand = p.p_brand)
+        ORDER BY pkey""")
+    }),
+
     // P1 projection with renaming, literals, scalar exprs
     "p1_project_rename" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -323,6 +349,23 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "sql_q3_shipping" ->
+      """SELECT l_orderkey AS okey,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                epoch_us(o_orderdate) AS odate_us
+         FROM customer JOIN orders ON c_custkey = o_custkey
+                       JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY l_orderkey, o_orderdate
+         ORDER BY revenue DESC, okey LIMIT 10""",
+
+    "sql_corr_subquery" ->
+      """SELECT p_partkey AS pkey, round(p_retailprice, 2) AS price
+         FROM part p
+         WHERE p_retailprice > (SELECT avg(p2.p_retailprice) * 1.04 FROM part p2
+                                WHERE p2.p_brand = p.p_brand)
+         ORDER BY pkey""",
+
     "p1_project_rename" ->
       """SELECT o_orderkey AS okey, upper(o_orderstatus) AS status,
          CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
