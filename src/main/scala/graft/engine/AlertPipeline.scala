@@ -89,6 +89,74 @@ object AlertPipeline {
   def alerts(sysmon: DataFrame, rules: Seq[RuleDef]): DataFrame =
     rules.map(ruleAlerts(sysmon, _)).reduce(_ unionAll _)
 
+  /** Merged-dispatch fan-out — the 1000-rule scale path (SURVEY §4 "plan
+    * size"): instead of N union branches (N operators in the plan, N
+    * codegen'd filters), ONE projection evaluates every rule predicate into
+    * an int array, explodes the fired rule ids, and broadcast-joins the
+    * tiny rule-metadata table to shape alerts. Plan size is O(1) in rule
+    * count; the predicates still all run inside one codegen'd stage.
+    * Semantics identical to [[alerts]] (bag multiplicity included) —
+    * asserted by AlertPipelineSpec.
+    *
+    * Also the BATCH-mode winner at any rule count: a batch union fan-out
+    * re-executes the source scan per branch (Spark reuses the scan across
+    * union branches only in streaming MicroBatchScan), so at 25 rules the
+    * union plan costs ~25 scans. Measured at sf0.1/local[32]: 7.9s union
+    * vs 1.5s merged for the same 25-rule fan-out counts. */
+  def alertsMerged(sysmon: DataFrame, rules: Seq[RuleDef]): DataFrame = {
+    val spark = sysmon.sparkSession
+    val fired = array(rules.zipWithIndex.map { case (r, i) =>
+      when(r.where.toColumn(nestedField), lit(i)).otherwise(lit(-1))
+    }: _*)
+    val withFired = sysmon.withColumn("__fa", fired)
+      .withColumn("rid", explode(expr("filter(__fa, x -> x >= 0)")))
+    val meta = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(
+        rules.zipWithIndex.map { case (r, i) =>
+          Row(i, r.name, r.author, r.category, r.severity, r.description,
+            r.references, r.tactic, r.technique, r.subtechnique,
+            r.module.orNull, r.version, r.source)
+        }).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("rid", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("r_name", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("r_author", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("r_category", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("r_severity", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("r_description", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("r_references", org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)),
+        org.apache.spark.sql.types.StructField("r_tactic", org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)),
+        org.apache.spark.sql.types.StructField("r_technique", org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)),
+        org.apache.spark.sql.types.StructField("r_subtechnique", org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)),
+        org.apache.spark.sql.types.StructField("r_module", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("r_version", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("r_source", org.apache.spark.sql.types.StringType))))
+    withFired.join(broadcast(meta), "rid").select(
+      col("computer_name"),
+      col("host"),
+      struct(
+        lit("signal").as("kind"),
+        col("r_module").as("module"),
+        array(col("uuid")).as("origin_ids"),
+        lit(1L).as("count"),
+        col("timestamp").as("start"),
+        col("timestamp").as("end"),
+        col("timestamp").as("time")).as("event"),
+      struct(
+        col("r_tactic").as("tactic"),
+        col("r_technique").as("technique"),
+        col("r_subtechnique").as("subtechnique")).as("threat"),
+      struct(
+        col("r_name").as("name"),
+        col("r_author").as("author"),
+        col("r_category").as("category"),
+        col("r_severity").as("severity"),
+        col("r_description").as("description"),
+        col("r_references").as("reference"),
+        col("r_version").as("version"),
+        col("r_source").as("source")).as("rule"))
+  }
+
   /** Build an in-memory sysmon DataFrame from (field → value) maps —
     * fixture entry point for tests and the oracle harness. */
   def sysmonFrame(spark: SparkSession, rows: Seq[Map[String, Any]]): DataFrame = {

@@ -225,6 +225,15 @@ object Detection {
           .agg(count(lit(1)).as("n"))
           .orderBy("rule_name")
       }),
+      // Same fan-out through the merged single-pass dispatch (the
+      // 1000-rule scale path) — must produce identical counts, so it
+      // shares sig_fanout_counts' oracle.
+      "sig_fanout_merged" -> ((s: SparkSession, dir: String) => {
+        val alerts = AlertPipeline.alertsMerged(nested(s, dir), ReferenceCorpus.active)
+        alerts.groupBy(col("rule.name").as("rule_name"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("rule_name")
+      }),
       // Sigma timeframe extension (SURVEY §2.4): tumbling 5-minute
       // windowed count >= 3 per computer over the directSyscall predicate,
       // alert carries count + all origin uuids + window bounds.
@@ -288,7 +297,7 @@ object Detection {
           ORDER BY start_us, computer_name"""
     }
 
-    perRule + ("sig_fanout_counts" -> fanout) + ("sig_alert_shape" -> shape) +
-      ("tf_windowed_count" -> tf)
+    perRule + ("sig_fanout_counts" -> fanout) + ("sig_fanout_merged" -> fanout) +
+      ("sig_alert_shape" -> shape) + ("tf_windowed_count" -> tf)
   }
 }

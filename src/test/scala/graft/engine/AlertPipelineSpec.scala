@@ -60,6 +60,27 @@ class AlertPipelineSpec extends SparkSpec {
     assert(alerts.count() == names.length) // bag semantics, one alert per rule
   }
 
+  test("merged dispatch emits exactly the same alerts as the union fan-out") {
+    val events = Seq(
+      ev( // fires directSyscall + credDumpTools
+        "TargetImage" -> """C:\Windows\System32\lsass.exe""",
+        "GrantedAccess" -> "0x1410",
+        "SourceImage" -> """C:\evil\dump.exe""",
+        "CallTrace" -> "UNKNOWN(1)|UNKNOWN(2)"),
+      ev("uuid" -> "u2", // fires nothing
+        "TargetImage" -> """C:\x\calc.exe""", "CallTrace" -> "C:\\x.dll+1"),
+      ev("uuid" -> "u3", // fires mimikatzWinrm
+        "TargetImage" -> """C:\Windows\System32\lsass.exe""",
+        "SourceImage" -> """C:\Windows\system32\wsmprovhost.exe"""))
+    val df = AlertPipeline.sysmonFrame(spark, events)
+    def canon(d: org.apache.spark.sql.DataFrame): Seq[String] =
+      d.select(to_json(struct(col("computer_name"), col("host"), col("event"),
+        col("threat"), col("rule")))).collect().map(_.getString(0)).sorted.toSeq
+    val union = canon(AlertPipeline.alerts(df, ReferenceCorpus.active))
+    val merged = canon(AlertPipeline.alertsMerged(df, ReferenceCorpus.active))
+    assert(union.nonEmpty && union == merged)
+  }
+
   test("parseJson drops malformed records, keeps timestamp metadata (S2/S3)") {
     import spark.implicits._
     val raw = Seq(
