@@ -96,7 +96,12 @@ object Dedup {
       val sh = shingles(nearDupCorpus(s, dir))
       val dict = sh.select("shingle").distinct()
         .withColumn("sid", row_number().over(Window.orderBy("shingle")).cast("long"))
+      // materialize the compact (doc_id, sid) pairs once — they feed the
+      // signature build, the per-doc counts, and both sides of the
+      // verification join; without this the whole explode+window+dictionary
+      // pipeline re-executes 4x
       val docSh = sh.join(dict, "shingle").select(col("doc_id"), col("sid"))
+        .localCheckpoint()
       val perms = s.range(8).select(col("id").cast("long").as("i"),
         (col("id") * 12345L + 1103515245L).as("a"), (col("id") * 987654L + 67867967L).as("b"))
       val sig = docSh.crossJoin(perms)
