@@ -95,6 +95,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: dropDuplicates on uuid within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    val deduped = mem.toDF().toDF("uuid", "timestamp")
+      .withWatermark("timestamp", "10 seconds")
+      .dropDuplicates("uuid")
+    val q = deduped.writeStream.format("memory").queryName("dedup_t1")
+      .outputMode("append").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      mem.addData(("u1", t0), ("u2", t0), ("u1", t0)) // duplicate u1 in-batch
+      q.processAllAvailable()
+      mem.addData(("u1", t0), ("u3", t0)) // duplicate across batches, still in state
+      q.processAllAvailable()
+      val uuids = spark.table("dedup_t1").collect().map(_.getString(0)).sorted
+      assert(uuids.toSeq == Seq("u1", "u2", "u3"))
+    } finally q.stop()
+  }
+
   test("file-source end-to-end job: JSON-lines dir → rule fan-out → parquet sink") {
     val inDir = java.nio.file.Files.createTempDirectory("graft-in")
     val outDir = java.nio.file.Files.createTempDirectory("graft-out").toString
