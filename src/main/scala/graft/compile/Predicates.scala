@@ -33,11 +33,33 @@ sealed trait Pred {
   def and(o: Pred): Pred = And(this, o)
   def or(o: Pred): Pred = Or(this, o)
   def unary_! : Pred = Not(this)
+
+  /** Render as Spark SQL text (the C6 `gen_flink_sql` analog — a rule as
+    * SQL a user can paste into spark.sql). Differs from toDuckDb only in
+    * string-literal escaping: Spark SQL treats `\` as an escape inside
+    * literals, so every backslash in values/regexes doubles. */
+  def toSparkSql(field: String => String): String = this match {
+    case Eq(f, v) => s"${field(f)} = ${Pred.ssq(v)}"
+    case In(f, vs) => s"${field(f)} IN (${vs.map(Pred.ssq).mkString(", ")})"
+    case IsNull(f) => s"${field(f)} IS NULL"
+    case Like(f, p) => s"regexp_like(${field(f)}, ${Pred.ssq(Pred.likeToRegex(p))})"
+    case SimilarTo(f, p) =>
+      s"regexp_like(${field(f)}, ${Pred.ssq(s"^(?:${Pred.fixRegex(p)})$$")})"
+    case TopEq(c, v) => s"$c = $v"
+    case And(l, r) => s"(${l.toSparkSql(field)} AND ${r.toSparkSql(field)})"
+    case Or(l, r) => s"(${l.toSparkSql(field)} OR ${r.toSparkSql(field)})"
+    case Not(p) => s"(NOT ${p.toSparkSql(field)})"
+  }
 }
 
 object Pred {
   /** SQL-quote a string literal (standard: only '' needs escaping). */
   def sq(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** Spark-SQL-quote: backslashes are escapes in Spark literals → double
+    * them, then escape quotes (SURVEY §2.2 P9 "hard parts"). */
+  def ssq(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
   /** Escape a char for use as a literal inside a Java/RE2 regex. */
   private def regexEscapeChar(c: Char): String =

@@ -229,6 +229,33 @@ object RuleCompiler {
       where = getWhere(logCate, detection, condition)))
   }
 
+  /** C6 `gen_flink_sql` analog: render one rule as a complete alert-shaped
+    * Spark SQL SELECT over a registered sysmon view (main.py:146-176's
+    * INSERT template, minus the INSERT — the engine unions the SELECTs).
+    * Proven equivalent to the Column path in RuleCompilerSpec. */
+  def renderSql(r: RuleDef, from: String): String = {
+    def arr(vs: Seq[String]): String =
+      if (vs.isEmpty) "CAST(array() AS ARRAY<STRING>)"
+      else vs.map(Pred.ssq).mkString("array(", ", ", ")")
+    val module = r.module.map(Pred.ssq).getOrElse("CAST(NULL AS STRING)")
+    val where = r.where.toSparkSql(f => s"event_data.`$f`")
+    s"""SELECT computer_name, host,
+       |  named_struct(
+       |    'kind', 'signal', 'module', $module, 'origin_ids', array(uuid),
+       |    'count', CAST(1 AS BIGINT),
+       |    'start', timestamp, 'end', timestamp, 'time', timestamp) AS event,
+       |  named_struct(
+       |    'tactic', ${arr(r.tactic)}, 'technique', ${arr(r.technique)},
+       |    'subtechnique', ${arr(r.subtechnique)}) AS threat,
+       |  named_struct(
+       |    'name', ${Pred.ssq(r.name)}, 'author', ${Pred.ssq(r.author)},
+       |    'category', ${Pred.ssq(r.category)}, 'severity', ${r.severity},
+       |    'description', ${Pred.ssq(r.description)},
+       |    'reference', ${arr(r.references)}, 'version', ${Pred.ssq(r.version)},
+       |    'source', ${Pred.ssq(r.source)}) AS rule
+       |FROM $from WHERE $where""".stripMargin
+  }
+
   /** C8 `walk_path`: compile every YAML file under a directory. */
   def compileDir(path: String): Seq[RuleDef] = {
     val root = new java.io.File(path)

@@ -60,6 +60,27 @@ class AlertPipelineSpec extends SparkSpec {
     assert(alerts.count() == names.length) // bag semantics, one alert per rule
   }
 
+  test("C6 SQL-text render path produces identical alerts to the Column path") {
+    val events = Seq(
+      ev("TargetImage" -> """C:\Windows\System32\lsass.exe""",
+        "GrantedAccess" -> "0x1FFFFF",
+        "CallTrace" -> ("""C:\\Windows\\SYSTEM32\\ntdll.dll+1|C:\\Windows\\System32\\KERNELBASE.dll+2""" +
+          """|_ctypes.pyd+3|python27.dll+4""")),
+      ev("uuid" -> "u9", "TargetImage" -> """C:\x\other.exe"""))
+    val df = AlertPipeline.sysmonFrame(spark, events)
+    df.createOrReplaceTempView("sysmon_fixture")
+    def canon(d: org.apache.spark.sql.DataFrame): Seq[String] =
+      d.select(to_json(struct(col("computer_name"), col("host"), col("event"),
+        col("threat"), col("rule")))).collect().map(_.getString(0)).sorted.toSeq
+    for (rule <- Seq(ReferenceCorpus.lazagne, ReferenceCorpus.silenttrinityMsbuild,
+        ReferenceCorpus.directSyscall)) {
+      val viaSql = canon(spark.sql(
+        graft.compile.RuleCompiler.renderSql(rule, "sysmon_fixture")))
+      val viaColumn = canon(AlertPipeline.ruleAlerts(df, rule))
+      assert(viaSql == viaColumn, s"${rule.name}:\n$viaSql\nvs\n$viaColumn")
+    }
+  }
+
   test("merged dispatch emits exactly the same alerts as the union fan-out") {
     val events = Seq(
       ev( // fires directSyscall + credDumpTools
