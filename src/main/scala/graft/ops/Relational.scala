@@ -191,6 +191,29 @@ object Relational {
         .orderBy("flag", "status")
     }),
 
+    // CUBE grouping sets (all 4 combinations)
+    "agg_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("total"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("n"), col("total"))
+        .orderBy("flag", "status")
+    }),
+
+    // exact interpolated percentiles (median + p90) per group
+    "agg_percentile_exact" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type").as("etype"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy("etype")
+    }),
+
     // broadcast hash join: fact ⋈ small dim (explicit broadcast hint)
     "join_broadcast" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -452,6 +475,20 @@ object Relational {
                 count(*) AS n, round(sum(l_quantity), 2) AS qty
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
          ORDER BY flag, status""",
+
+    "agg_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+                coalesce(l_linestatus, 'ALL') AS status,
+                count(*) AS n, round(sum(l_extendedprice), 2) AS total
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY flag, status""",
+
+    "agg_percentile_exact" ->
+      """SELECT event_type AS etype,
+                round(quantile_cont(value, 0.5), 4) AS p50,
+                round(quantile_cont(value, 0.9), 4) AS p90,
+                count(*) AS n
+         FROM events GROUP BY 1 ORDER BY etype""",
 
     "join_broadcast" ->
       """SELECT c_mktsegment AS segment, round(sum(o_totalprice), 2) AS total, count(*) AS n
