@@ -102,6 +102,29 @@ class AlertPipelineSpec extends SparkSpec {
     assert(union.nonEmpty && union == merged)
   }
 
+  test("merged dispatch scales to a 500-rule fan-out (SURVEY §4 plan size)") {
+    import graft.compile.dsl._
+    // 500 synthetic rules: distinct TargetImage suffixes; rule i matches
+    // events whose TargetImage ends with \proc<i>.exe
+    val rules = (0 until 500).map { i =>
+      ReferenceCorpus.lazagne.copy(
+        name = s"synthetic-$i",
+        where = eventId(10) and "TargetImage".like(s"""%\\proc$i.exe"""))
+    }
+    val events = Seq(
+      ev("uuid" -> "m7", "TargetImage" -> """C:\Windows\proc7.exe"""),
+      ev("uuid" -> "m8", "TargetImage" -> """C:\Windows\proc441.exe"""),
+      ev("uuid" -> "m9", "TargetImage" -> """C:\Windows\nomatch.exe"""))
+    val df = AlertPipeline.sysmonFrame(spark, events)
+    val t0 = System.nanoTime()
+    val out = AlertPipeline.alertsMerged(df, rules)
+      .select(col("rule.name"), col("event.origin_ids")(0).as("uuid"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(out == Set(("synthetic-7", "m7"), ("synthetic-441", "m8")))
+    assert(secs < 60, s"500-rule dispatch took ${secs}s") // plan stays O(1)
+  }
+
   test("parseJson drops malformed records, keeps timestamp metadata (S2/S3)") {
     import spark.implicits._
     val raw = Seq(
