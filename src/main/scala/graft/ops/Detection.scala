@@ -165,8 +165,12 @@ object Detection {
 
   /** Spark-side synthesized flat sysmon table. Columns: eid, computer_name,
     * host, uuid, ts, event_id, + one column per pooled field. */
-  def synth(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables(spark, dir, "events")
+  def synth(spark: SparkSession, dir: String): DataFrame =
+    synthFrom(Tables(spark, dir, "events"))
+
+  /** Same derivation over any frame with (event_id BIGINT, ts TIMESTAMP) —
+    * also used by StreamBench to generate load at arbitrary row counts. */
+  def synthFrom(ev: DataFrame): DataFrame = {
     val base = Seq(
       col("event_id").as("eid"),
       concat(lit("host-"), (col("event_id") % 50).cast("string")).as("computer_name"),
@@ -199,8 +203,10 @@ object Detection {
       .split('_').take(4).mkString("_")
 
   /** Nested sysmon frame (real event_data struct) for the pipeline query. */
-  def nested(spark: SparkSession, dir: String): DataFrame = {
-    val flat = synth(spark, dir)
+  def nested(spark: SparkSession, dir: String): DataFrame =
+    nestedFrom(synth(spark, dir))
+
+  def nestedFrom(flat: DataFrame): DataFrame = {
     val fields = graft.schema.Schemas.eventDataFields.map { f =>
       (if (pools.exists(_.field == f)) col(f) else lit(null).cast("string")).as(f)
     }
