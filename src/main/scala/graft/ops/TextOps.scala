@@ -68,6 +68,28 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // End-to-end training-data pipeline composition: quality-filter →
+    // exact-dedup (md5 canonical) → per-language corpus stats. The shape a
+    // real data-curation job takes: all stages fuse into scan → narrow
+    // filters → two hash shuffles (dedup group, stats group).
+    "text_pipeline_e2e" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .withColumn("n_words", size(split(col("text"), " ")))
+        .withColumn("n_stop",
+          expr(s"size(filter(split(text, ' '), w -> w IN ($stopSql)))"))
+        .filter(col("n_words") >= 20 &&
+          col("n_stop") / (col("n_words") * lit(1.0)) <= 0.5)
+      val canonical = docs
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      docs.join(canonical, "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("n_words")).as("tokens"),
+          round(avg(col("n_words")), 2).as("avg_tokens"))
+        .orderBy("lang")
+    }),
+
     // Document fingerprint: positional polynomial hash over words — the
     // rolling-hash shape used for content-defined dedup keys.
     "text_fingerprint" -> ((s, dir) => {
@@ -109,6 +131,22 @@ object TextOps {
                    len(list_filter(string_split(text, ' '),
                        w -> w IN ('le', 'la', 'et', 'un', 'une'))) AS fr_hits
             FROM documents) ORDER BY doc_id""",
+
+    "text_pipeline_e2e" ->
+      s"""WITH docs AS (
+            SELECT doc_id, lang, text,
+                   len(string_split(text, ' ')) AS n_words,
+                   len(list_filter(string_split(text, ' '), w -> w IN ($stopSql))) AS n_stop
+            FROM documents),
+          kept AS (
+            SELECT * FROM docs
+            WHERE n_words >= 20 AND n_stop / (n_words * 1.0) <= 0.5),
+          canonical AS (
+            SELECT md5(text) AS h, min(doc_id) AS doc_id FROM kept GROUP BY 1)
+          SELECT lang, count(*) AS docs, CAST(sum(n_words) AS BIGINT) AS tokens,
+                 round(avg(n_words), 2) AS avg_tokens
+          FROM kept JOIN canonical USING (doc_id)
+          GROUP BY lang ORDER BY lang""",
 
     "text_fingerprint" ->
       """SELECT doc_id,
