@@ -64,8 +64,8 @@ object Multimodal {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Metadata-only query: the planner prunes the binary column out of the
-    // scan entirely (verified in MultimodalSpec via the optimized plan).
+    // Metadata-only query: the planner prunes every unused document column
+    // out of the scan (verified in PlanSpec via the physical plan).
     "mm_meta" -> ((s, dir) => {
       mediaTable(s, dir)
         .select(col("doc_id"), col("format"), col("width"), col("height"),

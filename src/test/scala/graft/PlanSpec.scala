@@ -49,6 +49,14 @@ class PlanSpec extends SparkSpec {
       df.queryExecution.executedPlan.isInstanceOf[AdaptiveSparkPlanExec], p)
   }
 
+  test("metadata-only media query prunes unused document columns from the scan") {
+    val p = physical("mm_meta")
+    // derives format/width/height from doc_id and n_bytes from text; the
+    // untouched lang/source/n_chars columns must not reach the scan
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("lang") && !p.contains("n_chars"), p)
+  }
+
   test("brute-force ANN broadcasts the query side, not the corpus") {
     val df = ops.Similarity.queries("sim_topk_bruteforce")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
