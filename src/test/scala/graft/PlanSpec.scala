@@ -41,6 +41,16 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 3, s"unexpected exchanges:\n$plan")
   }
 
+  test("merged dispatch: one scan, no exchange before the explode") {
+    val nested = ops.Detection.nested(spark, dir)
+    val df = engine.AlertPipeline.alertsMerged(nested, rules.ReferenceCorpus.active)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p)
+    // only the broadcast of the 25-row rule-metadata table, no shuffle
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+  }
+
   test("detection rules compile to codegen-able predicates (no UDFs)") {
     val df = ops.Detection.queries("sig_credential_dumping_by_lazagne")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
