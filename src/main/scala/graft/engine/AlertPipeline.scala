@@ -39,12 +39,17 @@ object AlertPipeline {
     * the event-time column `timestamp` is taken from `tsCol` (the Kafka
     * record timestamp — METADATA in the reference DDL, :24). */
   def parseJson(raw: DataFrame, jsonCol: String = "value", tsCol: String = "timestamp"): DataFrame = {
+    // A corrupt-record column distinguishes "JSON failed to parse" (drop —
+    // the reference's ignore-parse-errors) from "parsed fine but the
+    // payload fields are null" (keep — the reference keeps those rows too;
+    // rules with an event_id gate filter them downstream anyway).
+    val schema = Schemas.sysmonNoTs.add("_corrupt", org.apache.spark.sql.types.StringType)
     val parsed = raw.select(
-      from_json(col(jsonCol).cast("string"), Schemas.sysmonNoTs).as("r"),
+      from_json(col(jsonCol).cast("string"), schema,
+        Map("columnNameOfCorruptRecord" -> "_corrupt")).as("r"),
       col(tsCol).cast("timestamp").as("timestamp"))
     parsed
-      .filter(col("r").isNotNull && (col("r.computer_name").isNotNull
-        || col("r.event_id").isNotNull || col("r.uuid").isNotNull))
+      .filter(col("r").isNotNull && col("r._corrupt").isNull)
       .select(col("r.computer_name").as("computer_name"), col("r.event_id").as("event_id"),
         col("r.host").as("host"), col("r.event_data").as("event_data"),
         col("r.uuid").as("uuid"), col("timestamp"))

@@ -83,17 +83,39 @@ case class SimilarToExpr(left: Expression, right: Expression)
   * `spark.sql.extensions=graft.functions.GraftExtensions`) and a direct
   * registry helper for sessions that already exist. */
 object GraftFunctions {
+  /** Builder with an arity gate: a wrong argument count surfaces as a clear
+    * analysis-time error, not an opaque NoSuchElementException. */
+  private def binary(name: String, mk: (Expression, Expression) => Expression)
+      : Seq[Expression] => Expression = {
+    case Seq(l, r) => mk(l, r)
+    case children => throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+      messageParameters = Map(
+        "functionName" -> name, "expectedNum" -> "2",
+        "actualNum" -> children.length.toString, "docroot" -> "-"))
+  }
+
   val similarTo: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("similar_to"),
     new ExpressionInfo(classOf[SimilarToExpr].getName, "similar_to"),
-    (children: Seq[Expression]) => SimilarToExpr(children.head, children(1)))
+    binary("similar_to", SimilarToExpr))
 
-  def register(spark: SparkSession): Unit =
+  val vecDot: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("vec_dot"),
+    new ExpressionInfo(classOf[VecDotExpr].getName, "vec_dot"),
+    binary("vec_dot", VecDotExpr))
+
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       similarTo._1, similarTo._2, similarTo._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      vecDot._1, vecDot._2, vecDot._3)
+  }
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.similarTo)
+    ext.injectFunction(GraftFunctions.vecDot)
+  }
 }

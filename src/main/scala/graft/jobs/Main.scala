@@ -48,8 +48,11 @@ object Main {
   def parseArgs(args: List[String], acc: Args = Args()): Args = args match {
     case "--rules" :: v :: rest => parseArgs(rest, acc.copy(rules = v))
     case "--conf" :: kv :: rest =>
-      val Array(k, v) = kv.split("=", 2)
-      parseArgs(rest, acc.copy(conf = acc.conf + (k -> v)))
+      kv.split("=", 2) match {
+        case Array(k, v) => parseArgs(rest, acc.copy(conf = acc.conf + (k -> v)))
+        case _ => throw new IllegalArgumentException(
+          s"--conf expects key=value, got: $kv")
+      }
     case Nil => acc
     case other => throw new IllegalArgumentException(s"unknown args: $other")
   }

@@ -16,12 +16,10 @@ import graft.engine.Tables
   * Scale notes (100 TB):
   *  - exact dedup groups by md5(text): one hash-shuffle on a 128-bit key,
   *    map-side combined; never shuffles full text twice.
-  *  - MinHash-LSH here assigns shingle ids through a sorted-dictionary
-  *    row_number so DuckDB can replay it exactly (its global window is the
-  *    oracle-replayability cost — it sorts only DISTINCT shingles). The
-  *    production path at scale is `dedup_minhash_fast`, which replaces the
-  *    dictionary with xxhash64(shingle) — no global sort, no dictionary
-  *    join, same LSH topology — and is checked rows-only.
+  *  - MinHash-LSH assigns shingle ids via md5 (bit-identical in Spark and
+  *    DuckDB → full hash oracle) — a narrow per-row hash, no dictionary, no
+  *    global sort. `dedup_minhash_fast` is the same topology with xxhash64
+  *    (cheaper; Spark-only, so checked rows-only) — the production pick.
   *  - candidate generation joins on (band, signature) so the self-join is
   *    band-partitioned — never O(n²); verification touches candidates only.
   *  - embedding near-dup blocks by label (the IVF-style coarse partition),
@@ -55,18 +53,20 @@ object Dedup {
        UNION ALL
        SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 4 = 0"""
 
-  /** Word 3-gram shingles per doc: posexplode + lead window (partitioned by
-    * doc — no global sort), distinct per doc. */
-  private def shingles(corpus: DataFrame): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("pos")
+  /** Word 3-gram shingles per doc, built narrowly: slide over the split
+    * array with `transform(sequence(...))`, dedupe per doc with
+    * `array_distinct`, then explode. Zero shuffles — the round-1 version
+    * (posexplode + lead window + global distinct) shuffled twice; since
+    * doc_ids are unique per corpus row, per-array distinct IS the
+    * per-(doc_id, shingle) distinct. */
+  private def shingles(corpus: DataFrame): DataFrame =
     corpus
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
-      .withColumn("w2", lead("word", 1).over(w))
-      .withColumn("w3", lead("word", 2).over(w))
-      .filter(col("w3").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("word"), col("w2"), col("w3")).as("shingle"))
-      .distinct()
-  }
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        explode(expr(
+          """array_distinct(transform(sequence(0, size(w) - 3),
+               i -> concat_ws(' ', w[i], w[i + 1], w[i + 2])))""")).as("shingle"))
   private val shinglesSql =
     s"""SELECT DISTINCT doc_id, word || ' ' || w2 || ' ' || w3 AS shingle FROM (
           SELECT doc_id, word, pos,
@@ -76,6 +76,23 @@ object Dedup {
                        generate_subscripts(string_split(text, ' '), 1) AS pos
                 FROM corpus))
         WHERE w3 IS NOT NULL"""
+
+  /** 8 minhash band signatures per doc in ONE aggregation pass. The
+    * round-1 version crossJoined an 8-row permutation table (8× the shuffle
+    * volume) and aggregated twice; here each permutation is its own `min`
+    * aggregate over the same (doc_id, sid) rows — a single map-side-combined
+    * shuffle — and the wide row unpivots narrowly to (doc_id, band, bsig).
+    * Same permutation constants, identical values. */
+  private def bandSigs(docSh: DataFrame): DataFrame = {
+    val mins = (0 until 8).map { i =>
+      min((lit(i * 12345L + 1103515245L) * col("sid")
+        + lit(i * 987654L + 67867967L)) % P).as(s"mh$i")
+    }
+    docSh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), explode(array((0 until 8).map(i =>
+        struct(lit(i.toLong).as("band"), col(s"mh$i").as("bsig"))): _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup by content hash (md5 so the oracle hashes identically;
@@ -94,22 +111,17 @@ object Dedup {
     // verification of candidates only.
     "dedup_minhash_lsh" -> ((s, dir) => {
       val sh = shingles(nearDupCorpus(s, dir))
-      val dict = sh.select("shingle").distinct()
-        .withColumn("sid", row_number().over(Window.orderBy("shingle")).cast("long"))
-      // materialize the compact (doc_id, sid) pairs once — they feed the
-      // signature build, the per-doc counts, and both sides of the
-      // verification join; without this the whole explode+window+dictionary
-      // pipeline re-executes 4x
-      val docSh = sh.join(dict, "shingle").select(col("doc_id"), col("sid"))
+      // shingle → numeric id via md5 (identical in Spark and DuckDB, so the
+      // oracle replays it exactly): the round-1 version used a sorted
+      // dictionary (row_number over a GLOBAL single-partition sort — the
+      // one plan shape that cannot scale); this is a narrow per-row hash.
+      // Materialized once — feeds the signature build, the per-doc counts,
+      // and both sides of the verification join.
+      val docSh = sh.select(col("doc_id"),
+          (conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long") % P).as("sid"))
         .localCheckpoint()
-      val perms = s.range(8).select(col("id").cast("long").as("i"),
-        (col("id") * 12345L + 1103515245L).as("a"), (col("id") * 987654L + 67867967L).as("b"))
-      val sig = docSh.crossJoin(perms)
-        .groupBy(col("doc_id"), col("i"))
-        .agg(min((col("a") * col("sid") + col("b")) % P).as("mh"))
-      val bands = sig
-        .groupBy(col("doc_id"), col("i").as("band"))
-        .agg(min(col("mh")).as("bsig")) // 8 bands x 1 row: high recall, FPs filtered by verify
+      // 8 bands x 1 row: high recall, FPs filtered by verify
+      val bands = bandSigs(docSh)
       val cand = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig")
             && col("x.doc_id") < col("y.doc_id"))
@@ -137,14 +149,8 @@ object Dedup {
     "dedup_minhash_fast" -> ((s, dir) => {
       val sh = shingles(nearDupCorpus(s, dir))
         .select(col("doc_id"), (abs(xxhash64(col("shingle"))) % P).as("sid"))
-      val perms = s.range(8).select(col("id").cast("long").as("i"),
-        (col("id") * 12345L + 1103515245L).as("a"), (col("id") * 987654L + 67867967L).as("b"))
-      val sig = sh.crossJoin(perms)
-        .groupBy(col("doc_id"), col("i"))
-        .agg(min((col("a") * col("sid") + col("b")) % P).as("mh"))
-      val bands = sig
-        .groupBy(col("doc_id"), col("i").as("band"))
-        .agg(min(col("mh")).as("bsig")) // 8 bands x 1 row: high recall, FPs filtered by verify
+      // 8 bands x 1 row: high recall, FPs filtered by verify
+      val bands = bandSigs(sh)
       bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig")
             && col("x.doc_id") < col("y.doc_id"))
@@ -160,7 +166,9 @@ object Dedup {
     "dedup_ngram_jaccard" -> ((s, dir) => {
       val corpus = nearDupCorpus(s, dir)
         .withColumn("blk", concat_ws(" ", slice(split(col("text"), " "), 1, 3)))
-      val sh = shingles(corpus.select(col("doc_id"), col("text")))
+      // materialized once: feeds the per-doc counts and BOTH sides of the
+      // candidate-verification join (3 consumers)
+      val sh = shingles(corpus.select(col("doc_id"), col("text"))).localCheckpoint()
       val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
       val keys = corpus.select(col("doc_id"), col("blk"))
       val cand = keys.as("x").join(keys.as("y"),
@@ -199,24 +207,21 @@ object Dedup {
     // Embedding near-dup: planted scaled copies (cosine == 1 up to float
     // noise) found by blocked pairwise cosine ≥ 0.9 within label blocks.
     "dedup_embedding_cosine" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       val e = Tables(s, dir, "embeddings")
       val dup = e.filter(col("vec_id") % 5 === 0).select(
         (col("vec_id") + 100000).as("vec_id"),
         expr("transform(embedding, x -> CAST(x AS FLOAT) * CAST(1.01 AS FLOAT))").as("embedding"),
         col("label"))
-      // norm once per vector BEFORE the pair join — the per-pair work is
-      // then a single zip_with dot product (3x less lambda work per pair)
+      // norm once per vector BEFORE the pair join; the per-pair work is one
+      // codegen'd vec_dot loop (the round-1 zip_with/aggregate HOF pair ran
+      // interpreted and dominated the whole benchmark at 20s)
       val all = e.select(col("vec_id"), col("embedding"), col("label")).unionAll(dup)
-        .withColumn("norm", expr(
-          """sqrt(aggregate(embedding, CAST(0 AS DOUBLE),
-               (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"""))
+        .withColumn("norm", expr("sqrt(vec_dot(embedding, embedding))"))
       val pairs = all.as("a").join(all.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       pairs
-        .withColumn("dot", expr(
-          """aggregate(zip_with(a.embedding, b.embedding,
-               (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-               CAST(0 AS DOUBLE), (acc, v) -> acc + v)"""))
+        .withColumn("dot", expr("vec_dot(a.embedding, b.embedding)"))
         .filter(col("dot") / (col("a.norm") * col("b.norm")) >= 0.9)
         .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
         .orderBy("va", "vb")
@@ -233,9 +238,9 @@ object Dedup {
     "dedup_minhash_lsh" ->
       s"""WITH corpus AS ($nearDupSql),
           sh AS ($shinglesSql),
-          dict AS (SELECT shingle, row_number() OVER (ORDER BY shingle) AS sid
-                   FROM (SELECT DISTINCT shingle FROM sh)),
-          doc_sh AS (SELECT sh.doc_id, dict.sid FROM sh JOIN dict USING (shingle)),
+          doc_sh AS (SELECT doc_id,
+                       CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % $P AS sid
+                     FROM sh),
           perms AS (SELECT i, 12345 * i + 1103515245 AS a, 987654 * i + 67867967 AS b
                     FROM range(8) t(i)),
           sig AS (SELECT doc_id, i, min((a * sid + b) % $P) AS mh

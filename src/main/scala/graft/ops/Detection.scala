@@ -226,7 +226,13 @@ object Detection {
       // Full pipeline fan-out: N×(filter→project) → UNION ALL over the
       // nested schema, then alert counts per rule (only firing rules).
       "sig_fanout_counts" -> ((s: SparkSession, dir: String) => {
-        val alerts = AlertPipeline.alerts(nested(s, dir), ReferenceCorpus.active)
+        // The reference's statement set scans the source ONCE and fans out;
+        // a Spark UNION ALL re-executes the source per branch (25× the
+        // scan + synth projection here). Materializing the shared input
+        // restores the statement-set cost model while keeping the
+        // N-branch plan shape. (alertsMerged is the 1000-rule scale path.)
+        val src = nested(s, dir).localCheckpoint()
+        val alerts = AlertPipeline.alerts(src, ReferenceCorpus.active)
         alerts.groupBy(col("rule.name").as("rule_name"))
           .agg(count(lit(1)).as("n"))
           .orderBy("rule_name")

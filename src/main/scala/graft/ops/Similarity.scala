@@ -24,16 +24,15 @@ import graft.engine.Tables
   */
 object Similarity {
 
-  private val dotExpr =
-    """aggregate(zip_with(qe, ce, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-         CAST(0 AS DOUBLE), (acc, v) -> acc + v)"""
-  private def normExpr(c: String) =
-    s"""sqrt(aggregate($c, CAST(0 AS DOUBLE),
-          (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"""
+  // native codegen'd loop (graft.functions.VecDotExpr) — same left-to-right
+  // double summation as the DuckDB oracle's unnest+sum
+  private val dotExpr = "vec_dot(qe, ce)"
+  private def normExpr(c: String) = s"sqrt(vec_dot($c, $c))"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact ANN baseline: 8 query vectors × full corpus, cosine top-3.
     "sim_topk_bruteforce" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       val e = Tables(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"),
@@ -56,6 +55,7 @@ object Similarity {
     // At scale: centroids are tiny (k × dim) → broadcast; the corpus is
     // hash-partitioned by centroid id so a probe touches one partition set.
     "sim_ivf_ann" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       val e = Tables(s, dir, "embeddings")
       val comp = e.select(col("vec_id"), col("label"),
         posexplode(col("embedding")).as(Seq("d", "x")))
@@ -89,18 +89,20 @@ object Similarity {
     // LSH-bucketed ANN: 4 deterministic integer hyperplanes → 16 buckets;
     // probe only the query's bucket, exact cosine inside it.
     "sim_lsh_ann" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       val e = Tables(s, dir, "embeddings")
-      // plane weights w(p, d) = ((p*131 + d*137) % 97) - 48, d 0-based
-      val planes = s.range(4).select(col("id").cast("int").as("p"))
-      val comp = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
-      val buckets = comp.crossJoin(planes)
-        .withColumn("wpd", (col("p") * 131 + col("d") * 137) % 97 - 48)
-        .groupBy("vec_id", "p")
-        .agg(sum(col("x").cast("double") * col("wpd")).as("dot"))
-        .withColumn("bit", when(col("dot") >= 0, 1).otherwise(0))
-        .groupBy("vec_id")
-        .agg(sum(col("bit") * expr("CAST(pow(2, p) AS BIGINT)")).as("bucket"))
-      val withB = e.join(buckets, "vec_id")
+      // plane weights w(p, d) = ((p*131 + d*137) % 97) - 48, d 0-based.
+      // Each plane's projection is computed NARROWLY per vector (weights
+      // materialized inline from the index sequence, then one vec_dot) —
+      // the round-1 posexplode + crossJoin + two-groupBy pipeline pushed
+      // 64×4 rows per vector through two shuffles to compute the same 4
+      // signs; this is zero shuffles and stays in the scan stage.
+      def planeDot(p: Int) = expr(
+        s"""vec_dot(embedding, transform(sequence(0, size(embedding) - 1),
+              d -> CAST((($p * 131 + d * 137) % 97) - 48 AS DOUBLE)))""")
+      val withB = e.withColumn("bucket",
+        (0 until 4).map(p => when(planeDot(p) >= 0, lit(1L << p)).otherwise(lit(0L)))
+          .reduce(_ + _))
       val q = withB.filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"),
           expr(normExpr("embedding")).as("qn"))
