@@ -261,6 +261,29 @@ object Detection {
             to_json(col("event.origin_ids")).as("origins"))
           .orderBy("start_us", "computer_name")
       }),
+      // Sequence correlation (beyond-reference stateful operator, the
+      // class main.py:194-195 rejects): cmdkey credential recon (creation)
+      // followed within 72h by an lsass handle access on the same host —
+      // through streaming/SequenceRules.flatMapGroupsWithState, which runs
+      // this SAME code path incrementally in streaming (StreamingSpec
+      // proves cross-micro-batch state); here batch mode gives the DuckDB
+      // window oracle a full hash check of the correlation semantics.
+      "sig_sequence_corr" -> ((s: SparkSession, dir: String) => {
+        import s.implicits._
+        import graft.streaming.SequenceRules
+        import graft.streaming.SequenceRules.SeqEvent
+        val evs = synth(s, dir)
+          .filter((col("event_id") === 1 && col("CommandLine") === "cmdkey /list")
+            || (col("event_id") === 10 && col("TargetImage").like("%lsass.exe")))
+          .select(col("computer_name").as("key"), col("eid"),
+            unix_micros(col("ts")).as("ts_us"),
+            when(col("event_id") === 1, 0).otherwise(1).as("kind"))
+          .as[SeqEvent]
+        SequenceRules.alerts(evs, 72L * 3600 * 1000000)
+          .select(col("key").as("computer_name"), col("b_eid").as("access_eid"),
+            col("a_eid").as("creation_eid"), col("gap_us"))
+          .orderBy("access_eid")
+      }),
       // Alert shaping: scalar extraction from the event/threat/rule structs
       // for one rule (LaZagne), proving struct construction semantics.
       "sig_alert_shape" -> ((s: SparkSession, dir: String) => {
@@ -309,7 +332,32 @@ object Detection {
           ORDER BY start_us, computer_name"""
     }
 
+    // the correlation semantics replayed as a carry-forward window: the
+    // latest A-event (kind 0) at or before each B-event (kind 1), per key
+    val seqCorr =
+      s"""WITH evs AS (
+            SELECT computer_name AS key, eid, epoch_us(ts) AS ts_us,
+                   CASE WHEN event_id = 1 THEN 0 ELSE 1 END AS kind
+            FROM ($synthSql)
+            WHERE (event_id = 1 AND "CommandLine" = 'cmdkey /list')
+               OR (event_id = 10 AND "TargetImage" LIKE '%lsass.exe')),
+          w AS (
+            SELECT key, eid, ts_us, kind,
+                   last_value(CASE WHEN kind = 0 THEN eid END IGNORE NULLS)
+                     OVER win AS a_eid,
+                   last_value(CASE WHEN kind = 0 THEN ts_us END IGNORE NULLS)
+                     OVER win AS a_ts_us
+            FROM evs
+            WINDOW win AS (PARTITION BY key ORDER BY ts_us, kind
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+          SELECT key AS computer_name, eid AS access_eid, a_eid AS creation_eid,
+                 ts_us - a_ts_us AS gap_us
+          FROM w
+          WHERE kind = 1 AND a_eid IS NOT NULL AND ts_us - a_ts_us <= 259200000000
+          ORDER BY access_eid"""
+
     perRule + ("sig_fanout_counts" -> fanout) + ("sig_fanout_merged" -> fanout) +
-      ("sig_alert_shape" -> shape) + ("tf_windowed_count" -> tf)
+      ("sig_alert_shape" -> shape) + ("tf_windowed_count" -> tf) +
+      ("sig_sequence_corr" -> seqCorr)
   }
 }

@@ -368,6 +368,97 @@ object Relational {
         .select(col("user_id").as("uid"),
           unix_micros(col("session_window.start")).as("sess_us"), col("n"), col("total"))
         .orderBy("uid", "sess_us")
+    }),
+
+    // Range (interval) join with NO equi-key: clicks in the hour before
+    // each purchase. The naive plan is a cartesian product with a range
+    // filter — O(n²) and unrunnable at scale. The scalable shape: bucket
+    // time by the window length; a click lands in exactly one bucket, a
+    // purchase probes its own bucket and the previous one (a 1h-lookback
+    // interval spans at most 2 buckets), so the join is an EQUI-join on
+    // bucket and the exact range predicate only touches candidate pairs.
+    // Cost is O(pairs-per-hour), not O(n²), and it shuffle-partitions by
+    // bucket — time-uniform data spreads evenly across executors.
+    "join_range" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("ts").as("ct"), floor(unix_seconds(col("ts")) / 3600).as("b"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts").as("pt"),
+          explode(array(floor(unix_seconds(col("ts")) / 3600) - 1,
+            floor(unix_seconds(col("ts")) / 3600))).as("b"))
+      purchases.join(clicks, "b")
+        .filter(col("ct") >= col("pt") - expr("INTERVAL 1 HOUR") && col("ct") < col("pt"))
+        .groupBy("event_id")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_id")
+    }),
+
+    // §2.4 explicit GROUPING SETS (beyond rollup/cube): two independent
+    // single-column groupings plus the grand total, one shuffle.
+    "agg_grouping_sets" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT coalesce(event_type, 'ALL') AS etype,
+               coalesce(CAST(ub AS STRING), 'ALL') AS ubucket,
+               count(*) AS n, round(sum(value), 2) AS total
+        FROM (SELECT event_type, user_id % 10 AS ub, value FROM events)
+        GROUP BY GROUPING SETS ((event_type), (ub), ())
+        ORDER BY etype, ubucket""")
+    }),
+
+    // §2.5 lag/lead analytic windows: per-user deltas and next-event type.
+    "win_lag_lead" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, dir, "events")
+        .select(col("user_id").as("uid"), col("event_id"),
+          round(col("value") - lag("value", 1).over(w), 2).as("delta"),
+          lead("event_type", 1).over(w).as("nxt"))
+        .orderBy("uid", "event_id")
+    }),
+
+    // §2.7 INTERSECT (distinct set semantics): users with a high-value
+    // purchase AND a high-value error event.
+    "set_intersect" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.filter(col("event_type") === "purchase" && col("value") > 900).select(col("user_id").as("uid"))
+        .intersect(
+          ev.filter(col("event_type") === "error" && col("value") > 900).select(col("user_id").as("uid")))
+        .orderBy("uid")
+    }),
+
+    // §2.7 EXCEPT (distinct set semantics): users who purchased but never
+    // signed up with a high-value event.
+    "set_except" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.filter(col("event_type") === "purchase" && col("value") > 900).select(col("user_id").as("uid"))
+        .except(
+          ev.filter(col("event_type") === "signup" && col("value") > 500).select(col("user_id").as("uid")))
+        .orderBy("uid")
+    }),
+
+    // Pivot (wide aggregation): per-user event-type counts as columns. The
+    // value list is EXPLICIT — without it Spark runs an extra distinct pass
+    // over the data just to discover column names (a full scan at 100 TB).
+    "pivot_wide" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      t(s, dir, "events")
+        .groupBy(col("user_id").as("uid"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .select(col("uid") +: types.map(tp => coalesce(col(tp), lit(0L)).as(tp)): _*)
+        .orderBy("uid")
+    }),
+
+    // Lateral explode (UNNEST): word histogram over part names — the
+    // generator side of the explode/flatten surface.
+    "explode_lateral" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(explode(split(col("p_name"), " ")).as("word"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("word")
     })
   )
 
@@ -577,6 +668,55 @@ object Relational {
            FROM gaps)
          SELECT user_id AS uid, epoch_us(min(ts)) AS sess_us,
                 count(*) AS n, round(sum(value), 2) AS total
-         FROM sess GROUP BY user_id, sid ORDER BY uid, sess_us"""
+         FROM sess GROUP BY user_id, sid ORDER BY uid, sess_us""",
+
+    "join_range" ->
+      """SELECT p.event_id, count(*) AS n
+         FROM events p JOIN events c
+           ON c.event_type = 'click' AND p.event_type = 'purchase'
+          AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+         GROUP BY 1 ORDER BY p.event_id""",
+
+    "agg_grouping_sets" ->
+      """SELECT coalesce(event_type, 'ALL') AS etype,
+                coalesce(CAST(ub AS VARCHAR), 'ALL') AS ubucket,
+                count(*) AS n, round(sum(value), 2) AS total
+         FROM (SELECT event_type, user_id % 10 AS ub, value FROM events)
+         GROUP BY GROUPING SETS ((event_type), (ub), ())
+         ORDER BY etype, ubucket""",
+
+    "win_lag_lead" ->
+      """SELECT user_id AS uid, event_id,
+                round(value - lag(value, 1) OVER w, 2) AS delta,
+                lead(event_type, 1) OVER w AS nxt
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY uid, event_id""",
+
+    "set_intersect" ->
+      """SELECT user_id AS uid FROM events WHERE event_type = 'purchase' AND value > 900
+         INTERSECT
+         SELECT user_id AS uid FROM events WHERE event_type = 'error' AND value > 900
+         ORDER BY uid""",
+
+    "set_except" ->
+      """SELECT user_id AS uid FROM events WHERE event_type = 'purchase' AND value > 900
+         EXCEPT
+         SELECT user_id AS uid FROM events WHERE event_type = 'signup' AND value > 500
+         ORDER BY uid""",
+
+    "pivot_wide" ->
+      """SELECT user_id AS uid,
+                count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+                count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+                count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+                count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+                count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+         FROM events GROUP BY 1 ORDER BY uid""",
+
+    "explode_lateral" ->
+      """SELECT word, count(*) AS n FROM (
+           SELECT unnest(string_split(p_name, ' ')) AS word FROM part
+         ) GROUP BY word ORDER BY word"""
   )
 }

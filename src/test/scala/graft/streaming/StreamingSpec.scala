@@ -134,6 +134,58 @@ class StreamingSpec extends SparkSpec {
       .getAs[scala.collection.Seq[String]](0).toSeq == Seq("u1"))
   }
 
+  test("sequence correlation: A-state persists across micro-batches (flatMapGroupsWithState)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import SequenceRules.{SeqAlert, SeqEvent}
+    val mem = MemoryStream[SeqEvent]
+    val alerts = SequenceRules.alerts(mem.toDS(), gapUs = 60000000L)
+    val q = alerts.writeStream.format("memory").queryName("seq_t1")
+      .outputMode("append").start()
+    try {
+      // batch 1: an A on pc1 (stored in state), a B on pc2 with no prior A
+      mem.addData(SeqEvent("pc1", 1L, 1000000L, 0), SeqEvent("pc2", 2L, 1000000L, 1))
+      q.processAllAvailable()
+      assert(spark.table("seq_t1").count() == 0)
+      // batch 2: B on pc1 29s after the batch-1 A → correlates FROM STATE
+      mem.addData(SeqEvent("pc1", 3L, 30000000L, 1))
+      q.processAllAvailable()
+      val out = spark.table("seq_t1").as[SeqAlert].collect()
+      assert(out.toSeq == Seq(SeqAlert("pc1", 3L, 1L, 29000000L)))
+      // batch 3: B beyond the gap → no new alert
+      mem.addData(SeqEvent("pc1", 4L, 120000000L, 1))
+      q.processAllAvailable()
+      assert(spark.table("seq_t1").count() == 1)
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join with watermarks (§2.3 streaming joins)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val memA = MemoryStream[(String, java.sql.Timestamp)]
+    val memB = MemoryStream[(String, java.sql.Timestamp)]
+    val a = memA.toDF().toDF("akey", "ats").withWatermark("ats", "10 seconds")
+    val b = memB.toDF().toDF("bkey", "bts").withWatermark("bts", "10 seconds")
+    val joined = a.join(b,
+      col("akey") === col("bkey")
+        && col("bts") >= col("ats")
+        && col("bts") <= col("ats") + expr("INTERVAL 1 MINUTE"))
+    val q = joined.writeStream.format("memory").queryName("ssj_t1")
+      .outputMode("append").start()
+    try {
+      def ts(t: String) = java.sql.Timestamp.valueOf(t)
+      memA.addData(("k1", ts("2024-01-01 00:00:00")))
+      q.processAllAvailable()
+      // one B inside the interval, one past it, one on a key with no A
+      memB.addData(("k1", ts("2024-01-01 00:00:30")),
+        ("k1", ts("2024-01-01 00:05:00")), ("k2", ts("2024-01-01 00:00:10")))
+      q.processAllAvailable()
+      val out = spark.table("ssj_t1").collect()
+      assert(out.length == 1)
+      assert(out(0).getAs[String]("akey") == "k1")
+    } finally q.stop()
+  }
+
   test("late data beyond watermark is dropped in append mode (T3 semantics)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
