@@ -72,4 +72,39 @@ class PlanSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
+
+  test("range join bucketizes into a HASH join — never a nested-loop over time") {
+    val p = physical("join_range")
+    // the interval predicate must ride on a bucket equi-join; a
+    // BroadcastNestedLoopJoin/CartesianProduct here is the O(n^2) shape
+    // that cannot scale
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("pivot with explicit values: single aggregation pass, no discovery scan") {
+    val df = SparkEntry.queries("pivot_wide")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p)
+  }
+
+  test("sequence correlation: one key shuffle into the stateful correlator") {
+    val df = ops.Detection.queries("sig_sequence_corr")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // batch mode lowers flatMapGroupsWithState to MapGroups (the
+    // FlatMapGroupsWithState node exists only in streaming plans —
+    // StreamingSpec drives that path)
+    assert(p.contains("MapGroups"), p)
+    // exactly one hash shuffle (the key partition) before the correlator;
+    // the trailing sort for deterministic output adds a range exchange
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+  }
+
+  test("vec_dot is a native codegen'd expression — no interpreted HOFs in ANN") {
+    val df = ops.Similarity.queries("sim_topk_bruteforce")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("vec_dot"), p)
+    assert(!p.contains("aggregate(zip_with"), p)
+  }
 }

@@ -186,6 +186,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("restart from checkpoint resumes without duplicating processed input (T5)") {
+    val inDir = java.nio.file.Files.createTempDirectory("graft-rs-in")
+    val outDir = java.nio.file.Files.createTempDirectory("graft-rs-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-rs-ckpt").toString
+    val conf = Map(
+      "source.type" -> "files", "source.path" -> inDir.toString,
+      "sink.type" -> "files", "sink.path" -> outDir, "checkpoint" -> ckpt)
+    java.nio.file.Files.writeString(inDir.resolve("batch1.json"),
+      json("u1", "C:\\\\Windows\\\\System32\\\\lsass.exe") + "\n")
+    val q1 = AlertPipeline.start(spark, Seq(ReferenceCorpus.mimikatzWinrm), conf)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(outDir).count() == 1)
+    // second run, SAME checkpoint: only the new file may be processed
+    java.nio.file.Files.writeString(inDir.resolve("batch2.json"),
+      json("u2", "C:\\\\Windows\\\\System32\\\\lsass.exe") + "\n")
+    val q2 = AlertPipeline.start(spark, Seq(ReferenceCorpus.mimikatzWinrm), conf)
+    try q2.processAllAvailable() finally q2.stop()
+    val uuids = spark.read.parquet(outDir)
+      .select(org.apache.spark.sql.functions.element_at(col("event.origin_ids"), 1))
+      .collect().map(_.getString(0)).sorted
+    assert(uuids.toSeq == Seq("u1", "u2")) // u1 exactly once — offsets replayed, not re-read
+  }
+
   test("late data beyond watermark is dropped in append mode (T3 semantics)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
