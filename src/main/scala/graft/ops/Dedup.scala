@@ -106,6 +106,31 @@ object Dedup {
         .orderBy("canonical")
     }),
 
+    // URL-canonicalization dedup (web-crawl curation): synthesized URL
+    // variants — upper/lower host, explicit default port, utm_* tracking
+    // params in leading or trailing position — collapse to one canonical
+    // form. Canonicalization is a narrow per-row expression chain (lower +
+    // literal replaces, no regex so Spark and DuckDB agree on replace-all
+    // semantics); dedup is then exact dedup's hash-shuffle on the
+    // canonical string.
+    "dedup_url_canonical" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val url = concat(
+        when(col("doc_id") % 2 === 0, lit("HTTPS://WWW.EXAMPLE.COM:443"))
+          .otherwise(lit("https://www.example.com")),
+        lit("/path/"), (col("doc_id") % 500).cast("string"),
+        when(col("doc_id") % 3 === 0, lit("?utm_source=x&")).otherwise(lit("?")),
+        concat(lit("id="), (col("doc_id") % 7).cast("string")),
+        when(col("doc_id") % 5 === 0, lit("&utm_medium=y")).otherwise(lit("")))
+      d.select(col("doc_id"), url.as("url"))
+        .withColumn("canon", expr(
+          """replace(replace(replace(lower(url), ':443', ''),
+               'utm_source=x&', ''), '&utm_medium=y', '')"""))
+        .groupBy("canon")
+        .agg(min("doc_id").as("keep"), count(lit(1)).as("n"))
+        .orderBy("canon")
+    }),
+
     // MinHash + LSH: shingle → dictionary id → 8 permutations → minhash
     // signature → 8 bands → band-bucket self-join → exact-Jaccard
     // verification of candidates only.
@@ -234,6 +259,21 @@ object Dedup {
             SELECT md5(text) AS h, min(doc_id) AS canonical, count(*) AS n
             FROM ($exactDupSql) GROUP BY 1)
           WHERE n > 1 ORDER BY canonical""",
+
+    "dedup_url_canonical" ->
+      """WITH u AS (
+           SELECT doc_id,
+                  (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.EXAMPLE.COM:443'
+                        ELSE 'https://www.example.com' END)
+                  || '/path/' || CAST(doc_id % 500 AS VARCHAR)
+                  || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&' ELSE '?' END)
+                  || 'id=' || CAST(doc_id % 7 AS VARCHAR)
+                  || (CASE WHEN doc_id % 5 = 0 THEN '&utm_medium=y' ELSE '' END) AS url
+           FROM documents)
+         SELECT replace(replace(replace(lower(url), ':443', ''),
+                  'utm_source=x&', ''), '&utm_medium=y', '') AS canon,
+                min(doc_id) AS keep, count(*) AS n
+         FROM u GROUP BY 1 ORDER BY canon""",
 
     "dedup_minhash_lsh" ->
       s"""WITH corpus AS ($nearDupSql),

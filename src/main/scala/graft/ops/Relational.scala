@@ -422,9 +422,9 @@ object Relational {
     // purchase AND a high-value error event.
     "set_intersect" -> ((s, dir) => {
       val ev = t(s, dir, "events")
-      ev.filter(col("event_type") === "purchase" && col("value") > 900).select(col("user_id").as("uid"))
+      ev.filter(col("event_type") === "purchase" && col("value") > 250).select(col("user_id").as("uid"))
         .intersect(
-          ev.filter(col("event_type") === "error" && col("value") > 900).select(col("user_id").as("uid")))
+          ev.filter(col("event_type") === "error" && col("value") > 250).select(col("user_id").as("uid")))
         .orderBy("uid")
     }),
 
@@ -432,9 +432,9 @@ object Relational {
     // signed up with a high-value event.
     "set_except" -> ((s, dir) => {
       val ev = t(s, dir, "events")
-      ev.filter(col("event_type") === "purchase" && col("value") > 900).select(col("user_id").as("uid"))
+      ev.filter(col("event_type") === "purchase" && col("value") > 250).select(col("user_id").as("uid"))
         .except(
-          ev.filter(col("event_type") === "signup" && col("value") > 500).select(col("user_id").as("uid")))
+          ev.filter(col("event_type") === "signup" && col("value") > 200).select(col("user_id").as("uid")))
         .orderBy("uid")
     }),
 
@@ -459,6 +459,50 @@ object Relational {
         .groupBy("word")
         .agg(count(lit(1)).as("n"))
         .orderBy("word")
+    }),
+
+    // Left outer join: every customer kept; per-segment row count vs count
+    // of actually-joined orders (NULL-suppressed by count(col)).
+    "join_left_outer" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_rows"), count(col("o_orderkey")).as("n_orders"))
+        .orderBy("segment")
+    }),
+
+    // Full outer join of two differently-keyed aggregates.
+    "join_full_outer" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase" && col("value") > 250)
+        .groupBy(col("user_id").as("uid")).agg(count(lit(1)).as("np"))
+      val e = ev.filter(col("event_type") === "error" && col("value") > 270)
+        .groupBy(col("user_id").as("uid")).agg(count(lit(1)).as("ne"))
+      p.join(e, Seq("uid"), "full_outer")
+        .select(col("uid"), coalesce(col("np"), lit(0L)).as("np"),
+          coalesce(col("ne"), lit(0L)).as("ne"))
+        .orderBy("uid")
+    }),
+
+    // Ordered collect aggregation (string_agg / collect_set equivalence):
+    // sorted distinct user buckets per event type as one string.
+    "agg_collect_sorted" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type").as("etype"))
+        .agg(array_join(array_sort(collect_set((col("user_id") % 10).cast("string"))), ",")
+          .as("buckets"))
+        .orderBy("etype")
+    }),
+
+    // §2.5 ntile bucketing window
+    "win_ntile" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+      t(s, dir, "events")
+        .select(col("event_type").as("etype"), col("event_id"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy("etype", "event_id")
     })
   )
 
@@ -694,15 +738,15 @@ object Relational {
          ORDER BY uid, event_id""",
 
     "set_intersect" ->
-      """SELECT user_id AS uid FROM events WHERE event_type = 'purchase' AND value > 900
+      """SELECT user_id AS uid FROM events WHERE event_type = 'purchase' AND value > 250
          INTERSECT
-         SELECT user_id AS uid FROM events WHERE event_type = 'error' AND value > 900
+         SELECT user_id AS uid FROM events WHERE event_type = 'error' AND value > 250
          ORDER BY uid""",
 
     "set_except" ->
-      """SELECT user_id AS uid FROM events WHERE event_type = 'purchase' AND value > 900
+      """SELECT user_id AS uid FROM events WHERE event_type = 'purchase' AND value > 250
          EXCEPT
-         SELECT user_id AS uid FROM events WHERE event_type = 'signup' AND value > 500
+         SELECT user_id AS uid FROM events WHERE event_type = 'signup' AND value > 200
          ORDER BY uid""",
 
     "pivot_wide" ->
@@ -717,6 +761,33 @@ object Relational {
     "explode_lateral" ->
       """SELECT word, count(*) AS n FROM (
            SELECT unnest(string_split(p_name, ' ')) AS word FROM part
-         ) GROUP BY word ORDER BY word"""
+         ) GROUP BY word ORDER BY word""",
+
+    "join_left_outer" ->
+      """SELECT c_mktsegment AS segment, count(*) AS n_rows, count(o_orderkey) AS n_orders
+         FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+           ON c_custkey = o.o_custkey
+         GROUP BY 1 ORDER BY segment""",
+
+    "join_full_outer" ->
+      """WITH p AS (SELECT user_id AS uid, count(*) AS np FROM events
+                    WHERE event_type = 'purchase' AND value > 250 GROUP BY 1),
+            e AS (SELECT user_id AS uid, count(*) AS ne FROM events
+                  WHERE event_type = 'error' AND value > 270 GROUP BY 1)
+         SELECT coalesce(p.uid, e.uid) AS uid,
+                coalesce(np, 0) AS np, coalesce(ne, 0) AS ne
+         FROM p FULL OUTER JOIN e ON p.uid = e.uid
+         ORDER BY uid""",
+
+    "agg_collect_sorted" ->
+      """SELECT event_type AS etype,
+                string_agg(DISTINCT CAST(user_id % 10 AS VARCHAR), ','
+                           ORDER BY CAST(user_id % 10 AS VARCHAR)) AS buckets
+         FROM events GROUP BY 1 ORDER BY etype""",
+
+    "win_ntile" ->
+      """SELECT event_type AS etype, event_id,
+                ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS quartile
+         FROM events ORDER BY etype, event_id"""
   )
 }
