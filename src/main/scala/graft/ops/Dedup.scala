@@ -94,6 +94,47 @@ object Dedup {
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
   }
 
+  /** (doc_id, sid) shingle-id pairs via md5 (identical in Spark and DuckDB,
+    * so the oracle replays it exactly): the round-1 version used a sorted
+    * dictionary (row_number over a GLOBAL single-partition sort — the one
+    * plan shape that cannot scale); this is a narrow per-row hash.
+    * Materialized once — feeds the signature build, the per-doc counts, and
+    * both sides of the verification join. */
+  private def md5DocShingles(s: SparkSession, dir: String): DataFrame =
+    shingles(nearDupCorpus(s, dir))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long") % P).as("sid"))
+      .localCheckpoint()
+
+  /** LSH candidate pairs (da < db): 8 bands × 1 row — high recall, FPs
+    * filtered by downstream verification. Band signatures are checkpointed
+    * before the self-join so the signature build runs once, not twice. */
+  private def candidatePairs(docSh: DataFrame): DataFrame = {
+    val bands = bandSigs(docSh).localCheckpoint()
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .distinct()
+  }
+
+  /** Shared oracle CTE chain replaying md5DocShingles + candidatePairs. */
+  private val candSql =
+    s"""corpus AS ($nearDupSql),
+        sh AS ($shinglesSql),
+        doc_sh AS (SELECT doc_id,
+                     CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % $P AS sid
+                   FROM sh),
+        perms AS (SELECT i, 12345 * i + 1103515245 AS a, 987654 * i + 67867967 AS b
+                  FROM range(8) t(i)),
+        sig AS (SELECT doc_id, i, min((a * sid + b) % $P) AS mh
+                FROM doc_sh CROSS JOIN perms GROUP BY doc_id, i),
+        bands AS (SELECT doc_id, i AS band, CAST(min(mh) AS BIGINT) AS bsig
+                  FROM sig GROUP BY doc_id, i),
+        cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+                 FROM bands x JOIN bands y
+                   ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup by content hash (md5 so the oracle hashes identically;
     // the key point is group-by-hash, not group-by-text).
@@ -135,23 +176,8 @@ object Dedup {
     // signature → 8 bands → band-bucket self-join → exact-Jaccard
     // verification of candidates only.
     "dedup_minhash_lsh" -> ((s, dir) => {
-      val sh = shingles(nearDupCorpus(s, dir))
-      // shingle → numeric id via md5 (identical in Spark and DuckDB, so the
-      // oracle replays it exactly): the round-1 version used a sorted
-      // dictionary (row_number over a GLOBAL single-partition sort — the
-      // one plan shape that cannot scale); this is a narrow per-row hash.
-      // Materialized once — feeds the signature build, the per-doc counts,
-      // and both sides of the verification join.
-      val docSh = sh.select(col("doc_id"),
-          (conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long") % P).as("sid"))
-        .localCheckpoint()
-      // 8 bands x 1 row: high recall, FPs filtered by verify
-      val bands = bandSigs(docSh)
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig")
-            && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
-        .distinct()
+      val docSh = md5DocShingles(s, dir)
+      val cand = candidatePairs(docSh)
       val cnt = docSh.groupBy("doc_id").agg(count(lit(1)).as("c"))
       val common = cand
         .join(docSh.as("sa"), col("da") === col("sa.doc_id"))
@@ -174,14 +200,40 @@ object Dedup {
     "dedup_minhash_fast" -> ((s, dir) => {
       val sh = shingles(nearDupCorpus(s, dir))
         .select(col("doc_id"), (abs(xxhash64(col("shingle"))) % P).as("sid"))
-      // 8 bands x 1 row: high recall, FPs filtered by verify
-      val bands = bandSigs(sh)
-      bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig")
-            && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
-        .distinct()
-        .orderBy("da", "db")
+      candidatePairs(sh).orderBy("da", "db")
+    }),
+
+    // Duplicate-cluster resolution: connected components over the LSH
+    // candidate graph (near-dup pairs are pairwise; a dedup pipeline keeps
+    // ONE doc per transitive cluster). Implemented as iterative min-label
+    // propagation — per round, every node takes the min label among itself
+    // and its neighbors; one hash-shuffle per round on the node key, state
+    // checkpointed so lineage stays O(1). Converges in diameter rounds;
+    // labels only decrease, so an unchanged label-sum (one scalar to the
+    // driver per round) proves a fixpoint. At 100 TB graph scale the same
+    // loop gets the large-star/small-star edge rewrite; the per-round plan
+    // (join → min-agg → join) is unchanged.
+    "dedup_cluster_cc" -> ((s, dir) => {
+      val cand = candidatePairs(md5DocShingles(s, dir))
+      val edges = cand.select(col("da").as("a"), col("db").as("b"))
+        .unionAll(cand.select(col("db").as("a"), col("da").as("b")))
+        .localCheckpoint()
+      var labels = edges.select(col("a").as("node")).distinct()
+        .withColumn("lbl", col("node")).localCheckpoint()
+      var prevSum = -1L
+      var curSum = labels.agg(sum("lbl")).head.getLong(0)
+      var iter = 0
+      while (curSum != prevSum && iter < 15) {
+        val nbr = edges.join(labels, edges("b") === labels("node"))
+          .groupBy(col("a")).agg(min("lbl").as("m"))
+        labels = labels.join(nbr, labels("node") === nbr("a"), "left")
+          .select(col("node"), least(col("lbl"), coalesce(col("m"), col("lbl"))).as("lbl"))
+          .localCheckpoint()
+        prevSum = curSum
+        curSum = labels.agg(sum("lbl")).head.getLong(0)
+        iter += 1
+      }
+      labels.select(col("node"), col("lbl").as("cluster")).orderBy("node")
     }),
 
     // Standalone n-gram Jaccard near-dup: candidate pairs blocked by the
@@ -276,20 +328,7 @@ object Dedup {
          FROM u GROUP BY 1 ORDER BY canon""",
 
     "dedup_minhash_lsh" ->
-      s"""WITH corpus AS ($nearDupSql),
-          sh AS ($shinglesSql),
-          doc_sh AS (SELECT doc_id,
-                       CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % $P AS sid
-                     FROM sh),
-          perms AS (SELECT i, 12345 * i + 1103515245 AS a, 987654 * i + 67867967 AS b
-                    FROM range(8) t(i)),
-          sig AS (SELECT doc_id, i, min((a * sid + b) % $P) AS mh
-                  FROM doc_sh CROSS JOIN perms GROUP BY doc_id, i),
-          bands AS (SELECT doc_id, i AS band, CAST(min(mh) AS BIGINT) AS bsig
-                    FROM sig GROUP BY doc_id, i),
-          cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
-                   FROM bands x JOIN bands y
-                     ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+      s"""WITH $candSql,
           cnt AS (SELECT doc_id, count(*) AS c FROM doc_sh GROUP BY doc_id),
           com AS (SELECT da, db, count(*) AS common
                   FROM cand
@@ -300,6 +339,18 @@ object Dedup {
           FROM com JOIN cnt ca ON com.da = ca.doc_id JOIN cnt cb ON com.db = cb.doc_id
           WHERE round(common / (ca.c + cb.c - common * 1.0), 3) >= 0.5
           ORDER BY da, db""",
+
+    // transitive closure via recursive CTE — min reachable id per node
+    "dedup_cluster_cc" ->
+      s"""WITH RECURSIVE $candSql,
+          edges AS (SELECT da AS a, db AS b FROM cand
+                    UNION SELECT db AS a, da AS b FROM cand),
+          reach(node, lbl) AS (
+            SELECT DISTINCT a AS node, a AS lbl FROM edges
+            UNION
+            SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node)
+          SELECT node, min(lbl) AS cluster FROM reach
+          GROUP BY node ORDER BY node""",
 
     "dedup_ngram_jaccard" ->
       s"""WITH corpus AS (

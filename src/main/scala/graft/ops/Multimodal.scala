@@ -24,6 +24,7 @@ object Multimodal {
       doc_id: Long, format: String, width: Int, height: Int, media: Array[Byte])
   final case class MediaFeatures(
       doc_id: Long, format: String, n_bytes: Int, chunk_means: Array[Double])
+  final case class FrameSample(doc_id: Long, frame: Int, fmean: Double)
 
   private val formats = Seq("png", "jpg", "wav", "mp4")
 
@@ -63,6 +64,24 @@ object Multimodal {
     }
   }
 
+  /** STUB frame sampler: treats the payload as a "video" of `width`-byte
+    * frames and keeps every 4th frame with its mean byte value. In
+    * production the codec seeks to sampled frame offsets inside
+    * mapPartitions (no full decode of skipped frames); the Spark-side
+    * shape — typed boundary, per-partition iteration, one output row per
+    * sampled frame — is exactly that pipeline's. */
+  def frameSample(media: Dataset[MediaRecord], every: Int): Dataset[FrameSample] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val w = r.width; val n = r.media.length
+      (0 until n / w).iterator.filter(_ % every == 0).map { f =>
+        var sum = 0L; var i = f * w
+        while (i < f * w + w) { sum += r.media(i) & 0xff; i += 1 }
+        FrameSample(r.doc_id, f, math.round(sum.toDouble / w * 1000) / 1000.0)
+      }
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Metadata-only query: the planner prunes every unused document column
     // out of the scan (verified in PlanSpec via the physical plan).
@@ -84,6 +103,16 @@ object Multimodal {
           round(element_at(col("chunk_means"), 1), 3).as("c0"),
           round(element_at(col("chunk_means"), 4), 3).as("c3"))
         .orderBy("doc_id")
+    }),
+
+    // Frame sampling through the same typed boundary: every 4th
+    // width-byte "frame", per-frame mean — oracle-replayable arithmetic.
+    "mm_frame_sample" -> ((s, dir) => {
+      import s.implicits._
+      val ds = mediaTable(s, dir).as[MediaRecord]
+      frameSample(ds, 4)
+        .select(col("doc_id"), col("frame"), round(col("fmean"), 3).as("fmean"))
+        .orderBy("doc_id", "frame")
     })
   )
 
@@ -119,6 +148,24 @@ object Multimodal {
          FROM documents d
          JOIN means m0 ON d.doc_id = m0.doc_id AND m0.c = 0
          JOIN means m3 ON d.doc_id = m3.doc_id AND m3.c = 3
-         ORDER BY d.doc_id"""
+         ORDER BY d.doc_id""",
+
+    // frame f over width w: bytes [f*w, (f+1)*w), sampled every 4th frame
+    "mm_frame_sample" ->
+      """WITH m AS (
+           SELECT doc_id, CAST(16 + doc_id % 64 AS INT) AS w,
+                  text, length(text) AS n
+           FROM documents),
+         f AS (
+           SELECT doc_id, w, text, unnest(range(0, n // w)) AS fr
+           FROM m),
+         sf AS (SELECT * FROM f WHERE fr % 4 = 0),
+         b AS (
+           SELECT doc_id, fr,
+                  ascii(substring(text, CAST(fr * w + i AS INT) + 1, 1)) AS v
+           FROM (SELECT doc_id, fr, w, text, unnest(range(0, w)) AS i FROM sf))
+         SELECT doc_id, CAST(fr AS INT) AS frame,
+                round(round(avg(v) * 1000) / 1000.0, 3) AS fmean
+         FROM b GROUP BY doc_id, fr ORDER BY doc_id, frame"""
   )
 }

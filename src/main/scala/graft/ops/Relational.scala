@@ -503,6 +503,53 @@ object Relational {
         .select(col("event_type").as("etype"), col("event_id"),
           ntile(4).over(w).as("quartile"))
         .orderBy("etype", "event_id")
+    }),
+
+    // §2.5 distribution window functions: percent_rank + cume_dist.
+    "win_percent_rank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+      t(s, dir, "events")
+        .select(col("event_type").as("etype"), col("event_id"),
+          round(percent_rank().over(w), 6).as("prank"),
+          round(cume_dist().over(w), 6).as("cdist"))
+        .orderBy("etype", "event_id")
+    }),
+
+    // Skew-mitigation join (100 TB essential): 5 hot keys over the full
+    // lineitem table would land 5 straggler tasks under a plain shuffle
+    // join. Salting splits each hot key into 16 sub-keys — the big side
+    // gets salt = hash(row) % 16 (deterministic, row-unique columns), the
+    // dim side replicates each key × 16 — so the join shuffles on
+    // (key, salt) and every partition carries ~1/16 of a hot key. The
+    // merge hint forces the shuffle path (a broadcastable dim would hide
+    // the skew; real skew shows up when BOTH sides are too big to
+    // broadcast). Result is provably salt-invariant — the oracle is the
+    // plain unsalted join.
+    "join_skew_salted" -> ((s, dir) => {
+      val SALTS = 16
+      val li = t(s, dir, "lineitem")
+        .select((col("l_orderkey") % 5).as("hk"), col("l_extendedprice"),
+          pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(SALTS)).as("salt"))
+      val dim = t(s, dir, "nation").filter(col("n_nationkey") < 5)
+        .select(col("n_nationkey").as("hk"), col("n_name"),
+          explode(array((0 until SALTS).map(i => lit(i.toLong)): _*)).as("salt"))
+      li.hint("merge").join(dim.hint("merge"), Seq("hk", "salt"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("total"))
+        .orderBy("nation")
+    }),
+
+    // Unpivot / melt (wide → long): numeric part attributes as
+    // (metric, value) rows — the inverse of pivot_wide, one narrow pass.
+    "unpivot_long" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(col("p_partkey"), col("p_size").cast("double").as("size"),
+          round(col("p_retailprice"), 2).as("price"))
+        .unpivot(Array(col("p_partkey")), Array(col("size"), col("price")),
+          "metric", "value")
+        .select(col("p_partkey").as("pkey"), col("metric"), col("value"))
+        .orderBy("pkey", "metric")
     })
   )
 
@@ -788,6 +835,30 @@ object Relational {
     "win_ntile" ->
       """SELECT event_type AS etype, event_id,
                 ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS quartile
-         FROM events ORDER BY etype, event_id"""
+         FROM events ORDER BY etype, event_id""",
+
+    "win_percent_rank" ->
+      """SELECT event_type AS etype, event_id,
+                round(percent_rank() OVER w, 6) AS prank,
+                round(cume_dist() OVER w, 6) AS cdist
+         FROM events
+         WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+         ORDER BY etype, event_id""",
+
+    // the oracle is the PLAIN join — salting must be observationally invisible
+    "join_skew_salted" ->
+      """SELECT n_name AS nation, count(*) AS n, round(sum(l_extendedprice), 2) AS total
+         FROM (SELECT l_orderkey % 5 AS hk, l_extendedprice FROM lineitem) li
+         JOIN (SELECT n_nationkey AS hk, n_name FROM nation WHERE n_nationkey < 5) d
+           USING (hk)
+         GROUP BY 1 ORDER BY nation""",
+
+    "unpivot_long" ->
+      """SELECT p_partkey AS pkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value
+         FROM part
+         UNION ALL
+         SELECT p_partkey AS pkey, 'price' AS metric, round(p_retailprice, 2) AS value
+         FROM part
+         ORDER BY pkey, metric"""
   )
 }

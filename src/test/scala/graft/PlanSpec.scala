@@ -107,4 +107,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("vec_dot"), p)
     assert(!p.contains("aggregate(zip_with"), p)
   }
+
+  test("salted skew join takes the shuffle path on (key, salt) — not broadcast") {
+    val p = physical("join_skew_salted")
+    // the merge hint must hold: salting only matters on the shuffle path
+    // (a broadcast join would hide the skew this query exists to mitigate)
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+  }
 }

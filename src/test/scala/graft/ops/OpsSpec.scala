@@ -102,4 +102,56 @@ class OpsSpec extends SparkSpec {
     assert(t.getAs[Int]("ws_tokens") == words.length)
     assert(t.getAs[Int]("chars") == doc.getAs[String]("text").length)
   }
+
+  test("cluster CC: every planted near-dup pair lands in one cluster") {
+    val labels = Dedup.queries("dedup_cluster_cc")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val planted = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 3 === 0).select("doc_id").collect().map(_.getLong(0))
+    planted.foreach { d =>
+      assert(labels.contains(d) && labels.contains(d + 100000), s"node $d missing")
+      assert(labels(d) == labels(d + 100000), s"pair $d split across clusters")
+    }
+    // a cluster label is the min member id, so it labels itself
+    labels.values.foreach(l => assert(labels(l) == l, s"non-canonical label $l"))
+  }
+
+  test("frame sample: means match a direct computation for one doc") {
+    val text = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") === 0).select("text").collect()(0).getString(0)
+    val bytes = text.getBytes("UTF-8")
+    val w = 16 // width for doc_id 0: 16 + 0 % 64
+    val rows = Multimodal.queries("mm_frame_sample")(spark, dir)
+      .filter(col("doc_id") === 0).collect()
+    assert(rows.length == (bytes.length / w + 3) / 4) // frames 0,4,8,…
+    rows.foreach { r =>
+      val f = r.getInt(1)
+      assert(f % 4 == 0)
+      val frame = bytes.slice(f * w, f * w + w).map(_ & 0xff)
+      val expect = math.round(frame.sum.toDouble / w * 1000) / 1000.0
+      assert(r.getDouble(2) == expect, s"frame $f")
+    }
+  }
+
+  test("salted skew join equals the plain unsalted join") {
+    val salted = Relational.queries("join_skew_salted")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val li = graft.engine.Tables(spark, dir, "lineitem")
+      .select((col("l_orderkey") % 5).as("hk"), col("l_extendedprice"))
+    val dim = graft.engine.Tables(spark, dir, "nation")
+      .filter(col("n_nationkey") < 5).select(col("n_nationkey").as("hk"), col("n_name"))
+    val plain = li.join(dim, "hk")
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("total"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted == plain)
+  }
+
+  test("unpivot emits one row per (part, metric)") {
+    val out = Relational.queries("unpivot_long")(spark, dir)
+    val nParts = spark.read.parquet(s"$dir/part.parquet").count()
+    assert(out.count() == 2 * nParts)
+    val metrics = out.select("metric").distinct().collect().map(_.getString(0)).toSet
+    assert(metrics == Set("size", "price"))
+  }
 }
