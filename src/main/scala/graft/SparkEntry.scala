@@ -18,11 +18,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Detection.queries ++ ops.TextOps.queries ++
-      ops.Dedup.queries ++ ops.Similarity.queries ++ ops.Multimodal.queries
+      ops.Dedup.queries ++ ops.Similarity.queries ++ ops.Multimodal.queries ++
+      ops.Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.Detection.oracles ++ ops.TextOps.oracles ++
-      ops.Dedup.oracles ++ ops.Similarity.oracles ++ ops.Multimodal.oracles
+      ops.Dedup.oracles ++ ops.Similarity.oracles ++ ops.Multimodal.oracles ++
+      ops.Curation.oracles
 }

@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+
+/** Dataset-curation operators a large-scale training-data pipeline runs
+  * before/around dedup: declarative data-quality expectations, numeric
+  * profiling, and deterministic train/eval splitting.
+  *
+  * Scale notes (100 TB):
+  *  - expectations and histogram are single-pass conditional aggregations —
+  *    one scan, map-side combined, one tiny shuffle; adding an expectation
+  *    adds a column to the same pass, never another scan.
+  *  - the split is a pure per-row hash decision (no shuffle, no sampling
+  *    state, no driver randomness): any worker can recompute any row's
+  *    split membership, which is what makes the split reproducible across
+  *    reruns AND auditable (leakage check = the same hash expression).
+  */
+object Curation {
+
+  /** Deterministic 0..99 bucket from the row key via md5 (replayable in
+    * DuckDB bit-for-bit, unlike rand()/sampleBy). */
+  private def bucket(c: String) =
+    (conv(substring(md5(col(c).cast("string")), 1, 15), 16, 10).cast("long") % 100)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Declarative expectations over lineitem, one pass: completeness,
+    // range, set-membership, and cross-field consistency violations.
+    "quality_expectations" -> ((s, dir) => {
+      Tables(s, dir, "lineitem").agg(
+        count(lit(1)).as("rows"),
+        sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("null_qty"),
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L).otherwise(0L))
+          .as("qty_out_of_range"),
+        sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L).otherwise(0L))
+          .as("bad_flag"),
+        sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L).otherwise(0L))
+          .as("bad_discount"),
+        sum(when(col("l_shipdate") < to_timestamp(lit("1992-01-01"))
+          || col("l_shipdate") > to_timestamp(lit("1999-12-31")), 1L).otherwise(0L))
+          .as("ship_out_of_window"))
+    }),
+
+    // Numeric profile: fixed-width histogram of events.value (width 50),
+    // plus per-bin value stats — the standard pre-training distribution
+    // check. Bin id is pure arithmetic so the scan stays one codegen stage.
+    "profile_histogram" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy(floor(col("value") / 50).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(min("value"), 2).as("lo"),
+          round(max("value"), 2).as("hi"),
+          round(avg("value"), 4).as("mean"))
+        .orderBy("bin")
+    }),
+
+    // Deterministic stratified train/eval split: 90/10 within each label via
+    // the md5 bucket of doc_id — no shuffle for the split itself; the
+    // output aggregates per (label, split) to keep the oracle compact.
+    "sample_stratified" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .withColumn("split", when(bucket("doc_id") < 90, "train").otherwise("eval"))
+        .groupBy(col("lang").as("label"), col("split"))
+        .agg(count(lit(1)).as("n"), round(avg(length(col("text"))), 4).as("mean_len"))
+        .orderBy("label", "split")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "quality_expectations" ->
+      """SELECT count(*) AS rows,
+                count(CASE WHEN l_quantity IS NULL THEN 1 END) AS null_qty,
+                count(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END)
+                  AS qty_out_of_range,
+                count(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 END)
+                  AS bad_flag,
+                count(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 END)
+                  AS bad_discount,
+                count(CASE WHEN l_shipdate < TIMESTAMP '1992-01-01'
+                           OR l_shipdate > TIMESTAMP '1999-12-31' THEN 1 END)
+                  AS ship_out_of_window
+         FROM lineitem""",
+
+    "profile_histogram" ->
+      """SELECT CAST(floor(value / 50) AS BIGINT) AS bin, count(*) AS n,
+                round(min(value), 2) AS lo, round(max(value), 2) AS hi,
+                round(avg(value), 4) AS mean
+         FROM events GROUP BY 1 ORDER BY bin""",
+
+    "sample_stratified" ->
+      """SELECT lang AS label,
+                CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                          AS BIGINT) % 100 < 90
+                     THEN 'train' ELSE 'eval' END AS split,
+                count(*) AS n, round(avg(length(text)), 4) AS mean_len
+         FROM documents GROUP BY 1, 2 ORDER BY label, split"""
+  )
+}

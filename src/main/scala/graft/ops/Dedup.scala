@@ -118,13 +118,17 @@ object Dedup {
       .distinct()
   }
 
-  /** Shared oracle CTE chain replaying md5DocShingles + candidatePairs. */
-  private val candSql =
+  /** Oracle CTE chain replaying md5DocShingles. */
+  private val docShSql =
     s"""corpus AS ($nearDupSql),
         sh AS ($shinglesSql),
         doc_sh AS (SELECT doc_id,
                      CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % $P AS sid
-                   FROM sh),
+                   FROM sh)"""
+
+  /** Shared oracle CTE chain replaying md5DocShingles + candidatePairs. */
+  private val candSql =
+    s"""$docShSql,
         perms AS (SELECT i, 12345 * i + 1103515245 AS a, 987654 * i + 67867967 AS b
                   FROM range(8) t(i)),
         sig AS (SELECT doc_id, i, min((a * sid + b) % $P) AS mh
@@ -223,7 +227,11 @@ object Dedup {
       var prevSum = -1L
       var curSum = labels.agg(sum("lbl")).head.getLong(0)
       var iter = 0
-      while (curSum != prevSum && iter < 15) {
+      // fixpoint (sum unchanged) is the real exit; the cap bounds runtime on
+      // a pathological graph (plain propagation converges in diameter
+      // rounds — near-dup clusters are shallow; a deep graph wants the
+      // large-star/small-star rewrite, which is O(log d) rounds)
+      while (curSum != prevSum && iter < 30) {
         val nbr = edges.join(labels, edges("b") === labels("node"))
           .groupBy(col("a")).agg(min("lbl").as("m"))
         labels = labels.join(nbr, labels("node") === nbr("a"), "left")
@@ -239,13 +247,16 @@ object Dedup {
     // Standalone n-gram Jaccard near-dup: candidate pairs blocked by the
     // first-3-words prefix key (append-mutations preserve it), then exact
     // word-3-gram Jaccard ≥ 0.3. The blocked self-join is the scale story:
-    // pair space is per-block, one shuffle on the block key.
+    // pair space is per-block, one shuffle on the block key. The
+    // verification join runs on md5-derived LONG shingle ids, not raw
+    // shingle strings — ~4× less shuffle volume, same Jaccard (both
+    // engines hash identically, so any collision is symmetric).
     "dedup_ngram_jaccard" -> ((s, dir) => {
       val corpus = nearDupCorpus(s, dir)
         .withColumn("blk", concat_ws(" ", slice(split(col("text"), " "), 1, 3)))
       // materialized once: feeds the per-doc counts and BOTH sides of the
       // candidate-verification join (3 consumers)
-      val sh = shingles(corpus.select(col("doc_id"), col("text"))).localCheckpoint()
+      val sh = md5DocShingles(s, dir)
       val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
       val keys = corpus.select(col("doc_id"), col("blk"))
       val cand = keys.as("x").join(keys.as("y"),
@@ -253,7 +264,7 @@ object Dedup {
         .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       val common = cand
         .join(sh.as("sa"), col("da") === col("sa.doc_id"))
-        .join(sh.as("sb"), col("db") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+        .join(sh.as("sb"), col("db") === col("sb.doc_id") && col("sa.sid") === col("sb.sid"))
         .groupBy("da", "db").agg(count(lit(1)).as("common"))
       common
         .join(cnt.as("ca"), col("da") === col("ca.doc_id"))
@@ -353,20 +364,18 @@ object Dedup {
           GROUP BY node ORDER BY node""",
 
     "dedup_ngram_jaccard" ->
-      s"""WITH corpus AS (
-            SELECT doc_id, text FROM ($nearDupSql)),
+      s"""WITH $docShSql,
           blocks AS (
             SELECT doc_id, array_to_string(string_split(text, ' ')[1:3], ' ') AS blk
             FROM corpus),
-          sh AS ($shinglesSql),
-          cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+          cnt AS (SELECT doc_id, count(*) AS c FROM doc_sh GROUP BY doc_id),
           cand AS (SELECT x.doc_id AS da, y.doc_id AS db
                    FROM blocks x JOIN blocks y
                      ON x.blk = y.blk AND x.doc_id < y.doc_id),
           com AS (SELECT da, db, count(*) AS common
                   FROM cand
-                  JOIN sh sa ON cand.da = sa.doc_id
-                  JOIN sh sb ON cand.db = sb.doc_id AND sa.shingle = sb.shingle
+                  JOIN doc_sh sa ON cand.da = sa.doc_id
+                  JOIN doc_sh sb ON cand.db = sb.doc_id AND sa.sid = sb.sid
                   GROUP BY da, db)
           SELECT da, db, round(common / (ca.c + cb.c - common * 1.0), 3) AS jaccard
           FROM com JOIN cnt ca ON com.da = ca.doc_id JOIN cnt cb ON com.db = cb.doc_id

@@ -154,4 +154,34 @@ class OpsSpec extends SparkSpec {
     val metrics = out.select("metric").distinct().collect().map(_.getString(0)).toSet
     assert(metrics == Set("size", "price"))
   }
+
+  test("quality expectations: one row, violation counts bounded by rows") {
+    val r = Curation.queries("quality_expectations")(spark, dir).collect()
+    assert(r.length == 1)
+    val rows = r(0).getLong(0)
+    assert(rows == spark.read.parquet(s"$dir/lineitem.parquet").count())
+    (1 until r(0).size).foreach(i => assert(r(0).getLong(i) >= 0 && r(0).getLong(i) <= rows))
+  }
+
+  test("histogram bins partition the data: counts sum to table size") {
+    val out = Curation.queries("profile_histogram")(spark, dir).collect()
+    val total = out.map(_.getLong(1)).sum
+    assert(total == spark.read.parquet(s"$dir/events.parquet").count())
+    out.foreach { r => // per-bin bounds actually inside the bin
+      val bin = r.getLong(0)
+      assert(r.getDouble(2) >= bin * 50.0 && r.getDouble(3) < (bin + 1) * 50.0)
+    }
+  }
+
+  test("stratified split is ~90/10 per label and covers every doc") {
+    val out = Curation.queries("sample_stratified")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val total = out.values.sum
+    assert(total == spark.read.parquet(s"$dir/documents.parquet").count())
+    out.keys.map(_._1).toSet.foreach { (lbl: String) =>
+      val train = out.getOrElse((lbl, "train"), 0L).toDouble
+      val n = train + out.getOrElse((lbl, "eval"), 0L)
+      assert(train / n > 0.75 && train / n < 1.0, s"$lbl split ${train / n}")
+    }
+  }
 }
