@@ -77,20 +77,29 @@ object Dedup {
                 FROM corpus))
         WHERE w3 IS NOT NULL"""
 
-  /** 8 minhash band signatures per doc in ONE aggregation pass. The
-    * round-1 version crossJoined an 8-row permutation table (8× the shuffle
-    * volume) and aggregated twice; here each permutation is its own `min`
-    * aggregate over the same (doc_id, sid) rows — a single map-side-combined
-    * shuffle — and the wide row unpivots narrowly to (doc_id, band, bsig).
-    * Same permutation constants, identical values. */
+  /** Banded minhash signatures per doc in ONE aggregation pass: 16
+    * permutations → 8 bands × 2 rows, band key = mh(2j)·P + mh(2j+1)
+    * (both < P = 2³¹−1, so the combination fits a long exactly).
+    *
+    * Band width r=2 is the LSH tuning knob: with r=1 a single colliding
+    * minhash makes a candidate, so pairs at Jaccard 0.05 still collide
+    * with p = 1−0.95⁸ ≈ 33% and verification drowns in false positives
+    * (~150k candidates from ~6.7k docs at sf0.1 — 99% FPs). With r=2 a
+    * band needs BOTH minhashes equal: p(J=0.05) = 1−(1−0.0025)⁸ ≈ 2%,
+    * while the planted near-dups (J ≥ 0.8) still collide with
+    * p = 1−(1−0.64)⁸ ≈ 0.9997. Each permutation is its own `min`
+    * aggregate over the same (doc_id, sid) rows — a single
+    * map-side-combined shuffle — and the wide row unpivots narrowly to
+    * (doc_id, band, bsig). */
   private def bandSigs(docSh: DataFrame): DataFrame = {
-    val mins = (0 until 8).map { i =>
+    val mins = (0 until 16).map { i =>
       min((lit(i * 12345L + 1103515245L) * col("sid")
         + lit(i * 987654L + 67867967L)) % P).as(s"mh$i")
     }
     docSh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"), explode(array((0 until 8).map(i =>
-        struct(lit(i.toLong).as("band"), col(s"mh$i").as("bsig"))): _*)).as("bs"))
+      .select(col("doc_id"), explode(array((0 until 8).map(j =>
+        struct(lit(j.toLong).as("band"),
+          (col(s"mh${2 * j}") * P + col(s"mh${2 * j + 1}")).as("bsig"))): _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
   }
 
@@ -106,9 +115,10 @@ object Dedup {
         (conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long") % P).as("sid"))
       .localCheckpoint()
 
-  /** LSH candidate pairs (da < db): 8 bands × 1 row — high recall, FPs
-    * filtered by downstream verification. Band signatures are checkpointed
-    * before the self-join so the signature build runs once, not twice. */
+  /** LSH candidate pairs (da < db): 8 bands × 2 rows — ~0.9997 recall at
+    * J ≥ 0.8, FPs filtered by downstream verification. Band signatures are
+    * checkpointed before the self-join so the signature build runs once,
+    * not twice. */
   private def candidatePairs(docSh: DataFrame): DataFrame = {
     val bands = bandSigs(docSh).localCheckpoint()
     bands.as("x").join(bands.as("y"),
@@ -130,11 +140,12 @@ object Dedup {
   private val candSql =
     s"""$docShSql,
         perms AS (SELECT i, 12345 * i + 1103515245 AS a, 987654 * i + 67867967 AS b
-                  FROM range(8) t(i)),
+                  FROM range(16) t(i)),
         sig AS (SELECT doc_id, i, min((a * sid + b) % $P) AS mh
                 FROM doc_sh CROSS JOIN perms GROUP BY doc_id, i),
-        bands AS (SELECT doc_id, i AS band, CAST(min(mh) AS BIGINT) AS bsig
-                  FROM sig GROUP BY doc_id, i),
+        bands AS (SELECT doc_id, i // 2 AS band,
+                         CAST(sum(CASE WHEN i % 2 = 0 THEN mh * $P ELSE mh END) AS BIGINT) AS bsig
+                  FROM sig GROUP BY doc_id, i // 2),
         cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
                  FROM bands x JOIN bands y
                    ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id)"""
