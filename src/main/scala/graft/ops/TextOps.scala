@@ -20,6 +20,23 @@ import graft.engine.Tables
 object TextOps {
   private val stopList = Seq("the", "a", "of", "and", "to", "is")
   private def stopSql = stopList.map(w => s"'$w'").mkString(", ")
+  private val P = 2147483647L // 2^31-1, same id space as Dedup's shingle ids
+
+  private val emailRe = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val phoneRe = "\\b\\d{3}-\\d{4}\\b"
+
+  /** (doc_id, gid) word-8-gram ids via md5 → long (bit-identical in DuckDB).
+    * Built narrowly in array-land (transform over sequence + array_distinct
+    * + explode) — zero shuffles, same shape as Dedup.shingles. */
+  private def gram8(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(sequence(0, size(w) - 8),
+             i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3],
+                                 w[i+4], w[i+5], w[i+6], w[i+7])))""")).as("gram"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long") % P).as("gid"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting: whitespace tokens, regex (BPE-ish pre-tokenizer)
@@ -90,6 +107,73 @@ object TextOps {
         .orderBy("lang")
     }),
 
+    // Benchmark decontamination: flag training docs sharing any word-8-gram
+    // with an eval/benchmark set (here: every 10th doc quoted with its first
+    // two words dropped, so contamination is planted and deterministic).
+    // Scale: the benchmark gram set is small and broadcast — the train-side
+    // scan never shuffles; at extreme scale the broadcast becomes a bloom
+    // filter built from the same gid column. Grams are md5-derived longs,
+    // not strings, so the probe key is 8 bytes.
+    "text_decontaminate" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = gram8(docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          expr("concat_ws(' ', slice(split(text, ' '), 3, size(split(text, ' '))))")
+            .as("text")))
+        .select(col("gid")).distinct()
+      gram8(docs)
+        .join(broadcast(bench), "gid")
+        .groupBy("doc_id").agg(count(lit(1)).as("shared_grams"))
+        .orderBy("doc_id")
+    }),
+
+    // PII redaction: plant a deterministic email per doc (+ phone on even
+    // ids), then count and redact both via regex. The patterns are chosen to
+    // behave identically under Java regex (Spark) and RE2 (DuckDB oracle).
+    // Scale: pure per-row regexp_replace — narrow, codegen'd, no shuffle.
+    "text_pii_redact" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .withColumn("dirty", concat(
+          lit("contact u"), col("doc_id").cast("string"), lit("@example.com "),
+          col("text"),
+          when(col("doc_id") % 2 === 0,
+            concat(lit(" call 555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit(""))))
+      d.select(col("doc_id"),
+        size(regexp_extract_all(col("dirty"), lit(emailRe), lit(0))).as("n_email"),
+        size(regexp_extract_all(col("dirty"), lit(phoneRe), lit(0))).as("n_phone"),
+        md5(regexp_replace(regexp_replace(col("dirty"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // Repetition scoring (Gopher-style quality signals): top-word frequency
+    // ratio and duplicate-2-gram ratio per doc. The 2-gram stats stay in
+    // array-land (no shuffle); the top-word count is one hash-shuffled
+    // two-level aggregation, map-side combined.
+    "text_repetition" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      val arrStats = d.select(col("doc_id"),
+        size(col("w")).as("n_words"),
+        (size(col("w")) - 1).as("n_2grams"),
+        size(expr("""array_distinct(transform(sequence(0, size(w) - 2),
+                       i -> concat(w[i], ' ', w[i+1])))""")).as("d_2grams"))
+      val topWord = d.select(col("doc_id"), explode(col("w")).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("top_c"))
+      arrStats.join(topWord, "doc_id")
+        .select(col("doc_id"),
+          round(col("top_c") / (col("n_words") * lit(1.0)), 4).as("top_word_ratio"),
+          round(lit(1.0) - col("d_2grams") / (col("n_2grams") * lit(1.0)), 4)
+            .as("dup_2gram_ratio"),
+          (col("top_c") / (col("n_words") * lit(1.0)) > 0.2 ||
+            lit(1.0) - col("d_2grams") / (col("n_2grams") * lit(1.0)) > 0.2)
+            .as("repetitive"))
+        .orderBy("doc_id")
+    }),
+
     // Document fingerprint: positional polynomial hash over words — the
     // rolling-hash shape used for content-defined dedup keys.
     "text_fingerprint" -> ((s, dir) => {
@@ -147,6 +231,64 @@ object TextOps {
                  round(avg(n_words), 2) AS avg_tokens
           FROM kept JOIN canonical USING (doc_id)
           GROUP BY lang ORDER BY lang""",
+
+    "text_decontaminate" ->
+      s"""WITH g AS (
+            SELECT DISTINCT doc_id,
+              CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) % $P AS gid
+            FROM (
+              SELECT doc_id, unnest(list_transform(range(1, len(w) - 6),
+                       i -> array_to_string(w[i:i+7], ' '))) AS gram
+              FROM (SELECT doc_id, string_split(text, ' ') AS w
+                    FROM documents WHERE len(string_split(text, ' ')) >= 8))),
+          bench AS (
+            SELECT DISTINCT
+              CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) % $P AS gid
+            FROM (
+              SELECT unnest(list_transform(range(1, len(w) - 6),
+                       i -> array_to_string(w[i:i+7], ' '))) AS gram
+              FROM (SELECT string_split(text, ' ')[3:] AS w
+                    FROM documents
+                    WHERE doc_id % 10 = 0
+                      AND len(string_split(text, ' ')[3:]) >= 8)))
+          SELECT doc_id, count(*) AS shared_grams
+          FROM g JOIN bench USING (gid)
+          GROUP BY doc_id ORDER BY doc_id""",
+
+    "text_pii_redact" ->
+      """WITH dirty AS (
+           SELECT doc_id,
+                  'contact u' || CAST(doc_id AS VARCHAR) || '@example.com ' || text ||
+                  (CASE WHEN doc_id % 2 = 0
+                        THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        ELSE '' END) AS dirty
+           FROM documents)
+         SELECT doc_id,
+                len(regexp_extract_all(dirty, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}'))
+                  AS n_email,
+                len(regexp_extract_all(dirty, '\b\d{3}-\d{4}\b')) AS n_phone,
+                md5(regexp_replace(
+                      regexp_replace(dirty, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}',
+                                     '<EMAIL>', 'g'),
+                      '\b\d{3}-\d{4}\b', '<PHONE>', 'g')) AS clean_md5
+         FROM dirty ORDER BY doc_id""",
+
+    "text_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         arr AS (SELECT doc_id, len(w) AS n_words, len(w) - 1 AS n_2grams,
+                        len(list_distinct(list_transform(range(1, len(w)),
+                              i -> w[i] || ' ' || w[i+1]))) AS d_2grams
+                 FROM w),
+         top AS (SELECT doc_id, max(c) AS top_c FROM (
+                   SELECT doc_id, word, count(*) AS c
+                   FROM (SELECT doc_id, unnest(w) AS word FROM w)
+                   GROUP BY 1, 2) GROUP BY 1)
+         SELECT doc_id,
+                round(top_c / (n_words * 1.0), 4) AS top_word_ratio,
+                round(1.0 - d_2grams / (n_2grams * 1.0), 4) AS dup_2gram_ratio,
+                (top_c / (n_words * 1.0) > 0.2
+                 OR 1.0 - d_2grams / (n_2grams * 1.0) > 0.2) AS repetitive
+         FROM arr JOIN top USING (doc_id) ORDER BY doc_id""",
 
     "text_fingerprint" ->
       """SELECT doc_id,

