@@ -150,6 +150,58 @@ object Dedup {
                  FROM bands x JOIN bands y
                    ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id)"""
 
+  /** Alternating large-star / small-star connected components (the
+    * MapReduce CC algorithm of Kiveris et al., "Connected Components in
+    * MapReduce and Beyond"): converges in O(log d) rounds on a
+    * diameter-d graph, vs plain label propagation's O(d) — this is the
+    * scale path for deep duplicate chains (A≈B≈C≈…), where propagation
+    * would need one shuffle round per hop.
+    *
+    * Each round is two grouped aggregations + joins on the node key, all
+    * map-side combined; state is localCheckpointed so lineage stays O(1).
+    * Returns ((node, cluster=min id in component), rounds). */
+  private[ops] def starCC(pairs: DataFrame, maxRounds: Int = 25): (DataFrame, Int) = {
+    // canonical directed form: a = larger endpoint, b = smaller
+    var edges = pairs
+      .select(greatest(col("da"), col("db")).as("a"), least(col("da"), col("db")).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), sum(col("a") * 31 + col("b") * 17)).head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var prev = (-1L, -1L)
+    var cur = checksum(edges)
+    var rounds = 0
+    while (cur != prev && rounds < maxRounds) {
+      // large-star: per node u (over both edge directions), attach every
+      // strictly-larger neighbor to m = min(neighbors ∪ {u})
+      val both = edges.unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+      val mL = both.groupBy("a").agg(min("b").as("mn"))
+        .select(col("a"), least(col("mn"), col("a")).as("m"))
+      val ls = both.join(mL, "a").filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      // small-star: per larger-endpoint u, attach u and all its smaller
+      // neighbors to m = min of those neighbors
+      val mS = ls.groupBy("a").agg(min("b").as("m"))
+      val withM = ls.join(mS, "a")
+      edges = withM.select(col("b").as("v"), col("m"))
+        .unionAll(withM.select(col("a").as("v"), col("m")))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .distinct().localCheckpoint()
+      prev = cur
+      cur = checksum(edges)
+      rounds += 1
+    }
+    val nodes = pairs.select(col("da").as("node"))
+      .unionAll(pairs.select(col("db").as("node"))).distinct()
+    val labels = nodes
+      .join(edges.select(col("a").as("node"), col("b").as("lbl")), Seq("node"), "left")
+      .groupBy("node").agg(min(coalesce(col("lbl"), col("node"))).as("cluster"))
+    (labels, rounds)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup by content hash (md5 so the oracle hashes identically;
     // the key point is group-by-hash, not group-by-text).
@@ -255,6 +307,14 @@ object Dedup {
       labels.select(col("node"), col("lbl").as("cluster")).orderBy("node")
     }),
 
+    // Same clustering, via the O(log d) large-star/small-star algorithm —
+    // the variant a 100 TB duplicate graph actually runs (propagation's
+    // round count is the graph diameter; stars' is its log). Identical
+    // output and oracle as dedup_cluster_cc.
+    "dedup_cluster_cc_stars" -> ((s, dir) => {
+      starCC(candidatePairs(md5DocShingles(s, dir)))._1.orderBy("node")
+    }),
+
     // Standalone n-gram Jaccard near-dup: candidate pairs blocked by the
     // first-3-words prefix key (append-mutations preserve it), then exact
     // word-3-gram Jaccard ≥ 0.3. The blocked self-join is the scale story:
@@ -327,6 +387,17 @@ object Dedup {
     })
   )
 
+  private val clusterCcSql =
+    s"""WITH RECURSIVE $candSql,
+        edges AS (SELECT da AS a, db AS b FROM cand
+                  UNION SELECT db AS a, da AS b FROM cand),
+        reach(node, lbl) AS (
+          SELECT DISTINCT a AS node, a AS lbl FROM edges
+          UNION
+          SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node)
+        SELECT node, min(lbl) AS cluster FROM reach
+        GROUP BY node ORDER BY node"""
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       s"""SELECT canonical, n FROM (
@@ -363,16 +434,10 @@ object Dedup {
           ORDER BY da, db""",
 
     // transitive closure via recursive CTE — min reachable id per node
-    "dedup_cluster_cc" ->
-      s"""WITH RECURSIVE $candSql,
-          edges AS (SELECT da AS a, db AS b FROM cand
-                    UNION SELECT db AS a, da AS b FROM cand),
-          reach(node, lbl) AS (
-            SELECT DISTINCT a AS node, a AS lbl FROM edges
-            UNION
-            SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node)
-          SELECT node, min(lbl) AS cluster FROM reach
-          GROUP BY node ORDER BY node""",
+    // (shared verbatim by dedup_cluster_cc_stars: both Spark
+    // implementations must produce the identical min-id labeling)
+    "dedup_cluster_cc" -> clusterCcSql,
+    "dedup_cluster_cc_stars" -> clusterCcSql,
 
     "dedup_ngram_jaccard" ->
       s"""WITH $docShSql,

@@ -173,6 +173,24 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("star CC equals label-propagation CC on the real candidate graph") {
+    val lp = Dedup.queries("dedup_cluster_cc")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val st = Dedup.queries("dedup_cluster_cc_stars")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(st == lp)
+  }
+
+  test("star CC converges in O(log d) rounds on a diameter-1023 chain") {
+    import spark.implicits._
+    val chain = spark.range(1023)
+      .select(col("id").as("da"), (col("id") + 1).as("db"))
+    val (labels, rounds) = Dedup.starCC(chain)
+    assert(rounds <= 12, s"took $rounds rounds") // log2(1024) + slack
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 1024 && got.forall(_._2 == 0L))
+  }
+
   test("decontamination flags every planted benchmark-source doc") {
     val flagged = TextOps.queries("text_decontaminate")(spark, dir).collect()
       .map(_.getLong(0)).toSet
