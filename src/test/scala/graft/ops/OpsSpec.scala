@@ -173,6 +173,25 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming banded signatures reproduce the batch fast-variant candidates") {
+    // the per-row array-land signature (streaming path) and the
+    // explode+groupBy signature (batch path) must be the same function
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val sigs = graft.streaming.StreamingDedup.bandedSignatures(docs)
+    val pairs = sigs.as("x").join(sigs.as("y"),
+        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Dedup.queries("dedup_minhash_fast")(spark, dir)
+      // fast variant runs on the planted near-dup corpus; restrict to the
+      // base-table pairs for comparison
+      .filter(col("da") < 100000 && col("db") < 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == batch)
+  }
+
   test("star CC equals label-propagation CC on the real candidate graph") {
     val lp = Dedup.queries("dedup_cluster_cc")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

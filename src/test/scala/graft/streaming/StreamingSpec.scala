@@ -115,6 +115,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup dedup: LSH bucket state flags cross-batch near-duplicates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val hits = StreamingDedup.nearDupHits(mem.toDF().toDF("doc_id", "text"))
+    val q = hits.writeStream.format("memory").queryName("neardup_t1")
+      .outputMode("append").start()
+    try {
+      val base = "the quick brown fox jumps over the lazy dog and runs far away home"
+      mem.addData((1L, base), (2L, "completely different words about spark engines and parquet files here"))
+      q.processAllAvailable()
+      assert(spark.table("neardup_t1").count() == 0) // nothing similar yet
+      // near-duplicate of doc 1 arrives two batches later: append mutation
+      mem.addData((3L, base + " zz0"))
+      q.processAllAvailable()
+      val out = spark.table("neardup_t1").select("doc_id", "dup_of")
+        .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(out.nonEmpty && out.forall(_ == (3L, 1L)), out.toSeq.toString)
+    } finally q.stop()
+  }
+
   test("file-source end-to-end job: JSON-lines dir → rule fan-out → parquet sink") {
     val inDir = java.nio.file.Files.createTempDirectory("graft-in")
     val outDir = java.nio.file.Files.createTempDirectory("graft-out").toString
