@@ -418,6 +418,34 @@ object Relational {
         .orderBy("uid", "event_id")
     }),
 
+    // §2.5 frame-spec windows: first/last value over an explicit ROWS
+    // frame (unbounded-preceding → current vs current → unbounded-following)
+    // per user session ordering.
+    "win_first_last" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wf = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wl = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      t(s, dir, "events")
+        .select(col("user_id").as("uid"), col("event_id"),
+          first("event_type").over(wf).as("first_type"),
+          last("event_type").over(wl).as("last_type"))
+        .orderBy("uid", "event_id")
+    }),
+
+    // §2.8 higher-order array functions: transform / filter / aggregate
+    // (the HOF surface the dedup and text ops lean on, pinned directly).
+    "p13_higher_order" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("w", split(col("text"), " "))
+        .select(col("doc_id"),
+          expr("size(filter(w, x -> length(x) > 5))").as("long_words"),
+          expr("aggregate(transform(w, x -> length(x)), 0, (acc, x) -> acc + x)")
+            .as("char_sum"),
+          expr("size(array_distinct(transform(w, x -> lower(x))))").as("vocab"))
+        .orderBy("doc_id")
+    }),
+
     // §2.7 INTERSECT (distinct set semantics): users with a high-value
     // purchase AND a high-value error event.
     "set_intersect" -> ((s, dir) => {
@@ -783,6 +811,24 @@ object Relational {
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
          ORDER BY uid, event_id""",
+
+    "win_first_last" ->
+      """SELECT user_id AS uid, event_id,
+                first_value(event_type) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_type,
+                last_value(event_type) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS last_type
+         FROM events ORDER BY uid, event_id""",
+
+    "p13_higher_order" ->
+      """SELECT doc_id,
+                len(list_filter(w, x -> length(x) > 5)) AS long_words,
+                list_sum(list_transform(w, x -> length(x))) AS char_sum,
+                len(list_distinct(list_transform(w, x -> lower(x)))) AS vocab
+         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+         ORDER BY doc_id""",
 
     "set_intersect" ->
       """SELECT user_id AS uid FROM events WHERE event_type = 'purchase' AND value > 250
