@@ -16,8 +16,10 @@ import graft.rules.RuleDef
   *    null → `IS NULL`; category process_access/process_creation →
   *    event_id 10/1 prefix.
   *  - C3 `proc_of_conditon` (main.py:71-86): `1 of x*` → OR over
-  *    prefix-matched selections, `1 of them` → OR over all; `all of` is
-  *    NOT supported (parity = same subset).
+  *    prefix-matched selections, `1 of them` → OR over all. The reference
+  *    does NOT support `all of` — we add it as a documented extension
+  *    (`all of x*` → AND over prefix matches, `all of them` → AND over
+  *    all), since upstream Sigma rules use it; parity rules never hit it.
   *  - C4 `get_attack_tech` (main.py:15-31): tags partitioned into
   *    tactic / technique / subtechnique; a subtechnique tag
   *    `attack.tNNNN.MMM` also appends the bare `tNNNN` to technique
@@ -138,10 +140,16 @@ object RuleCompiler {
         if (matches.isEmpty) None else Some(matches.reduce(Or(_, _)))
       } else if (tok == "1OFTHEM") {
         Some(selDict.values.reduce(Or(_, _)))
+      } else if (tok.startsWith("ALLOF") && tok.endsWith("*")) {
+        val prefix = tok.substring(5, tok.length - 1)
+        val matches = selDict.collect { case (k, v) if k.startsWith(prefix) => v }.toSeq
+        if (matches.isEmpty) None else Some(matches.reduce(And(_, _)))
+      } else if (tok == "ALLOFTHEM") {
+        Some(selDict.values.reduce(And(_, _)))
       } else selDict.get(tok)
     }
 
-    val norm = condition.replace("1 of ", "1of").toUpperCase
+    val norm = condition.replace("1 of ", "1of").replace("all of ", "allof").toUpperCase
     // split parens into their own tokens so parenthesized conditions parse
     val toks: List[String] = norm
       .replace("(", " ( ").replace(")", " ) ")

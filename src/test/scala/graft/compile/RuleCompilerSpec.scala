@@ -81,6 +81,18 @@ class RuleCompilerSpec extends AnyFunSuite {
       And(Or(Eq("A", "1"), Eq("B", "2")), Eq("C", "3")))
   }
 
+  test("C3 extension: all of prefix* / all of them AND the selections") {
+    val sels = Map("SEL1" -> Eq("A", "1").asInstanceOf[Pred],
+      "SEL2" -> Eq("B", "2"), "OTHER" -> Eq("C", "3"))
+    assert(conditionPred("all of sel*", sels) == And(Eq("A", "1"), Eq("B", "2")) ||
+      conditionPred("all of sel*", sels) == And(Eq("B", "2"), Eq("A", "1")))
+    val all = conditionPred("all of them", sels)
+    assert(Seq("A", "B", "C").forall(f => all.toDuckDb(x => x).contains(f)))
+    assert(all.toDuckDb(x => x).contains("AND"))
+    // composes with the rest of the grammar
+    assert(conditionPred("all of sel* and not other", sels).toDuckDb(x => x).contains("NOT"))
+  }
+
   test("C7 rejects timeframe rules exactly like the reference") {
     val y = yamlRule(
       """  selection:
