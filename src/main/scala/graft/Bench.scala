@@ -38,11 +38,11 @@ object Bench {
     // measured query isn't charged the session's one-time costs
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val all = SparkEntry.queries
-    // best-of-2: the machine is shared, so single runs see multi-second
-    // noise; the min of two runs is the steady-state number
+    // best-of-3: the machine is shared, so single runs see multi-second
+    // noise; the min of the runs is the steady-state number
     val results = headline.flatMap { name =>
       all.get(name).map { fn =>
-        val times = (1 to 2).map { _ =>
+        val times = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
           (System.nanoTime() - t0) / 1e9
@@ -50,10 +50,13 @@ object Bench {
         name -> times.min
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // 2-decimal per-query timings keep the line well under 1 KB; sf is
+    // emitted as a number when the dir encodes one (documented schema).
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
+    println(f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":$sfNum}""")
     spark.stop()
   }
 }

@@ -18,7 +18,25 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = name match {
+  // Per-(session, dir, table) DataFrame cache. `spark.read.parquet` lists
+  // files and reads footers on the DRIVER at plan-build time; doing that for
+  // 10 tables on every query invocation is pure driver-side overhead (the
+  // r2 bench measured the SQL-entry queries 2-3x slower for exactly this
+  // reason). Keyed by session identity so tests with fresh sessions don't
+  // see stale plans; bounded (≤ sessions × dirs × 10 entries) so no eviction
+  // is needed.
+  private val dfCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+  // The dir whose views are CURRENTLY registered in each session. A plain
+  // "seen" set would go stale if a session switches dirs and back (views are
+  // replaced by name), so we key on the live registration instead.
+  private val registeredDir =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, String]
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    dfCache.getOrElseUpdate((spark, dir, name), load(spark, dir, name))
+
+  private def load(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/events.parquet")
@@ -27,7 +45,14 @@ object Tables {
       spark.read.parquet(s"$dir/$other.parquet")
   }
 
-  /** Register a temp view per table so query bodies can use spark.sql. */
-  def registerAll(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+  /** Register a temp view per table so query bodies can use spark.sql.
+    * Idempotent per (session, dir): repeat calls are a map lookup, not ten
+    * parquet re-reads.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit = synchronized {
+    if (!registeredDir.get(spark).contains(dir)) {
+      all.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+      registeredDir(spark) = dir
+    }
+  }
 }

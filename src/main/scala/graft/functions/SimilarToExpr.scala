@@ -110,6 +110,10 @@ object GraftFunctions {
       similarTo._1, similarTo._2, similarTo._3)
     spark.sessionState.functionRegistry.registerFunction(
       vecDot._1, vecDot._2, vecDot._3)
+    // bounded-state distributed top-3: topk3_ids(score, id) → struct(ids)
+    spark.udf.register("topk3_ids",
+      org.apache.spark.sql.functions.udaf(new TopKAgg(3),
+        org.apache.spark.sql.Encoders.product[ScoredId]))
   }
 }
 

@@ -165,14 +165,12 @@ object Dedup {
     var edges = pairs
       .select(greatest(col("da"), col("db")).as("a"), least(col("da"), col("db")).as("b"))
       .filter(col("a") =!= col("b")).distinct().localCheckpoint()
-    def checksum(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)), sum(col("a") * 31 + col("b") * 17)).head
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-    }
-    var prev = (-1L, -1L)
-    var cur = checksum(edges)
+    var edgeCnt = edges.count()
+    var converged = false
     var rounds = 0
-    while (cur != prev && rounds < maxRounds) {
+    while (!converged && rounds < maxRounds) {
+      val prevEdges = edges
+      val prevCnt = edgeCnt
       // large-star: per node u (over both edge directions), attach every
       // strictly-larger neighbor to m = min(neighbors ∪ {u})
       val both = edges.unionAll(edges.select(col("b").as("a"), col("a").as("b")))
@@ -190,8 +188,14 @@ object Dedup {
         .filter(col("v") =!= col("m"))
         .select(col("v").as("a"), col("m").as("b"))
         .distinct().localCheckpoint()
-      prev = cur
-      cur = checksum(edges)
+      // exact fixpoint test — equal cardinality AND no edge outside the
+      // previous set (both sides distinct ⇒ set equality). Sound, unlike a
+      // hash checksum (two different edge sets can collide and exit early
+      // with wrong labels); the driver still receives only two scalars per
+      // round.
+      edgeCnt = edges.count()
+      converged = edgeCnt == prevCnt &&
+        edges.join(prevEdges, Seq("a", "b"), "left_anti").isEmpty
       rounds += 1
     }
     val nodes = pairs.select(col("da").as("node"))
@@ -315,28 +319,37 @@ object Dedup {
       starCC(candidatePairs(md5DocShingles(s, dir)))._1.orderBy("node")
     }),
 
-    // Standalone n-gram Jaccard near-dup: candidate pairs blocked by the
-    // first-3-words prefix key (append-mutations preserve it), then exact
-    // word-3-gram Jaccard ≥ 0.3. The blocked self-join is the scale story:
-    // pair space is per-block, one shuffle on the block key. The
-    // verification join runs on md5-derived LONG shingle ids, not raw
-    // shingle strings — ~4× less shuffle volume, same Jaccard (both
-    // engines hash identically, so any collision is symmetric).
+    // Standalone n-gram Jaccard near-dup, inverted-index formulation:
+    // candidates are blocked by the first-3-words prefix key
+    // (append-mutations preserve it), then exact word-3-gram Jaccard ≥ 0.3.
+    // The (blk, sid, doc_id) posting list is built in ONE narrow pass (the
+    // block key comes from the same split as the shingles — no join to
+    // attach it), and a single self-join on (blk, sid) emits co-occurring
+    // pairs directly: per-(blk, sid) posting lists are bounded by block
+    // size, so pair fan-out is bounded, and the round-2 double
+    // candidate-verification join (two extra shuffles of the full posting
+    // table) disappears. Since every doc has exactly one block key,
+    // "shared sid within a block" ≡ "blocked candidate pair sharing that
+    // sid" — the per-pair counts are identical to the oracle's two-step
+    // candidate/verify formulation.
     "dedup_ngram_jaccard" -> ((s, dir) => {
-      val corpus = nearDupCorpus(s, dir)
-        .withColumn("blk", concat_ws(" ", slice(split(col("text"), " "), 1, 3)))
-      // materialized once: feeds the per-doc counts and BOTH sides of the
-      // candidate-verification join (3 consumers)
-      val sh = md5DocShingles(s, dir)
-      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
-      val keys = corpus.select(col("doc_id"), col("blk"))
-      val cand = keys.as("x").join(keys.as("y"),
-          col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
-      val common = cand
-        .join(sh.as("sa"), col("da") === col("sa.doc_id"))
-        .join(sh.as("sb"), col("db") === col("sb.doc_id") && col("sa.sid") === col("sb.sid"))
-        .groupBy("da", "db").agg(count(lit(1)).as("common"))
+      val postings = nearDupCorpus(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"),
+          concat_ws(" ", slice(col("w"), 1, 3)).as("blk"),
+          explode(expr(
+            """array_distinct(transform(sequence(0, size(w) - 3),
+                 i -> concat_ws(' ', w[i], w[i + 1], w[i + 2])))""")).as("shingle"))
+        .select(col("doc_id"), col("blk"),
+          (conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long") % P).as("sid"))
+        .localCheckpoint() // 3 consumers: counts + both self-join sides
+      val cnt = postings.groupBy("doc_id").agg(count(lit(1)).as("c"))
+      val common = postings.as("x").join(postings.as("y"),
+          col("x.blk") === col("y.blk") && col("x.sid") === col("y.sid")
+            && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+        .agg(count(lit(1)).as("common"))
       common
         .join(cnt.as("ca"), col("da") === col("ca.doc_id"))
         .join(cnt.as("cb"), col("db") === col("cb.doc_id"))
@@ -347,19 +360,24 @@ object Dedup {
         .orderBy("da", "db")
     }),
 
-    // SimHash: 16-bit signature from signed per-(word, bit) contributions.
+    // SimHash: 16-bit signature from signed per-(word, bit) contributions,
+    // computed entirely in array-land — words hash to hw once per row, then
+    // one nested aggregate folds (bit × word) contributions into the
+    // signature. Fully narrow per-row expression, ZERO shuffles except the
+    // output sort (the round-2 version crossJoined words × 16 bits through
+    // two shuffled groupBys; at 100 TB that is 16× the token stream
+    // shuffled twice).
     "dedup_simhash" -> ((s, dir) => {
-      val words = Tables(s, dir, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-        .withColumn("hw", ascii(col("word")) * 31 + length(col("word")))
-      val bits = s.range(16).select(col("id").cast("int").as("b"))
-      words.crossJoin(bits)
-        .withColumn("contrib",
-          when((col("hw") * (col("b") * 2 + 3)) % 5 < 2, -1).otherwise(1))
-        .groupBy("doc_id", "b").agg(sum("contrib").as("sb"))
-        .groupBy("doc_id")
-        .agg(sum(when(col("sb") > 0, expr("CAST(pow(2, b) AS BIGINT)")).otherwise(0L))
-          .as("simhash"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("transform(split(text, ' '), word -> ascii(word) * 31 + length(word))")
+            .as("hws"))
+        .select(col("doc_id"),
+          expr("""aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, b) ->
+                    acc + IF(aggregate(hws, 0, (a, hw) ->
+                               a + IF((hw * (b * 2 + 3)) % 5 < 2, -1, 1)) > 0,
+                             CAST(pow(2, b) AS BIGINT), CAST(0 AS BIGINT)))""")
+            .as("simhash"))
         .orderBy("doc_id")
     }),
 

@@ -435,14 +435,17 @@ object Relational {
 
     // §2.8 higher-order array functions: transform / filter / aggregate
     // (the HOF surface the dedup and text ops lean on, pinned directly).
+    // All three outputs are cast to BIGINT on both engines: Spark's
+    // size()/aggregate() are INT while DuckDB's len()/list_sum() are
+    // BIGINT/HUGEINT, and the driver's hash serialization is type-sensitive.
     "p13_higher_order" -> ((s, dir) => {
       t(s, dir, "documents")
         .withColumn("w", split(col("text"), " "))
         .select(col("doc_id"),
-          expr("size(filter(w, x -> length(x) > 5))").as("long_words"),
+          expr("size(filter(w, x -> length(x) > 5))").cast("long").as("long_words"),
           expr("aggregate(transform(w, x -> length(x)), 0, (acc, x) -> acc + x)")
-            .as("char_sum"),
-          expr("size(array_distinct(transform(w, x -> lower(x))))").as("vocab"))
+            .cast("long").as("char_sum"),
+          expr("size(array_distinct(transform(w, x -> lower(x))))").cast("long").as("vocab"))
         .orderBy("doc_id")
     }),
 
@@ -824,9 +827,9 @@ object Relational {
 
     "p13_higher_order" ->
       """SELECT doc_id,
-                len(list_filter(w, x -> length(x) > 5)) AS long_words,
-                list_sum(list_transform(w, x -> length(x))) AS char_sum,
-                len(list_distinct(list_transform(w, x -> lower(x)))) AS vocab
+                CAST(len(list_filter(w, x -> length(x) > 5)) AS BIGINT) AS long_words,
+                CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS char_sum,
+                CAST(len(list_distinct(list_transform(w, x -> lower(x)))) AS BIGINT) AS vocab
          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
          ORDER BY doc_id""",
 

@@ -29,6 +29,20 @@ object Similarity {
   private val dotExpr = "vec_dot(qe, ce)"
   private def normExpr(c: String) = s"sqrt(vec_dot($c, $c))"
 
+  /** Per-query top-3 over (qid, nid, cos_r) via the bounded-state
+    * `topk3_ids` aggregate (graft.functions.TopKAgg): map-side partials
+    * keep ≤3 rows per qid, so the shuffle is O(tasks × queries × 3) — the
+    * round-2 window (`row_number OVER (PARTITION BY qid ...)`) shuffled the
+    * FULL scored pair set into 8 sort tasks, which both regressed the bench
+    * and is exactly the parallelism collapse that kills a 100 TB scan.
+    * Ordering (cos_r DESC, nid ASC) matches the DuckDB window oracle. */
+  private def topK3(scored: DataFrame): DataFrame =
+    scored.groupBy("qid")
+      .agg(expr("topk3_ids(cos_r, nid)").as("top"))
+      .select(col("qid"), posexplode(col("top.ids")).as(Seq("pos", "nid")))
+      .select(col("qid"), (col("pos") + 1).as("rank"), col("nid"))
+      .orderBy("qid", "rank")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact ANN baseline: 8 query vectors × full corpus, cosine top-3.
     "sim_topk_bruteforce" -> ((s, dir) => {
@@ -40,13 +54,10 @@ object Similarity {
       val c = e.filter(col("vec_id") >= 8)
         .select(col("vec_id").as("nid"), col("embedding").as("ce"),
           expr(normExpr("embedding")).as("cn"))
-      val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("nid"))
-      c.crossJoin(broadcast(q)) // broadcast the tiny query set; the corpus scan stays partition-local
-        .withColumn("cos_r", round(expr(dotExpr) / (col("qn") * col("cn")), 6))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select(col("qid"), col("rank"), col("nid"))
-        .orderBy("qid", "rank")
+      topK3(
+        c.crossJoin(broadcast(q)) // broadcast the tiny query set; the corpus scan stays partition-local
+          .select(col("qid"), col("nid"),
+            round(expr(dotExpr) / (col("qn") * col("cn")), 6).as("cos_r")))
     }),
 
     // IVF ANN: coarse quantizer = per-label centroids (the k-means step of
@@ -76,14 +87,11 @@ object Similarity {
       val c = e.filter(col("vec_id") >= 8)
         .select(col("vec_id").as("nid"), col("embedding").as("ce"), col("label"),
           expr(normExpr("embedding")).as("cn"))
-      val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("nid"))
-      q.join(probe, col("qid") === col("pqid"))
-        .join(c, col("plabel") === col("label"))
-        .withColumn("cos_r", round(expr(dotExpr) / (col("qn") * col("cn")), 6))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select(col("qid"), col("rank"), col("nid"))
-        .orderBy("qid", "rank")
+      topK3(
+        q.join(probe, col("qid") === col("pqid"))
+          .join(c, col("plabel") === col("label"))
+          .select(col("qid"), col("nid"),
+            round(expr(dotExpr) / (col("qn") * col("cn")), 6).as("cos_r")))
     }),
 
     // LSH-bucketed ANN: 4 deterministic integer hyperplanes → 16 buckets;
@@ -109,13 +117,10 @@ object Similarity {
       val c = withB.filter(col("vec_id") >= 8)
         .select(col("vec_id").as("nid"), col("embedding").as("ce"), col("bucket").as("cb"),
           expr(normExpr("embedding")).as("cn"))
-      val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("nid"))
-      q.join(c, col("bucket") === col("cb"))
-        .withColumn("cos_r", round(expr(dotExpr) / (col("qn") * col("cn")), 6))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select(col("qid"), col("rank"), col("nid"))
-        .orderBy("qid", "rank")
+      topK3(
+        q.join(c, col("bucket") === col("cb"))
+          .select(col("qid"), col("nid"),
+            round(expr(dotExpr) / (col("qn") * col("cn")), 6).as("cos_r")))
     })
   )
 

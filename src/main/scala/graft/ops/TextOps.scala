@@ -123,6 +123,13 @@ object TextOps {
         .select(col("gid")).distinct()
       gram8(docs)
         .join(broadcast(bench), "gid")
+        // distinct (doc_id, gid) AFTER the probe (equivalent to the
+        // oracle's DISTINCT before it, since bench gids are distinct and
+        // the join is an equi-probe) — two distinct 8-grams colliding to
+        // one gid within a doc must count once, and deduping the tiny
+        // contaminated subset is cheaper than deduping the full gram
+        // stream.
+        .select(col("doc_id"), col("gid")).distinct()
         .groupBy("doc_id").agg(count(lit(1)).as("shared_grams"))
         .orderBy("doc_id")
     }),
@@ -155,21 +162,28 @@ object TextOps {
     "text_repetition" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("w"))
+      // Single-word docs have no 2-grams: guard the sequence() (Spark's
+      // sequence(0, -1) is a DESCENDING ramp, not empty) and define the
+      // dup ratio as 0 when n_2grams = 0, so a 1-word doc can't produce a
+      // NaN/Inf divergence between engines.
       val arrStats = d.select(col("doc_id"),
         size(col("w")).as("n_words"),
-        (size(col("w")) - 1).as("n_2grams"),
-        size(expr("""array_distinct(transform(sequence(0, size(w) - 2),
-                       i -> concat(w[i], ' ', w[i+1])))""")).as("d_2grams"))
+        greatest(size(col("w")) - 1, lit(0)).as("n_2grams"),
+        when(size(col("w")) >= 2,
+          size(expr("""array_distinct(transform(sequence(0, size(w) - 2),
+                         i -> concat(w[i], ' ', w[i+1])))"""))).otherwise(lit(0))
+          .as("d_2grams"))
       val topWord = d.select(col("doc_id"), explode(col("w")).as("word"))
         .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
         .groupBy("doc_id").agg(max("c").as("top_c"))
+      val dupRatio = when(col("n_2grams") > 0,
+        round(lit(1.0) - col("d_2grams") / (col("n_2grams") * lit(1.0)), 4))
+        .otherwise(lit(0.0))
       arrStats.join(topWord, "doc_id")
         .select(col("doc_id"),
           round(col("top_c") / (col("n_words") * lit(1.0)), 4).as("top_word_ratio"),
-          round(lit(1.0) - col("d_2grams") / (col("n_2grams") * lit(1.0)), 4)
-            .as("dup_2gram_ratio"),
-          (col("top_c") / (col("n_words") * lit(1.0)) > 0.2 ||
-            lit(1.0) - col("d_2grams") / (col("n_2grams") * lit(1.0)) > 0.2)
+          dupRatio.as("dup_2gram_ratio"),
+          (col("top_c") / (col("n_words") * lit(1.0)) > 0.2 || dupRatio > 0.2)
             .as("repetitive"))
         .orderBy("doc_id")
     }),
@@ -275,20 +289,27 @@ object TextOps {
 
     "text_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         arr AS (SELECT doc_id, len(w) AS n_words, len(w) - 1 AS n_2grams,
-                        len(list_distinct(list_transform(range(1, len(w)),
-                              i -> w[i] || ' ' || w[i+1]))) AS d_2grams
+         arr AS (SELECT doc_id, len(w) AS n_words,
+                        greatest(len(w) - 1, 0) AS n_2grams,
+                        CASE WHEN len(w) >= 2
+                             THEN len(list_distinct(list_transform(range(1, len(w)),
+                                    i -> w[i] || ' ' || w[i+1])))
+                             ELSE 0 END AS d_2grams
                  FROM w),
          top AS (SELECT doc_id, max(c) AS top_c FROM (
                    SELECT doc_id, word, count(*) AS c
                    FROM (SELECT doc_id, unnest(w) AS word FROM w)
-                   GROUP BY 1, 2) GROUP BY 1)
+                   GROUP BY 1, 2) GROUP BY 1),
+         r AS (SELECT doc_id, n_words,
+                      CASE WHEN n_2grams > 0
+                           THEN round(1.0 - d_2grams / (n_2grams * 1.0), 4)
+                           ELSE 0.0 END AS dup_ratio
+               FROM arr)
          SELECT doc_id,
                 round(top_c / (n_words * 1.0), 4) AS top_word_ratio,
-                round(1.0 - d_2grams / (n_2grams * 1.0), 4) AS dup_2gram_ratio,
-                (top_c / (n_words * 1.0) > 0.2
-                 OR 1.0 - d_2grams / (n_2grams * 1.0) > 0.2) AS repetitive
-         FROM arr JOIN top USING (doc_id) ORDER BY doc_id""",
+                dup_ratio AS dup_2gram_ratio,
+                (top_c / (n_words * 1.0) > 0.2 OR dup_ratio > 0.2) AS repetitive
+         FROM r JOIN top USING (doc_id) ORDER BY doc_id""",
 
     "text_fingerprint" ->
       """SELECT doc_id,
