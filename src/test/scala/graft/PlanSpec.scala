@@ -108,6 +108,40 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("aggregate(zip_with"), p)
   }
 
+  test("TPC-H Q3 broadcasts the filtered customer dim; filters reach the scans") {
+    val p = physical("sql_q3_shipping")
+    // customer is bounded by the key domain → broadcast at any SF; the
+    // segment filter and date filter must be pushed into the parquet scans
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), p)
+    assert(p.contains("LessThan(o_orderdate"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
+  test("simhash is fully narrow — no hash shuffle, one scan (dedup_simhash)") {
+    val p = physical("dedup_simhash")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 0, p)
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p)
+  }
+
+  test("top-k aggregate keeps bounded partial state before the shuffle") {
+    val df = ops.Similarity.queries("sim_topk_bruteforce")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // the map-side partial_topk3_ids is what bounds shuffle volume to
+    // O(tasks × queries × k); a row_number window here would shuffle the
+    // full scored pair set into one sort task per query id
+    assert(p.contains("partial_topk3_ids"), p)
+    assert(!p.contains("RunningWindowFunction") && !p.contains("Window"), p)
+  }
+
+  test("ngram-jaccard inverted index: no cartesian pair generation") {
+    val p = physical("dedup_ngram_jaccard")
+    // co-occurring pairs come from an equi-join on (blk, sid) — block-
+    // bounded fan-out — never a cartesian/nested-loop pair space
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 4, p)
+  }
+
   test("salted skew join takes the shuffle path on (key, salt) — not broadcast") {
     val p = physical("join_skew_salted")
     // the merge hint must hold: salting only matters on the shuffle path

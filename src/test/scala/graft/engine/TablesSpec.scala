@@ -1,0 +1,29 @@
+package graft.engine
+
+import graft.SparkSpec
+
+/** Pins the table-cache semantics that fixed the round-2 SQL-entry
+  * regressions: repeat lookups must not re-read parquet footers, and a
+  * session that switches sf dirs must re-register its views (a stale
+  * "seen" set here would silently serve the wrong dir's data). */
+class TablesSpec extends SparkSpec {
+  private val dirA = "/root/testdata/sf0.001"
+  private val dirB = "/root/testdata/sf0.01"
+
+  test("repeat table lookups return the cached DataFrame (no footer re-read)") {
+    val first = Tables(spark, dirA, "orders")
+    assert(Tables(spark, dirA, "orders") eq first)
+  }
+
+  test("registerAll is idempotent per dir but re-registers on dir switch") {
+    Tables.registerAll(spark, dirA)
+    val a = spark.sql("SELECT count(*) AS n FROM orders").head.getLong(0)
+    Tables.registerAll(spark, dirB)
+    val b = spark.sql("SELECT count(*) AS n FROM orders").head.getLong(0)
+    assert(b > a, s"dir switch must re-point the views (a=$a, b=$b)")
+    // ...and switching back must also re-register, not no-op
+    Tables.registerAll(spark, dirA)
+    val a2 = spark.sql("SELECT count(*) AS n FROM orders").head.getLong(0)
+    assert(a2 == a, s"switch-back must restore dirA's views (a=$a, a2=$a2)")
+  }
+}
