@@ -64,6 +64,62 @@ object Curation {
         .groupBy(col("lang").as("label"), col("split"))
         .agg(count(lit(1)).as("n"), round(avg(length(col("text"))), 4).as("mean_len"))
         .orderBy("label", "split")
+    }),
+
+    // Sequence packing for a 2048-token context window: docs fill bins
+    // sequentially (deterministic doc_id order) within (lang, shard)
+    // groups. The shard key is what makes this scale: packing needs a
+    // total order, but ordering an entire 100 TB corpus is one global
+    // sort — sharding by a hash of the id gives independent, parallel
+    // packing groups whose count grows with the data (here 16 per lang;
+    // 10k+ at cluster scale). One shuffle on (lang, shard), then an
+    // in-group running sum; bin/offset are pure arithmetic on it.
+    "pack_sequences" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          pmod(col("doc_id"), lit(16)).as("shard"),
+          size(split(col("text"), " ")).cast("long").as("tokens"))
+        .withColumn("off", coalesce(sum("tokens").over(w), lit(0L)))
+        .select(col("doc_id"), col("lang"), col("shard"), col("tokens"),
+          expr("off div 2048").as("bin"),
+          (col("off") % 2048).as("off_in_bin"))
+        .orderBy("doc_id")
+    }),
+
+    // Weighted mixture sampling: per-language target rates applied as a
+    // deterministic per-row hash-threshold decision (the md5 bucket again —
+    // replayable, auditable, no sampling state). Narrow scan + one tiny
+    // aggregation; at 100 TB the keep-decision costs one hash per row and
+    // zero shuffles.
+    "sample_weighted" -> ((s, dir) => {
+      val rate = when(col("lang") === "en", 90)
+        .when(col("lang") === "de", 50)
+        .when(col("lang") === "fr", 25)
+        .otherwise(10)
+      Tables(s, dir, "documents")
+        .withColumn("keep", bucket("doc_id") < rate)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("total"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("kept"))
+        .withColumn("rate_eff", round(col("kept") / (col("total") * lit(1.0)), 4))
+        .orderBy("lang")
+    }),
+
+    // Mixture rebalancing: compute the per-language sampling rate that
+    // equalizes every language to the rarest one — the "how much do I
+    // down-sample each source" step before sample_weighted applies it.
+    // Two aggregations + a broadcast of ONE row; nothing driver-side.
+    "mix_rebalance" -> ((s, dir) => {
+      val cnts = Tables(s, dir, "documents")
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+      val minN = cnts.agg(min("n").as("mn"))
+      cnts.crossJoin(broadcast(minN))
+        .select(col("lang"), col("n"),
+          round(col("mn") / (col("n") * lit(1.0)), 4).as("rate"))
+        .orderBy("lang")
     })
   )
 
@@ -94,6 +150,38 @@ object Curation {
                           AS BIGINT) % 100 < 90
                      THEN 'train' ELSE 'eval' END AS split,
                 count(*) AS n, round(avg(length(text)), 4) AS mean_len
-         FROM documents GROUP BY 1, 2 ORDER BY label, split"""
+         FROM documents GROUP BY 1, 2 ORDER BY label, split""",
+
+    "pack_sequences" ->
+      """SELECT doc_id, lang, shard, tokens,
+                off // 2048 AS bin, off % 2048 AS off_in_bin
+         FROM (
+           SELECT doc_id, lang, doc_id % 16 AS shard,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+                  COALESCE(CAST(sum(len(string_split(text, ' '))) OVER (
+                    PARTITION BY lang, doc_id % 16 ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+                    AS off
+           FROM documents)
+         ORDER BY doc_id""",
+
+    "sample_weighted" ->
+      """SELECT lang, count(*) AS total,
+                count(CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                                AS BIGINT) % 100 <
+                           (CASE lang WHEN 'en' THEN 90 WHEN 'de' THEN 50
+                                      WHEN 'fr' THEN 25 ELSE 10 END)
+                      THEN 1 END) AS kept,
+                round(count(CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                                      AS BIGINT) % 100 <
+                                 (CASE lang WHEN 'en' THEN 90 WHEN 'de' THEN 50
+                                            WHEN 'fr' THEN 25 ELSE 10 END)
+                            THEN 1 END) / (count(*) * 1.0), 4) AS rate_eff
+         FROM documents GROUP BY lang ORDER BY lang""",
+
+    "mix_rebalance" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang)
+         SELECT lang, n, round((SELECT min(n) FROM c) / (n * 1.0), 4) AS rate
+         FROM c ORDER BY lang"""
   )
 }

@@ -381,6 +381,39 @@ object Dedup {
         .orderBy("doc_id")
     }),
 
+    // Embedding near-dup on an UNLABELED corpus: random-hyperplane LSH
+    // buckets replace the given-label blocks — the variant a 100 TB
+    // pipeline actually runs, since real corpora don't ship with a coarse
+    // partition. Bucketing is narrow per row (4 plane projections via the
+    // codegen'd vec_dot — same planes as sim_lsh_ann); candidate pairs are
+    // a bucket equi-join (16-way fan-out here, more planes at scale),
+    // never all-pairs; verification is one vec_dot per candidate. A
+    // positive scalar copy preserves every projection sign exactly, so
+    // planted dups always share their original's bucket.
+    "dedup_embedding_lsh" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val e = Tables(s, dir, "embeddings")
+      val dup = e.filter(col("vec_id") % 5 === 0).select(
+        (col("vec_id") + 100000).as("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS FLOAT) * CAST(1.01 AS FLOAT))").as("embedding"))
+      val all = e.select(col("vec_id"), col("embedding")).unionAll(dup)
+      def planeDot(p: Int) = expr(
+        s"""vec_dot(embedding, transform(sequence(0, size(embedding) - 1),
+              d -> CAST((($p * 131 + d * 137) % 97) - 48 AS DOUBLE)))""")
+      val withB = all
+        .withColumn("bucket",
+          (0 until 4).map(p => when(planeDot(p) >= 0, lit(1L << p)).otherwise(lit(0L)))
+            .reduce(_ + _))
+        .withColumn("norm", expr("sqrt(vec_dot(embedding, embedding))"))
+      val pairs = withB.as("a").join(withB.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      pairs
+        .withColumn("dot", expr("vec_dot(a.embedding, b.embedding)"))
+        .filter(col("dot") / (col("a.norm") * col("b.norm")) >= 0.9)
+        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+        .orderBy("va", "vb")
+    }),
+
     // Embedding near-dup: planted scaled copies (cosine == 1 up to float
     // noise) found by blocked pairwise cosine ≥ 0.9 within label blocks.
     "dedup_embedding_cosine" -> ((s, dir) => {
@@ -488,6 +521,41 @@ object Dedup {
                 CAST(sum(CASE WHEN sb > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT)
                   AS simhash
          FROM sb GROUP BY doc_id ORDER BY doc_id""",
+
+    "dedup_embedding_lsh" ->
+      """WITH all_e AS (
+           SELECT vec_id, embedding FROM embeddings
+           UNION ALL
+           SELECT vec_id + 100000 AS vec_id,
+                  list_transform(embedding,
+                    x -> CAST(CAST(x AS FLOAT) * CAST(1.01 AS FLOAT) AS FLOAT)) AS embedding
+           FROM embeddings WHERE vec_id % 5 = 0),
+         comp AS (
+           SELECT vec_id, unnest(embedding) AS x,
+                  generate_subscripts(embedding, 1) - 1 AS d
+           FROM all_e),
+         pd AS (
+           SELECT vec_id, p, sum(CAST(x AS DOUBLE) * ((p * 131 + d * 137) % 97 - 48)) AS dot
+           FROM comp CROSS JOIN (SELECT i AS p FROM range(4) t(i))
+           GROUP BY vec_id, p),
+         buckets AS (
+           SELECT vec_id,
+                  CAST(sum(CASE WHEN dot >= 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END)
+                       AS BIGINT) AS bucket
+           FROM pd GROUP BY vec_id),
+         wb AS (SELECT a.vec_id, a.embedding, b.bucket
+                FROM all_e a JOIN buckets b ON a.vec_id = b.vec_id),
+         pairs AS (
+           SELECT a.vec_id AS va, b.vec_id AS vb, a.embedding AS ea, b.embedding AS eb
+           FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         dots AS (
+           SELECT va, vb,
+                  sum(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE)) AS dot,
+                  sqrt(sum(CAST(xa AS DOUBLE) * CAST(xa AS DOUBLE))) AS na,
+                  sqrt(sum(CAST(xb AS DOUBLE) * CAST(xb AS DOUBLE))) AS nb
+           FROM (SELECT va, vb, unnest(ea) AS xa, unnest(eb) AS xb FROM pairs)
+           GROUP BY va, vb)
+         SELECT va, vb FROM dots WHERE dot / (na * nb) >= 0.9 ORDER BY va, vb""",
 
     "dedup_embedding_cosine" ->
       """WITH all_e AS (

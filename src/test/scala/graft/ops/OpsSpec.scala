@@ -259,4 +259,48 @@ class OpsSpec extends SparkSpec {
       assert(train / n > 0.75 && train / n < 1.0, s"$lbl split ${train / n}")
     }
   }
+
+  test("LSH embedding dedup finds every planted scaled copy (no labels needed)") {
+    // a positive scalar copy preserves every hyperplane projection sign,
+    // so each planted dup must share its original's bucket and be found
+    val out = Dedup.queries("dedup_embedding_lsh")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") % 5 === 0).select("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 100000)).toSet
+    assert(planted.subsetOf(out), s"missed: ${planted -- out}")
+  }
+
+  test("sequence packing: bins fill sequentially, offsets stay under budget") {
+    val out = Curation.queries("pack_sequences")(spark, dir).collect()
+    assert(out.length == spark.read.parquet(s"$dir/documents.parquet").count())
+    assert(out.forall(r => r.getLong(5) >= 0 && r.getLong(5) < 2048)) // off_in_bin
+    // within each (lang, shard) group, bin ids are non-decreasing in doc order
+    out.groupBy(r => (r.getString(1), r.getLong(2))).values.foreach { rs =>
+      val bins = rs.sortBy(_.getLong(0)).map(_.getLong(4))
+      assert(bins.zip(bins.tail).forall { case (a, b) => a <= b }, bins.toSeq)
+    }
+  }
+
+  test("weighted sampling honors the per-language target rates") {
+    val out = Curation.queries("sample_weighted")(spark, dir).collect()
+    out.foreach { r =>
+      val (lang, total, kept) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(kept <= total)
+      val target = lang match {
+        case "en" => 0.90; case "de" => 0.50; case "fr" => 0.25; case _ => 0.10
+      }
+      // hash buckets are uniform; small per-lang counts allow wide noise
+      assert(math.abs(kept.toDouble / total - target) < 0.35, s"$lang ${kept.toDouble / total}")
+    }
+  }
+
+  test("mixture rebalance rates scale every language to the rarest") {
+    val out = Curation.queries("mix_rebalance")(spark, dir).collect()
+    val minN = out.map(_.getLong(1)).min
+    out.foreach { r =>
+      assert(r.getDouble(2) <= 1.0 && r.getDouble(2) > 0.0)
+      assert(math.abs(r.getDouble(2) - minN.toDouble / r.getLong(1)) < 1e-3)
+    }
+  }
 }
