@@ -22,8 +22,9 @@ object Bench {
     "sig_fanout_counts", "sig_fanout_merged", "sig_alert_shape",
     "dedup_exact", "dedup_minhash_lsh", "dedup_minhash_fast",
     "dedup_ngram_jaccard", "dedup_simhash", "dedup_embedding_cosine",
-    "sim_topk_bruteforce", "sim_ivf_ann", "sim_lsh_ann",
-    "text_pipeline_e2e", "text_quality", "mm_decode_features")
+    "dedup_embedding_lsh", "sim_topk_bruteforce", "sim_ivf_ann", "sim_lsh_ann",
+    "text_pipeline_e2e", "text_quality", "mm_decode_features",
+    "pack_sequences", "sample_weighted", "mix_rebalance")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
