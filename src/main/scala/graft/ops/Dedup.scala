@@ -53,20 +53,11 @@ object Dedup {
        UNION ALL
        SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 4 = 0"""
 
-  /** Word 3-gram shingles per doc, built narrowly: slide over the split
-    * array with `transform(sequence(...))`, dedupe per doc with
-    * `array_distinct`, then explode. Zero shuffles — the round-1 version
-    * (posexplode + lead window + global distinct) shuffled twice; since
-    * doc_ids are unique per corpus row, per-array distinct IS the
-    * per-(doc_id, shingle) distinct. */
-  private def shingles(corpus: DataFrame): DataFrame =
-    corpus
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id"),
-        explode(expr(
-          """array_distinct(transform(sequence(0, size(w) - 3),
-               i -> concat_ws(' ', w[i], w[i + 1], w[i + 2])))""")).as("shingle"))
+  /** Oracle-side shingle relation (the Spark side builds the same word
+    * 3-grams in array-land via sidArrays; the round-1 Spark version used
+    * posexplode + lead windows + a global distinct — two shuffles — and
+    * per-doc `array_distinct` replaced it because doc_ids are unique per
+    * corpus row, so per-array distinct IS per-(doc_id, shingle) distinct). */
   private val shinglesSql =
     s"""SELECT DISTINCT doc_id, word || ' ' || w2 || ' ' || w3 AS shingle FROM (
           SELECT doc_id, word, pos,
@@ -77,9 +68,30 @@ object Dedup {
                 FROM corpus))
         WHERE w3 IS NOT NULL"""
 
-  /** Banded minhash signatures per doc in ONE aggregation pass: 16
-    * permutations → 8 bands × 2 rows, band key = mh(2j)·P + mh(2j+1)
-    * (both < P = 2³¹−1, so the combination fits a long exactly).
+  /** Per-doc shingle-id ARRAYS, built entirely narrowly: slide over the
+    * split words, md5/xxhash64 each shingle to a long id in array-land.
+    * `hashExpr` maps a shingle string `sh` to its long id. */
+  private def sidArrays(corpus: DataFrame, hashExpr: String): DataFrame =
+    corpus
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), expr(
+        s"""transform(array_distinct(transform(sequence(0, size(w) - 3),
+              i -> concat_ws(' ', w[i], w[i + 1], w[i + 2]))),
+              sh -> $hashExpr)""").as("sids"))
+
+  private val md5SidExpr =
+    s"CAST(conv(substring(md5(sh), 1, 15), 16, 10) AS BIGINT) % $P"
+  private val xxSidExpr = s"abs(xxhash64(sh)) % $P"
+
+  /** Banded minhash signatures per doc with ZERO shuffles: 16 permutations
+    * → 8 bands × 2 rows, band key = mh(2j)·P + mh(2j+1) (both < P = 2³¹−1,
+    * so the combination fits a long exactly). Each permutation's minhash is
+    * an `array_min(transform(sids, ...))` over the per-row shingle-id array
+    * — the signature build never leaves the scan stage (the round-2
+    * version shuffled the full (doc_id, sid) posting stream through a
+    * 16-min groupBy; at 100 TB that shuffle IS the token stream). Same
+    * per-row topology as streaming/StreamingDedup's at-ingest signatures.
     *
     * Band width r=2 is the LSH tuning knob: with r=1 a single colliding
     * minhash makes a candidate, so pairs at Jaccard 0.05 still collide
@@ -87,40 +99,32 @@ object Dedup {
     * (~150k candidates from ~6.7k docs at sf0.1 — 99% FPs). With r=2 a
     * band needs BOTH minhashes equal: p(J=0.05) = 1−(1−0.0025)⁸ ≈ 2%,
     * while the planted near-dups (J ≥ 0.8) still collide with
-    * p = 1−(1−0.64)⁸ ≈ 0.9997. Each permutation is its own `min`
-    * aggregate over the same (doc_id, sid) rows — a single
-    * map-side-combined shuffle — and the wide row unpivots narrowly to
-    * (doc_id, band, bsig). */
-  private def bandSigs(docSh: DataFrame): DataFrame = {
-    val mins = (0 until 16).map { i =>
-      min((lit(i * 12345L + 1103515245L) * col("sid")
-        + lit(i * 987654L + 67867967L)) % P).as(s"mh$i")
+    * p = 1−(1−0.64)⁸ ≈ 0.9997. */
+  private def bandSigs(docSids: DataFrame): DataFrame = {
+    val mhs = (0 until 16).map { i =>
+      val a = i * 12345L + 1103515245L
+      val b = i * 987654L + 67867967L
+      expr(s"array_min(transform(sids, s -> (($a * s + $b) % $P)))").as(s"mh$i")
     }
-    docSh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    docSids.select(col("doc_id") +: mhs: _*)
       .select(col("doc_id"), explode(array((0 until 8).map(j =>
         struct(lit(j.toLong).as("band"),
           (col(s"mh${2 * j}") * P + col(s"mh${2 * j + 1}")).as("bsig"))): _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
   }
 
-  /** (doc_id, sid) shingle-id pairs via md5 (identical in Spark and DuckDB,
-    * so the oracle replays it exactly): the round-1 version used a sorted
-    * dictionary (row_number over a GLOBAL single-partition sort — the one
-    * plan shape that cannot scale); this is a narrow per-row hash.
-    * Materialized once — feeds the signature build, the per-doc counts, and
-    * both sides of the verification join. */
-  private def md5DocShingles(s: SparkSession, dir: String): DataFrame =
-    shingles(nearDupCorpus(s, dir))
-      .select(col("doc_id"),
-        (conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long") % P).as("sid"))
-      .localCheckpoint()
+  // (shingles/md5 posting construction now lives in sidArrays — the
+  // exploded (doc_id, sid) posting form is derived from the same
+  // checkpointed array base where verification needs it, so the corpus is
+  // shingled exactly once per query.)
 
   /** LSH candidate pairs (da < db): 8 bands × 2 rows — ~0.9997 recall at
     * J ≥ 0.8, FPs filtered by downstream verification. Band signatures are
     * checkpointed before the self-join so the signature build runs once,
-    * not twice. */
-  private def candidatePairs(docSh: DataFrame): DataFrame = {
-    val bands = bandSigs(docSh).localCheckpoint()
+    * not twice. Takes the (doc_id, sids) array form — candidate
+    * generation is shuffle-free up to the band-bucket join itself. */
+  private def candidatePairs(docSids: DataFrame): DataFrame = {
+    val bands = bandSigs(docSids).localCheckpoint()
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig")
           && col("x.doc_id") < col("y.doc_id"))
@@ -128,7 +132,8 @@ object Dedup {
       .distinct()
   }
 
-  /** Oracle CTE chain replaying md5DocShingles. */
+  /** Oracle CTE chain replaying the md5 (doc_id, sid) posting form of
+    * sidArrays. */
   private val docShSql =
     s"""corpus AS ($nearDupSql),
         sh AS ($shinglesSql),
@@ -136,7 +141,7 @@ object Dedup {
                      CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % $P AS sid
                    FROM sh)"""
 
-  /** Shared oracle CTE chain replaying md5DocShingles + candidatePairs. */
+  /** Shared oracle CTE chain replaying the md5 postings + candidatePairs. */
   private val candSql =
     s"""$docShSql,
         perms AS (SELECT i, 12345 * i + 1103515245 AS a, 987654 * i + 67867967 AS b
@@ -247,8 +252,11 @@ object Dedup {
     // signature → 8 bands → band-bucket self-join → exact-Jaccard
     // verification of candidates only.
     "dedup_minhash_lsh" -> ((s, dir) => {
-      val docSh = md5DocShingles(s, dir)
-      val cand = candidatePairs(docSh)
+      // one shingle pass: the checkpointed array base feeds BOTH the
+      // zero-shuffle signature build and (exploded) the verification joins
+      val docSids = sidArrays(nearDupCorpus(s, dir), md5SidExpr).localCheckpoint()
+      val docSh = docSids.select(col("doc_id"), explode(col("sids")).as("sid"))
+      val cand = candidatePairs(docSids)
       val cnt = docSh.groupBy("doc_id").agg(count(lit(1)).as("c"))
       val common = cand
         .join(docSh.as("sa"), col("da") === col("sa.doc_id"))
@@ -269,9 +277,7 @@ object Dedup {
     // xxhash64); the LSH topology is identical to dedup_minhash_lsh and the
     // planted-pair recall is asserted in DedupSpec.
     "dedup_minhash_fast" -> ((s, dir) => {
-      val sh = shingles(nearDupCorpus(s, dir))
-        .select(col("doc_id"), (abs(xxhash64(col("shingle"))) % P).as("sid"))
-      candidatePairs(sh).orderBy("da", "db")
+      candidatePairs(sidArrays(nearDupCorpus(s, dir), xxSidExpr)).orderBy("da", "db")
     }),
 
     // Duplicate-cluster resolution: connected components over the LSH
@@ -285,7 +291,7 @@ object Dedup {
     // loop gets the large-star/small-star edge rewrite; the per-round plan
     // (join → min-agg → join) is unchanged.
     "dedup_cluster_cc" -> ((s, dir) => {
-      val cand = candidatePairs(md5DocShingles(s, dir))
+      val cand = candidatePairs(sidArrays(nearDupCorpus(s, dir), md5SidExpr))
       val edges = cand.select(col("da").as("a"), col("db").as("b"))
         .unionAll(cand.select(col("db").as("a"), col("da").as("b")))
         .localCheckpoint()
@@ -316,7 +322,7 @@ object Dedup {
     // round count is the graph diameter; stars' is its log). Identical
     // output and oracle as dedup_cluster_cc.
     "dedup_cluster_cc_stars" -> ((s, dir) => {
-      starCC(candidatePairs(md5DocShingles(s, dir)))._1.orderBy("node")
+      starCC(candidatePairs(sidArrays(nearDupCorpus(s, dir), md5SidExpr)))._1.orderBy("node")
     }),
 
     // Standalone n-gram Jaccard near-dup, inverted-index formulation:
