@@ -366,6 +366,21 @@ object Dedup {
         .orderBy("da", "db")
     }),
 
+    // End-to-end dedup composition: LSH candidates → connected components
+    // → keep ONE doc per cluster (the min id — matches the CC labeling) →
+    // corpus summary. This is the shape a production dedup job actually
+    // ships: candidates and clustering as above, then a left join of the
+    // corpus against the (small) label table and a single-pass summary.
+    "dedup_keep_canonical" -> ((s, dir) => {
+      val labels = starCC(candidatePairs(sidArrays(nearDupCorpus(s, dir), md5SidExpr)))._1
+      nearDupCorpus(s, dir)
+        .join(labels, col("doc_id") === col("node"), "left")
+        .withColumn("keep", coalesce(col("cluster"), col("doc_id")) === col("doc_id"))
+        .agg(count(lit(1)).as("docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("kept"),
+          sum(when(!col("keep"), 1L).otherwise(0L)).as("dropped"))
+    }),
+
     // SimHash: 16-bit signature from signed per-(word, bit) contributions,
     // computed entirely in array-land — words hash to hw once per row, then
     // one nested aggregate folds (bit × word) contributions into the
@@ -495,6 +510,22 @@ object Dedup {
     // implementations must produce the identical min-id labeling)
     "dedup_cluster_cc" -> clusterCcSql,
     "dedup_cluster_cc_stars" -> clusterCcSql,
+
+    "dedup_keep_canonical" ->
+      s"""WITH RECURSIVE $candSql,
+          edges AS (SELECT da AS a, db AS b FROM cand
+                    UNION SELECT db AS a, da AS b FROM cand),
+          reach(node, lbl) AS (
+            SELECT DISTINCT a AS node, a AS lbl FROM edges
+            UNION
+            SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node),
+          labels AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node)
+          SELECT count(*) AS docs,
+                 count(CASE WHEN l.cluster IS NULL OR l.cluster = c.doc_id
+                       THEN 1 END) AS kept,
+                 count(CASE WHEN l.cluster IS NOT NULL AND l.cluster <> c.doc_id
+                       THEN 1 END) AS dropped
+          FROM corpus c LEFT JOIN labels l ON c.doc_id = l.node""",
 
     "dedup_ngram_jaccard" ->
       s"""WITH $docShSql,

@@ -94,6 +94,39 @@ object Similarity {
             round(expr(dotExpr) / (col("qn") * col("cn")), 6).as("cos_r")))
     }),
 
+    // IVF with nprobe=2: probe the TWO nearest centroids — the standard
+    // recall/cost knob (nprobe=1 misses neighbors that sit just across a
+    // centroid boundary; each extra probe adds one block of exact work).
+    // Identical topology to sim_ivf_ann: centroids broadcast, candidate
+    // set = union of the probed blocks, exact cosine top-3 inside it.
+    "sim_ivf_nprobe2" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val e = Tables(s, dir, "embeddings")
+      val comp = e.select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("d", "x")))
+      val cent = comp.groupBy("label", "d")
+        .agg(avg(col("x").cast("double")).as("c"))
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          expr(normExpr("embedding")).as("qn"))
+      val qcomp = q.select(col("qid"), posexplode(col("qe")).as(Seq("d", "x")))
+      val probe = qcomp.join(broadcast(cent), "d")
+        .groupBy("qid", "label")
+        .agg(round(sum(pow(col("x").cast("double") - col("c"), 2)), 6).as("dist"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("dist"), col("label"))))
+        .filter(col("rk") <= 2)
+        .select(col("qid").as("pqid"), col("label").as("plabel"))
+      val c = e.filter(col("vec_id") >= 8)
+        .select(col("vec_id").as("nid"), col("embedding").as("ce"), col("label"),
+          expr(normExpr("embedding")).as("cn"))
+      topK3(
+        q.join(probe, col("qid") === col("pqid"))
+          .join(c, col("plabel") === col("label"))
+          .select(col("qid"), col("nid"),
+            round(expr(dotExpr) / (col("qn") * col("cn")), 6).as("cos_r")))
+    }),
+
     // LSH-bucketed ANN: 4 deterministic integer hyperplanes → 16 buckets;
     // probe only the query's bucket, exact cosine inside it.
     "sim_lsh_ann" -> ((s, dir) => {
@@ -166,6 +199,41 @@ object Similarity {
               FROM qcomp JOIN cent USING (d)
               GROUP BY qid, label)
             WHERE rk = 1),
+          c AS (SELECT vec_id AS nid, embedding AS ce, label
+                FROM embeddings WHERE vec_id >= 8),
+          pairs AS (
+            SELECT q.qid, c.nid, q.qe, c.ce
+            FROM q JOIN probe ON q.qid = probe.qid
+                 JOIN c ON c.label = probe.label),
+          dots AS ($dotsSql),
+          ranked AS (
+            SELECT qid, nid, round(dot / (nq * nc), 6) AS cos_r,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY round(dot / (nq * nc), 6) DESC, nid) AS rank
+            FROM dots)
+          SELECT qid, rank, nid FROM ranked WHERE rank <= 3 ORDER BY qid, rank""",
+
+    "sim_ivf_nprobe2" ->
+      s"""WITH comp AS (
+            SELECT vec_id, label, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) - 1 AS d
+            FROM embeddings),
+          cent AS (
+            SELECT label, d, avg(CAST(x AS DOUBLE)) AS c
+            FROM comp GROUP BY label, d),
+          q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
+          qcomp AS (
+            SELECT vec_id AS qid, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) - 1 AS d
+            FROM embeddings WHERE vec_id < 8),
+          probe AS (
+            SELECT qid, label FROM (
+              SELECT qid, label,
+                     row_number() OVER (PARTITION BY qid
+                       ORDER BY round(sum(power(CAST(x AS DOUBLE) - c, 2)), 6), label) AS rk
+              FROM qcomp JOIN cent USING (d)
+              GROUP BY qid, label)
+            WHERE rk <= 2),
           c AS (SELECT vec_id AS nid, embedding AS ce, label
                 FROM embeddings WHERE vec_id >= 8),
           pairs AS (

@@ -295,6 +295,30 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("keep-canonical summary is consistent with the planted duplicates") {
+    val r = Dedup.queries("dedup_keep_canonical")(spark, dir).head
+    val (docs, kept, dropped) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    val planted = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 3 === 0).count()
+    assert(docs == n + planted)
+    assert(kept + dropped == docs)
+    // every planted {d, d+100000} cluster drops exactly its copy (plus any
+    // incidental near-dups the corpus happens to contain)
+    assert(dropped >= planted, s"dropped=$dropped planted=$planted")
+  }
+
+  test("IVF nprobe=2 recall vs brute force is at least nprobe=1's") {
+    def top(name: String): Map[Long, Set[Long]] =
+      Similarity.queries(name)(spark, dir).collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val exact = top("sim_topk_bruteforce")
+    def recall(m: Map[Long, Set[Long]]): Double =
+      exact.map { case (q, t) => m.getOrElse(q, Set.empty).count(t).toDouble / t.size }
+        .sum / exact.size
+    assert(recall(top("sim_ivf_nprobe2")) >= recall(top("sim_ivf_ann")) - 1e-9)
+  }
+
   test("mixture rebalance rates scale every language to the rarest") {
     val out = Curation.queries("mix_rebalance")(spark, dir).collect()
     val minN = out.map(_.getLong(1)).min
