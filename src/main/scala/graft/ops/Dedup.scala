@@ -252,21 +252,27 @@ object Dedup {
     // signature → 8 bands → band-bucket self-join → exact-Jaccard
     // verification of candidates only.
     "dedup_minhash_lsh" -> ((s, dir) => {
-      // one shingle pass: the checkpointed array base feeds BOTH the
-      // zero-shuffle signature build and (exploded) the verification joins
-      val docSids = sidArrays(nearDupCorpus(s, dir), md5SidExpr).localCheckpoint()
-      val docSh = docSids.select(col("doc_id"), explode(col("sids")).as("sid"))
+      // one shingle pass; sid arrays deduped at build so set arithmetic
+      // below is exact (two shingles CAN hash to one sid)
+      val docSids = sidArrays(nearDupCorpus(s, dir), md5SidExpr)
+        .select(col("doc_id"), expr("array_distinct(sids)").as("sids"))
+        .localCheckpoint()
       val cand = candidatePairs(docSids)
-      val cnt = docSh.groupBy("doc_id").agg(count(lit(1)).as("c"))
-      val common = cand
-        .join(docSh.as("sa"), col("da") === col("sa.doc_id"))
-        .join(docSh.as("sb"), col("db") === col("sb.doc_id") && col("sa.sid") === col("sb.sid"))
-        .groupBy("da", "db").agg(count(lit(1)).as("common"))
-      common
-        .join(cnt.as("ca"), col("da") === col("ca.doc_id"))
-        .join(cnt.as("cb"), col("db") === col("cb.doc_id"))
+      // verification entirely via per-pair array intersection: two joins
+      // attach the candidate docs' sid arrays, then one narrow
+      // size(array_intersect(...)) per pair — the round-2 version exploded
+      // the posting list through two shuffled joins and a pair-count
+      // groupBy (the full token stream on the wire); here only the
+      // candidate pairs (banding keeps them ~2% FP) move, with their two
+      // arrays
+      val a = docSids.select(col("doc_id").as("da"), col("sids").as("sa"))
+      val b = docSids.select(col("doc_id").as("db"), col("sids").as("sb"))
+      cand.join(a, "da").join(b, "db")
+        .select(col("da"), col("db"),
+          expr("size(array_intersect(sa, sb))").as("common"),
+          size(col("sa")).as("ca"), size(col("sb")).as("cb"))
         .withColumn("jaccard",
-          round(col("common") / (col("ca.c") + col("cb.c") - col("common")), 3))
+          round(col("common") / (col("ca") + col("cb") - col("common")), 3))
         .filter(col("jaccard") >= 0.5)
         .select(col("da"), col("db"), col("jaccard"))
         .orderBy("da", "db")
@@ -492,10 +498,13 @@ object Dedup {
                 min(doc_id) AS keep, count(*) AS n
          FROM u GROUP BY 1 ORDER BY canon""",
 
+    // cnt/com count DISTINCT sids (set semantics) to mirror the Spark
+    // side's array_distinct + array_intersect — two shingles hashing to
+    // one sid must count once on both engines
     "dedup_minhash_lsh" ->
       s"""WITH $candSql,
-          cnt AS (SELECT doc_id, count(*) AS c FROM doc_sh GROUP BY doc_id),
-          com AS (SELECT da, db, count(*) AS common
+          cnt AS (SELECT doc_id, count(DISTINCT sid) AS c FROM doc_sh GROUP BY doc_id),
+          com AS (SELECT da, db, count(DISTINCT sa.sid) AS common
                   FROM cand
                   JOIN doc_sh sa ON cand.da = sa.doc_id
                   JOIN doc_sh sb ON cand.db = sb.doc_id AND sa.sid = sb.sid
