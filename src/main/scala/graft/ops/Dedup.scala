@@ -304,7 +304,7 @@ object Dedup {
       var labels = edges.select(col("a").as("node")).distinct()
         .withColumn("lbl", col("node")).localCheckpoint()
       var prevSum = -1L
-      var curSum = labels.agg(sum("lbl")).head.getLong(0)
+      var curSum = labels.agg(sum("lbl")).head().getLong(0)
       var iter = 0
       // fixpoint (sum unchanged) is the real exit; the cap bounds runtime on
       // a pathological graph (plain propagation converges in diameter
@@ -317,7 +317,7 @@ object Dedup {
           .select(col("node"), least(col("lbl"), coalesce(col("m"), col("lbl"))).as("lbl"))
           .localCheckpoint()
         prevSum = curSum
-        curSum = labels.agg(sum("lbl")).head.getLong(0)
+        curSum = labels.agg(sum("lbl")).head().getLong(0)
         iter += 1
       }
       labels.select(col("node"), col("lbl").as("cluster")).orderBy("node")
