@@ -332,6 +332,23 @@ object Relational {
         .orderBy("uid", "event_id")
     }),
 
+    // Windowed top-k ("top talkers"): top-3 users by event count per
+    // tumbling hour — batch analog of streaming/TopTalkers (same two-level
+    // aggregation, same bounded-state topk3_ids ranking, so the per-window
+    // top-k never sorts the full (window, user) count set).
+    "win_topk_per_window" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("h")
+        .agg(expr("topk3_ids(CAST(n AS DOUBLE), user_id)").as("top"))
+        .select(unix_micros(col("h")).as("hour_us"),
+          posexplode(col("top.ids")).as(Seq("pos", "uid")))
+        .select(col("hour_us"), (col("pos") + 1).as("rank"), col("uid"))
+        .orderBy("hour_us", "rank")
+    }),
+
     // §2.6 global sort + limit (top-k via TakeOrderedAndProject)
     "sort_limit" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -767,6 +784,16 @@ object Relational {
       """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type AS etype,
                 count(*) AS n, round(sum(value), 2) AS total
          FROM events GROUP BY 1, 2 ORDER BY hour_us, etype""",
+
+    "win_topk_per_window" ->
+      """WITH c AS (
+           SELECT date_trunc('hour', ts) AS h, user_id, count(*) AS n
+           FROM events GROUP BY 1, 2)
+         SELECT epoch_us(h) AS hour_us, rank, uid FROM (
+           SELECT h, user_id AS uid,
+                  row_number() OVER (PARTITION BY h ORDER BY n DESC, user_id) AS rank
+           FROM c)
+         WHERE rank <= 3 ORDER BY hour_us, rank""",
 
     // each event belongs to windows starting at hour(ts)-1 and hour(ts)
     "time_sliding_2h_1h" ->

@@ -260,4 +260,38 @@ class StreamingSpec extends SparkSpec {
         .getAs[scala.collection.Seq[String]]("origin_ids").toSeq == Seq("a1")) // without the late row
     } finally q.stop()
   }
+
+  test("streaming top talkers: chained stateful aggs emit the closed window's top-3") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val df = mem.toDF().toDF("ts", "uid")
+    val q = TopTalkers.topK(df, "ts", "uid", "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("toptalk")
+      .outputMode("append").start()
+    try {
+      // window 00:00-01:00 counts: uid 2 → 3, uid 1 → 2, uid 4 → 2, uid 3 → 1
+      mem.addData(
+        (ts("2024-01-01 00:05:00"), 1L), (ts("2024-01-01 00:06:00"), 1L),
+        (ts("2024-01-01 00:07:00"), 2L), (ts("2024-01-01 00:10:00"), 2L),
+        (ts("2024-01-01 00:11:00"), 2L), (ts("2024-01-01 00:20:00"), 3L),
+        (ts("2024-01-01 00:30:00"), 4L), (ts("2024-01-01 00:31:00"), 4L))
+      q.processAllAvailable()
+      // advance the watermark past 01:00+10m to close the first window in
+      // the count operator, then again so the top-k operator finalizes
+      mem.addData((ts("2024-01-01 02:00:00"), 9L))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 03:30:00"), 9L))
+      q.processAllAvailable()
+      val out = spark.table("toptalk").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      assert(out.nonEmpty, "no window finalized")
+      val w0 = out.map(_._1).min
+      // top-3 by (count DESC, uid ASC): uid 2 (3 events), then the 2-2 tie
+      // between uids 1 and 4 breaks by id
+      assert(out.filter(_._1 == w0).sortBy(_._2).toSeq ==
+        Seq((w0, 1, 2L), (w0, 2, 1L), (w0, 3, 4L)), out.toSeq)
+    } finally q.stop()
+  }
 }
