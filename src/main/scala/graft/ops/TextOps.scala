@@ -188,6 +188,40 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Word-entropy quality signal: Shannon entropy of the per-doc word
+    // distribution (H = log2 n − Σ c·log2 c / n) — low-entropy docs are
+    // template/boilerplate candidates. Two map-side-combined aggregations
+    // on doc_id; everything else is arithmetic.
+    "text_entropy" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n"), sum(col("c") * log2(col("c"))).as("sclc"))
+        .select(col("doc_id"),
+          round(log2(col("n")) - col("sclc") / col("n"), 4).as("entropy"))
+        .orderBy("doc_id")
+    }),
+
+    // Length-outlier filter: drop docs outside the exact [p05, p95]
+    // token-length quantiles — the distribution-trimming step before
+    // training. The two quantiles are ONE tiny aggregate broadcast back
+    // over the scan; at 100 TB swap `percentile` for the t-digest sketch
+    // (`percentile_approx`) and nothing else changes.
+    "text_length_outliers" -> ((s, dir) => {
+      val lens = Tables(s, dir, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("len"))
+      val bounds = lens.agg(
+        expr("percentile(len, 0.05)").as("lo"),
+        expr("percentile(len, 0.95)").as("hi"))
+      lens.crossJoin(broadcast(bounds))
+        .agg(count(lit(1)).as("docs"),
+          sum(when(col("len") >= col("lo") && col("len") <= col("hi"), 1L)
+            .otherwise(0L)).as("kept"),
+          sum(when(col("len") < col("lo"), 1L).otherwise(0L)).as("too_short"),
+          sum(when(col("len") > col("hi"), 1L).otherwise(0L)).as("too_long"))
+    }),
+
     // Document fingerprint: positional polynomial hash over words — the
     // rolling-hash shape used for content-defined dedup keys.
     "text_fingerprint" -> ((s, dir) => {
@@ -310,6 +344,30 @@ object TextOps {
                 dup_ratio AS dup_2gram_ratio,
                 (top_c / (n_words * 1.0) > 0.2 OR dup_ratio > 0.2) AS repetitive
          FROM r JOIN top USING (doc_id) ORDER BY doc_id""",
+
+    "text_entropy" ->
+      """WITH wc AS (
+           SELECT doc_id, word, count(*) AS c
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                 FROM documents)
+           GROUP BY 1, 2)
+         SELECT doc_id, round(log2(n) - sclc / n, 4) AS entropy
+         FROM (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS n,
+                      sum(c * log2(c)) AS sclc
+               FROM wc GROUP BY doc_id)
+         ORDER BY doc_id""",
+
+    "text_length_outliers" ->
+      """WITH lens AS (
+           SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+           FROM documents),
+         b AS (SELECT quantile_cont(len, 0.05) AS lo,
+                      quantile_cont(len, 0.95) AS hi FROM lens)
+         SELECT count(*) AS docs,
+                count(CASE WHEN len >= lo AND len <= hi THEN 1 END) AS kept,
+                count(CASE WHEN len < lo THEN 1 END) AS too_short,
+                count(CASE WHEN len > hi THEN 1 END) AS too_long
+         FROM lens CROSS JOIN b""",
 
     "text_fingerprint" ->
       """SELECT doc_id,
