@@ -52,4 +52,19 @@ class FormatsSpec extends SparkSpec {
     assert(parsed.filter(col("_corrupt").isNotNull).count() == 1)
     parsed.unpersist()
   }
+
+  test("ORC roundtrip preserves rows and pushes filters into the scan") {
+    val out = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    orders.write.mode("overwrite").orc(out)
+    val back = spark.read.orc(out)
+    assert(back.count() == orders.count())
+    // columnar pushdown parity with parquet: the predicate must reach the
+    // ORC scan (PushedFilters), not evaluate post-scan only
+    val q = back.filter(col("o_totalprice") > 400000).select("o_orderkey")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice"), plan)
+    assert(q.count() ==
+      orders.filter(col("o_totalprice") > 400000).count())
+  }
 }
