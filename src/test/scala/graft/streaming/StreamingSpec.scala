@@ -261,6 +261,63 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static broadcast enrichment joins per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("host_id", "event")
+    // static dim (asset inventory): broadcastable, read once, joined into
+    // every micro-batch without state — the standard enrichment shape
+    val assets = Seq((1L, "dc", "critical"), (2L, "laptop", "low"))
+      .toDF("host_id", "kind", "criticality")
+    val enriched = stream.join(broadcast(assets), Seq("host_id"), "left")
+    val q = enriched.writeStream.format("memory").queryName("enrich_t")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "logon"), (2L, "logon"), (3L, "logon"))
+      q.processAllAvailable()
+      val out = spark.table("enrich_t").collect()
+        .map(r => (r.getLong(0), Option(r.getString(3)).getOrElse("unknown"))).toSet
+      assert(out == Set((1L, "critical"), (2L, "low"), (3L, "unknown")))
+    } finally q.stop()
+  }
+
+  test("RocksDB state store provider: same windowed-count results as default") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the 100 TB state option: keyed state off-heap in RocksDB instead of
+    // the HDFS-backed in-memory map — same query, same results, state
+    // size no longer bounded by executor heap
+    // provider is captured at query start: set it first
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val counts = mem.toDF().toDF("ts", "uid")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("uid"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("start_us"), col("uid"), col("n"))
+    val q = counts.writeStream.format("memory").queryName("rocks_t")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-rocks").toString)
+      .start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      mem.addData((ts("2024-01-01 00:05:00"), 1L), (ts("2024-01-01 00:06:00"), 1L),
+        (ts("2024-01-01 00:07:00"), 2L))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 02:00:00"), 9L)) // close window 0
+      q.processAllAvailable()
+      val out = spark.table("rocks_t").collect()
+        .map(r => (r.getLong(1), r.getLong(2))).toSet
+      assert(out == Set((1L, 2L), (2L, 1L)))
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming top talkers: chained stateful aggs emit the closed window's top-3") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
