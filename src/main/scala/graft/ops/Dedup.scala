@@ -84,6 +84,26 @@ object Dedup {
     s"CAST(conv(substring(md5(sh), 1, 15), 16, 10) AS BIGINT) % $P"
   private val xxSidExpr = s"abs(xxhash64(sh)) % $P"
 
+  /** 16-bit SimHash signature per (doc_id, text) row, fully narrow. The
+    * word hash is md5-derived (replayable bit-for-bit in DuckDB) — a weak
+    * hash (e.g. first-char × length) collapses the signature space on a
+    * shared-vocabulary corpus and every doc collides with every other. */
+  private def simhashSigs(corpus: DataFrame): DataFrame =
+    corpus
+      .select(col("doc_id"),
+        expr(s"""transform(split(text, ' '),
+                   word -> CAST(conv(substring(md5(word), 1, 15), 16, 10) AS BIGINT) % $P)""")
+          .as("hws"))
+      .select(col("doc_id"),
+        // contribution for bit b is bit b OF the word hash (±1, unbiased
+        // and independent across bits — a biased rule like `% 5 < 2`
+        // drives every sb positive and collapses all signatures to 0xFFFF)
+        expr("""aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, b) ->
+                  acc + IF(aggregate(hws, CAST(0 AS BIGINT), (a, hw) ->
+                             a + IF((hw div CAST(pow(2, b) AS BIGINT)) % 2 = 1, 1, -1)) > 0,
+                           CAST(pow(2, b) AS BIGINT), CAST(0 AS BIGINT)))""")
+          .as("simhash"))
+
   /** Banded minhash signatures per doc with ZERO shuffles: 16 permutations
     * → 8 bands × 2 rows, band key = mh(2j)·P + mh(2j+1) (both < P = 2³¹−1,
     * so the combination fits a long exactly). Each permutation's minhash is
@@ -395,17 +415,35 @@ object Dedup {
     // two shuffled groupBys; at 100 TB that is 16× the token stream
     // shuffled twice).
     "dedup_simhash" -> ((s, dir) => {
-      Tables(s, dir, "documents")
-        .select(col("doc_id"),
-          expr("transform(split(text, ' '), word -> ascii(word) * 31 + length(word))")
-            .as("hws"))
-        .select(col("doc_id"),
-          expr("""aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, b) ->
-                    acc + IF(aggregate(hws, 0, (a, hw) ->
-                               a + IF((hw * (b * 2 + 3)) % 5 < 2, -1, 1)) > 0,
-                             CAST(pow(2, b) AS BIGINT), CAST(0 AS BIGINT)))""")
-            .as("simhash"))
+      simhashSigs(Tables(s, dir, "documents").select(col("doc_id"), col("text")))
         .orderBy("doc_id")
+    }),
+
+    // SimHash near-dup SEARCH: pairs within Hamming distance ≤ 2, found by
+    // the pigeonhole trick — split the 16-bit signature into 3 chunks
+    // (6+5+5 bits); ≤2 bit flips can touch at most 2 chunks, so every
+    // qualifying pair shares at least one exact chunk. Candidates come
+    // from an equi-join on (chunk_idx, chunk_value) — the same banded
+    // topology as MinHash-LSH, never all-pairs — and verification is one
+    // narrow bit_count(xor) per candidate. (16-bit signatures keep the
+    // oracle simple; a production corpus uses 64-bit signatures with more
+    // chunks — identical topology.)
+    "dedup_simhash_pairs" -> ((s, dir) => {
+      val sigs = simhashSigs(nearDupCorpus(s, dir)).localCheckpoint()
+      val chunks = sigs.select(col("doc_id"), col("simhash"),
+        explode(array(
+          struct(lit(0).as("ci"), expr("simhash % 64").as("cv")),
+          struct(lit(1).as("ci"), expr("(simhash div 64) % 32").as("cv")),
+          struct(lit(2).as("ci"), expr("simhash div 2048").as("cv")))).as("c"))
+        .select(col("doc_id"), col("simhash"), col("c.ci").as("ci"), col("c.cv").as("cv"))
+      chunks.as("x").join(chunks.as("y"),
+          col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+          expr("CAST(bit_count(x.simhash ^ y.simhash) AS BIGINT)").as("ham"))
+        .distinct()
+        .filter(col("ham") <= 2)
+        .orderBy("da", "db")
     }),
 
     // Embedding near-dup on an UNLABELED corpus: random-hyperplane LSH
@@ -556,17 +594,45 @@ object Dedup {
           ORDER BY da, db""",
 
     "dedup_simhash" ->
-      """WITH words AS (
-           SELECT doc_id, ascii(word) * 31 + length(word) AS hw
+      s"""WITH words AS (
+           SELECT doc_id,
+                  CAST(concat('0x', substr(md5(word), 1, 15)) AS BIGINT) % $P AS hw
            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)),
          sb AS (SELECT doc_id, b,
-                       sum(CASE WHEN (hw * (b * 2 + 3)) % 5 < 2 THEN -1 ELSE 1 END) AS sb
+                       sum(CASE WHEN (hw // CAST(pow(2, b) AS BIGINT)) % 2 = 1
+                                THEN 1 ELSE -1 END) AS sb
                 FROM words CROSS JOIN (SELECT i AS b FROM range(16) t(i))
                 GROUP BY doc_id, b)
          SELECT doc_id,
                 CAST(sum(CASE WHEN sb > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT)
                   AS simhash
          FROM sb GROUP BY doc_id ORDER BY doc_id""",
+
+    "dedup_simhash_pairs" ->
+      s"""WITH corpus AS ($nearDupSql),
+         words AS (
+           SELECT doc_id,
+                  CAST(concat('0x', substr(md5(word), 1, 15)) AS BIGINT) % $P AS hw
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM corpus)),
+         sb AS (SELECT doc_id, b,
+                       sum(CASE WHEN (hw // CAST(pow(2, b) AS BIGINT)) % 2 = 1
+                                THEN 1 ELSE -1 END) AS sb
+                FROM words CROSS JOIN (SELECT i AS b FROM range(16) t(i))
+                GROUP BY doc_id, b),
+         sig AS (SELECT doc_id,
+                        CAST(sum(CASE WHEN sb > 0 THEN CAST(pow(2, b) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS simhash
+                 FROM sb GROUP BY doc_id),
+         chunks AS (
+           SELECT doc_id, simhash, 0 AS ci, simhash % 64 AS cv FROM sig
+           UNION ALL SELECT doc_id, simhash, 1, (simhash // 64) % 32 FROM sig
+           UNION ALL SELECT doc_id, simhash, 2, simhash // 2048 FROM sig)
+         SELECT DISTINCT x.doc_id AS da, y.doc_id AS db,
+                CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS ham
+         FROM chunks x JOIN chunks y
+           ON x.ci = y.ci AND x.cv = y.cv AND x.doc_id < y.doc_id
+         WHERE bit_count(xor(x.simhash, y.simhash)) <= 2
+         ORDER BY da, db""",
 
     "dedup_embedding_lsh" ->
       """WITH all_e AS (

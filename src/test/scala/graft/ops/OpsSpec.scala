@@ -295,6 +295,17 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("simhash pair search: high planted recall, all pairs within hamming 2") {
+    val out = Dedup.queries("dedup_simhash_pairs")(spark, dir).collect()
+    assert(out.forall(_.getLong(2) <= 2))
+    val found = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 3 === 0).select("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 100000)).toSet
+    val recall = planted.count(found).toDouble / planted.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
   test("keep-canonical summary is consistent with the planted duplicates") {
     val r = Dedup.queries("dedup_keep_canonical")(spark, dir).head
     val (docs, kept, dropped) = (r.getLong(0), r.getLong(1), r.getLong(2))
