@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
 
 /** Guards the scale-critical plan shapes (the properties that make these
   * queries survive a 100 TB / 1000-executor deployment): predicate
@@ -140,6 +141,52 @@ class PlanSpec extends SparkSpec {
     // bounded fan-out — never a cartesian/nested-loop pair space
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 4, p)
+  }
+
+  test("windowed top-k: bounded partial state in BOTH aggregation levels") {
+    val p = physical("win_topk_per_window")
+    // level 1: (hour, user) counts partial-aggregate map-side; level 2:
+    // the bounded topk3 partial — no ranking window anywhere
+    assert(p.contains("partial_count") && p.contains("partial_topk3_ids"), p)
+    assert(!p.contains("RunningWindowFunction") && !p.contains("Window"), p)
+  }
+
+  test("sequence packing: exactly one hash shuffle (the (lang, shard) key)") {
+    val p = physical("pack_sequences")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+  }
+
+  test("AQE splits a skewed join partition when salting is not hand-rolled") {
+    // the runtime half of the skew story: join_skew_salted pins the manual
+    // mitigation; this pins that AQE's skew-join rewrite engages when a
+    // partition exceeds the (test-lowered) skew threshold
+    val prev = Map(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> spark.conf
+        .getOption("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"),
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> spark.conf
+        .getOption("spark.sql.adaptive.advisoryPartitionSizeInBytes"),
+      "spark.sql.autoBroadcastJoinThreshold" -> spark.conf
+        .getOption("spark.sql.autoBroadcastJoinThreshold"))
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+    try {
+      import spark.implicits._
+      // one hot key carrying ~90% of rows
+      val big = spark.range(200000)
+        .select(when(col("id") % 10 < 9, lit(7L)).otherwise(col("id")).as("k"),
+          col("id").as("v"))
+      val dim = spark.range(100).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val joined = big.join(dim.hint("merge"), "k")
+      // collect() executes THIS queryExecution (count() would spawn its
+      // own), so AQE finalizes the inspected plan
+      assert(joined.collect().length == 180010) // 180k hot-key rows + 10 tail matches
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"), finalPlan.take(2000))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("salted skew join takes the shuffle path on (key, salt) — not broadcast") {
