@@ -105,11 +105,28 @@ object GraftFunctions {
     new ExpressionInfo(classOf[VecDotExpr].getName, "vec_dot"),
     binary("vec_dot", VecDotExpr))
 
+  private def unary(name: String, mk: Expression => Expression)
+      : Seq[Expression] => Expression = {
+    case Seq(c) => mk(c)
+    case children => throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+      messageParameters = Map(
+        "functionName" -> name, "expectedNum" -> "1",
+        "actualNum" -> children.length.toString, "docroot" -> "-"))
+  }
+
+  val simHash: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("simhash32"),
+    new ExpressionInfo(classOf[SimHashExpr].getName, "simhash32"),
+    unary("simhash32", SimHashExpr))
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       similarTo._1, similarTo._2, similarTo._3)
     spark.sessionState.functionRegistry.registerFunction(
       vecDot._1, vecDot._2, vecDot._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      simHash._1, simHash._2, simHash._3)
     // bounded-state distributed top-3: topk3_ids(score, id) → struct(ids)
     spark.udf.register("topk3_ids",
       org.apache.spark.sql.functions.udaf(new TopKAgg(3),
@@ -121,5 +138,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.similarTo)
     ext.injectFunction(GraftFunctions.vecDot)
+    ext.injectFunction(GraftFunctions.simHash)
   }
 }

@@ -84,25 +84,31 @@ object Dedup {
     s"CAST(conv(substring(md5(sh), 1, 15), 16, 10) AS BIGINT) % $P"
   private val xxSidExpr = s"abs(xxhash64(sh)) % $P"
 
-  /** 16-bit SimHash signature per (doc_id, text) row, fully narrow. The
+  /** 32-bit SimHash signature per (doc_id, text) row, fully narrow. The
     * word hash is md5-derived (replayable bit-for-bit in DuckDB) — a weak
     * hash (e.g. first-char × length) collapses the signature space on a
-    * shared-vocabulary corpus and every doc collides with every other. */
-  private def simhashSigs(corpus: DataFrame): DataFrame =
+    * shared-vocabulary corpus and every doc collides with every other.
+    * 32 bits (not 16) because the pair search's precision is bounded by
+    * the signature space: on this homogeneous synthetic corpus a 16-bit
+    * signature put every doc within Hamming 2 of thousands of others
+    * (word hashes are < 2³¹, so bits above 30 would always be zero —
+    * 31/32 is the usable width here; a production corpus hashes words to
+    * 64 bits and uses the full width). */
+  private def simhashSigs(corpus: DataFrame): DataFrame = {
+    // contribution for bit b is bit b OF the word hash (±1, unbiased and
+    // independent across bits — a biased rule like `% 5 < 2` drives every
+    // sb positive and collapses all signatures to 0xFFFF). simhash32 is
+    // the native codegen'd fold (graft.functions.SimHashExpr): the HOF
+    // formulation ran 32 × words interpreted lambda evals per row and
+    // dominated the pair search.
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     corpus
       .select(col("doc_id"),
         expr(s"""transform(split(text, ' '),
                    word -> CAST(conv(substring(md5(word), 1, 15), 16, 10) AS BIGINT) % $P)""")
           .as("hws"))
-      .select(col("doc_id"),
-        // contribution for bit b is bit b OF the word hash (±1, unbiased
-        // and independent across bits — a biased rule like `% 5 < 2`
-        // drives every sb positive and collapses all signatures to 0xFFFF)
-        expr("""aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, b) ->
-                  acc + IF(aggregate(hws, CAST(0 AS BIGINT), (a, hw) ->
-                             a + IF((hw div CAST(pow(2, b) AS BIGINT)) % 2 = 1, 1, -1)) > 0,
-                           CAST(pow(2, b) AS BIGINT), CAST(0 AS BIGINT)))""")
-          .as("simhash"))
+      .select(col("doc_id"), expr("simhash32(hws)").as("simhash"))
+  }
 
   /** Banded minhash signatures per doc with ZERO shuffles: 16 permutations
     * → 8 bands × 2 rows, band key = mh(2j)·P + mh(2j+1) (both < P = 2³¹−1,
@@ -420,21 +426,22 @@ object Dedup {
     }),
 
     // SimHash near-dup SEARCH: pairs within Hamming distance ≤ 2, found by
-    // the pigeonhole trick — split the 16-bit signature into 3 chunks
-    // (6+5+5 bits); ≤2 bit flips can touch at most 2 chunks, so every
+    // the pigeonhole trick — split the 32-bit signature into 3 chunks
+    // (11+11+10 bits); ≤2 bit flips can touch at most 2 chunks, so every
     // qualifying pair shares at least one exact chunk. Candidates come
     // from an equi-join on (chunk_idx, chunk_value) — the same banded
     // topology as MinHash-LSH, never all-pairs — and verification is one
-    // narrow bit_count(xor) per candidate. (16-bit signatures keep the
-    // oracle simple; a production corpus uses 64-bit signatures with more
-    // chunks — identical topology.)
+    // narrow bit_count(xor) per candidate. Chunk width is the bucket-size
+    // knob: 10-11 bits keeps per-bucket population (and thus the pair
+    // fan-out) small; a production corpus uses 64-bit signatures with
+    // ~16-bit chunks — identical topology.
     "dedup_simhash_pairs" -> ((s, dir) => {
       val sigs = simhashSigs(nearDupCorpus(s, dir)).localCheckpoint()
       val chunks = sigs.select(col("doc_id"), col("simhash"),
         explode(array(
-          struct(lit(0).as("ci"), expr("simhash % 64").as("cv")),
-          struct(lit(1).as("ci"), expr("(simhash div 64) % 32").as("cv")),
-          struct(lit(2).as("ci"), expr("simhash div 2048").as("cv")))).as("c"))
+          struct(lit(0).as("ci"), expr("simhash % 2048").as("cv")),
+          struct(lit(1).as("ci"), expr("(simhash div 2048) % 2048").as("cv")),
+          struct(lit(2).as("ci"), expr("simhash div 4194304").as("cv")))).as("c"))
         .select(col("doc_id"), col("simhash"), col("c.ci").as("ci"), col("c.cv").as("cv"))
       chunks.as("x").join(chunks.as("y"),
           col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv")
@@ -601,7 +608,7 @@ object Dedup {
          sb AS (SELECT doc_id, b,
                        sum(CASE WHEN (hw // CAST(pow(2, b) AS BIGINT)) % 2 = 1
                                 THEN 1 ELSE -1 END) AS sb
-                FROM words CROSS JOIN (SELECT i AS b FROM range(16) t(i))
+                FROM words CROSS JOIN (SELECT i AS b FROM range(32) t(i))
                 GROUP BY doc_id, b)
          SELECT doc_id,
                 CAST(sum(CASE WHEN sb > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT)
@@ -617,16 +624,16 @@ object Dedup {
          sb AS (SELECT doc_id, b,
                        sum(CASE WHEN (hw // CAST(pow(2, b) AS BIGINT)) % 2 = 1
                                 THEN 1 ELSE -1 END) AS sb
-                FROM words CROSS JOIN (SELECT i AS b FROM range(16) t(i))
+                FROM words CROSS JOIN (SELECT i AS b FROM range(32) t(i))
                 GROUP BY doc_id, b),
          sig AS (SELECT doc_id,
                         CAST(sum(CASE WHEN sb > 0 THEN CAST(pow(2, b) AS BIGINT)
                                  ELSE 0 END) AS BIGINT) AS simhash
                  FROM sb GROUP BY doc_id),
          chunks AS (
-           SELECT doc_id, simhash, 0 AS ci, simhash % 64 AS cv FROM sig
-           UNION ALL SELECT doc_id, simhash, 1, (simhash // 64) % 32 FROM sig
-           UNION ALL SELECT doc_id, simhash, 2, simhash // 2048 FROM sig)
+           SELECT doc_id, simhash, 0 AS ci, simhash % 2048 AS cv FROM sig
+           UNION ALL SELECT doc_id, simhash, 1, (simhash // 2048) % 2048 FROM sig
+           UNION ALL SELECT doc_id, simhash, 2, simhash // 4194304 FROM sig)
          SELECT DISTINCT x.doc_id AS da, y.doc_id AS db,
                 CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS ham
          FROM chunks x JOIN chunks y
