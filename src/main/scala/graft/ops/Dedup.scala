@@ -196,12 +196,10 @@ object Dedup {
     var edges = pairs
       .select(greatest(col("da"), col("db")).as("a"), least(col("da"), col("db")).as("b"))
       .filter(col("a") =!= col("b")).distinct().localCheckpoint()
-    var edgeCnt = edges.count()
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
       val prevEdges = edges
-      val prevCnt = edgeCnt
       // large-star: per node u (over both edge directions), attach every
       // strictly-larger neighbor to m = min(neighbors ∪ {u})
       val both = edges.unionAll(edges.select(col("b").as("a"), col("a").as("b")))
@@ -219,14 +217,14 @@ object Dedup {
         .filter(col("v") =!= col("m"))
         .select(col("v").as("a"), col("m").as("b"))
         .distinct().localCheckpoint()
-      // exact fixpoint test — equal cardinality AND no edge outside the
-      // previous set (both sides distinct ⇒ set equality). Sound, unlike a
-      // hash checksum (two different edge sets can collide and exit early
-      // with wrong labels); the driver still receives only two scalars per
-      // round.
-      edgeCnt = edges.count()
-      converged = edgeCnt == prevCnt &&
-        edges.join(prevEdges, Seq("a", "b"), "left_anti").isEmpty
+      // exact fixpoint test in ONE job: both sides are distinct, so the
+      // sets are equal iff their symmetric difference is empty (every
+      // (a, b) in the union appears exactly twice). Sound, unlike a hash
+      // checksum (two different edge sets can collide and exit early with
+      // wrong labels); the driver still receives only a boolean per round.
+      converged = edges.unionAll(prevEdges)
+        .groupBy("a", "b").count()
+        .filter(col("count") === 1).isEmpty
       rounds += 1
     }
     val nodes = pairs.select(col("da").as("node"))
