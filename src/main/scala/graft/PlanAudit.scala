@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One-shot plan audit across the ENTIRE query registry: builds every
+  * query's physical plan (no execution) and flags the shapes that do not
+  * survive scale — cartesian products, nested-loop joins on non-broadcast
+  * sides, single-partition exchanges, and excessive shuffle counts.
+  * PlanSpec pins the important plans individually; this is the fleet-wide
+  * sweep that catches a regression in a query nobody pinned.
+  *
+  * Usage: runMain graft.PlanAudit [sfDir]
+  */
+object PlanAudit {
+  // BroadcastNestedLoopJoin is legitimate exactly where a tiny side is
+  // broadcast against a scan (the ANN query set); everything else flags.
+  private val bnljAllowed = Set(
+    "sim_topk_bruteforce", "sim_ivf_ann", "sim_ivf_nprobe2", "sim_lsh_ann",
+    "text_length_outliers", "mix_rebalance")
+
+  // A one-row global summary ends in an Exchange SinglePartition that
+  // receives only per-task PARTIAL aggregates (map-side combined) — the
+  // canonical global-agg shape, not a bottleneck. Flag single-partition
+  // exchanges everywhere else (a global sort or windowless row_number
+  // funneling real data through one task IS a scale killer).
+  private val globalSummaryAllowed = Set(
+    "quality_expectations", "text_length_outliers", "mix_rebalance",
+    "dedup_keep_canonical")
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    var flagged = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val p = fn(spark, dir).queryExecution.executedPlan.toString
+        val flags = Seq(
+          "CartesianProduct" -> p.contains("CartesianProduct"),
+          "BNLJ" -> (p.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name)),
+          "SinglePartition" ->
+            (p.contains("Exchange SinglePartition") && !globalSummaryAllowed(name)),
+          "10+ shuffles" ->
+            (p.linesIterator.count(_.contains("Exchange hashpartitioning")) >= 10)
+        ).collect { case (f, true) => f }
+        if (flags.nonEmpty) { flagged += 1; println(s"FLAG $name: ${flags.mkString(", ")}") }
+      } catch {
+        case e: Throwable =>
+          flagged += 1
+          println(s"FLAG $name: plan build failed: ${e.getMessage.take(120)}")
+      }
+    }
+    println(s"audited ${SparkEntry.queries.size} queries, $flagged flagged")
+    spark.stop()
+  }
+}
