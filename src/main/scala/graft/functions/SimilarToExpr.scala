@@ -120,6 +120,11 @@ object GraftFunctions {
     new ExpressionInfo(classOf[SimHashExpr].getName, "simhash32"),
     unary("simhash32", SimHashExpr))
 
+  val intersectCount: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("intersect_count"),
+    new ExpressionInfo(classOf[IntersectCountExpr].getName, "intersect_count"),
+    binary("intersect_count", IntersectCountExpr))
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       similarTo._1, similarTo._2, similarTo._3)
@@ -127,10 +132,19 @@ object GraftFunctions {
       vecDot._1, vecDot._2, vecDot._3)
     spark.sessionState.functionRegistry.registerFunction(
       simHash._1, simHash._2, simHash._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      intersectCount._1, intersectCount._2, intersectCount._3)
     // bounded-state distributed top-3: topk3_ids(score, id) → struct(ids)
     spark.udf.register("topk3_ids",
       org.apache.spark.sql.functions.udaf(new TopKAgg(3),
         org.apache.spark.sql.Encoders.product[ScoredId]))
+    // optimizer rewrite: size(array_intersect) → fused intersect_count.
+    // experimental.extraOptimizations reaches an ALREADY-BUILT session
+    // (the extensions path below covers spark.sql.extensions users).
+    if (!spark.experimental.extraOptimizations.contains(IntersectCountRule)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ IntersectCountRule
+    }
   }
 }
 
@@ -139,5 +153,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.similarTo)
     ext.injectFunction(GraftFunctions.vecDot)
     ext.injectFunction(GraftFunctions.simHash)
+    ext.injectFunction(GraftFunctions.intersectCount)
+    ext.injectOptimizerRule(_ => IntersectCountRule)
   }
 }

@@ -276,6 +276,7 @@ object Dedup {
     // signature → 8 bands → band-bucket self-join → exact-Jaccard
     // verification of candidates only.
     "dedup_minhash_lsh" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s) // IntersectCountRule
       // one shingle pass; sid arrays deduped at build so set arithmetic
       // below is exact (two shingles CAN hash to one sid)
       val docSids = sidArrays(nearDupCorpus(s, dir), md5SidExpr)

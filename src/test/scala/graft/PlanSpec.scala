@@ -135,6 +135,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("RunningWindowFunction") && !p.contains("Window"), p)
   }
 
+  test("optimizer rewrites size(array_intersect) to the fused intersect_count") {
+    val df = SparkEntry.queries("dedup_minhash_lsh")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // declarative user code keeps size(array_intersect(...)); the injected
+    // rule (GraftFunctions.register / GraftExtensions) swaps in the native
+    // kernel so no intersection array is materialized per candidate pair
+    assert(p.contains("intersect_count"), p)
+    assert(!p.contains("array_intersect"), p)
+  }
+
   test("ngram-jaccard inverted index: no cartesian pair generation") {
     val p = physical("dedup_ngram_jaccard")
     // co-occurring pairs come from an equi-join on (blk, sid) — block-
