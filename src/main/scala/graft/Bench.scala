@@ -17,7 +17,7 @@ object Bench {
   val headline: Seq[String] = Seq(
     "agg_q1_pricing", "agg_cube", "agg_percentile_exact",
     "join_5way", "join_asof", "join_semi",
-    "sql_q3_shipping", "sql_corr_subquery",
+    "sql_q3_shipping", "sql_q5_local_supplier", "sql_corr_subquery",
     "win_rank_topk", "time_session_10m", "time_tumbling_1h",
     "sig_fanout_counts", "sig_fanout_merged", "sig_alert_shape",
     "dedup_exact", "dedup_minhash_lsh", "dedup_minhash_fast",

@@ -159,17 +159,18 @@ object Dedup {
   }
 
   /** Oracle CTE chain replaying the md5 (doc_id, sid) posting form of
-    * sidArrays. */
-  private val docShSql =
-    s"""corpus AS ($nearDupSql),
+    * sidArrays, over an arbitrary corpus relation. */
+  private def docShSqlFor(corpusSql: String) =
+    s"""corpus AS ($corpusSql),
         sh AS ($shinglesSql),
         doc_sh AS (SELECT doc_id,
                      CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % $P AS sid
                    FROM sh)"""
+  private val docShSql = docShSqlFor(nearDupSql)
 
   /** Shared oracle CTE chain replaying the md5 postings + candidatePairs. */
-  private val candSql =
-    s"""$docShSql,
+  private def candSqlFor(corpusSql: String) =
+    s"""${docShSqlFor(corpusSql)},
         perms AS (SELECT i, 12345 * i + 1103515245 AS a, 987654 * i + 67867967 AS b
                   FROM range(16) t(i)),
         sig AS (SELECT doc_id, i, min((a * sid + b) % $P) AS mh
@@ -180,6 +181,15 @@ object Dedup {
         cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
                  FROM bands x JOIN bands y
                    ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id)"""
+  private val candSql = candSqlFor(nearDupSql)
+
+  /** Truncated-copy corpus for the containment query's oracle. */
+  private val containCorpusSql =
+    """SELECT doc_id, text FROM documents
+       UNION ALL
+       SELECT doc_id + 100000 AS doc_id,
+              array_to_string(string_split(text, ' ')[1:40], ' ') AS text
+       FROM documents WHERE doc_id % 6 = 0"""
 
   /** Alternating large-star / small-star connected components (the
     * MapReduce CC algorithm of Kiveris et al., "Connected Components in
@@ -412,13 +422,45 @@ object Dedup {
           sum(when(!col("keep"), 1L).otherwise(0L)).as("dropped"))
     }),
 
-    // SimHash: 16-bit signature from signed per-(word, bit) contributions,
-    // computed entirely in array-land — words hash to hw once per row, then
-    // one nested aggregate folds (bit × word) contributions into the
-    // signature. Fully narrow per-row expression, ZERO shuffles except the
-    // output sort (the round-2 version crossJoined words × 16 bits through
-    // two shuffled groupBys; at 100 TB that is 16× the token stream
-    // shuffled twice).
+    // Containment dedup (one-sided Jaccard): |A∩B| / min(|A|, |B|) ≥ 0.9
+    // catches a short doc QUOTED INSIDE a longer one — symmetric Jaccard
+    // misses those because the union is dominated by the long doc. Planted
+    // here as truncated copies (first-40-words prefix of every 6th doc),
+    // which the symmetric threshold would score at ~40/150 ≈ 0.27.
+    // Candidates come from the same banded minhash join (the contained doc
+    // shares the original's prefix shingles, so its minhashes still
+    // collide on some bands); verification is the fused intersect_count
+    // over the two sid arrays.
+    "dedup_containment" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = d.unionAll(
+        d.filter(col("doc_id") % 6 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat_ws(" ", slice(split(col("text"), " "), 1, 40)).as("text")))
+      val docSids = sidArrays(corpus, md5SidExpr)
+        .select(col("doc_id"), expr("array_distinct(sids)").as("sids"))
+        .localCheckpoint()
+      val cand = candidatePairs(docSids)
+      val a = docSids.select(col("doc_id").as("da"), col("sids").as("sa"))
+      val b = docSids.select(col("doc_id").as("db"), col("sids").as("sb"))
+      cand.join(a, "da").join(b, "db")
+        .select(col("da"), col("db"),
+          expr("size(array_intersect(sa, sb))").as("common"),
+          size(col("sa")).as("ca"), size(col("sb")).as("cb"))
+        .withColumn("containment",
+          round(col("common") / least(col("ca"), col("cb")).cast("double"), 3))
+        .filter(col("containment") >= 0.9)
+        .select(col("da"), col("db"), col("containment"))
+        .orderBy("da", "db")
+    }),
+
+    // SimHash: 32-bit signature from signed per-(word, bit) contributions,
+    // computed entirely in array-land — words hash to a word-hash once per
+    // row, then the native simhash32 fold builds the signature. Fully
+    // narrow per-row expression, ZERO shuffles except the output sort (the
+    // round-2 version crossJoined words × bits through two shuffled
+    // groupBys; at 100 TB that is bits× the token stream shuffled twice).
     "dedup_simhash" -> ((s, dir) => {
       simhashSigs(Tables(s, dir, "documents").select(col("doc_id"), col("text")))
         .orderBy("doc_id")
@@ -613,6 +655,20 @@ object Dedup {
                 CAST(sum(CASE WHEN sb > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT)
                   AS simhash
          FROM sb GROUP BY doc_id ORDER BY doc_id""",
+
+    "dedup_containment" ->
+      s"""WITH ${candSqlFor(containCorpusSql)},
+          cnt AS (SELECT doc_id, count(DISTINCT sid) AS c FROM doc_sh GROUP BY doc_id),
+          com AS (SELECT da, db, count(DISTINCT sa.sid) AS common
+                  FROM cand
+                  JOIN doc_sh sa ON cand.da = sa.doc_id
+                  JOIN doc_sh sb ON cand.db = sb.doc_id AND sa.sid = sb.sid
+                  GROUP BY da, db)
+          SELECT da, db,
+                 round(common / (least(ca.c, cb.c) * 1.0), 3) AS containment
+          FROM com JOIN cnt ca ON com.da = ca.doc_id JOIN cnt cb ON com.db = cb.doc_id
+          WHERE round(common / (least(ca.c, cb.c) * 1.0), 3) >= 0.9
+          ORDER BY da, db""",
 
     "dedup_simhash_pairs" ->
       s"""WITH corpus AS ($nearDupSql),

@@ -37,6 +37,28 @@ object Relational {
         ORDER BY revenue DESC, okey LIMIT 10""")
     }),
 
+    // S6 TPC-H Q5 shape through the SQL entry: 6-table join with a region
+    // filter, revenue per nation. The dims chain region→nation→(customer,
+    // supplier) — all broadcastable at any SF; lineitem⋈orders carries the
+    // volume. The n_name join on BOTH customer and supplier nations is the
+    // classic Q5 trap (it constrains supplier nation = customer nation).
+    "sql_q5_local_supplier" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT n_name AS nation,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+          JOIN orders   ON c_custkey = o_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          JOIN nation   ON s_nationkey = n_nationkey
+          JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, nation""")
+    }),
+
     // S6 + correlated scalar subquery through the SQL entry
     "sql_corr_subquery" -> ((s, dir) => {
       Tables.registerAll(s, dir)
@@ -618,6 +640,20 @@ object Relational {
          WHERE p_retailprice > (SELECT avg(p2.p_retailprice) * 1.04 FROM part p2
                                 WHERE p2.p_brand = p.p_brand)
          ORDER BY pkey""",
+
+    "sql_q5_local_supplier" ->
+      """SELECT n_name AS nation,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM customer
+           JOIN orders   ON c_custkey = o_custkey
+           JOIN lineitem ON l_orderkey = o_orderkey
+           JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           JOIN nation   ON s_nationkey = n_nationkey
+           JOIN region   ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1995-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY n_name
+         ORDER BY revenue DESC, nation""",
 
     "p1_project_rename" ->
       """SELECT o_orderkey AS okey, upper(o_orderstatus) AS status,

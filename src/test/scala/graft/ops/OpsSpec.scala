@@ -295,6 +295,20 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("containment dedup finds truncated copies symmetric Jaccard would miss") {
+    val out = Dedup.queries("dedup_containment")(spark, dir).collect()
+    assert(out.forall(_.getDouble(2) >= 0.9))
+    val found = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 6 === 0).select("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 100000)).toSet
+    // banded candidates are tuned for symmetric Jaccard; a 40-of-150-word
+    // containment has J≈0.25, so some band misses are expected — the
+    // asymmetric-candidate upgrade (prefix blocking) is the 100 TB path
+    val recall = planted.count(found).toDouble / planted.size
+    assert(recall >= 0.6, s"recall $recall")
+  }
+
   test("simhash pair search: high planted recall, all pairs within hamming 2") {
     val out = Dedup.queries("dedup_simhash_pairs")(spark, dir).collect()
     assert(out.forall(_.getLong(2) <= 2))
