@@ -27,16 +27,10 @@ object PlanAudit {
     "quality_expectations", "text_length_outliers", "mix_rebalance",
     "dedup_keep_canonical")
 
-  def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", 8)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    var flagged = 0
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+  /** Audit every registered query's physical plan; returns the flagged
+    * (name, reasons) pairs. Plan building only — nothing executes. */
+  def audit(spark: SparkSession, dir: String): Seq[(String, String)] =
+    SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
         val p = fn(spark, dir).queryExecution.executedPlan.toString
         val flags = Seq(
@@ -47,14 +41,24 @@ object PlanAudit {
           "10+ shuffles" ->
             (p.linesIterator.count(_.contains("Exchange hashpartitioning")) >= 10)
         ).collect { case (f, true) => f }
-        if (flags.nonEmpty) { flagged += 1; println(s"FLAG $name: ${flags.mkString(", ")}") }
+        if (flags.nonEmpty) Some(name -> flags.mkString(", ")) else None
       } catch {
         case e: Throwable =>
-          flagged += 1
-          println(s"FLAG $name: plan build failed: ${e.getMessage.take(120)}")
+          Some(name -> s"plan build failed: ${e.getMessage.take(120)}")
       }
     }
-    println(s"audited ${SparkEntry.queries.size} queries, $flagged flagged")
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val flagged = audit(spark, dir)
+    flagged.foreach { case (n, f) => println(s"FLAG $n: $f") }
+    println(s"audited ${SparkEntry.queries.size} queries, ${flagged.size} flagged")
     spark.stop()
   }
 }
