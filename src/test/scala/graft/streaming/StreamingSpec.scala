@@ -318,6 +318,31 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming curation: quality filter runs UPSTREAM of dedup-at-ingest") {
+    // ordering matters: an unfiltered junk doc would claim LSH buckets and
+    // a later good doc sharing its prefix would be dropped as the junk's
+    // duplicate — the filter must gate what may own state
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val good = docs.filter(size(split(col("text"), " ")) >= 10)
+    val q = graft.streaming.StreamingDedup.nearDupHits(good)
+      .writeStream.format("memory").queryName("cur_t").outputMode("append").start()
+    try {
+      val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+      mem.addData((1L, base.split(" ").take(6).mkString(" "))) // junk: filtered out
+      q.processAllAvailable()
+      mem.addData((2L, base)) // good doc must be ADMITTED, not flagged vs junk
+      q.processAllAvailable()
+      mem.addData((3L, base + " lambda")) // true near-dup of 2
+      q.processAllAvailable()
+      val hits = spark.table("cur_t").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(hits == Set((3L, 2L)), hits)
+    } finally q.stop()
+  }
+
   test("streaming top talkers: chained stateful aggs emit the closed window's top-3") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
