@@ -23,8 +23,9 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   private val probed = Seq(
     "dedup_minhash_fast", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_simhash", "dedup_simhash_pairs", "dedup_embedding_lsh",
-    "sim_topk_bruteforce", "text_pipeline_e2e", "pack_sequences")
+    "dedup_simhash", "dedup_simhash_pairs", "dedup_containment",
+    "dedup_embedding_lsh", "sim_topk_bruteforce", "text_pipeline_e2e",
+    "pack_sequences")
 
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
