@@ -65,18 +65,21 @@ case class SimHashExpr(child: Expression) extends UnaryExpression {
       val b = ctx.freshName("b")
       val h = ctx.freshName("h")
       val sig = ctx.freshName("sig")
+      // ev.isNull may be a non-variable (FalseLiteral / global ref) in some
+      // codegen contexts, so the scratch flag gets its own fresh name.
+      val anyNull = ctx.freshName("anyNull")
       s"""
         final int $n = $arr.numElements();
         final int[] $counts = new int[$bits];
-        boolean ${ev.isNull}_any = false;
-        for (int $i = 0; $i < $n && !${ev.isNull}_any; $i++) {
-          if ($arr.isNullAt($i)) { ${ev.isNull}_any = true; break; }
+        boolean $anyNull = false;
+        for (int $i = 0; $i < $n && !$anyNull; $i++) {
+          if ($arr.isNullAt($i)) { $anyNull = true; break; }
           final long $h = $arr.getLong($i);
           for (int $b = 0; $b < $bits; $b++) {
             $counts[$b] += (int) (($h >>> $b) & 1L);
           }
         }
-        if (${ev.isNull}_any) {
+        if ($anyNull) {
           ${ev.isNull} = true;
         } else {
           long $sig = 0L;
