@@ -40,24 +40,35 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val all = SparkEntry.queries
     // best-of-3: the machine is shared, so single runs see multi-second
-    // noise; the min of the runs is the steady-state number
+    // noise; the min of the runs is the steady-state number. The max is
+    // kept too — r3→r4 showed ±70% per-query swings with ZERO code change,
+    // so a reader needs the spread to tell a real regression from host
+    // noise.
+    val reps = 3
     val results = headline.flatMap { name =>
       all.get(name).map { fn =>
-        val times = (1 to 3).map { _ =>
+        val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
           (System.nanoTime() - t0) / 1e9
         }
-        name -> times.min
+        (name, times.min, times.max)
       }
     }
-    // 2-decimal per-query timings keep the line well under 1 KB; sf is
+    // 2-decimal per-query timings keep the line compact (~1.8 KB with the
+    // max map — well under the ~4 KB tail that broke round 1); sf is
     // emitted as a number when the dir encodes one (documented schema).
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
-      .mkString("{", ",", "}")
+    def jmap(f: ((String, Double, Double)) => Double) =
+      results.map { case t @ (k, _, _) => "\"" + k + "\":" + f"${f(t)}%.2f" }
+        .mkString("{", ",", "}")
+    val qs = jmap(_._2)
+    val qmax = jmap(_._3)
     val total = results.map(_._2).sum
-    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
-    println(f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":$sfNum}""")
+    // anchored: a dir like "sf0.1.bak" must capture 0.1, not the invalid
+    // JSON number "0.1." (the round-1 unparseable-bench failure mode)
+    val sfNum = "sf([0-9]+(?:\\.[0-9]+)?)".r
+      .findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
+    println(f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qs,"qmax":$qmax,"sf":$sfNum}""")
     spark.stop()
   }
 }

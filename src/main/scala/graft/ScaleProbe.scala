@@ -62,12 +62,17 @@ object ScaleProbe {
     }.reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
-    // remaining tables: byte-copy so Tables.registerAll still resolves
+    // remaining tables: copy via a parquet read/write round-trip so the
+    // probe stays layout-agnostic (a raw Files.copy assumes each table is
+    // a single file; driver-generated data could become directory-layout
+    // parquet without notice)
+    // (events.ts is INT64 TIMESTAMP(NANOS): readable only as a long; the
+    // round-trip writes it back as a plain BIGINT of nanos, which
+    // Tables.load converts identically)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     for (n <- engine.Tables.all if n != "documents" && n != "embeddings") {
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$base/$n.parquet"),
-        java.nio.file.Paths.get(s"$out/$n.parquet"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      spark.read.parquet(s"$base/$n.parquet")
+        .write.mode("overwrite").parquet(s"$out/$n.parquet")
     }
 
     // one untimed invocation first: JIT/codegen for a query's operators

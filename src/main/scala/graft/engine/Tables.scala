@@ -23,8 +23,13 @@ object Tables {
   // 10 tables on every query invocation is pure driver-side overhead (the
   // r2 bench measured the SQL-entry queries 2-3x slower for exactly this
   // reason). Keyed by session identity so tests with fresh sessions don't
-  // see stale plans; bounded (≤ sessions × dirs × 10 entries) so no eviction
-  // is needed.
+  // see stale plans. Entries for STOPPED sessions are purged on every
+  // access (a cached plan holds its session and its snapshotted file
+  // listing — retaining those for JVM life leaks the whole session state,
+  // and a long-lived app cycling sessions would grow without bound).
+  // Within a live session the cache means a dir's files are listed once:
+  // callers must treat a (session, dir) pair as immutable — overwriting a
+  // parquet dir mid-session would serve the stale listing.
   private val dfCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
   // The dir whose views are CURRENTLY registered in each session. A plain
@@ -33,8 +38,22 @@ object Tables {
   private val registeredDir =
     scala.collection.concurrent.TrieMap.empty[SparkSession, String]
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+  /** Drop every cache entry whose session satisfies `dead`. The predicate
+    * is injectable because a spec can't stop a real session (the test JVM
+    * shares one SparkContext); production callers use the default. */
+  private[graft] def purge(
+      dead: SparkSession => Boolean = _.sparkContext.isStopped): Unit = {
+    dfCache.keysIterator.filter(k => dead(k._1)).foreach(dfCache.remove)
+    registeredDir.keysIterator.filter(dead).foreach(registeredDir.remove)
+  }
+
+  /** Live cached-plan count (stopped sessions purged first) — for tests. */
+  private[graft] def cachedPlanCount: Int = { purge(); dfCache.size }
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    purge()
     dfCache.getOrElseUpdate((spark, dir, name), load(spark, dir, name))
+  }
 
   private def load(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>

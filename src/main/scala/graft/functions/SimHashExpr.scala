@@ -65,8 +65,10 @@ case class SimHashExpr(child: Expression) extends UnaryExpression {
       val b = ctx.freshName("b")
       val h = ctx.freshName("h")
       val sig = ctx.freshName("sig")
-      // ev.isNull may be a non-variable (FalseLiteral / global ref) in some
-      // codegen contexts, so the scratch flag gets its own fresh name.
+      // the scratch flag gets its own fresh name rather than one derived
+      // from ev.isNull's code text — that text need not be a bare local
+      // identifier (e.g. a global field reference), so string-deriving a
+      // new variable name from it is fragile.
       val anyNull = ctx.freshName("anyNull")
       s"""
         final int $n = $arr.numElements();

@@ -141,9 +141,14 @@ object GraftFunctions {
     // optimizer rewrite: size(array_intersect) → fused intersect_count.
     // experimental.extraOptimizations reaches an ALREADY-BUILT session
     // (the extensions path below covers spark.sql.extensions users).
-    if (!spark.experimental.extraOptimizations.contains(IntersectCountRule)) {
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ IntersectCountRule
+    // The contains-check + reassignment is a read-modify-write of a plain
+    // var, so concurrent register() calls (parallel test suites share a
+    // session) could double-add or drop the rule — serialize it.
+    spark.experimental.synchronized {
+      if (!spark.experimental.extraOptimizations.contains(IntersectCountRule)) {
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ IntersectCountRule
+      }
     }
   }
 }

@@ -497,12 +497,16 @@ object Dedup {
     // Embedding near-dup on an UNLABELED corpus: random-hyperplane LSH
     // buckets replace the given-label blocks — the variant a 100 TB
     // pipeline actually runs, since real corpora don't ship with a coarse
-    // partition. Bucketing is narrow per row (4 plane projections via the
-    // codegen'd vec_dot — same planes as sim_lsh_ann); candidate pairs are
-    // a bucket equi-join (16-way fan-out here, more planes at scale),
-    // never all-pairs; verification is one vec_dot per candidate. A
+    // partition. Bucketing is narrow per row (plane projections via the
+    // codegen'd vec_dot — same plane grid as sim_lsh_ann); candidate pairs
+    // are a bucket equi-join, never all-pairs; verification is one vec_dot
+    // per candidate. The plane count is sized from the corpus count
+    // (Lsh.planesFor — one count() job, the statistic a real deployment
+    // reads from table metadata), so per-bucket population stays ~constant
+    // as the corpus grows and the pair join stays linear — at the old
+    // hard-coded 4 planes, ScaleProbe measured 10× time at 10× data. A
     // positive scalar copy preserves every projection sign exactly, so
-    // planted dups always share their original's bucket.
+    // planted dups always share their original's bucket at ANY plane count.
     "dedup_embedding_lsh" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
       val e = Tables(s, dir, "embeddings")
@@ -510,13 +514,9 @@ object Dedup {
         (col("vec_id") + 100000).as("vec_id"),
         expr("transform(embedding, x -> CAST(x AS FLOAT) * CAST(1.01 AS FLOAT))").as("embedding"))
       val all = e.select(col("vec_id"), col("embedding")).unionAll(dup)
-      def planeDot(p: Int) = expr(
-        s"""vec_dot(embedding, transform(sequence(0, size(embedding) - 1),
-              d -> CAST((($p * 131 + d * 137) % 97) - 48 AS DOUBLE)))""")
+      val planes = Lsh.planesFor(all.count())
       val withB = all
-        .withColumn("bucket",
-          (0 until 4).map(p => when(planeDot(p) >= 0, lit(1L << p)).otherwise(lit(0L)))
-            .reduce(_ + _))
+        .withColumn("bucket", Lsh.bucket(planes, "embedding"))
         .withColumn("norm", expr("sqrt(vec_dot(embedding, embedding))"))
       val pairs = withB.as("a").join(withB.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
@@ -697,26 +697,19 @@ object Dedup {
          ORDER BY da, db""",
 
     "dedup_embedding_lsh" ->
-      """WITH all_e AS (
+      s"""WITH all_e AS (
            SELECT vec_id, embedding FROM embeddings
            UNION ALL
            SELECT vec_id + 100000 AS vec_id,
                   list_transform(embedding,
                     x -> CAST(CAST(x AS FLOAT) * CAST(1.01 AS FLOAT) AS FLOAT)) AS embedding
            FROM embeddings WHERE vec_id % 5 = 0),
+         ${Lsh.paramsSql("all_e")},
          comp AS (
            SELECT vec_id, unnest(embedding) AS x,
                   generate_subscripts(embedding, 1) - 1 AS d
            FROM all_e),
-         pd AS (
-           SELECT vec_id, p, sum(CAST(x AS DOUBLE) * ((p * 131 + d * 137) % 97 - 48)) AS dot
-           FROM comp CROSS JOIN (SELECT i AS p FROM range(4) t(i))
-           GROUP BY vec_id, p),
-         buckets AS (
-           SELECT vec_id,
-                  CAST(sum(CASE WHEN dot >= 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END)
-                       AS BIGINT) AS bucket
-           FROM pd GROUP BY vec_id),
+         ${Lsh.bucketsSql},
          wb AS (SELECT a.vec_id, a.embedding, b.bucket
                 FROM all_e a JOIN buckets b ON a.vec_id = b.vec_id),
          pairs AS (

@@ -18,9 +18,10 @@ import graft.engine.Tables
   * against a full scan of the corpus — one pass, no shuffle except the
   * per-query top-k (tiny). The LSH variant buckets the corpus once
   * (narrow), then probes only the query's bucket: candidate count drops by
-  * the bucket fan-out (16 here; more planes at scale), which is the
-  * standard ANN trade. An IVF variant would swap the hash for k-means
-  * centroids — same join topology.
+  * the bucket fan-out, and the plane count is sized from the corpus count
+  * (Lsh.planesFor) so per-bucket population — and probe cost — stays
+  * ~constant as the corpus grows. An IVF variant would swap the hash for
+  * k-means centroids — same join topology.
   */
 object Similarity {
 
@@ -127,23 +128,20 @@ object Similarity {
             round(expr(dotExpr) / (col("qn") * col("cn")), 6).as("cos_r")))
     }),
 
-    // LSH-bucketed ANN: 4 deterministic integer hyperplanes → 16 buckets;
-    // probe only the query's bucket, exact cosine inside it.
+    // LSH-bucketed ANN: deterministic integer hyperplanes (count sized from
+    // the corpus count — Lsh.planesFor, so per-bucket population stays
+    // ~constant as the corpus grows); probe only the query's bucket, exact
+    // cosine inside it.
     "sim_lsh_ann" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
       val e = Tables(s, dir, "embeddings")
-      // plane weights w(p, d) = ((p*131 + d*137) % 97) - 48, d 0-based.
       // Each plane's projection is computed NARROWLY per vector (weights
       // materialized inline from the index sequence, then one vec_dot) —
       // the round-1 posexplode + crossJoin + two-groupBy pipeline pushed
       // 64×4 rows per vector through two shuffles to compute the same 4
       // signs; this is zero shuffles and stays in the scan stage.
-      def planeDot(p: Int) = expr(
-        s"""vec_dot(embedding, transform(sequence(0, size(embedding) - 1),
-              d -> CAST((($p * 131 + d * 137) % 97) - 48 AS DOUBLE)))""")
-      val withB = e.withColumn("bucket",
-        (0 until 4).map(p => when(planeDot(p) >= 0, lit(1L << p)).otherwise(lit(0L)))
-          .reduce(_ + _))
+      val planes = Lsh.planesFor(e.count())
+      val withB = e.withColumn("bucket", Lsh.bucket(planes, "embedding"))
       val q = withB.filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"),
           expr(normExpr("embedding")).as("qn"))
@@ -249,19 +247,12 @@ object Similarity {
           SELECT qid, rank, nid FROM ranked WHERE rank <= 3 ORDER BY qid, rank""",
 
     "sim_lsh_ann" ->
-      s"""WITH comp AS (
+      s"""WITH ${Lsh.paramsSql("embeddings")},
+          comp AS (
             SELECT vec_id, unnest(embedding) AS x,
                    generate_subscripts(embedding, 1) - 1 AS d
             FROM embeddings),
-          pd AS (
-            SELECT vec_id, p, sum(CAST(x AS DOUBLE) * ((p * 131 + d * 137) % 97 - 48)) AS dot
-            FROM comp CROSS JOIN (SELECT i AS p FROM range(4) t(i))
-            GROUP BY vec_id, p),
-          buckets AS (
-            SELECT vec_id,
-                   CAST(sum(CASE WHEN dot >= 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END)
-                        AS BIGINT) AS bucket
-            FROM pd GROUP BY vec_id),
+          ${Lsh.bucketsSql},
           withb AS (SELECT e.vec_id, e.embedding, b.bucket
                     FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id),
           q AS (SELECT vec_id AS qid, embedding AS qe, bucket FROM withb WHERE vec_id < 8),

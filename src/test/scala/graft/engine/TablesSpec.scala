@@ -26,4 +26,18 @@ class TablesSpec extends SparkSpec {
     val a2 = spark.sql("SELECT count(*) AS n FROM orders").head.getLong(0)
     assert(a2 == a, s"switch-back must restore dirA's views (a=$a, a2=$a2)")
   }
+
+  test("cache evicts dead sessions' plans instead of retaining them for JVM life") {
+    val before = Tables(spark, dirA, "nation")
+    assert(Tables.cachedPlanCount > 0)
+    // simulate every session dying (a real stop would kill the suite's
+    // shared SparkContext, so the deadness predicate is injected)
+    Tables.purge(dead = _ => true)
+    assert(Tables.cachedPlanCount == 0, "purge must empty the cache")
+    // next lookup reloads rather than serving the evicted plan
+    val after = Tables(spark, dirA, "nation")
+    assert(!(after eq before), "post-purge lookup must be a fresh load")
+    // live sessions are untouched by the production predicate
+    assert(Tables(spark, dirA, "nation") eq after)
+  }
 }
