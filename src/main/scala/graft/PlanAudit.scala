@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan, WholeStageCodegenExec}
 
 /** One-shot plan audit across the ENTIRE query registry: builds every
   * query's physical plan (no execution) and flags the shapes that do not
@@ -27,26 +28,58 @@ object PlanAudit {
     "quality_expectations", "text_length_outliers", "mix_rebalance",
     "dedup_keep_canonical")
 
+  /** Big parquet tables: a scan of one of these feeding an INTERPRETED
+    * (non-WholeStageCodegen) stretch is a hot path running the row-at-a-
+    * time Volcano loop — ~an order of magnitude of per-row overhead at
+    * 100 TB. Dimension tables don't matter. */
+  private val bigTables =
+    Set("documents", "embeddings", "lineitem", "orders", "events")
+
+  /** Names of big tables scanned OUTSIDE any WholeStageCodegen span.
+    * (The scan node lives inside the WSCG subtree via InputAdapter /
+    * ColumnarToRow when codegen fired for its consuming stage.) */
+  private def scansOutsideCodegen(p: SparkPlan, under: Boolean = false): Seq[String] =
+    p match {
+      case w: WholeStageCodegenExec =>
+        w.children.flatMap(scansOutsideCodegen(_, under = true))
+      case s: FileSourceScanExec =>
+        val table = s.relation.location.rootPaths.headOption
+          .map(_.getName.stripSuffix(".parquet")).getOrElse("")
+        if (!under && bigTables(table)) Seq(table) else Nil
+      case other => other.children.flatMap(scansOutsideCodegen(_, under))
+    }
+
   /** Audit every registered query's physical plan; returns the flagged
-    * (name, reasons) pairs. Plan building only — nothing executes. */
-  def audit(spark: SparkSession, dir: String): Seq[(String, String)] =
-    SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    * (name, reasons) pairs. Plan building only — nothing executes (beyond
+    * the localCheckpoints some dedup queries take at build time). AQE is
+    * disabled while building: the adaptive wrapper's pre-execution plan
+    * carries no WholeStageCodegen markers, and the static planner's
+    * shapes are what the string checks inspect anyway. */
+  def audit(spark: SparkSession, dir: String): Seq[(String, String)] = {
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
-        val p = fn(spark, dir).queryExecution.executedPlan.toString
+        val plan = fn(spark, dir).queryExecution.executedPlan
+        val p = plan.toString
+        val interpreted = scansOutsideCodegen(plan).distinct
         val flags = Seq(
           "CartesianProduct" -> p.contains("CartesianProduct"),
           "BNLJ" -> (p.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name)),
           "SinglePartition" ->
             (p.contains("Exchange SinglePartition") && !globalSummaryAllowed(name)),
           "10+ shuffles" ->
-            (p.linesIterator.count(_.contains("Exchange hashpartitioning")) >= 10)
+            (p.linesIterator.count(_.contains("Exchange hashpartitioning")) >= 10),
+          s"interpreted big-table scan (${interpreted.mkString(",")})" ->
+            interpreted.nonEmpty
         ).collect { case (f, true) => f }
         if (flags.nonEmpty) Some(name -> flags.mkString(", ")) else None
       } catch {
         case e: Throwable =>
           Some(name -> s"plan build failed: ${e.getMessage.take(120)}")
       }
-    }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")

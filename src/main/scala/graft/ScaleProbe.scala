@@ -12,31 +12,70 @@ import org.apache.spark.sql.functions._
   * necessarily grow quadratically, measuring the workload, not the engine.
   *
   * A query whose time grows ~N× here has no super-linear shuffle or pair
-  * space hiding in it; one that grows faster is flagged (for LSH ANN at a
-  * fixed 4 planes the per-bucket population grows linearly, so its pair
-  * space is expected to grow ~N² — the documented fix is adding planes as
-  * the corpus grows).
+  * space hiding in it; one that grows faster is flagged. (Embedding LSH
+  * was the one measured super-linear row — 10× time at 10× data at the
+  * old hard-coded 4 planes; since Lsh.planesFor sizes the plane count
+  * from the corpus count, its 10× ratio is ~2×.)
   *
-  * Usage: runMain graft.ScaleProbe [mult]   (default 10; writes replicas
-  * to /tmp/graft_scale_x<mult>)
+  * Usage:
+  *   runMain graft.ScaleProbe [mult]        ratio table (default mult=10;
+  *                                          replicas at /tmp/graft_scale_x<mult>)
+  *   runMain graft.ScaleProbe spill [mult]  spill-path probe: re-runs the
+  *     full dedup pipeline (dedup_keep_canonical: banded candidates →
+  *     large-star/small-star CC → corpus join → summary) at <mult>× with
+  *     execution memory squeezed (spark.memory.fraction=0.05) so the
+  *     shuffles MUST spill, asserting completion and reporting spilled
+  *     bytes + slowdown vs the unconstrained run — the cheapest available
+  *     evidence that the pipeline degrades to disk instead of OOMing when
+  *     a 100 TB input blows past executor memory.
   */
 object ScaleProbe {
   private val probed = Seq(
     "dedup_minhash_fast", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_simhash", "dedup_simhash_pairs", "dedup_containment",
-    "dedup_embedding_lsh", "sim_topk_bruteforce", "text_pipeline_e2e",
-    "pack_sequences")
+    "dedup_simhash", "dedup_simhash_pairs", "dedup_simhash64_pairs",
+    "dedup_containment", "dedup_embedding_lsh", "sim_topk_bruteforce",
+    "text_pipeline_e2e", "pack_sequences")
 
   def main(args: Array[String]): Unit = {
-    val mult = args.headOption.map(_.toInt).getOrElse(10)
+    val spillMode = args.headOption.contains("spill")
+    val mult = (if (spillMode) args.drop(1) else args)
+      .headOption.map(_.toInt).getOrElse(10)
     val base = "/root/testdata/sf0.1"
     val out = s"/tmp/graft_scale_x$mult"
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+    // spill mode runs 8-way, not 32-way: the squeeze leaves each task its
+    // minimum page allocations (32 concurrent tasks on a squeezed region
+    // die in UNABLE_TO_ACQUIRE_MEMORY before any operator can spill) while
+    // making per-task input 4× larger — more pressure per task, honestly
+    // reached
+    val threads = if (spillMode) 8 else 32
+    val builder = SparkSession.builder()
+      .master(s"local[$threads]")
+      .config("spark.sql.shuffle.partitions", threads)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (spillMode) {
+      // squeeze the unified memory region (execution + storage) to ~5% of
+      // the heap; the spill probe's aggregations/joins then exceed their
+      // share and must go through the ExternalSorter/ExternalAppendOnlyMap
+      // disk path — the memory-pressure behavior a 100 TB run lives in.
+      // Pair with a small driver heap (SPARK_DRIVER_MEM=1500m) for real
+      // pressure: 8g × 0.05 across 10× sf0.1 never fills.
+      builder.config("spark.memory.fraction", "0.05")
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    // track spill across all tasks (local mode: listener sees every task)
+    val spilledMem = new java.util.concurrent.atomic.AtomicLong
+    val spilledDisk = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          spilledMem.addAndGet(m.memoryBytesSpilled)
+          spilledDisk.addAndGet(m.diskBytesSpilled)
+        }
+      }
+    })
 
     // documents: suffix every word with the copy tag → vocabularies are
     // disjoint across copies, so cross-copy shingle/minhash matches vanish
@@ -86,11 +125,26 @@ object ScaleProbe {
       }.drop(1).min
 
     SparkEntry.entry(spark).count() // warm session machinery
-    println(f"${"query"}%-24s ${"t_1x"}%8s t_${mult}%dx${""}%4s ${"ratio"}%7s")
-    probed.foreach { name =>
-      val t1 = best(name, base)
-      val tn = best(name, out)
-      println(f"$name%-24s $t1%8.2f $tn%9.2f ${tn / t1}%7.2f")
+
+    if (spillMode) {
+      // completion under memory pressure is the assertion: a wrong-shaped
+      // pipeline OOMs or dies in the sorter here instead of spilling
+      val pipeline = "dedup_keep_canonical"
+      val t0 = System.nanoTime()
+      val rows = SparkEntry.queries(pipeline)(spark, out).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      require(rows > 0, s"$pipeline returned no rows under memory pressure")
+      println(f"""{"metric":"spill_probe","query":"$pipeline","mult":$mult,""" +
+        f""""sec":$sec%.2f,"rows":$rows,""" +
+        f""""spilled_mem_mb":${spilledMem.get / (1024 * 1024)},""" +
+        f""""spilled_disk_mb":${spilledDisk.get / (1024 * 1024)}}""")
+    } else {
+      println(f"${"query"}%-24s ${"t_1x"}%8s t_${mult}%dx${""}%4s ${"ratio"}%7s")
+      probed.foreach { name =>
+        val t1 = best(name, base)
+        val tn = best(name, out)
+        println(f"$name%-24s $t1%8.2f $tn%9.2f ${tn / t1}%7.2f")
+      }
     }
     spark.stop()
   }

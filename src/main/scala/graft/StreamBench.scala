@@ -82,6 +82,52 @@ object StreamBench {
       s""""unit":"events/sec","events":$n,"rules":${rules.size},""" +
       s""""alerts":$alertsMerged,"plan_nodes":$planNodes,""" +
       s""""merged_sec":${"%.2f".format(tMerged)}$unionPart}""")
+
+    // ---- micro-batch latency: the one axis where the Flink reference
+    // architecturally differs (per-record push vs micro-batch pull). Run
+    // the SAME merged dispatch as a real streaming query — rate source →
+    // rules → noop sink — and record each trigger's execution time via
+    // StreamingQueryListener; p50/p95 of trigger→sink IS the added
+    // detection latency an alert consumer sees over Flink's per-record
+    // path. Unthrottled trigger: each batch drains what arrived during the
+    // previous one, so the measured durations are the steady-state floor.
+    val durations = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val d = e.progress.durationMs.get("triggerExecution")
+        if (e.progress.numInputRows > 0 && d != null) durations.add(d)
+      }
+    }
+    spark.streams.addListener(listener)
+    val stream = spark.readStream.format("rate")
+      .option("rowsPerSecond", sys.env.getOrElse("SPARK_GRAFT_STREAM_RPS", "50000"))
+      .option("numPartitions", 8).load()
+      .select(col("value").as("event_id"), col("timestamp").as("ts"))
+    val q = AlertPipeline
+      .alertsMerged(Detection.nestedFrom(Detection.synthFrom(stream)), rules)
+      .writeStream.format("noop").outputMode("append").start()
+    try {
+      // 25 measured batches ≈ a stable percentile; cap wall time regardless
+      // (large rule counts take much longer per trigger — the first pays
+      // whole-stage codegen over the 1000-conjunct dispatch — so the cap
+      // scales with the rule count and is env-overridable)
+      val capSec = sys.env.getOrElse("SPARK_GRAFT_STREAM_SEC",
+        if (rules.size > 50) "240" else "60").toLong
+      val deadline = System.nanoTime() + capSec * 1000 * 1000 * 1000
+      while (durations.size < 28 && System.nanoTime() < deadline) Thread.sleep(200)
+    } finally { q.stop(); spark.streams.removeListener(listener) }
+    val all = durations.toArray(Array.empty[java.lang.Long]).map(_.toLong)
+    // first triggers pay codegen/broadcast warm-up, not latency — but keep
+    // at least half the sample when few batches completed
+    val ds = all.drop(math.min(3, all.length / 2)).sorted
+    def pct(p: Double): Long =
+      if (ds.isEmpty) -1 else ds(math.min(ds.length - 1, math.ceil(p * ds.length).toInt - 1))
+    println(s"""{"metric":"detect_latency_ms","rules":${rules.size},""" +
+      s""""batches":${ds.length},"p50":${pct(0.5)},"p95":${pct(0.95)},""" +
+      s""""max":${if (ds.isEmpty) -1 else ds.last}}""")
     spark.stop()
   }
 }

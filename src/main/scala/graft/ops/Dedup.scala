@@ -494,6 +494,44 @@ object Dedup {
         .orderBy("da", "db")
     }),
 
+    // Production-width SimHash pair search: 64-bit signature (the width
+    // dedup_simhash_pairs' own scale note prescribes), materialized as TWO
+    // 32-bit simhash32 halves over the low/high 32 bits of the word's md5 —
+    // a packed 64-bit signature would overflow: hi·2³² exceeds Long range
+    // when the high half's bit 31 is set, and Spark wraps silently where
+    // DuckDB errors, so the halves stay separate and every chunk/Hamming
+    // step works half-wise. Pigeonhole with 4 × 16-bit chunks: ≤3 bit flips
+    // touch ≤3 chunks, so every pair within Hamming 3 shares ≥1 exact
+    // chunk — candidates come from the (ci, cv) equi-join (banded, never
+    // all-pairs; 16-bit chunks keep per-bucket population small) and
+    // verification is two narrow bit_counts per candidate.
+    "dedup_simhash64_pairs" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val sigs = nearDupCorpus(s, dir)
+        .select(col("doc_id"),
+          expr("transform(split(text, ' '), w -> md5(w))").as("m"))
+        .select(col("doc_id"),
+          expr("simhash32(transform(m, h -> CAST(conv(substring(h, 1, 8), 16, 10) AS BIGINT)))").as("lo"),
+          expr("simhash32(transform(m, h -> CAST(conv(substring(h, 9, 8), 16, 10) AS BIGINT)))").as("hi"))
+        .localCheckpoint()
+      val chunks = sigs.select(col("doc_id"), col("lo"), col("hi"),
+        explode(array(
+          struct(lit(0).as("ci"), expr("lo % 65536").as("cv")),
+          struct(lit(1).as("ci"), expr("lo div 65536").as("cv")),
+          struct(lit(2).as("ci"), expr("hi % 65536").as("cv")),
+          struct(lit(3).as("ci"), expr("hi div 65536").as("cv")))).as("c"))
+        .select(col("doc_id"), col("lo"), col("hi"),
+          col("c.ci").as("ci"), col("c.cv").as("cv"))
+      chunks.as("x").join(chunks.as("y"),
+          col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+          expr("CAST(bit_count(x.lo ^ y.lo) + bit_count(x.hi ^ y.hi) AS BIGINT)").as("ham"))
+        .distinct()
+        .filter(col("ham") <= 3)
+        .orderBy("da", "db")
+    }),
+
     // Embedding near-dup on an UNLABELED corpus: random-hyperplane LSH
     // buckets replace the given-label blocks — the variant a 100 TB
     // pipeline actually runs, since real corpora don't ship with a coarse
@@ -694,6 +732,38 @@ object Dedup {
          FROM chunks x JOIN chunks y
            ON x.ci = y.ci AND x.cv = y.cv AND x.doc_id < y.doc_id
          WHERE bit_count(xor(x.simhash, y.simhash)) <= 2
+         ORDER BY da, db""",
+
+    "dedup_simhash64_pairs" ->
+      s"""WITH corpus AS ($nearDupSql),
+         words AS (
+           SELECT doc_id,
+                  CAST(concat('0x', substr(md5(word), 1, 8)) AS BIGINT) AS hlo,
+                  CAST(concat('0x', substr(md5(word), 9, 8)) AS BIGINT) AS hhi
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM corpus)),
+         sb AS (SELECT doc_id, b,
+                       sum(CASE WHEN (hlo // CAST(pow(2, b) AS BIGINT)) % 2 = 1
+                                THEN 1 ELSE -1 END) AS slo,
+                       sum(CASE WHEN (hhi // CAST(pow(2, b) AS BIGINT)) % 2 = 1
+                                THEN 1 ELSE -1 END) AS shi
+                FROM words CROSS JOIN (SELECT i AS b FROM range(32) t(i))
+                GROUP BY doc_id, b),
+         sig AS (SELECT doc_id,
+                        CAST(sum(CASE WHEN slo > 0 THEN CAST(pow(2, b) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS lo,
+                        CAST(sum(CASE WHEN shi > 0 THEN CAST(pow(2, b) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS hi
+                 FROM sb GROUP BY doc_id),
+         chunks AS (
+           SELECT doc_id, lo, hi, 0 AS ci, lo % 65536 AS cv FROM sig
+           UNION ALL SELECT doc_id, lo, hi, 1, lo // 65536 FROM sig
+           UNION ALL SELECT doc_id, lo, hi, 2, hi % 65536 FROM sig
+           UNION ALL SELECT doc_id, lo, hi, 3, hi // 65536 FROM sig)
+         SELECT DISTINCT x.doc_id AS da, y.doc_id AS db,
+                CAST(bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi)) AS BIGINT) AS ham
+         FROM chunks x JOIN chunks y
+           ON x.ci = y.ci AND x.cv = y.cv AND x.doc_id < y.doc_id
+         WHERE bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi)) <= 3
          ORDER BY da, db""",
 
     "dedup_embedding_lsh" ->

@@ -320,6 +320,23 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("simhash64 pair search: planted recall, all pairs within hamming 3 of 64") {
+    val out = Dedup.queries("dedup_simhash64_pairs")(spark, dir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getLong(2) <= 3))
+    val found = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 3 === 0).select("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 100000)).toSet
+    // a 2-word append flips more of 64 bits than of 32, so the Hamming-3
+    // net catches fewer planted pairs than the 32-bit/≤2 variant — but the
+    // wider signature also separates DISTINCT docs much harder, which is
+    // the production trade. Recall here is a floor, precision-style sanity
+    // is the ham<=3 assertion above.
+    val recall = planted.count(found).toDouble / planted.size
+    assert(recall >= 0.5, s"recall $recall")
+  }
+
   test("keep-canonical summary is consistent with the planted duplicates") {
     val r = Dedup.queries("dedup_keep_canonical")(spark, dir).head
     val (docs, kept, dropped) = (r.getLong(0), r.getLong(1), r.getLong(2))
