@@ -63,11 +63,21 @@ object PlanAudit {
         val plan = fn(spark, dir).queryExecution.executedPlan
         val p = plan.toString
         val interpreted = scansOutsideCodegen(plan).distinct
+        // a SinglePartition exchange is benign when it feeds a global
+        // aggregate of per-task partials; the runtime bloom-filter join
+        // pushdown (bloom_filter_agg) is exactly that shape — its parent
+        // line in the printed tree is the final ObjectHashAggregate
+        val lines = p.linesIterator.toVector
+        val dataBearingSinglePartition = lines.zipWithIndex.exists {
+          case (l, i) =>
+            l.contains("Exchange SinglePartition") &&
+              !lines.take(i).lastOption.exists(_.contains("bloom_filter_agg"))
+        }
         val flags = Seq(
           "CartesianProduct" -> p.contains("CartesianProduct"),
           "BNLJ" -> (p.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name)),
           "SinglePartition" ->
-            (p.contains("Exchange SinglePartition") && !globalSummaryAllowed(name)),
+            (dataBearingSinglePartition && !globalSummaryAllowed(name)),
           "10+ shuffles" ->
             (p.linesIterator.count(_.contains("Exchange hashpartitioning")) >= 10),
           s"interpreted big-table scan (${interpreted.mkString(",")})" ->

@@ -128,6 +128,64 @@ object Similarity {
             round(expr(dotExpr) / (col("qn") * col("cn")), 6).as("cos_r")))
     }),
 
+    // IVF with a REAL k-means coarse quantizer (unlabeled corpora — the
+    // other IVF variants use the given label partition, which real corpora
+    // don't ship). k=8 centroids seeded from the first 8 candidate vectors
+    // (deterministic), 2 Lloyd iterations, then the standard IVF probe:
+    // nearest centroid per query, exact cosine top-3 inside that block.
+    // Distributed shape per iteration: components × BROADCAST centroids
+    // (k·dim rows) → per-(vector, centroid) distance agg → argmin window →
+    // per-(centroid, dim) mean — the corpus never moves except two keyed
+    // aggs; no driver-side loop (centroids stay a DataFrame,
+    // localCheckpointed per round so plan size stays O(1) like starCC).
+    // Both engines round centroid means AND distances to 6 decimals each
+    // round, so assignment argmins can't diverge on summation-order noise.
+    "sim_ivf_kmeans" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val e = Tables(s, dir, "embeddings")
+      val cand = e.filter(col("vec_id") >= 8)
+      val comp = cand.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("d", "x")))
+      def assign(cent: DataFrame): DataFrame =
+        comp.join(broadcast(cent), "d")
+          .groupBy(col("vec_id"), col("cid"))
+          .agg(round(sum(pow(col("x").cast("double") - col("c"), 2)), 6).as("dist"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))))
+          .filter(col("rk") === 1)
+          .select(col("vec_id"), col("cid"))
+      def update(asg: DataFrame): DataFrame =
+        comp.join(asg, "vec_id")
+          .groupBy(col("cid"), col("d"))
+          .agg(round(avg(col("x").cast("double")), 6).as("c"))
+          .localCheckpoint()
+      val cent0 = comp.filter(col("vec_id") < 16)
+        .select((col("vec_id") - 8).as("cid"), col("d"),
+          col("x").cast("double").as("c"))
+      val cent2 = update(assign(update(assign(cent0))))
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          expr(normExpr("embedding")).as("qn"))
+      val qcomp = q.select(col("qid"), posexplode(col("qe")).as(Seq("d", "x")))
+      val probe = qcomp.join(broadcast(cent2), "d")
+        .groupBy(col("qid"), col("cid"))
+        .agg(round(sum(pow(col("x").cast("double") - col("c"), 2)), 6).as("dist"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("dist"), col("cid"))))
+        .filter(col("rk") === 1)
+        .select(col("qid").as("pqid"), col("cid").as("pcid"))
+      val blocks = assign(cent2)
+      val c = cand
+        .select(col("vec_id").as("nid"), col("embedding").as("ce"),
+          expr(normExpr("embedding")).as("cn"))
+        .join(blocks.select(col("vec_id").as("nid"), col("cid")), "nid")
+      topK3(
+        q.join(probe, col("qid") === col("pqid"))
+          .join(c, col("pcid") === col("cid"))
+          .select(col("qid"), col("nid"),
+            round(expr(dotExpr) / (col("qn") * col("cn")), 6).as("cos_r")))
+    }),
+
     // LSH-bucketed ANN: deterministic integer hyperplanes (count sized from
     // the corpus count — Lsh.planesFor, so per-bucket population stays
     // ~constant as the corpus grows); probe only the query's bucket, exact
@@ -245,6 +303,60 @@ object Similarity {
                                       ORDER BY round(dot / (nq * nc), 6) DESC, nid) AS rank
             FROM dots)
           SELECT qid, rank, nid FROM ranked WHERE rank <= 3 ORDER BY qid, rank""",
+
+    "sim_ivf_kmeans" -> {
+      // one Lloyd round as SQL, parameterized by the incoming centroid CTE
+      def assignSql(cent: String, a: String) =
+        s"""$a AS (
+              SELECT vec_id, cid FROM (
+                SELECT comp.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY comp.vec_id
+                         ORDER BY round(sum(power(CAST(comp.x AS DOUBLE) - c.c, 2)), 6),
+                                  c.cid) AS rk
+                FROM comp JOIN $cent c USING (d)
+                GROUP BY comp.vec_id, c.cid)
+              WHERE rk = 1)"""
+      def updateSql(a: String, cent: String) =
+        s"""$cent AS (
+              SELECT cid, d, round(avg(CAST(x AS DOUBLE)), 6) AS c
+              FROM comp JOIN $a USING (vec_id) GROUP BY cid, d)"""
+      s"""WITH comp AS (
+            SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) - 1 AS d
+            FROM embeddings WHERE vec_id >= 8),
+          c0 AS (SELECT vec_id - 8 AS cid, d, CAST(x AS DOUBLE) AS c
+                 FROM comp WHERE vec_id < 16),
+          ${assignSql("c0", "a1")}, ${updateSql("a1", "c1")},
+          ${assignSql("c1", "a2")}, ${updateSql("a2", "c2")},
+          ${assignSql("c2", "blocks")},
+          q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
+          qcomp AS (
+            SELECT vec_id AS qid, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) - 1 AS d
+            FROM embeddings WHERE vec_id < 8),
+          probe AS (
+            SELECT qid, cid FROM (
+              SELECT qid, c.cid,
+                     row_number() OVER (PARTITION BY qid
+                       ORDER BY round(sum(power(CAST(x AS DOUBLE) - c.c, 2)), 6), c.cid) AS rk
+              FROM qcomp JOIN c2 c USING (d)
+              GROUP BY qid, c.cid)
+            WHERE rk = 1),
+          c AS (SELECT e.vec_id AS nid, e.embedding AS ce, b.cid
+                FROM embeddings e JOIN blocks b ON e.vec_id = b.vec_id
+                WHERE e.vec_id >= 8),
+          pairs AS (
+            SELECT q.qid, c.nid, q.qe, c.ce
+            FROM q JOIN probe ON q.qid = probe.qid
+                 JOIN c ON c.cid = probe.cid),
+          dots AS ($dotsSql),
+          ranked AS (
+            SELECT qid, nid, round(dot / (nq * nc), 6) AS cos_r,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY round(dot / (nq * nc), 6) DESC, nid) AS rank
+            FROM dots)
+          SELECT qid, rank, nid FROM ranked WHERE rank <= 3 ORDER BY qid, rank"""
+    },
 
     "sim_lsh_ann" ->
       s"""WITH ${Lsh.paramsSql("embeddings")},

@@ -9,6 +9,16 @@ import graft.SparkSpec
 class OpsSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
+  test("Lsh.planesFor: smallest p>=4 with 2^p*64 >= n (the contract the SQL oracles replay)") {
+    assert(Lsh.planesFor(1) == 4)
+    assert(Lsh.planesFor(500) == 4)   // sf0.01 embeddings
+    assert(Lsh.planesFor(1024) == 4)  // exact boundary: 2^4*64 = 1024
+    assert(Lsh.planesFor(1025) == 5)
+    assert(Lsh.planesFor(2000) == 5)  // sf0.1 embeddings
+    assert(Lsh.planesFor(24000) == 9) // ScaleProbe 10x dedup corpus
+    assert(Lsh.planesFor(Long.MaxValue) == Lsh.MaxPlanes)
+  }
+
   test("dedup_exact finds exactly the planted byte-exact copies") {
     val out = Dedup.queries("dedup_exact")(spark, dir).collect()
     assert(out.nonEmpty)
@@ -359,6 +369,21 @@ class OpsSpec extends SparkSpec {
       exact.map { case (q, t) => m.getOrElse(q, Set.empty).count(t).toDouble / t.size }
         .sum / exact.size
     assert(recall(top("sim_ivf_nprobe2")) >= recall(top("sim_ivf_ann")) - 1e-9)
+  }
+
+  test("k-means IVF: every query gets 3 ranked neighbors, nonzero recall vs brute force") {
+    def top(name: String): Map[Long, Set[Long]] =
+      Similarity.queries(name)(spark, dir).collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val exact = top("sim_topk_bruteforce")
+    val km = top("sim_ivf_kmeans")
+    assert(km.keySet == exact.keySet, "every query must land in a non-empty block")
+    assert(km.values.forall(_.size == 3))
+    // nprobe=1 over 8 learned cells: a positive floor, not parity — the
+    // recall/cost knob is probing more cells, same as sim_ivf_nprobe2
+    val recall = exact.map { case (q, t) => km(q).count(t).toDouble / t.size }
+      .sum / exact.size
+    assert(recall > 0.2, s"recall $recall")
   }
 
   test("mixture rebalance rates scale every language to the rarest") {
