@@ -64,11 +64,14 @@ object Bench {
     val qs = jmap(_._2)
     val qmax = jmap(_._3)
     val total = results.map(_._2).sum
-    // anchored: a dir like "sf0.1.bak" must capture 0.1, not the invalid
-    // JSON number "0.1." (the round-1 unparseable-bench failure mode)
-    val sfNum = "sf([0-9]+(?:\\.[0-9]+)?)".r
-      .findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
-    println(f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qs,"qmax":$qmax,"sf":$sfNum}""")
+    println(f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qs,"qmax":$qmax,"sf":${sfOf(sfDir)}}""")
     spark.stop()
   }
+
+  /** sf number encoded in the dir, as a VALID JSON number. Anchored: a dir
+    * like "sf0.1.bak" must yield 0.1, not "0.1." (the round-1
+    * unparseable-bench failure mode). */
+  private[graft] def sfOf(sfDir: String): String =
+    "sf([0-9]+(?:\\.[0-9]+)?)".r
+      .findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
 }
