@@ -210,6 +210,36 @@ object Similarity {
         q.join(c, col("bucket") === col("cb"))
           .select(col("qid"), col("nid"),
             round(expr(dotExpr) / (col("qn") * col("cn")), 6).as("cos_r")))
+    }),
+
+    // Multi-probe LSH: probe the query's bucket PLUS every bucket at
+    // Hamming distance 1 (one plane sign flipped) — hyperplane LSH's
+    // standard recall/cost knob, symmetric to IVF's nprobe (a true
+    // neighbor lost to one borderline projection sign is recovered from
+    // the adjacent bucket; cost is planes+1 bucket lookups per query,
+    // each ~TargetBucketPop candidates). The probe fan-out is a per-QUERY
+    // explode — the corpus side is untouched, so at scale this multiplies
+    // only the tiny query side of the bucket equi-join.
+    "sim_lsh_multiprobe" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val e = Tables(s, dir, "embeddings")
+      val planes = Lsh.planesFor(e.count())
+      val withB = e.withColumn("bucket", Lsh.bucket(planes, "embedding"))
+      val q = withB.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"),
+          expr(normExpr("embedding")).as("qn"))
+        // probe buckets are pairwise distinct and a corpus vector has ONE
+        // bucket, so the join emits each (qid, nid) at most once
+        .withColumn("pb", explode(array(
+          col("bucket") +:
+            (0 until planes).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*)))
+      val c = withB.filter(col("vec_id") >= 8)
+        .select(col("vec_id").as("nid"), col("embedding").as("ce"), col("bucket").as("cb"),
+          expr(normExpr("embedding")).as("cn"))
+      topK3(
+        q.join(c, col("pb") === col("cb"))
+          .select(col("qid"), col("nid"),
+            round(expr(dotExpr) / (col("qn") * col("cn")), 6).as("cos_r")))
     })
   )
 
@@ -370,6 +400,34 @@ object Similarity {
           q AS (SELECT vec_id AS qid, embedding AS qe, bucket FROM withb WHERE vec_id < 8),
           c AS (SELECT vec_id AS nid, embedding AS ce, bucket AS cb FROM withb WHERE vec_id >= 8),
           pairs AS (SELECT qid, nid, qe, ce FROM q JOIN c ON bucket = cb),
+          dots AS ($dotsSql),
+          ranked AS (
+            SELECT qid, nid, round(dot / (nq * nc), 6) AS cos_r,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY round(dot / (nq * nc), 6) DESC, nid) AS rank
+            FROM dots)
+          SELECT qid, rank, nid FROM ranked WHERE rank <= 3 ORDER BY qid, rank""",
+
+    "sim_lsh_multiprobe" ->
+      s"""WITH ${Lsh.paramsSql("embeddings")},
+          comp AS (
+            SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) - 1 AS d
+            FROM embeddings),
+          ${Lsh.bucketsSql},
+          withb AS (SELECT e.vec_id, e.embedding, b.bucket
+                    FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id),
+          q AS (SELECT vec_id AS qid, embedding AS qe, bucket FROM withb WHERE vec_id < 8),
+          probes AS (
+            SELECT qid, qe, bucket AS pb FROM q
+            UNION ALL
+            SELECT qid, qe, xor(bucket, CAST(pow(2, p) AS BIGINT)) AS pb
+            FROM q
+            CROSS JOIN (SELECT CAST(i AS INT) AS p FROM range(${Lsh.MaxPlanes}) t(i))
+            CROSS JOIN params
+            WHERE p < params.np),
+          c AS (SELECT vec_id AS nid, embedding AS ce, bucket AS cb FROM withb WHERE vec_id >= 8),
+          pairs AS (SELECT qid, nid, qe, ce FROM probes JOIN c ON pb = cb),
           dots AS ($dotsSql),
           ranked AS (
             SELECT qid, nid, round(dot / (nq * nc), 6) AS cos_r,

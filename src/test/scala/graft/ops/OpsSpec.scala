@@ -371,6 +371,19 @@ class OpsSpec extends SparkSpec {
     assert(recall(top("sim_ivf_nprobe2")) >= recall(top("sim_ivf_ann")) - 1e-9)
   }
 
+  test("multi-probe LSH recall vs brute force is at least single-probe's") {
+    def top(name: String): Map[Long, Set[Long]] =
+      Similarity.queries(name)(spark, dir).collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val exact = top("sim_topk_bruteforce")
+    def recall(m: Map[Long, Set[Long]]): Double =
+      exact.map { case (q, t) => m.getOrElse(q, Set.empty).count(t).toDouble / t.size }
+        .sum / exact.size
+    // the multi-probe candidate set is a superset (exact bucket + all
+    // Hamming-1 buckets), so its top-3 can only rank better or equal
+    assert(recall(top("sim_lsh_multiprobe")) >= recall(top("sim_lsh_ann")) - 1e-9)
+  }
+
   test("k-means IVF: every query gets 3 ranked neighbors, nonzero recall vs brute force") {
     def top(name: String): Map[Long, Set[Long]] =
       Similarity.queries(name)(spark, dir).collect()
