@@ -17,7 +17,7 @@ object PlanAudit {
   // broadcast against a scan (the ANN query set); everything else flags.
   private val bnljAllowed = Set(
     "sim_topk_bruteforce", "sim_ivf_ann", "sim_ivf_nprobe2", "sim_lsh_ann",
-    "text_length_outliers", "mix_rebalance")
+    "text_length_outliers", "mix_rebalance", "mix_temperature")
 
   // A one-row global summary ends in an Exchange SinglePartition that
   // receives only per-task PARTIAL aggregates (map-side combined) — the
@@ -26,7 +26,7 @@ object PlanAudit {
   // funneling real data through one task IS a scale killer).
   private val globalSummaryAllowed = Set(
     "quality_expectations", "text_length_outliers", "mix_rebalance",
-    "dedup_keep_canonical")
+    "mix_temperature", "dedup_keep_canonical")
 
   /** Big parquet tables: a scan of one of these feeding an INTERPRETED
     * (non-WholeStageCodegen) stretch is a hot path running the row-at-a-

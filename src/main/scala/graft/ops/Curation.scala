@@ -120,6 +120,27 @@ object Curation {
         .select(col("lang"), col("n"),
           round(col("mn") / (col("n") * lit(1.0)), 4).as("rate"))
         .orderBy("lang")
+    }),
+
+    // Temperature-flattened mixture (the multilingual-LM sampling knob:
+    // q_l ∝ p_l^α with α = 0.5): flattens the language distribution so
+    // low-resource languages are upweighted without going all the way to
+    // mix_rebalance's uniform floor. Emits each language's corpus share p,
+    // sampling probability q, and effective epochs q/p (how many times a
+    // low-resource slice is repeated per pass over the mixture). Same
+    // topology as mix_rebalance: one keyed count, one one-row broadcast —
+    // nothing driver-side, nothing that grows with corpus size.
+    "mix_temperature" -> ((s, dir) => {
+      val cnts = Tables(s, dir, "documents")
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+        .withColumn("w", sqrt(col("n").cast("double")))
+      val tot = cnts.agg(sum("n").as("tn"), sum("w").as("tw"))
+      cnts.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n"),
+          round(col("n") / col("tn"), 6).as("p"),
+          round(col("w") / col("tw"), 6).as("q"),
+          round((col("w") / col("tw")) / (col("n") / col("tn")), 4).as("epochs"))
+        .orderBy("lang")
     })
   )
 
@@ -182,6 +203,18 @@ object Curation {
     "mix_rebalance" ->
       """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang)
          SELECT lang, n, round((SELECT min(n) FROM c) / (n * 1.0), 4) AS rate
-         FROM c ORDER BY lang"""
+         FROM c ORDER BY lang""",
+
+    // sqrt(n) IS n^0.5 exactly on both engines (IEEE sqrt is correctly
+    // rounded; pow(x, 0.5) need not be), so the shares hash-match
+    "mix_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS n, sqrt(CAST(count(*) AS DOUBLE)) AS w
+                    FROM documents GROUP BY lang),
+          t AS (SELECT sum(n) AS tn, sum(w) AS tw FROM c)
+         SELECT lang, n,
+                round(n / (1.0 * tn), 6) AS p,
+                round(w / tw, 6) AS q,
+                round((w / tw) / (n / (1.0 * tn)), 4) AS epochs
+         FROM c CROSS JOIN t ORDER BY lang"""
   )
 }

@@ -399,6 +399,20 @@ class OpsSpec extends SparkSpec {
     assert(recall > 0.2, s"recall $recall")
   }
 
+  test("temperature mixture: q sums to 1, flattens toward uniform, epochs >= 1 for rare langs") {
+    val out = Curation.queries("mix_temperature")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(math.abs(out.map(_._4).sum - 1.0) < 1e-3)
+    val u = 1.0 / out.length
+    out.foreach { case (lang, _, p, q, epochs) =>
+      // α=0.5 pulls every share toward uniform but never across it
+      if (p > u) assert(q <= p + 1e-9 && q >= u - 1e-9, s"$lang p=$p q=$q")
+      if (p < u) assert(q >= p - 1e-9 && q <= u + 1e-9, s"$lang p=$p q=$q")
+      assert(math.abs(epochs - q / p) < 1e-3)
+      if (p < u) assert(epochs >= 1.0 - 1e-9, s"rare $lang must be upweighted")
+    }
+  }
+
   test("mixture rebalance rates scale every language to the rarest") {
     val out = Curation.queries("mix_rebalance")(spark, dir).collect()
     val minN = out.map(_.getLong(1)).min
