@@ -39,11 +39,19 @@ object Bench {
     // measured query isn't charged the session's one-time costs
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val all = SparkEntry.queries
-    // best-of-3: the machine is shared, so single runs see multi-second
-    // noise; the min of the runs is the steady-state number. The max is
-    // kept too — r3→r4 showed ±70% per-query swings with ZERO code change,
-    // so a reader needs the spread to tell a real regression from host
-    // noise.
+    // One untimed warm-up pass over the WHOLE fleet first: per-query JIT /
+    // codegen compilation and any session-memoized statistics (Tables
+    // caches) are paid here, not inside a timed rep — the round-5
+    // regression hid for most of a round because first-rep session-load
+    // noise was indistinguishable from real cost.
+    headline.foreach { name =>
+      all.get(name).foreach(fn =>
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () })
+    }
+    // 3 timed reps after warm-up: min is the steady-state number, max the
+    // spread (r3→r4 showed ±70% per-query swings with ZERO code change),
+    // and the median is the load-robust middle — a real regression moves
+    // the median; a noisy host moves only the max.
     val reps = 3
     val results = headline.flatMap { name =>
       all.get(name).map { fn =>
@@ -51,20 +59,21 @@ object Bench {
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
           (System.nanoTime() - t0) / 1e9
-        }
-        (name, times.min, times.max)
+        }.sorted
+        (name, times.head, times(reps / 2), times.last)
       }
     }
-    // 2-decimal per-query timings keep the line compact (~1.8 KB with the
-    // max map — well under the ~4 KB tail that broke round 1); sf is
+    // 2-decimal per-query timings keep the line compact (~2.5 KB with the
+    // med+max maps — under the ~4 KB tail that broke round 1); sf is
     // emitted as a number when the dir encodes one (documented schema).
-    def jmap(f: ((String, Double, Double)) => Double) =
-      results.map { case t @ (k, _, _) => "\"" + k + "\":" + f"${f(t)}%.2f" }
+    def jmap(f: ((String, Double, Double, Double)) => Double) =
+      results.map { case t @ (k, _, _, _) => "\"" + k + "\":" + f"${f(t)}%.2f" }
         .mkString("{", ",", "}")
     val qs = jmap(_._2)
-    val qmax = jmap(_._3)
+    val qmed = jmap(_._3)
+    val qmax = jmap(_._4)
     val total = results.map(_._2).sum
-    println(f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qs,"qmax":$qmax,"sf":${sfOf(sfDir)}}""")
+    println(f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qs,"qmed":$qmed,"qmax":$qmax,"sf":${sfOf(sfDir)}}""")
     spark.stop()
   }
 

@@ -16,8 +16,8 @@ object PlanAudit {
   // BroadcastNestedLoopJoin is legitimate exactly where a tiny side is
   // broadcast against a scan (the ANN query set); everything else flags.
   private val bnljAllowed = Set(
-    "sim_topk_bruteforce", "sim_ivf_ann", "sim_ivf_nprobe2", "sim_lsh_ann",
-    "text_length_outliers", "mix_rebalance", "mix_temperature")
+    "sim_topk_bruteforce", "sim_ivf_ann", "sim_ivf_nprobe2", "sim_ivf_kmeans",
+    "sim_lsh_ann", "text_length_outliers", "mix_rebalance", "mix_temperature")
 
   // A one-row global summary ends in an Exchange SinglePartition that
   // receives only per-task PARTIAL aggregates (map-side combined) — the

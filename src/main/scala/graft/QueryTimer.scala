@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single-query timing harness — the isolation tool for telling a real
+  * per-query regression from bench-session load (the round-5 sim_lsh_ann
+  * regression hid inside session noise for most of a round because the only
+  * measurement ran all 33 headline queries in one session).
+  *
+  * Usage: runMain graft.QueryTimer <query> [sfDir] [reps]
+  * Prints one line per rep plus min/median after an untimed warm-up rep.
+  */
+object QueryTimer {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse(sys.error("usage: QueryTimer <query> [sfDir] [reps]"))
+    val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val reps = args.lift(2).filter(_.forall(_.isDigit)).map(_.toInt).getOrElse(5)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    if (sys.env.contains("GRAFT_JOBLOG")) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        private val starts = scala.collection.concurrent.TrieMap.empty[Int, (Long, String)]
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          starts(js.jobId) = (System.nanoTime(),
+            Option(js.properties).map(_.getProperty("spark.job.description", "")).getOrElse(""))
+        override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          starts.remove(je.jobId).foreach { case (t0, desc) =>
+            println(f"  job ${je.jobId}%3d ${(System.nanoTime() - t0) / 1e9}%7.3f s  ${desc.take(80)}")
+          }
+      })
+    }
+    val fn = SparkEntry.queries(name)
+    if (args.lift(2).contains("explain")) {
+      fn(spark, dir).explain("formatted")
+      spark.stop()
+      return
+    }
+    fn(spark, dir).count() // warm-up: JIT, parquet footers, memoized stats
+    val times = (1 to reps).map { i =>
+      val t0 = System.nanoTime()
+      val rows = fn(spark, dir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"rep $i: $sec%.3f s ($rows rows)")
+      sec
+    }.sorted
+    println(f"$name min=${times.head}%.3f med=${times(reps / 2)}%.3f max=${times.last}%.3f")
+    spark.stop()
+  }
+}

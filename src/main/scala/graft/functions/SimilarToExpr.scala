@@ -105,6 +105,11 @@ object GraftFunctions {
     new ExpressionInfo(classOf[VecDotExpr].getName, "vec_dot"),
     binary("vec_dot", VecDotExpr))
 
+  val vecSqDist: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("vec_sqdist"),
+    new ExpressionInfo(classOf[VecSqDistExpr].getName, "vec_sqdist"),
+    binary("vec_sqdist", VecSqDistExpr))
+
   private def unary(name: String, mk: Expression => Expression)
       : Seq[Expression] => Expression = {
     case Seq(c) => mk(c)
@@ -130,6 +135,8 @@ object GraftFunctions {
       similarTo._1, similarTo._2, similarTo._3)
     spark.sessionState.functionRegistry.registerFunction(
       vecDot._1, vecDot._2, vecDot._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      vecSqDist._1, vecSqDist._2, vecSqDist._3)
     spark.sessionState.functionRegistry.registerFunction(
       simHash._1, simHash._2, simHash._3)
     spark.sessionState.functionRegistry.registerFunction(
@@ -157,6 +164,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.similarTo)
     ext.injectFunction(GraftFunctions.vecDot)
+    ext.injectFunction(GraftFunctions.vecSqDist)
     ext.injectFunction(GraftFunctions.simHash)
     ext.injectFunction(GraftFunctions.intersectCount)
     ext.injectOptimizerRule(_ => IntersectCountRule)

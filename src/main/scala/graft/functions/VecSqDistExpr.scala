@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native codegen'd squared L2 distance over two numeric arrays → double:
+  * Σ_i pow(a_i − b_i, 2), summed left-to-right.
+  *
+  * This is the IVF probe/assignment kernel. The declarative spelling —
+  * posexplode both vectors to (d, x) rows, join on d, sum per pair — blows
+  * each vector comparison up into `dim` rows through a join and a hash
+  * aggregate, and then needs a window to take the argmin: at sf0.1 that
+  * probe path alone was ~5 sequential AQE stages (~1.4 s of stage latency
+  * per invocation); at 100 TB it is a dim× row amplification through a
+  * shuffle. One fused loop against an array-form centroid keeps the whole
+  * distance inside whole-stage codegen, and the argmin becomes a bounded
+  * `min(struct(dist, id))` aggregation.
+  *
+  * IEEE-exactness contract with the DuckDB oracles: elements are widened to
+  * double one at a time, the difference is squared via `Math.pow(diff, 2.0)`
+  * — the SAME operation Spark's `POWER(x − c, 2)` lowers to and the one the
+  * oracles' `power(CAST(x AS DOUBLE) − c, 2)` computes — and partial sums
+  * accumulate in ascending element order, matching the oracle's sum over
+  * `unnest(...)` order. Null/length semantics mirror vec_dot: null array,
+  * null element, or length mismatch → NULL.
+  */
+case class VecSqDistExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_sqdist"
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression): Boolean = e.dataType match {
+      case ArrayType(t: NumericType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_sqdist expects two arrays of numeric elements, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    if (n != ys.numElements()) return null
+    val lt = elemType(left)
+    val rt = elemType(right)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (xs.isNullAt(i) || ys.isNullAt(i)) return null
+      s += math.pow(numAt(xs, lt, i) - numAt(ys, rt, i), 2.0)
+      i += 1
+    }
+    s
+  }
+
+  private def numAt(arr: ArrayData, t: DataType, i: Int): Double = t match {
+    case FloatType => arr.getFloat(i).toDouble
+    case DoubleType => arr.getDouble(i)
+    case IntegerType => arr.getInt(i).toDouble
+    case LongType => arr.getLong(i).toDouble
+    case ShortType => arr.getShort(i).toDouble
+    case ByteType => arr.getByte(i).toDouble
+    case d: DecimalType => arr.getDecimal(i, d.precision, d.scale).toDouble
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("sum")
+      val getA = CodeGenerator.getValue(a, elemType(left), i)
+      val getB = CodeGenerator.getValue(b, elemType(right), i)
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += java.lang.Math.pow((double)($getA) - (double)($getB), 2.0);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

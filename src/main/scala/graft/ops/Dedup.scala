@@ -539,8 +539,8 @@ object Dedup {
     // codegen'd vec_dot — same plane grid as sim_lsh_ann); candidate pairs
     // are a bucket equi-join, never all-pairs; verification is one vec_dot
     // per candidate. The plane count is sized from the corpus count
-    // (Lsh.planesFor — one count() job, the statistic a real deployment
-    // reads from table metadata), so per-bucket population stays ~constant
+    // (Lsh.planesFor — a session-memoized statistic, the one a real
+    // deployment reads from table metadata), so per-bucket population stays ~constant
     // as the corpus grows and the pair join stays linear — at the old
     // hard-coded 4 planes, ScaleProbe measured 10× time at 10× data. A
     // positive scalar copy preserves every projection sign exactly, so
@@ -552,10 +552,13 @@ object Dedup {
         (col("vec_id") + 100000).as("vec_id"),
         expr("transform(embedding, x -> CAST(x AS FLOAT) * CAST(1.01 AS FLOAT))").as("embedding"))
       val all = e.select(col("vec_id"), col("embedding")).unionAll(dup)
-      val planes = Lsh.planesFor(all.count())
+      // count+dim memoized per session; buckets+norms checkpointed so the
+      // signature computation runs once, not on both sides of the self-join
+      val (planes, dim) = Lsh.sizing(s, dir, "embeddings_lsh_corpus", all)
       val withB = all
-        .withColumn("bucket", Lsh.bucket(planes, "embedding"))
+        .withColumn("bucket", Lsh.bucket(planes, "embedding", dim))
         .withColumn("norm", expr("sqrt(vec_dot(embedding, embedding))"))
+        .localCheckpoint()
       val pairs = withB.as("a").join(withB.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       pairs

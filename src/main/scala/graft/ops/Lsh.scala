@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.engine.Tables
 
 /** Random-hyperplane LSH sizing + bucketing, shared by the embedding
   * near-dup dedup (Dedup.scala) and the ANN search (Similarity.scala).
@@ -17,9 +18,10 @@ import org.apache.spark.sql.functions._
   * `planesFor` is the smallest p ≥ 4 with 2^p · targetPop ≥ n, computed
   * with integer shifts (no log2/ceil floating point) so the DuckDB oracle
   * can compute the IDENTICAL count in SQL — `paramsSql` emits that
-  * replay. One `count()` job sizes the index per invocation; that is the
-  * same scan-level statistic AQE reads, and at 100 TB it comes from table
-  * metadata instead.
+  * replay. The corpus count feeding it is memoized per session
+  * (Tables.cachedStat) — it is the same scan-level statistic AQE reads,
+  * and at 100 TB it comes from table metadata; re-running a sizing job on
+  * every invocation was half of the round-5 sim_lsh_ann regression.
   *
   * Plane weights are the deterministic integer grid
   * w(p, d) = ((p·131 + d·137) mod 97) − 48 — replayable in SQL, dense
@@ -38,24 +40,54 @@ object Lsh {
     p
   }
 
-  /** Projection of `vecCol` (array<float/double>) onto plane p — a single
-    * codegen'd vec_dot against the inline weight vector; fully narrow. */
-  def planeDot(p: Int, vecCol: String): Column = expr(
-    s"""vec_dot($vecCol, transform(sequence(0, size($vecCol) - 1),
-          d -> CAST((($p * 131 + d * 137) % 97) - 48 AS DOUBLE)))""")
+  /** (plane count, vector dim) for `corpus`, both backed by once-per-session
+    * memoized statistics (Tables.cachedStat under `key`) — the jobs that
+    * compute them run on the FIRST invocation only. `corpus` must be the
+    * frame the caller buckets (same (session, dir) immutability contract as
+    * Tables.dfCache). */
+  def sizing(spark: SparkSession, dir: String, key: String, corpus: DataFrame,
+             vecCol: String = "embedding"): (Int, Int) = {
+    val n = Tables.cachedStat(spark, dir, s"count:$key")(corpus.count())
+    val dim = Tables.cachedStat(spark, dir, s"dim:$key")(
+      corpus.select(size(col(vecCol))).head.getInt(0).toLong).toInt
+    (planesFor(n), dim)
+  }
+
+  /** Projection of `vecCol` (array<float/double>, `dim` elements) onto
+    * plane p — a single codegen'd vec_dot against a LITERAL weight array.
+    * The weights are baked in as double literals at plan-build time:
+    * constant folding collapses the `array(...)` to one array Literal, so
+    * the whole projection is a vec_dot loop inside whole-stage codegen.
+    * (The previous `transform(sequence(0, size(v)-1), d -> ...)` spelling
+    * is a higher-order function — CodegenFallback — so every row
+    * materialized the weight vector and ran INTERPRETED, per plane, on
+    * both sides of the bucket self-join: the other half of the round-5
+    * sim_lsh_ann regression.) vec_dot nulls on length mismatch, so `dim`
+    * must be the actual vector width — callers read it once per session
+    * via Tables.cachedStat. */
+  def planeDot(p: Int, vecCol: String, dim: Int): Column = {
+    val ws = (0 until dim)
+      .map(d => s"${(((p * 131 + d * 137) % 97) - 48).toDouble}D")
+      .mkString(",")
+    expr(s"vec_dot($vecCol, array($ws))")
+  }
 
   /** Bucket id = sign bits of all `planes` projections packed into a long. */
-  def bucket(planes: Int, vecCol: String): Column =
+  def bucket(planes: Int, vecCol: String, dim: Int): Column =
     (0 until planes)
-      .map(p => when(planeDot(p, vecCol) >= 0, lit(1L << p)).otherwise(lit(0L)))
+      .map(p => when(planeDot(p, vecCol, dim) >= 0, lit(1L << p)).otherwise(lit(0L)))
       .reduce(_ + _)
 
   /** DuckDB CTE computing the same plane count from the same corpus count:
     * `params(np)` — smallest p ≥ 4 with (1::BIGINT << p) · targetPop ≥ n.
     * `corpusRel` must be a relation already defined in the WITH chain. */
   def paramsSql(corpusRel: String, targetPop: Long = TargetBucketPop): String =
+    // coalesce: when no p in [MinPlanes, MaxPlanes] satisfies the bound
+    // (extreme corpus), min() over the empty set is NULL — planesFor caps
+    // at MaxPlanes, so the replay must too, or the buckets CTE silently
+    // empties and the oracle returns zero pairs.
     s"""params AS (
-          SELECT min(p) AS np
+          SELECT coalesce(min(p), $MaxPlanes) AS np
           FROM range($MinPlanes, ${MaxPlanes + 1}) t(p)
           CROSS JOIN (SELECT count(*) AS n FROM $corpusRel) c
           WHERE (CAST(1 AS BIGINT) << p) * $targetPop >= c.n)"""
