@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.{FileSourceScanExec, InputAdapter, SparkPlan, WholeStageCodegenExec}
 
 /** One-shot plan audit across the ENTIRE query registry: builds every
   * query's physical plan (no execution) and flags the shapes that do not
@@ -37,11 +37,25 @@ object PlanAudit {
 
   /** Names of big tables scanned OUTSIDE any WholeStageCodegen span.
     * (The scan node lives inside the WSCG subtree via InputAdapter /
-    * ColumnarToRow when codegen fired for its consuming stage.) */
-  private def scansOutsideCodegen(p: SparkPlan, under: Boolean = false): Seq[String] =
+    * ColumnarToRow when codegen fired for its consuming stage.)
+    *
+    * InputAdapter is the codegen-STAGE boundary: everything below it
+    * belongs to other stages, so `under` resets there — otherwise a scan
+    * whose own stage failed codegen would count as covered whenever ANY
+    * ancestor stage had WSCG, and the detector would only fire with
+    * codegen globally off. The one shape that stays covered across the
+    * boundary is a scan that is itself the adapter's direct child (the
+    * stage's input iterator — e.g. a columnar parquet scan feeding
+    * ColumnarToRow): no interpreted operator work happens there. */
+  private[graft] def scansOutsideCodegen(p: SparkPlan, under: Boolean = false): Seq[String] =
     p match {
       case w: WholeStageCodegenExec =>
         w.children.flatMap(scansOutsideCodegen(_, under = true))
+      case i: InputAdapter =>
+        i.children.flatMap {
+          case s: FileSourceScanExec => scansOutsideCodegen(s, under)
+          case c => scansOutsideCodegen(c, under = false)
+        }
       case s: FileSourceScanExec =>
         val table = s.relation.location.rootPaths.headOption
           .map(_.getName.stripSuffix(".parquet")).getOrElse("")

@@ -18,8 +18,10 @@ import org.apache.spark.sql.functions._
   * from the corpus count, its 10× ratio is ~2×.)
   *
   * Usage:
-  *   runMain graft.ScaleProbe [mult]        ratio table (default mult=10;
-  *                                          replicas at /tmp/graft_scale_x<mult>)
+  *   runMain graft.ScaleProbe [mult]        ratio table (default mult=30 —
+  *                                          the widest span that still runs
+  *                                          in minutes; replicas at
+  *                                          /tmp/graft_scale_x<mult>)
   *   runMain graft.ScaleProbe spill [mult]  spill-path probe: re-runs the
   *     full dedup pipeline (dedup_keep_canonical: banded candidates →
   *     large-star/small-star CC → corpus join → summary) at <mult>× with
@@ -34,12 +36,13 @@ object ScaleProbe {
     "dedup_minhash_fast", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_simhash", "dedup_simhash_pairs", "dedup_simhash64_pairs",
     "dedup_containment", "dedup_embedding_lsh", "sim_topk_bruteforce",
+    "sim_lsh_ann", "sim_lsh_multiprobe",
     "text_pipeline_e2e", "pack_sequences")
 
   def main(args: Array[String]): Unit = {
     val spillMode = args.headOption.contains("spill")
     val mult = (if (spillMode) args.drop(1) else args)
-      .headOption.map(_.toInt).getOrElse(10)
+      .headOption.map(_.toInt).getOrElse(30)
     val base = "/root/testdata/sf0.1"
     val out = s"/tmp/graft_scale_x$mult"
     // spill mode runs 8-way, not 32-way: the squeeze leaves each task its
@@ -63,19 +66,6 @@ object ScaleProbe {
     }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-
-    // track spill across all tasks (local mode: listener sees every task)
-    val spilledMem = new java.util.concurrent.atomic.AtomicLong
-    val spilledDisk = new java.util.concurrent.atomic.AtomicLong
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-        val m = te.taskMetrics
-        if (m != null) {
-          spilledMem.addAndGet(m.memoryBytesSpilled)
-          spilledDisk.addAndGet(m.diskBytesSpilled)
-        }
-      }
-    })
 
     // documents: suffix every word with the copy tag → vocabularies are
     // disjoint across copies, so cross-copy shingle/minhash matches vanish
@@ -125,6 +115,22 @@ object ScaleProbe {
       }.drop(1).min
 
     SparkEntry.entry(spark).count() // warm session machinery
+
+    // track spill across all tasks (local mode: the listener sees every
+    // task). Registered HERE — after replica generation and warm-up, whose
+    // writes also run under the squeezed memory fraction and would
+    // otherwise be charged to the probed pipeline's spill numbers.
+    val spilledMem = new java.util.concurrent.atomic.AtomicLong
+    val spilledDisk = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          spilledMem.addAndGet(m.memoryBytesSpilled)
+          spilledDisk.addAndGet(m.diskBytesSpilled)
+        }
+      }
+    })
 
     if (spillMode) {
       // completion under memory pressure is the assertion: a wrong-shaped

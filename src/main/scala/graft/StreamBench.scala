@@ -15,7 +15,17 @@ import graft.rules.{ReferenceCorpus, RuleDef}
   * Batch micro-benchmark — the same logical plan Structured Streaming runs
   * per micro-batch, without trigger-scheduling noise.
   *
-  * Run: sbt "runMain graft.StreamBench [nRows] [nRules]"
+  * Run: sbt "runMain graft.StreamBench [nRows] [nRules] [shards]"
+  *
+  * shards > 1 measures the rule-SHARDING latency mode: the rule set is
+  * split across `shards` concurrent streaming queries, each reading its
+  * own rate source (the local-mode analog of K consumers in one Kafka
+  * consumer group) and evaluating only rules/K predicates per trigger.
+  * This is the documented mitigation for the fixed per-trigger dispatch
+  * cost at very large rule counts — per-trigger latency drops ~K× at the
+  * cost of K source consumers. With shards > 1 only the latency section
+  * runs (the batch-throughput numbers are a property of the merged plan,
+  * unchanged by sharding).
   *
   * nRules > 25 exercises the 1000-rule scale path (SURVEY §4 "plan size"):
   * the corpus is cloned with an extra per-variant conjunct — every variant's
@@ -42,6 +52,7 @@ object StreamBench {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(2000000L)
     val nRules = args.drop(1).headOption.map(_.toInt).getOrElse(25)
+    val shards = args.drop(2).headOption.map(_.toInt).getOrElse(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -62,26 +73,28 @@ object StreamBench {
     }
     val measureUnion = rules.size <= 50
 
-    // warm up codegen for the measured plans
-    AlertPipeline.alertsMerged(load.limit(1000), rules).count()
-    if (measureUnion) AlertPipeline.alerts(load.limit(1000), rules).count()
+    if (shards == 1) {
+      // warm up codegen for the measured plans
+      AlertPipeline.alertsMerged(load.limit(1000), rules).count()
+      if (measureUnion) AlertPipeline.alerts(load.limit(1000), rules).count()
 
-    val (alertsMerged, tMerged) =
-      time(AlertPipeline.alertsMerged(load, rules).count())
-    val unionPart =
-      if (measureUnion) {
-        val (alertsUnion, tUnion) = time(AlertPipeline.alerts(load, rules).count())
-        require(alertsMerged == alertsUnion, s"$alertsMerged != $alertsUnion")
-        s""","union_sec":${"%.2f".format(tUnion)},"union_eps":${(n / tUnion).toLong}"""
-      } else ""
+      val (alertsMerged, tMerged) =
+        time(AlertPipeline.alertsMerged(load, rules).count())
+      val unionPart =
+        if (measureUnion) {
+          val (alertsUnion, tUnion) = time(AlertPipeline.alerts(load, rules).count())
+          require(alertsMerged == alertsUnion, s"$alertsMerged != $alertsUnion")
+          s""","union_sec":${"%.2f".format(tUnion)},"union_eps":${(n / tUnion).toLong}"""
+        } else ""
 
-    val planNodes = AlertPipeline.alertsMerged(load, rules)
-      .queryExecution.optimizedPlan.collect { case p => p }.size
+      val planNodes = AlertPipeline.alertsMerged(load, rules)
+        .queryExecution.optimizedPlan.collect { case p => p }.size
 
-    println(s"""{"metric":"detect_throughput_eps","value":${(n / tMerged).toLong},""" +
-      s""""unit":"events/sec","events":$n,"rules":${rules.size},""" +
-      s""""alerts":$alertsMerged,"plan_nodes":$planNodes,""" +
-      s""""merged_sec":${"%.2f".format(tMerged)}$unionPart}""")
+      println(s"""{"metric":"detect_throughput_eps","value":${(n / tMerged).toLong},""" +
+        s""""unit":"events/sec","events":$n,"rules":${rules.size},""" +
+        s""""alerts":$alertsMerged,"plan_nodes":$planNodes,""" +
+        s""""merged_sec":${"%.2f".format(tMerged)}$unionPart}""")
+    }
 
     // ---- micro-batch latency: the one axis where the Flink reference
     // architecturally differs (per-record push vs micro-batch pull). Run
@@ -91,42 +104,66 @@ object StreamBench {
     // detection latency an alert consumer sees over Flink's per-record
     // path. Unthrottled trigger: each batch drains what arrived during the
     // previous one, so the measured durations are the steady-state floor.
-    val durations = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    // per-query duration queues so each shard's codegen warm-up triggers
+    // can be dropped independently
+    val durations = scala.collection.concurrent.TrieMap
+      .empty[java.util.UUID, java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]]
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       import org.apache.spark.sql.streaming.StreamingQueryListener._
       override def onQueryStarted(e: QueryStartedEvent): Unit = ()
       override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
       override def onQueryProgress(e: QueryProgressEvent): Unit = {
         val d = e.progress.durationMs.get("triggerExecution")
-        if (e.progress.numInputRows > 0 && d != null) durations.add(d)
+        if (e.progress.numInputRows > 0 && d != null)
+          durations.getOrElseUpdate(e.progress.id,
+            new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()).add(d)
       }
     }
     spark.streams.addListener(listener)
-    val stream = spark.readStream.format("rate")
-      .option("rowsPerSecond", sys.env.getOrElse("SPARK_GRAFT_STREAM_RPS", "50000"))
-      .option("numPartitions", 8).load()
-      .select(col("value").as("event_id"), col("timestamp").as("ts"))
-    val q = AlertPipeline
-      .alertsMerged(Detection.nestedFrom(Detection.synthFrom(stream)), rules)
-      .writeStream.format("noop").outputMode("append").start()
+    // shard the rule set across `shards` concurrent queries: each query
+    // reads its own rate source (K consumers of the same feed — the Kafka
+    // consumer-group shape) and dispatches only its slice of the rules, so
+    // the fixed per-trigger dispatch cost divides by K
+    val ruleShards = rules.grouped(
+      math.ceil(rules.size.toDouble / shards).toInt).toSeq
+    // 8 source partitions per shard: predicate evaluation is CPU-bound, so
+    // starving a shard of partitions (e.g. 32/shards) makes its trigger
+    // queue diverge — measured p50 went 4.1 s → 37 s at K=4 when dropped
+    // to 2. At K=8 this oversubscribes 32 cores (64 tasks) and shards
+    // contend; on a real cluster each shard runs on its own executors.
+    val qs = ruleShards.map { g =>
+      val stream = spark.readStream.format("rate")
+        .option("rowsPerSecond", sys.env.getOrElse("SPARK_GRAFT_STREAM_RPS", "50000"))
+        .option("numPartitions", 8).load()
+        .select(col("value").as("event_id"), col("timestamp").as("ts"))
+      AlertPipeline
+        .alertsMerged(Detection.nestedFrom(Detection.synthFrom(stream)), g)
+        .writeStream.format("noop").outputMode("append").start()
+    }
+    val perShard = 28
     try {
-      // 25 measured batches ≈ a stable percentile; cap wall time regardless
-      // (large rule counts take much longer per trigger — the first pays
-      // whole-stage codegen over the 1000-conjunct dispatch — so the cap
-      // scales with the rule count and is env-overridable)
+      // ~25 measured batches per shard ≈ a stable percentile; cap wall
+      // time regardless (large rule counts take much longer per trigger —
+      // the first pays whole-stage codegen over the 1000-conjunct
+      // dispatch — so the cap scales with the rule count and is
+      // env-overridable)
       val capSec = sys.env.getOrElse("SPARK_GRAFT_STREAM_SEC",
-        if (rules.size > 50) "240" else "60").toLong
+        if (rules.size / shards > 50) "240" else "90").toLong
       val deadline = System.nanoTime() + capSec * 1000 * 1000 * 1000
-      while (durations.size < 28 && System.nanoTime() < deadline) Thread.sleep(200)
-    } finally { q.stop(); spark.streams.removeListener(listener) }
-    val all = durations.toArray(Array.empty[java.lang.Long]).map(_.toLong)
-    // first triggers pay codegen/broadcast warm-up, not latency — but keep
-    // at least half the sample when few batches completed
-    val ds = all.drop(math.min(3, all.length / 2)).sorted
+      while ((durations.size < qs.size || durations.values.exists(_.size < perShard))
+          && System.nanoTime() < deadline) Thread.sleep(200)
+    } finally { qs.foreach(_.stop()); spark.streams.removeListener(listener) }
+    // first triggers pay codegen/broadcast warm-up, not latency — drop
+    // them per shard, but keep at least half the sample when few
+    // batches completed
+    val ds = durations.values.toSeq.flatMap { q =>
+      val all = q.toArray(Array.empty[java.lang.Long]).map(_.toLong)
+      all.drop(math.min(3, all.length / 2))
+    }.sorted
     def pct(p: Double): Long =
       if (ds.isEmpty) -1 else ds(math.min(ds.length - 1, math.ceil(p * ds.length).toInt - 1))
     println(s"""{"metric":"detect_latency_ms","rules":${rules.size},""" +
-      s""""batches":${ds.length},"p50":${pct(0.5)},"p95":${pct(0.95)},""" +
+      s""""shards":$shards,"batches":${ds.length},"p50":${pct(0.5)},"p95":${pct(0.95)},""" +
       s""""max":${if (ds.isEmpty) -1 else ds.last}}""")
     spark.stop()
   }

@@ -25,4 +25,23 @@ class PlanAuditSpec extends SparkSpec {
         s"detector failed to fire with codegen off: $flagged")
     } finally spark.conf.set("spark.sql.codegen.wholeStage", before)
   }
+
+  test("interpreted-scan detector resets at codegen-stage boundaries (mixed plans)") {
+    // A WSCG ancestor must not cover scans that sit in a DIFFERENT (failed)
+    // codegen stage below an InputAdapter — but a scan that IS the
+    // adapter's direct child (the stage's input iterator) stays covered.
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val scan = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .queryExecution.sparkPlan
+      .collect { case s: FileSourceScanExec => s }.head
+    val covered = WholeStageCodegenExec(InputAdapter(scan))(1)
+    val mixed = WholeStageCodegenExec(InputAdapter(
+      FilterExec(Literal.TrueLiteral, scan)))(1)
+    assert(PlanAudit.scansOutsideCodegen(covered).isEmpty,
+      "scan feeding its own stage's input must stay covered")
+    assert(PlanAudit.scansOutsideCodegen(mixed) == Seq("documents"),
+      "scan under an interpreted operator below the stage boundary must flag")
+  }
 }

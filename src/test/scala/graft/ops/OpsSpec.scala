@@ -74,17 +74,47 @@ class OpsSpec extends SparkSpec {
     assert(row.getAs[Int]("n_bytes") == n)
   }
 
-  test("approx sketches stay within tolerance of exact values") {
+  test("approx sketches honor their parameterized theoretical error bounds") {
+    // Sketch parameters as declared in agg_approx_sketch (Relational.scala):
+    // - approx_count_distinct: Spark's default relativeSD = 0.05, the HLL++
+    //   STANDARD error. Hard bound asserted at 3σ (99.7% for a random key
+    //   set; deterministic for this fixed dataset, so a violation means the
+    //   sketch parameters or implementation changed, not bad luck). The 1σ
+    //   assertion is an empirical regression pin on this data.
+    // - percentile_approx(accuracy=1000): Greenwald–Khanna-style RANK
+    //   guarantee — the returned value is an actual element of the group
+    //   whose rank is within eps·n = n/1000 of the target rank 0.5·n (+2
+    //   ranks of slack for partial-summary merge discretization). Asserted
+    //   in RANK space: a value-space envelope via interpolated exact
+    //   percentiles breaks on discrete data at small n.
+    val rsd = 0.05
+    val eps = 1.0 / 1000
     val approx = Relational.queries("agg_approx_sketch")(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // per-group median lookup column (5 groups) so ranks compute in one agg
+    val apCol = approx.foldLeft(lit(null).cast("double")) {
+      case (acc, (k, (_, v))) => when(col("event_type") === k, lit(v)).otherwise(acc)
+    }
     val exact = graft.engine.Tables(spark, dir, "events")
       .groupBy("event_type")
-      .agg(countDistinct("user_id").as("d"), expr("percentile(value, 0.5)").as("p50"))
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
-    exact.foreach { case (k, (d, p50)) =>
+      .agg(countDistinct("user_id").as("d"), count(lit(1)).as("n"),
+        sum(when(col("value") < apCol, 1L).otherwise(0L)).as("below"),
+        sum(when(col("value") <= apCol, 1L).otherwise(0L)).as("atOrBelow"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    exact.foreach { case (k, (d, n, below, atOrBelow)) =>
       val (ad, ap50) = approx(k)
-      assert(math.abs(ad - d).toDouble / d <= 0.05, s"$k distinct: $ad vs $d")
-      assert(math.abs(ap50 - p50) / math.max(math.abs(p50), 1) <= 0.1, s"$k p50: $ap50 vs $p50")
+      val err = math.abs(ad - d).toDouble / d
+      assert(err <= 3 * rsd, s"$k distinct: $ad vs $d breaks the 3*rsd HLL bound")
+      assert(err <= rsd, s"$k distinct: $ad vs $d (1-sigma empirical pin)")
+      // the returned value occupies ranks [below+1, atOrBelow]; that
+      // interval must come within eps*n + 2 of the target rank
+      val target = 0.5 * n
+      val slack = eps * n + 2
+      assert(below + 1 - slack <= target && target <= atOrBelow + slack,
+        s"$k p50=$ap50 rank interval [${below + 1}, $atOrBelow] " +
+          s"misses target $target by more than $slack")
     }
   }
 
@@ -380,8 +410,14 @@ class OpsSpec extends SparkSpec {
       exact.map { case (q, t) => m.getOrElse(q, Set.empty).count(t).toDouble / t.size }
         .sum / exact.size
     // the multi-probe candidate set is a superset (exact bucket + all
-    // Hamming-1 buckets), so its top-3 can only rank better or equal
-    assert(recall(top("sim_lsh_multiprobe")) >= recall(top("sim_lsh_ann")) - 1e-9)
+    // Hamming-1 buckets), so its top-3 can only rank better or equal —
+    // EXCEPT when an added candidate TIES a true neighbor's 6-decimal
+    // rounded cosine and wins the nid tie-break, displacing it from the
+    // top-3; tolerate exactly one such displaced item across all queries
+    // (1 item = 1/3 of one query's recall term, averaged over queries)
+    val tieTolerance = 1.0 / (3 * exact.size)
+    assert(recall(top("sim_lsh_multiprobe"))
+      >= recall(top("sim_lsh_ann")) - tieTolerance - 1e-9)
   }
 
   test("k-means IVF: every query gets 3 ranked neighbors, nonzero recall vs brute force") {
