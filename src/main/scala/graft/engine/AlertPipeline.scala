@@ -227,12 +227,19 @@ object AlertPipeline {
 
   /** End-to-end streaming job from resolved config (S5 templating): any
     * [[Sources]] source → watermark → rule fan-out → any [[Sources]] sink,
-    * as ONE streaming query. */
+    * as ONE streaming query. `trigger=availableNow` selects the bounded
+    * replay mode (process every record already in the source, commit, then
+    * stop — the batch-replay shape for file-source reprocessing); any
+    * other value is a ProcessingTime interval, default continuous. */
   def start(spark: SparkSession, rules: Seq[RuleDef], conf: Map[String, String]): StreamingQuery = {
     val src = Sources.source(spark, conf)
     val watermarked = src.withWatermark("timestamp", conf.getOrElse("watermark", "5 seconds"))
+    val trigger = conf.getOrElse("trigger", "0 seconds") match {
+      case "availableNow" => Trigger.AvailableNow()
+      case interval => Trigger.ProcessingTime(interval)
+    }
     Sources.sink(alerts(watermarked, rules), conf)
-      .trigger(Trigger.ProcessingTime(conf.getOrElse("trigger", "0 seconds")))
+      .trigger(trigger)
       .start()
   }
 }

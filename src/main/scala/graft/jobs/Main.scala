@@ -21,6 +21,10 @@ import graft.rules.ReferenceCorpus
   * deployment shape, windows-process-access.sql:28-30). `--rules builtin`
   * runs the transcribed 25-rule reference corpus; a directory compiles
   * every Sigma YAML file through [[RuleCompiler]] (C8, main.py:211-229).
+  * `--conf spark.*=...` pairs pass through to the SparkSession builder
+  * (the spark-submit `--conf` shape; e.g. `spark.master=local[8]` to run
+  * outside a cluster). `--conf trigger=availableNow` replays everything
+  * currently in the source and exits — the bounded file-replay mode.
   *
   * Topology: ONE streaming query — shared Kafka scan, N×(filter→project),
   * UNION ALL, one sink (never one query per rule; SURVEY §4).
@@ -35,9 +39,12 @@ object Main {
     }
     require(rules.nonEmpty, "no rules compiled")
 
-    val spark = SparkSession.builder()
-      .appName("graft-alerts")
-      .config("spark.sql.session.timeZone", "UTC")
+    val spark = conf.filter { case (k, _) => k.startsWith("spark.") }
+      .foldLeft(SparkSession.builder()
+        .appName("graft-alerts")
+        .config("spark.sql.session.timeZone", "UTC")) {
+        case (b, (k, v)) => b.config(k, v)
+      }
       .getOrCreate()
     val query = AlertPipeline.start(spark, rules, conf)
     query.awaitTermination()

@@ -155,6 +155,22 @@ class StreamingSpec extends SparkSpec {
       .getAs[scala.collection.Seq[String]](0).toSeq == Seq("u1"))
   }
 
+  test("availableNow trigger drains the file source and self-terminates (bounded replay)") {
+    val inDir = java.nio.file.Files.createTempDirectory("graft-an-in")
+    val outDir = java.nio.file.Files.createTempDirectory("graft-an-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-an-ckpt").toString
+    java.nio.file.Files.writeString(inDir.resolve("events.json"),
+      json("u1", "C:\\\\Windows\\\\System32\\\\lsass.exe") + "\n")
+    val conf = Map(
+      "source.type" -> "files", "source.path" -> inDir.toString,
+      "sink.type" -> "files", "sink.path" -> outDir, "checkpoint" -> ckpt,
+      "trigger" -> "availableNow")
+    val q = AlertPipeline.start(spark, Seq(ReferenceCorpus.mimikatzWinrm), conf)
+    try assert(q.awaitTermination(120000), "availableNow query did not self-terminate")
+    finally if (q.isActive) q.stop()
+    assert(spark.read.parquet(outDir).count() == 1)
+  }
+
   test("sequence correlation: A-state persists across micro-batches (flatMapGroupsWithState)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
