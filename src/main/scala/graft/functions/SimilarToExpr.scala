@@ -141,9 +141,14 @@ object GraftFunctions {
       simHash._1, simHash._2, simHash._3)
     spark.sessionState.functionRegistry.registerFunction(
       intersectCount._1, intersectCount._2, intersectCount._3)
-    // bounded-state distributed top-3: topk3_ids(score, id) → struct(ids)
+    // bounded-state distributed top-k: topkN_ids(score, id) → struct(ids).
+    // k=3 is the ANN result size; k=8 is the quantized-scan candidate pool
+    // reranked exactly by sim_q8_rerank.
     spark.udf.register("topk3_ids",
       org.apache.spark.sql.functions.udaf(new TopKAgg(3),
+        org.apache.spark.sql.Encoders.product[ScoredId]))
+    spark.udf.register("topk8_ids",
+      org.apache.spark.sql.functions.udaf(new TopKAgg(8),
         org.apache.spark.sql.Encoders.product[ScoredId]))
     // optimizer rewrite: size(array_intersect) → fused intersect_count.
     // experimental.extraOptimizations reaches an ALREADY-BUILT session

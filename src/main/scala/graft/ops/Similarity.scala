@@ -270,6 +270,47 @@ object Similarity {
         q.join(c, col("pb") === col("cb"))
           .select(col("qid"), col("nid"),
             round(expr(dotExpr) / (col("qn") * col("cn")), 6).as("cos_r")))
+    }),
+
+    // Two-stage retrieval over an int8 SCALAR-QUANTIZED index — the
+    // production memory-bandwidth lever: stage 1 scans quantized vectors
+    // (4× smaller than float32, so a 100 TB corpus scans as ~25 TB) and
+    // keeps an approximate top-8 per query; stage 2 reranks only those ≤8
+    // candidates with exact cosine. Quantization is per-vector symmetric:
+    // scale = 127 / max|x| (floored at 1e-12 so a zero vector quantizes to
+    // zeros instead of NULLs), q_i = round(x_i · 127 / max|x|) as int8-range
+    // ints. Stage-1 scores are integer dot products (≤ 64·127² ≪ 2⁵³), so
+    // they are EXACT in both engines regardless of summation order — the
+    // approx ranking is bit-for-bit replayable, with no rounding channel.
+    // Index built once per session (cachedFrame); the per-element transform
+    // HOF runs interpreted but only at index build, off the probe path.
+    "sim_q8_rerank" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val e = Tables(s, dir, "embeddings")
+      def maxAbs(c: String) =
+        s"greatest(array_max(transform($c, x -> abs(CAST(x AS DOUBLE)))), 1e-12)"
+      def quant(c: String) =
+        s"transform($c, x -> CAST(round(CAST(x AS DOUBLE) * 127.0D / ${maxAbs(c)}) AS INT))"
+      val cq = Tables.cachedFrame(s, dir, "q8_index")(
+        e.filter(col("vec_id") >= 8).select(
+          col("vec_id").as("nid"), col("embedding").as("ce"),
+          expr(normExpr("embedding")).as("cn"),
+          expr(quant("embedding")).as("c8")))
+      val q = e.filter(col("vec_id") < 8).select(
+        col("vec_id").as("qid"), col("embedding").as("qe"),
+        expr(normExpr("embedding")).as("qn"),
+        expr(quant("embedding")).as("q8"))
+      // stage 1: bounded top-8 per query over the quantized scan
+      val cand = cq.crossJoin(broadcast(q.select(col("qid"), col("q8"))))
+        .select(col("qid"), col("nid"), expr("vec_dot(q8, c8)").as("qdot"))
+        .groupBy("qid").agg(expr("topk8_ids(qdot, nid)").as("top"))
+        .select(col("qid").as("cqid"), explode(col("top.ids")).as("cnid"))
+      // stage 2: exact cosine over ≤8 candidates per query
+      topK3(cand
+        .join(cq, col("cnid") === col("nid"))
+        .join(broadcast(q.select(col("qid"), col("qe"), col("qn"))), col("cqid") === col("qid"))
+        .select(col("qid"), col("nid"),
+          round(expr(dotExpr) / (col("qn") * col("cn")), 6).as("cos_r")))
     })
   )
 
@@ -458,6 +499,41 @@ object Similarity {
             WHERE p < params.np),
           c AS (SELECT vec_id AS nid, embedding AS ce, bucket AS cb FROM withb WHERE vec_id >= 8),
           pairs AS (SELECT qid, nid, qe, ce FROM probes JOIN c ON pb = cb),
+          dots AS ($dotsSql),
+          ranked AS (
+            SELECT qid, nid, round(dot / (nq * nc), 6) AS cos_r,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY round(dot / (nq * nc), 6) DESC, nid) AS rank
+            FROM dots)
+          SELECT qid, rank, nid FROM ranked WHERE rank <= 3 ORDER BY qid, rank""",
+
+    // replay the symmetric int8 quantization (round(x·127/max|x|)), the
+    // integer-exact approx top-8, and the exact top-3 rerank
+    "sim_q8_rerank" ->
+      s"""WITH q AS (
+            SELECT vec_id AS qid, embedding AS qe,
+                   greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-12) AS qs
+            FROM embeddings WHERE vec_id < 8),
+          c AS (
+            SELECT vec_id AS nid, embedding AS ce,
+                   greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-12) AS cs
+            FROM embeddings WHERE vec_id >= 8),
+          qcomp AS (SELECT qid, qs, unnest(qe) AS xq, generate_subscripts(qe, 1) AS d FROM q),
+          ccomp AS (SELECT nid, cs, unnest(ce) AS xc, generate_subscripts(ce, 1) AS d FROM c),
+          qdots AS (
+            SELECT qid, nid,
+                   sum(round(CAST(xq AS DOUBLE) * 127.0 / qs)
+                       * round(CAST(xc AS DOUBLE) * 127.0 / cs)) AS qdot
+            FROM qcomp JOIN ccomp USING (d) GROUP BY qid, nid),
+          cand AS (
+            SELECT qid, nid FROM (
+              SELECT qid, nid,
+                     row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, nid) AS rk
+              FROM qdots)
+            WHERE rk <= 8),
+          pairs AS (
+            SELECT q.qid, c.nid, q.qe, c.ce
+            FROM cand JOIN q USING (qid) JOIN c USING (nid)),
           dots AS ($dotsSql),
           ranked AS (
             SELECT qid, nid, round(dot / (nq * nc), 6) AS cos_r,

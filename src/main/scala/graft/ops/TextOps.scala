@@ -38,7 +38,52 @@ object TextOps {
       .select(col("doc_id"),
         (conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long") % P).as("gid"))
 
+  /** BM25 query terms (fixed, so both engines sum contributions in the
+    * same syntactic order — cross-row float aggregation never feeds the
+    * output: N/df/tf/dl are integers, avgdl = exact-integer-sum / count). */
+  private val bm25Terms = Seq("hash", "join", "vector", "stream")
+
+  /** The per-doc BM25 score as ONE formula string shared verbatim by the
+    * Spark expr and the DuckDB oracle — identical text, identical
+    * left-associative evaluation order, and `e0`-suffixed literals so both
+    * engines parse DOUBLE (a bare `1.2` types as DECIMAL in both, with
+    * engine-specific promotion rules). k1=1.2, b=0.75; idf is the
+    * Robertson/Sparck-Jones form with the +1 floor (always positive). */
+  private def bm25ScoreSql: String = bm25Terms.indices.map { i =>
+    s"""ln((n - df$i + 0.5e0) / (df$i + 0.5e0) + 1.0e0)
+        * (tf$i * (1.2e0 + 1.0e0))
+        / (tf$i + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * dl / avgdl))"""
+  }.mkString(" + ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // BM25 relevance search (Robertson/Sparck-Jones idf with +1 floor,
+    // k1=1.2, b=0.75): the lexical retrieval baseline a training-data
+    // pipeline uses for corpus search / targeted decontamination. Scale
+    // shape: corpus stats (N, avgdl, per-term df) are ONE global
+    // aggregation reduced to a single broadcast row; scoring is a narrow
+    // codegen'd pass (per-term tf via array filter — no explode, no
+    // shuffle); top-10 is TakeOrderedAndProject (bounded per-partition
+    // top-k, no data-bearing single-partition exchange). At 100 TB the
+    // stats row comes from one pass (or index metadata) and everything
+    // else stays embarrassingly parallel.
+    "text_bm25_topk" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(
+          col("doc_id") +: size(col("toks")).as("dl") +:
+            bm25Terms.zipWithIndex.map { case (t, i) =>
+              expr(s"size(filter(toks, x -> x = '$t'))").as(s"tf$i")
+            }: _*)
+      val stats = docs.agg(
+        count(lit(1)).as("n"),
+        avg(col("dl")).as("avgdl") +:
+          bm25Terms.indices.map(i =>
+            sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
+      docs.crossJoin(broadcast(stats))
+        .select(col("doc_id"), round(expr(bm25ScoreSql), 6).as("bm25_r"), col("dl"))
+        .orderBy(col("bm25_r").desc, col("doc_id")).limit(10)
+    }),
+
     // Token counting: whitespace tokens, regex (BPE-ish pre-tokenizer)
     // tokens, chars, and a chars/4 BPE estimate.
     "text_tokens" -> ((s, dir) => {
@@ -235,6 +280,21 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical tokenization (space split), integer tf/df/dl/N, exact
+    // integer-sum avgdl, and the VERBATIM shared bm25ScoreSql formula
+    "text_bm25_topk" -> {
+      val tfs = bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"len(list_filter(toks, x -> x = '$t')) AS tf$i"
+      }.mkString(", ")
+      val dfs = bm25Terms.indices.map(i =>
+        s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          f AS (SELECT doc_id, len(toks) AS dl, $tfs FROM d),
+          stats AS (SELECT count(*) AS n, avg(dl) AS avgdl, $dfs FROM f)
+          SELECT doc_id, round($bm25ScoreSql, 6) AS bm25_r, dl
+          FROM f CROSS JOIN stats
+          ORDER BY bm25_r DESC, doc_id LIMIT 10"""
+    },
     "text_tokens" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
                 len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)) AS re_tokens,

@@ -420,6 +420,44 @@ class OpsSpec extends SparkSpec {
       >= recall(top("sim_lsh_ann")) - tieTolerance - 1e-9)
   }
 
+  test("int8 quantize-then-rerank: full result shape, high recall vs brute force") {
+    def top(name: String): Map[Long, Set[Long]] =
+      Similarity.queries(name)(spark, dir).collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val exact = top("sim_topk_bruteforce")
+    val q8 = top("sim_q8_rerank")
+    assert(q8.keySet == exact.keySet, "every query must return candidates")
+    assert(q8.values.forall(_.size == 3))
+    // int8 symmetric quantization barely perturbs cosine ordering, and the
+    // exact rerank fixes any inversion INSIDE the top-8 pool — only a true
+    // neighbor pushed out of the approx top-8 can be lost
+    val recall = exact.map { case (q, t) => q8(q).count(t).toDouble / t.size }
+      .sum / exact.size
+    assert(recall >= 0.75, s"recall $recall")
+  }
+
+  test("BM25 top-10: descending scores, deterministic ties, hits contain a query term") {
+    val rows = TextOps.queries("text_bm25_topk")(spark, dir).collect()
+    assert(rows.length == 10)
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, "not descending")
+    // tie-break: equal rounded scores must come out in doc_id order
+    rows.sliding(2).foreach { case Array(a, b) =>
+      if (a.getDouble(1) == b.getDouble(1)) assert(a.getLong(0) < b.getLong(0))
+    }
+    // every hit actually contains at least one of the query terms
+    val ids = rows.map(_.getLong(0)).toSet
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id").isin(ids.toSeq: _*))
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val terms = Seq("hash", "join", "vector", "stream")
+    ids.foreach { id =>
+      val words = texts(id).split(" ").toSet
+      assert(terms.exists(words), s"doc $id has no query term")
+    }
+  }
+
   test("k-means IVF: every query gets 3 ranked neighbors, nonzero recall vs brute force") {
     def top(name: String): Map[Long, Set[Long]] =
       Similarity.queries(name)(spark, dir).collect()
