@@ -130,6 +130,11 @@ object GraftFunctions {
     new ExpressionInfo(classOf[IntersectCountExpr].getName, "intersect_count"),
     binary("intersect_count", IntersectCountExpr))
 
+  val minHash16: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("minhash16"),
+    new ExpressionInfo(classOf[MinHash16Expr].getName, "minhash16"),
+    unary("minhash16", MinHash16Expr))
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       similarTo._1, similarTo._2, similarTo._3)
@@ -141,6 +146,8 @@ object GraftFunctions {
       simHash._1, simHash._2, simHash._3)
     spark.sessionState.functionRegistry.registerFunction(
       intersectCount._1, intersectCount._2, intersectCount._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      minHash16._1, minHash16._2, minHash16._3)
     // bounded-state distributed top-k: topkN_ids(score, id) → struct(ids).
     // k=3 is the ANN result size; k=8 is the quantized-scan candidate pool
     // reranked exactly by sim_q8_rerank.
@@ -172,6 +179,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.vecSqDist)
     ext.injectFunction(GraftFunctions.simHash)
     ext.injectFunction(GraftFunctions.intersectCount)
+    ext.injectFunction(GraftFunctions.minHash16)
     ext.injectOptimizerRule(_ => IntersectCountRule)
   }
 }

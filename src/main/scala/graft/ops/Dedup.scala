@@ -112,12 +112,15 @@ object Dedup {
 
   /** Banded minhash signatures per doc with ZERO shuffles: 16 permutations
     * → 8 bands × 2 rows, band key = mh(2j)·P + mh(2j+1) (both < P = 2³¹−1,
-    * so the combination fits a long exactly). Each permutation's minhash is
-    * an `array_min(transform(sids, ...))` over the per-row shingle-id array
-    * — the signature build never leaves the scan stage (the round-2
-    * version shuffled the full (doc_id, sid) posting stream through a
-    * 16-min groupBy; at 100 TB that shuffle IS the token stream). Same
-    * per-row topology as streaming/StreamingDedup's at-ingest signatures.
+    * so the combination fits a long exactly). All 16 permutation minima
+    * come from ONE fused codegen'd pass over the per-row shingle-id array
+    * (`minhash16` — graft.functions.MinHash16Expr; the earlier sixteen
+    * `array_min(transform(...))` columns ran on the interpreted HOF path
+    * and were the largest job in the pipeline). The signature build never
+    * leaves the scan stage (the round-2 version shuffled the full
+    * (doc_id, sid) posting stream through a 16-min groupBy; at 100 TB that
+    * shuffle IS the token stream). Same per-row topology as
+    * streaming/StreamingDedup's at-ingest signatures.
     *
     * Band width r=2 is the LSH tuning knob: with r=1 a single colliding
     * minhash makes a candidate, so pairs at Jaccard 0.05 still collide
@@ -127,15 +130,11 @@ object Dedup {
     * while the planted near-dups (J ≥ 0.8) still collide with
     * p = 1−(1−0.64)⁸ ≈ 0.9997. */
   private def bandSigs(docSids: DataFrame): DataFrame = {
-    val mhs = (0 until 16).map { i =>
-      val a = i * 12345L + 1103515245L
-      val b = i * 987654L + 67867967L
-      expr(s"array_min(transform(sids, s -> (($a * s + $b) % $P)))").as(s"mh$i")
-    }
-    docSids.select(col("doc_id") +: mhs: _*)
+    graft.functions.GraftFunctions.register(docSids.sparkSession)
+    docSids.select(col("doc_id"), expr("minhash16(sids)").as("mh"))
       .select(col("doc_id"), explode(array((0 until 8).map(j =>
         struct(lit(j.toLong).as("band"),
-          (col(s"mh${2 * j}") * P + col(s"mh${2 * j + 1}")).as("bsig"))): _*)).as("bs"))
+          (col("mh")(2 * j) * P + col("mh")(2 * j + 1)).as("bsig"))): _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
   }
 

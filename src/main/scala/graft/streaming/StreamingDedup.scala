@@ -36,23 +36,23 @@ object StreamingDedup {
   /** (doc_id, band, bsig) — one row per band per doc; everything up to the
     * explode is per-row narrow algebra. */
   def bandedSignatures(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val sids = expr(
       """transform(
            array_distinct(transform(sequence(0, size(w) - 3),
              i -> concat_ws(' ', w[i], w[i+1], w[i+2]))),
            g -> abs(xxhash64(g)) % 2147483647)""")
-    val mhs: Seq[Column] = (0 until 16).map { i =>
-      expr(s"array_min(transform(sids, x -> (x * ${i * 12345L + 1103515245L} " +
-        s"+ ${i * 987654L + 67867967L}) % $P))").as(s"mh$i")
-    }
     docs
       .withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= 3)
       .withColumn("sids", sids)
-      .select(col("doc_id") +: mhs: _*)
+      // all 16 permutation minima in ONE fused codegen'd pass
+      // (graft.functions.MinHash16Expr) — the 16-HOF spelling ran
+      // interpreted and materialized 16 arrays per row
+      .select(col("doc_id"), expr("minhash16(sids)").as("mh"))
       .select(col("doc_id"), explode(array((0 until 8).map(j =>
         struct(lit(j).as("band"),
-          (col(s"mh${2 * j}") * P + col(s"mh${2 * j + 1}")).as("bsig"))): _*)).as("bs"))
+          (col("mh")(2 * j) * P + col("mh")(2 * j + 1)).as("bsig"))): _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
   }
 
