@@ -135,6 +135,28 @@ object GraftFunctions {
     new ExpressionInfo(classOf[MinHash16Expr].getName, "minhash16"),
     unary("minhash16", MinHash16Expr))
 
+  /** shingle_sids_*(words, width) — width must be a literal (it is baked
+    * into the kernel at plan-build time). */
+  private def shingle(name: String, useXx: Boolean): Seq[Expression] => Expression = {
+    case Seq(arr, w) if w.foldable =>
+      ShingleIdsExpr(arr, w.eval().asInstanceOf[Number].intValue(), useXx)
+    case children => throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+      messageParameters = Map(
+        "functionName" -> name, "expectedNum" -> "2 (array, literal width)",
+        "actualNum" -> children.length.toString, "docroot" -> "-"))
+  }
+
+  val shingleMd5: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("shingle_sids_md5"),
+    new ExpressionInfo(classOf[ShingleIdsExpr].getName, "shingle_sids_md5"),
+    shingle("shingle_sids_md5", useXx = false))
+
+  val shingleXx: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("shingle_sids_xx"),
+    new ExpressionInfo(classOf[ShingleIdsExpr].getName, "shingle_sids_xx"),
+    shingle("shingle_sids_xx", useXx = true))
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       similarTo._1, similarTo._2, similarTo._3)
@@ -148,6 +170,10 @@ object GraftFunctions {
       intersectCount._1, intersectCount._2, intersectCount._3)
     spark.sessionState.functionRegistry.registerFunction(
       minHash16._1, minHash16._2, minHash16._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      shingleMd5._1, shingleMd5._2, shingleMd5._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      shingleXx._1, shingleXx._2, shingleXx._3)
     // bounded-state distributed top-k: topkN_ids(score, id) → struct(ids).
     // k=3 is the ANN result size; k=8 is the quantized-scan candidate pool
     // reranked exactly by sim_q8_rerank.
@@ -180,6 +206,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.simHash)
     ext.injectFunction(GraftFunctions.intersectCount)
     ext.injectFunction(GraftFunctions.minHash16)
+    ext.injectFunction(GraftFunctions.shingleMd5)
+    ext.injectFunction(GraftFunctions.shingleXx)
     ext.injectOptimizerRule(_ => IntersectCountRule)
   }
 }

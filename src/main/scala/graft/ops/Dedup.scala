@@ -69,20 +69,23 @@ object Dedup {
         WHERE w3 IS NOT NULL"""
 
   /** Per-doc shingle-id ARRAYS, built entirely narrowly: slide over the
-    * split words, md5/xxhash64 each shingle to a long id in array-land.
-    * `hashExpr` maps a shingle string `sh` to its long id. */
-  private def sidArrays(corpus: DataFrame, hashExpr: String): DataFrame =
+    * split words, md5/xxhash64 each shingle to a long id in array-land —
+    * all in ONE fused kernel pass (`shingle_sids_*` —
+    * graft.functions.ShingleIdsExpr, byte-identical to the previous
+    * transform/array_distinct/concat_ws/md5 HOF chain, which ran
+    * interpreted and was the dominant remaining job in the dedup
+    * pipelines). `sidsFn` selects the md5 (oracle-replayable) or xxhash64
+    * (production fast path) id. */
+  private def sidArrays(corpus: DataFrame, sidsFn: String): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     corpus
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), expr(
-        s"""transform(array_distinct(transform(sequence(0, size(w) - 3),
-              i -> concat_ws(' ', w[i], w[i + 1], w[i + 2]))),
-              sh -> $hashExpr)""").as("sids"))
+      .select(col("doc_id"), expr(s"$sidsFn(w, 3)").as("sids"))
+  }
 
-  private val md5SidExpr =
-    s"CAST(conv(substring(md5(sh), 1, 15), 16, 10) AS BIGINT) % $P"
-  private val xxSidExpr = s"abs(xxhash64(sh)) % $P"
+  private val md5Sids = "shingle_sids_md5"
+  private val xxSids = "shingle_sids_xx"
 
   /** 32-bit SimHash signature per (doc_id, text) row, fully narrow. The
     * word hash is md5-derived (replayable bit-for-bit in DuckDB) — a weak
@@ -288,7 +291,7 @@ object Dedup {
       graft.functions.GraftFunctions.register(s) // IntersectCountRule
       // one shingle pass; sid arrays deduped at build so set arithmetic
       // below is exact (two shingles CAN hash to one sid)
-      val docSids = sidArrays(nearDupCorpus(s, dir), md5SidExpr)
+      val docSids = sidArrays(nearDupCorpus(s, dir), md5Sids)
         .select(col("doc_id"), expr("array_distinct(sids)").as("sids"))
         .localCheckpoint()
       val cand = candidatePairs(docSids)
@@ -317,7 +320,7 @@ object Dedup {
     // xxhash64); the LSH topology is identical to dedup_minhash_lsh and the
     // planted-pair recall is asserted in DedupSpec.
     "dedup_minhash_fast" -> ((s, dir) => {
-      candidatePairs(sidArrays(nearDupCorpus(s, dir), xxSidExpr)).orderBy("da", "db")
+      candidatePairs(sidArrays(nearDupCorpus(s, dir), xxSids)).orderBy("da", "db")
     }),
 
     // Duplicate-cluster resolution: connected components over the LSH
@@ -331,7 +334,7 @@ object Dedup {
     // loop gets the large-star/small-star edge rewrite; the per-round plan
     // (join → min-agg → join) is unchanged.
     "dedup_cluster_cc" -> ((s, dir) => {
-      val cand = candidatePairs(sidArrays(nearDupCorpus(s, dir), md5SidExpr))
+      val cand = candidatePairs(sidArrays(nearDupCorpus(s, dir), md5Sids))
       val edges = cand.select(col("da").as("a"), col("db").as("b"))
         .unionAll(cand.select(col("db").as("a"), col("da").as("b")))
         .localCheckpoint()
@@ -362,7 +365,7 @@ object Dedup {
     // round count is the graph diameter; stars' is its log). Identical
     // output and oracle as dedup_cluster_cc.
     "dedup_cluster_cc_stars" -> ((s, dir) => {
-      starCC(candidatePairs(sidArrays(nearDupCorpus(s, dir), md5SidExpr)))._1.orderBy("node")
+      starCC(candidatePairs(sidArrays(nearDupCorpus(s, dir), md5Sids)))._1.orderBy("node")
     }),
 
     // Standalone n-gram Jaccard near-dup, inverted-index formulation:
@@ -412,7 +415,7 @@ object Dedup {
     // ships: candidates and clustering as above, then a left join of the
     // corpus against the (small) label table and a single-pass summary.
     "dedup_keep_canonical" -> ((s, dir) => {
-      val labels = starCC(candidatePairs(sidArrays(nearDupCorpus(s, dir), md5SidExpr)))._1
+      val labels = starCC(candidatePairs(sidArrays(nearDupCorpus(s, dir), md5Sids)))._1
       nearDupCorpus(s, dir)
         .join(labels, col("doc_id") === col("node"), "left")
         .withColumn("keep", coalesce(col("cluster"), col("doc_id")) === col("doc_id"))
@@ -437,7 +440,7 @@ object Dedup {
         d.filter(col("doc_id") % 6 === 0)
           .select((col("doc_id") + 100000).as("doc_id"),
             concat_ws(" ", slice(split(col("text"), " "), 1, 40)).as("text")))
-      val docSids = sidArrays(corpus, md5SidExpr)
+      val docSids = sidArrays(corpus, md5Sids)
         .select(col("doc_id"), expr("array_distinct(sids)").as("sids"))
         .localCheckpoint()
       val cand = candidatePairs(docSids)

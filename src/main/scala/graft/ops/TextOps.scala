@@ -26,17 +26,16 @@ object TextOps {
   private val phoneRe = "\\b\\d{3}-\\d{4}\\b"
 
   /** (doc_id, gid) word-8-gram ids via md5 → long (bit-identical in DuckDB).
-    * Built narrowly in array-land (transform over sequence + array_distinct
-    * + explode) — zero shuffles, same shape as Dedup.shingles. */
-  private def gram8(df: DataFrame): DataFrame =
+    * Built narrowly in one fused kernel pass (`shingle_sids_md5(w, 8)` —
+    * graft.functions.ShingleIdsExpr, byte-identical to the previous
+    * transform/array_distinct/concat_ws/md5 HOF chain) — zero shuffles,
+    * same shape as Dedup.sidArrays. */
+  private def gram8(df: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     df.select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 8)
-      .select(col("doc_id"), explode(expr(
-        """array_distinct(transform(sequence(0, size(w) - 8),
-             i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3],
-                                 w[i+4], w[i+5], w[i+6], w[i+7])))""")).as("gram"))
-      .select(col("doc_id"),
-        (conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long") % P).as("gid"))
+      .select(col("doc_id"), explode(expr("shingle_sids_md5(w, 8)")).as("gid"))
+  }
 
   /** BM25 query terms (fixed, so both engines sum contributions in the
     * same syntactic order — cross-row float aggregation never feeds the

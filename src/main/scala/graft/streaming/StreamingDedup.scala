@@ -37,15 +37,12 @@ object StreamingDedup {
     * explode is per-row narrow algebra. */
   def bandedSignatures(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val sids = expr(
-      """transform(
-           array_distinct(transform(sequence(0, size(w) - 3),
-             i -> concat_ws(' ', w[i], w[i+1], w[i+2]))),
-           g -> abs(xxhash64(g)) % 2147483647)""")
     docs
       .withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= 3)
-      .withColumn("sids", sids)
+      // fused shingle→distinct→xxhash64-id kernel (ShingleIdsExpr), same
+      // ids as the batch pipelines' fast path
+      .withColumn("sids", expr("shingle_sids_xx(w, 3)"))
       // all 16 permutation minima in ONE fused codegen'd pass
       // (graft.functions.MinHash16Expr) — the 16-HOF spelling ran
       // interpreted and materialized 16 arrays per row
