@@ -157,6 +157,21 @@ object GraftFunctions {
     new ExpressionInfo(classOf[ShingleIdsExpr].getName, "shingle_sids_xx"),
     shingle("shingle_sids_xx", useXx = true))
 
+  /** word_ids_md5(words, 'p31'|'lo32'|'hi32') — mode must be a literal. */
+  val wordIds: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("word_ids_md5"),
+    new ExpressionInfo(classOf[WordIdsExpr].getName, "word_ids_md5"),
+    {
+      case Seq(arr, m) if m.foldable =>
+        WordIdsExpr(arr, m.eval().toString)
+      case children => throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> "word_ids_md5",
+          "expectedNum" -> "2 (array, literal mode)",
+          "actualNum" -> children.length.toString, "docroot" -> "-"))
+    })
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       similarTo._1, similarTo._2, similarTo._3)
@@ -174,6 +189,8 @@ object GraftFunctions {
       shingleMd5._1, shingleMd5._2, shingleMd5._3)
     spark.sessionState.functionRegistry.registerFunction(
       shingleXx._1, shingleXx._2, shingleXx._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      wordIds._1, wordIds._2, wordIds._3)
     // bounded-state distributed top-k: topkN_ids(score, id) → struct(ids).
     // k=3 is the ANN result size; k=8 is the quantized-scan candidate pool
     // reranked exactly by sim_q8_rerank.
@@ -208,6 +225,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.minHash16)
     ext.injectFunction(GraftFunctions.shingleMd5)
     ext.injectFunction(GraftFunctions.shingleXx)
+    ext.injectFunction(GraftFunctions.wordIds)
     ext.injectOptimizerRule(_ => IntersectCountRule)
   }
 }

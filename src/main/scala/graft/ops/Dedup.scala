@@ -106,10 +106,10 @@ object Dedup {
     // dominated the pair search.
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     corpus
+      // fused per-word md5-id kernel (WordIdsExpr) feeding the fused
+      // simhash32 fold — no interpreted HOF anywhere in the signature
       .select(col("doc_id"),
-        expr(s"""transform(split(text, ' '),
-                   word -> CAST(conv(substring(md5(word), 1, 15), 16, 10) AS BIGINT) % $P)""")
-          .as("hws"))
+        expr("word_ids_md5(split(text, ' '), 'p31')").as("hws"))
       .select(col("doc_id"), expr("simhash32(hws)").as("simhash"))
   }
 
@@ -382,16 +382,14 @@ object Dedup {
     // sid" — the per-pair counts are identical to the oracle's two-step
     // candidate/verify formulation.
     "dedup_ngram_jaccard" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       val postings = nearDupCorpus(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .filter(size(col("w")) >= 3)
         .select(col("doc_id"),
           concat_ws(" ", slice(col("w"), 1, 3)).as("blk"),
-          explode(expr(
-            """array_distinct(transform(sequence(0, size(w) - 3),
-                 i -> concat_ws(' ', w[i], w[i + 1], w[i + 2])))""")).as("shingle"))
-        .select(col("doc_id"), col("blk"),
-          (conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long") % P).as("sid"))
+          // fused shingle→distinct→md5-id kernel; same ids as the oracle
+          explode(expr("shingle_sids_md5(w, 3)")).as("sid"))
         .localCheckpoint() // 3 consumers: counts + both self-join sides
       val cnt = postings.groupBy("doc_id").agg(count(lit(1)).as("c"))
       val common = postings.as("x").join(postings.as("y"),
@@ -510,11 +508,12 @@ object Dedup {
     "dedup_simhash64_pairs" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
       val sigs = nearDupCorpus(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        // fused per-word md5 halves (WordIdsExpr lo32/hi32) into the fused
+        // simhash32 folds — the md5→substring→conv HOF chain ran interpreted
         .select(col("doc_id"),
-          expr("transform(split(text, ' '), w -> md5(w))").as("m"))
-        .select(col("doc_id"),
-          expr("simhash32(transform(m, h -> CAST(conv(substring(h, 1, 8), 16, 10) AS BIGINT)))").as("lo"),
-          expr("simhash32(transform(m, h -> CAST(conv(substring(h, 9, 8), 16, 10) AS BIGINT)))").as("hi"))
+          expr("simhash32(word_ids_md5(w, 'lo32'))").as("lo"),
+          expr("simhash32(word_ids_md5(w, 'hi32'))").as("hi"))
         .localCheckpoint()
       val chunks = sigs.select(col("doc_id"), col("lo"), col("hi"),
         explode(array(
