@@ -125,6 +125,15 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p)
   }
 
+  test("signature kernels are fused — no interpreted lambda in the simhash plan") {
+    // word hashing and the simhash fold are native expressions; a
+    // regression back to transform(...) lambdas (CodegenFallback) would
+    // put the per-word hot loop on the interpreted path
+    val p = physical("dedup_simhash")
+    assert(p.contains("word_ids_md5") && p.contains("simhash32"), p)
+    assert(!p.contains("lambdafunction"), p)
+  }
+
   test("top-k aggregate keeps bounded partial state before the shuffle") {
     val df = ops.Similarity.queries("sim_topk_bruteforce")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
