@@ -323,6 +323,48 @@ object Dedup {
       candidatePairs(sidArrays(nearDupCorpus(s, dir), xxSids)).orderBy("da", "db")
     }),
 
+    // INCREMENTAL dedup: a NEW batch against the EXISTING corpus — the
+    // shape a production ingest actually runs (a full-corpus re-pair per
+    // arriving shard would be O(corpus) work per batch). The base corpus's
+    // band signatures are the persisted dedup INDEX (session-memoized via
+    // cachedFrame — at 100 TB it lives in a table and is appended to);
+    // the batch computes its own signatures narrowly, candidates come
+    // from the band equi-join INDEX × BATCH (never index×index or
+    // batch×batch), and exact-Jaccard verification touches candidate
+    // pairs only. Batch here = every 3rd doc mutated like nearDupCorpus,
+    // so the oracle replays the same union corpus and keeps only the
+    // cross (base, batch) candidate pairs.
+    "dedup_incremental" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s) // IntersectCountRule
+      val base = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val batch = base.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" zz0 zz1")).as("text"))
+      val baseSids = Tables.cachedFrame(s, dir, "dedup_sid_index")(
+        sidArrays(base, md5Sids)
+          .select(col("doc_id"), expr("array_distinct(sids)").as("sids")))
+      val baseBands = Tables.cachedFrame(s, dir, "dedup_band_index")(
+        bandSigs(baseSids))
+      val batchSids = sidArrays(batch, md5Sids)
+        .select(col("doc_id"), expr("array_distinct(sids)").as("sids"))
+        .localCheckpoint() // 2 consumers: bands + verification
+      val cand = baseBands.as("x").join(bandSigs(batchSids).as("y"),
+          col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig"))
+        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+        .distinct()
+      val a = baseSids.select(col("doc_id").as("da"), col("sids").as("sa"))
+      val b = batchSids.select(col("doc_id").as("db"), col("sids").as("sb"))
+      cand.join(a, "da").join(b, "db")
+        .select(col("da"), col("db"),
+          expr("size(array_intersect(sa, sb))").as("common"),
+          size(col("sa")).as("ca"), size(col("sb")).as("cb"))
+        .withColumn("jaccard",
+          round(col("common") / (col("ca") + col("cb") - col("common")), 3))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("db").as("doc_id"), col("da").as("dup_of"), col("jaccard"))
+        .orderBy("doc_id", "dup_of")
+    }),
+
     // Duplicate-cluster resolution: connected components over the LSH
     // candidate graph (near-dup pairs are pairwise; a dedup pipeline keeps
     // ONE doc per transitive cluster). Implemented as iterative min-label
@@ -641,6 +683,24 @@ object Dedup {
           FROM com JOIN cnt ca ON com.da = ca.doc_id JOIN cnt cb ON com.db = cb.doc_id
           WHERE round(common / (ca.c + cb.c - common * 1.0), 3) >= 0.5
           ORDER BY da, db""",
+
+    // same band/verification replay restricted to the cross (base, batch)
+    // candidate pairs: base ids < 100000 ≤ batch ids, so cand's da<db
+    // ordering puts base on the da side for every cross pair
+    "dedup_incremental" ->
+      s"""WITH $candSql,
+          xc AS (SELECT da, db FROM cand WHERE da < 100000 AND db >= 100000),
+          cnt AS (SELECT doc_id, count(DISTINCT sid) AS c FROM doc_sh GROUP BY doc_id),
+          com AS (SELECT da, db, count(DISTINCT sa.sid) AS common
+                  FROM xc
+                  JOIN doc_sh sa ON xc.da = sa.doc_id
+                  JOIN doc_sh sb ON xc.db = sb.doc_id AND sa.sid = sb.sid
+                  GROUP BY da, db)
+          SELECT db AS doc_id, da AS dup_of,
+                 round(common / (ca.c + cb.c - common * 1.0), 3) AS jaccard
+          FROM com JOIN cnt ca ON com.da = ca.doc_id JOIN cnt cb ON com.db = cb.doc_id
+          WHERE round(common / (ca.c + cb.c - common * 1.0), 3) >= 0.5
+          ORDER BY doc_id, dup_of""",
 
     // transitive closure via recursive CTE — min reachable id per node
     // (shared verbatim by dedup_cluster_cc_stars: both Spark

@@ -377,6 +377,26 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("incremental dedup: batch pairs only against the base index, high planted recall") {
+    val out = Dedup.queries("dedup_incremental")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.nonEmpty)
+    // structure: output pairs are strictly (batch doc, base doc), J >= 0.5
+    out.foreach { case (b, a, j) =>
+      assert(b >= 100000 && a < 100000 && j >= 0.5, s"($b, $a, $j)")
+    }
+    // recall: each planted batch doc (original + 2 appended words) should
+    // find its original; very short docs can fall under the 0.5 Jaccard
+    // bar, so assert a high fraction rather than totality
+    val planted = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 3 === 0 && size(split(col("text"), " ")) >= 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val hits = out.groupBy(_._1).map { case (b, rs) => b -> rs.map(_._2).toSet }
+    val found = planted.count(d => hits.getOrElse(d + 100000, Set.empty).contains(d))
+    assert(found.toDouble / planted.size >= 0.8,
+      s"recall ${found.toDouble / planted.size} ($found/${planted.size})")
+  }
+
   test("keep-canonical summary is consistent with the planted duplicates") {
     val r = Dedup.queries("dedup_keep_canonical")(spark, dir).head
     val (docs, kept, dropped) = (r.getLong(0), r.getLong(1), r.getLong(2))
