@@ -35,8 +35,8 @@ object ScaleProbe {
   private val probed = Seq(
     "dedup_minhash_fast", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_simhash", "dedup_simhash_pairs", "dedup_simhash64_pairs",
-    "dedup_containment", "dedup_embedding_lsh", "sim_topk_bruteforce",
-    "sim_lsh_ann", "sim_lsh_multiprobe",
+    "dedup_containment", "dedup_embedding_lsh", "dedup_incremental",
+    "sim_topk_bruteforce", "sim_lsh_ann", "sim_lsh_multiprobe",
     "text_pipeline_e2e", "pack_sequences")
 
   def main(args: Array[String]): Unit = {
