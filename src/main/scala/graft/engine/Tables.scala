@@ -71,19 +71,28 @@ object Tables {
 
   /** Memoized localCheckpointed frame per (session, dir, key) — for index
     * structures (centroids, inverted lists) that queries PROBE rather than
-    * rebuild. `build` runs at most once per live session. */
+    * rebuild. `build` runs at most once per live session; locked for the
+    * same reason as cachedStat (a duplicate eager localCheckpoint would
+    * strand its checkpoint blocks for the session's lifetime). */
   def cachedFrame(spark: SparkSession, dir: String, key: String)
       (build: => DataFrame): DataFrame = {
     purge()
-    frameCache.getOrElseUpdate((spark, dir, key), build.localCheckpoint())
+    frameCache.synchronized {
+      frameCache.getOrElseUpdate((spark, dir, key), build.localCheckpoint())
+    }
   }
 
   /** Memoized scalar statistic (row count, vector dim, ...) per
-    * (session, dir, key). `compute` runs at most once per live session. */
+    * (session, dir, key). `compute` runs at most once per live session —
+    * the build runs under a lock because TrieMap.getOrElseUpdate may
+    * evaluate a racing thunk twice, and these thunks run Spark jobs
+    * (parallel suites share the session and hit the same keys). */
   def cachedStat(spark: SparkSession, dir: String, key: String)
       (compute: => Long): Long = {
     purge()
-    statCache.getOrElseUpdate((spark, dir, key), compute)
+    statCache.synchronized {
+      statCache.getOrElseUpdate((spark, dir, key), compute)
+    }
   }
 
   /** Live cached-plan count (stopped sessions purged first) — for tests. */
