@@ -36,6 +36,27 @@ object PlanAudit {
   private val bigTables =
     Set("documents", "embeddings", "lineitem", "orders", "events")
 
+  /** Queries allowed to evaluate lambda (higher-order) functions over a
+    * big-table scan. HOFs are CodegenFallback — per-element interpreted
+    * evaluation — which twice this round was the root cause of a 2–10×
+    * per-query regression (LSH plane weights; minhash signatures), so any
+    * NEW appearance must either move to a fused kernel
+    * (graft.functions.*) or be justified here. Current entries: the
+    * deliberate HOF-surface pin (p13), per-row text algebra whose arrays
+    * are a few dozen words and whose queries are sub-0.2 s (text ops,
+    * packing/curation), ScaleProbe-style derived corpora that transform
+    * embeddings once at plant time (dedup_embedding_*), and the q8
+    * index/query quantization transforms (index side built once per
+    * session; query side is 8 rows). */
+  private val lambdaAllowed = Set(
+    "p13_higher_order",
+    "text_quality", "text_langid", "text_fingerprint", "text_repetition",
+    "text_entropy", "text_length_outliers", "text_pipeline_e2e",
+    "text_decontaminate", "text_pii_redact", "text_tokens",
+    "pack_sequences", "quality_expectations",
+    "dedup_embedding_lsh", "dedup_embedding_cosine",
+    "sim_q8_rerank", "mm_frame_sample", "mm_decode_features")
+
   /** Names of big tables scanned OUTSIDE any WholeStageCodegen span.
     * (The scan node lives inside the WSCG subtree via InputAdapter /
     * ColumnarToRow when codegen fired for its consuming stage.)
@@ -88,6 +109,10 @@ object PlanAudit {
             l.contains("Exchange SinglePartition") &&
               !lines.take(i).lastOption.exists(_.contains("bloom_filter_agg"))
         }
+        val scansBig = plan.collect {
+          case s: FileSourceScanExec => s.relation.location.rootPaths.headOption
+            .map(_.getName.stripSuffix(".parquet")).getOrElse("")
+        }.exists(bigTables)
         val flags = Seq(
           "CartesianProduct" -> p.contains("CartesianProduct"),
           "BNLJ" -> (p.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name)),
@@ -96,7 +121,9 @@ object PlanAudit {
           "10+ shuffles" ->
             (p.linesIterator.count(_.contains("Exchange hashpartitioning")) >= 10),
           s"interpreted big-table scan (${interpreted.mkString(",")})" ->
-            interpreted.nonEmpty
+            interpreted.nonEmpty,
+          "interpreted HOF over a big-table scan" ->
+            (scansBig && p.contains("lambdafunction") && !lambdaAllowed(name))
         ).collect { case (f, true) => f }
         if (flags.nonEmpty) Some(name -> flags.mkString(", ")) else None
       } catch {

@@ -113,8 +113,13 @@ object AlertPipeline {
     val fired = array(rules.zipWithIndex.map { case (r, i) =>
       when(r.where.toColumn(nestedField), lit(i)).otherwise(lit(-1))
     }: _*)
+    // array_remove(-1) drops the non-fired sentinels exactly like
+    // filter(x -> x >= 0) (fired ids are >= 0) but is a codegen'd
+    // collection function — the lambda spelling evaluated an interpreted
+    // N-element filter PER EVENT, which at 1000 rules is real per-trigger
+    // work (caught by PlanAudit's HOF detector)
     val withFired = sysmon.withColumn("__fa", fired)
-      .withColumn("rid", explode(expr("filter(__fa, x -> x >= 0)")))
+      .withColumn("rid", explode(array_remove(col("__fa"), lit(-1))))
     val meta = spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(
         rules.zipWithIndex.map { case (r, i) =>

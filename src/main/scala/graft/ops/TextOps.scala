@@ -68,10 +68,14 @@ object TextOps {
     "text_bm25_topk" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        // tf via size - size(array_remove(...)): same count as
+        // filter(toks, x -> x = term) but array_remove is a codegen'd
+        // collection function — the lambda spelling ran interpreted per
+        // row (caught by PlanAudit's HOF detector)
         .select(
           col("doc_id") +: size(col("toks")).as("dl") +:
             bm25Terms.zipWithIndex.map { case (t, i) =>
-              expr(s"size(filter(toks, x -> x = '$t'))").as(s"tf$i")
+              (size(col("toks")) - size(array_remove(col("toks"), t))).as(s"tf$i")
             }: _*)
       val stats = docs.agg(
         count(lit(1)).as("n"),
