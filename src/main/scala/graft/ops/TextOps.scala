@@ -87,6 +87,25 @@ object TextOps {
         .orderBy(col("bm25_r").desc, col("doc_id")).limit(10)
     }),
 
+    // Vocabulary building — the tokenizer-training precursor: top-50 words
+    // by corpus frequency with each word's token-mass fraction (the number
+    // vocab-size decisions read). ONE hash-aggregation shuffle over the
+    // token stream (map-side combined); the total re-derives from the
+    // already-aggregated vocab side (checkpointed, one row broadcast back)
+    // so the corpus is scanned once; top-50 is TakeOrderedAndProject.
+    // At 100 TB: the token agg is the only heavy stage and it partial-
+    // aggregates; the vocab table itself is tiny.
+    "text_vocab_topk" -> ((s, dir) => {
+      val counts = Tables(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .localCheckpoint() // 2 consumers: total + ranking
+      val tot = counts.agg(sum("n").as("total"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("word"), col("n"), round(col("n") / col("total"), 6).as("frac"))
+        .orderBy(col("n").desc, col("word")).limit(50)
+    }),
+
     // Token counting: whitespace tokens, regex (BPE-ish pre-tokenizer)
     // tokens, chars, and a chars/4 BPE estimate.
     "text_tokens" -> ((s, dir) => {
@@ -283,6 +302,16 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // integer counts; n/total is double division of exact integers in both
+    // engines, so the 6dp rounding is deterministic
+    "text_vocab_topk" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+         c AS (SELECT word, count(*) AS n FROM w GROUP BY word),
+         t AS (SELECT sum(n) AS total FROM c)
+         SELECT word, n, round(n / total, 6) AS frac
+         FROM c CROSS JOIN t
+         ORDER BY n DESC, word LIMIT 50""",
+
     // identical tokenization (space split), integer tf/df/dl/N, exact
     // integer-sum avgdl, and the VERBATIM shared bm25ScoreSql formula
     "text_bm25_topk" -> {

@@ -456,6 +456,23 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.75, s"recall $recall")
   }
 
+  test("vocab top-k: frequency-ordered, fractions consistent with direct counts") {
+    val out = TextOps.queries("text_vocab_topk")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // the synthetic corpus has a small closed vocabulary — the limit caps
+    // at 50 but must not pad
+    assert(out.nonEmpty && out.length <= 50)
+    val ns = out.map(_._2)
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, "not frequency-descending")
+    // cross-check the top word and its fraction against a direct count
+    val words = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("w"))
+    val total = words.count()
+    val (topWord, topN, topFrac) = out.head
+    assert(words.filter(col("w") === topWord).count() == topN)
+    assert(math.abs(topFrac - math.rint(topN.toDouble / total * 1e6) / 1e6) < 1e-9)
+  }
+
   test("BM25 top-10: descending scores, deterministic ties, hits contain a query term") {
     val rows = TextOps.queries("text_bm25_topk")(spark, dir).collect()
     assert(rows.length == 10)
