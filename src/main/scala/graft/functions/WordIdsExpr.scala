@@ -30,16 +30,17 @@ import org.apache.spark.sql.types._
   */
 case class WordIdsExpr(child: Expression, mode: String) extends UnaryExpression {
   import WordIdsExpr._
-  require(Modes.contains(mode), s"word_ids_md5 mode must be one of $Modes, got $mode")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = s"word_ids_md5_$mode"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) if Modes.contains(mode) =>
+      TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects array<string>, got ${t.catalogString}")
+      s"word_ids_md5 expects array<string> and a mode in $Modes, got " +
+        s"${t.catalogString}, mode=$mode")
   }
 
   /** Instance method invoked from generated code through a captured
