@@ -27,6 +27,27 @@ class TablesSpec extends SparkSpec {
     assert(a2 == a, s"switch-back must restore dirA's views (a=$a, a2=$a2)")
   }
 
+  test("stat and index-frame memos compute once and die with their session") {
+    var statBuilds = 0
+    val n1 = Tables.cachedStat(spark, dirA, "test_stat") { statBuilds += 1; 42L }
+    val n2 = Tables.cachedStat(spark, dirA, "test_stat") { statBuilds += 1; 99L }
+    assert(n1 == 42L && n2 == 42L && statBuilds == 1,
+      "second lookup must serve the memo, not recompute")
+    var frameBuilds = 0
+    def build = { frameBuilds += 1; Tables(spark, dirA, "region").limit(2) }
+    val f1 = Tables.cachedFrame(spark, dirA, "test_frame")(build)
+    val f2 = Tables.cachedFrame(spark, dirA, "test_frame")(build)
+    assert((f1 eq f2) && frameBuilds == 1, "index frame must build once")
+    assert(f1.count() == 2, "memoized frame must be the checkpointed build")
+    // dead-session purge clears both memo kinds (injected predicate — a
+    // real stop would kill the suite's shared SparkContext)
+    Tables.purge(dead = _ => true)
+    val n3 = Tables.cachedStat(spark, dirA, "test_stat") { statBuilds += 1; 7L }
+    assert(n3 == 7L && statBuilds == 2, "post-purge stat lookup recomputes")
+    val f3 = Tables.cachedFrame(spark, dirA, "test_frame")(build)
+    assert(!(f3 eq f1) && frameBuilds == 2, "post-purge frame lookup rebuilds")
+  }
+
   test("cache evicts dead sessions' plans instead of retaining them for JVM life") {
     val before = Tables(spark, dirA, "nation")
     assert(Tables.cachedPlanCount > 0)
