@@ -133,7 +133,7 @@ object GraftFunctions {
   val minHash16: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("minhash16"),
     new ExpressionInfo(classOf[MinHash16Expr].getName, "minhash16"),
-    unary("minhash16", MinHash16Expr))
+    unary("minhash16", MinHash16Expr.apply))
 
   /** shingle_sids_*(words, width) — width must be a literal (it is baked
     * into the kernel at plan-build time). */

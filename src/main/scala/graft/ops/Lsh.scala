@@ -49,7 +49,7 @@ object Lsh {
              vecCol: String = "embedding"): (Int, Int) = {
     val n = Tables.cachedStat(spark, dir, s"count:$key")(corpus.count())
     val dim = Tables.cachedStat(spark, dir, s"dim:$key")(
-      corpus.select(size(col(vecCol))).head.getInt(0).toLong).toInt
+      corpus.select(size(col(vecCol))).head().getInt(0).toLong).toInt
     (planesFor(n), dim)
   }
 
