@@ -37,7 +37,7 @@ object ScaleProbe {
     "dedup_simhash", "dedup_simhash_pairs", "dedup_simhash64_pairs",
     "dedup_containment", "dedup_embedding_lsh", "dedup_incremental",
     "sim_topk_bruteforce", "sim_lsh_ann", "sim_lsh_multiprobe",
-    "text_pipeline_e2e", "pack_sequences")
+    "text_pipeline_e2e", "text_bm25_topk", "pack_sequences")
 
   def main(args: Array[String]): Unit = {
     val spillMode = args.headOption.contains("spill")
