@@ -1,16 +1,24 @@
 package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main — driver contract: print ONE JSON line
   * `{"metric":…,"value":N,"unit":"sec","queries":{…},"sf":…}`.
   *
-  * Round-1 lesson: emitting all ~90 per-query timings produced a ~4 KB line
-  * that overflowed the driver's output-tail buffer, so the round-1 bench was
-  * recorded as unparseable. This round benches a fixed HEADLINE subset — one
-  * or more representatives per operator family (relational, detection
-  * fan-out, windows, dedup, similarity, text, multimodal) including every
-  * query that was slow in round 1 — and rounds timings to ms so the JSON
-  * line stays ~1 KB.
+  * Output-size discipline (this failure mode has now cost TWO rounds):
+  * round 1 emitted ~90 per-query timings (~4 KB line) and round 6 emitted
+  * min+med+max maps for 35 queries (~3.4 KB line); both overflowed the
+  * driver's output-tail buffer and the round's official bench record was
+  * recorded as `"parsed": null`. The fix is robust to the buffer size, not
+  * tuned to it: stdout carries ONE compact line — headline total plus a
+  * single per-query map, ≤ 1.5 KB (BenchSpec caps it so query growth can't
+  * silently re-break the record) — and the full min/med/max detail goes to
+  * a FILE (`BENCH_DETAIL.json`, or `$GRAFT_BENCH_DETAIL`), where size is
+  * free. The compact line is printed LAST so even a tail-truncated capture
+  * keeps it.
   */
 object Bench {
   /** Representatives per SURVEY §2 family + every round-1 hot spot. */
@@ -26,6 +34,34 @@ object Bench {
     "sim_q8_rerank", "text_bm25_topk",
     "text_pipeline_e2e", "text_quality", "text_entropy", "mm_decode_features",
     "pack_sequences", "sample_weighted", "mix_rebalance", "win_topk_per_window")
+
+  /** One timed query: (name, min, median, max) over the reps. */
+  type Timing = (String, Double, Double, Double)
+
+  private def jmap(results: Seq[Timing])(f: Timing => Double): String =
+    results.map { case t @ (k, _, _, _) => "\"" + k + "\":" + f"${f(t)}%.2f" }
+      .mkString("{", ",", "}")
+
+  /** The driver-facing line: headline total (sum of per-query MINs — the
+    * steady-state number; load noise only inflates), the per-query min map
+    * (the driver contract's `queries` key), reps, and sf. ONE map only —
+    * BenchSpec asserts the rendered line stays under 1 500 bytes at 40+
+    * queries, comfortably inside any output-tail buffer seen so far. */
+  private[graft] def compactLine(results: Seq[Timing], reps: Int, sf: String): String = {
+    val total = results.map(_._2).sum
+    f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":${jmap(results)(_._2)},"sf":$sf}"""
+  }
+
+  /** Full per-query detail — min/med/max maps plus the same headline
+    * fields — written to a file, never stdout. */
+  private[graft] def detailJson(results: Seq[Timing], reps: Int, sf: String): String = {
+    val total = results.map(_._2).sum
+    val medTotal = results.map(_._3).sum
+    f"""{"metric":"headline_total","value":$total%.3f,"value_med":$medTotal%.3f,"unit":"sec","reps":$reps,"sf":$sf,
+"queries":${jmap(results)(_._2)},
+"qmed":${jmap(results)(_._3)},
+"qmax":${jmap(results)(_._4)}}"""
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -54,7 +90,7 @@ object Bench {
     // and the median is the load-robust middle — a real regression moves
     // the median; a noisy host moves only the max.
     val reps = 3
-    val results = headline.flatMap { name =>
+    val results: Seq[Timing] = headline.flatMap { name =>
       all.get(name).map { fn =>
         val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
@@ -64,17 +100,16 @@ object Bench {
         (name, times.head, times(reps / 2), times.last)
       }
     }
-    // 2-decimal per-query timings keep the line compact (~2.5 KB with the
-    // med+max maps — under the ~4 KB tail that broke round 1); sf is
-    // emitted as a number when the dir encodes one (documented schema).
-    def jmap(f: ((String, Double, Double, Double)) => Double) =
-      results.map { case t @ (k, _, _, _) => "\"" + k + "\":" + f"${f(t)}%.2f" }
-        .mkString("{", ",", "}")
-    val qs = jmap(_._2)
-    val qmed = jmap(_._3)
-    val qmax = jmap(_._4)
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qs,"qmed":$qmed,"qmax":$qmax,"sf":${sfOf(sfDir)}}""")
+    val sf = sfOf(sfDir)
+    val detailPath = sys.env.getOrElse("GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    try Files.write(Paths.get(detailPath),
+      detailJson(results, reps, sf).getBytes(StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      // detail is best-effort; the driver record must still be emitted
+      System.err.println(s"bench: could not write $detailPath: $e")
+    }
+    // LAST stdout line = the compact driver record
+    println(compactLine(results, reps, sf))
     spark.stop()
   }
 

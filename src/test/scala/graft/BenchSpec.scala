@@ -2,9 +2,12 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Pins Bench's sf-dir parsing: the emitted sf field must always be a
-  * valid JSON number (an unquoted "0.1." from a suffixed dir is the exact
-  * failure that made BENCH_r01 unparseable). */
+/** Pins Bench's driver-record hygiene. Two failure modes have each cost a
+  * round's official bench record:
+  *   - round 1: the sf field rendered as an invalid JSON number ("0.1.")
+  *   - rounds 1 and 6: the stdout line outgrew the driver's output-tail
+  *     buffer (~4 KB then ~2 KB) and was recorded as `"parsed": null`
+  * So the compact line's SIZE is a spec'd invariant, not a comment. */
 class BenchSpec extends AnyFunSuite {
   test("sfOf extracts a valid JSON number from any sf dir spelling") {
     assert(Bench.sfOf("/root/testdata/sf0.1") == "0.1")
@@ -18,5 +21,41 @@ class BenchSpec extends AnyFunSuite {
       val v = Bench.sfOf(d)
       assert(v.matches("[0-9]+(\\.[0-9]+)?"), s"$d -> $v")
     }
+  }
+
+  // The real headline list padded to 40+ entries with names as long as the
+  // longest real ones — adding queries must FAIL this test before it can
+  // silently overflow the driver tail again.
+  private def syntheticResults(n: Int): Seq[Bench.Timing] = {
+    val names = Bench.headline ++
+      (0 until (n - Bench.headline.size)).map(i => f"future_operator_name_$i%02d")
+    names.take(n).map(nm => (nm, 123.45, 234.56, 345.67))
+  }
+
+  test("compact line stays under 1500 bytes at 40 queries with worst-case timings") {
+    val line = Bench.compactLine(syntheticResults(40), reps = 3, sf = "0.1")
+    assert(line.getBytes("UTF-8").length < 1500,
+      s"compact bench line is ${line.length} bytes — would overflow the driver tail")
+    assert(!line.contains("\n"), "driver record must be ONE line")
+  }
+
+  test("compact line carries the contract fields and only ONE per-query map") {
+    val line = Bench.compactLine(syntheticResults(35), reps = 3, sf = "0.01")
+    assert(line.startsWith("""{"metric":"headline_total","value":"""))
+    assert(line.contains(""","unit":"sec","reps":3,"queries":{"""))
+    assert(line.endsWith(""","sf":0.01}"""))
+    // exactly one map: qmed/qmax belong to the detail FILE, not stdout
+    assert(!line.contains("\"qmed\"") && !line.contains("\"qmax\""))
+    assert(line.count(_ == '{') == 2)
+  }
+
+  test("detail json carries min/med/max maps for every query") {
+    val detail = Bench.detailJson(syntheticResults(35), reps = 3, sf = "0.1")
+    Seq("\"queries\":", "\"qmed\":", "\"qmax\":", "\"value_med\":").foreach(k =>
+      assert(detail.contains(k), s"detail missing $k"))
+    assert(detail.contains("\"sig_fanout_merged\":123.45"))
+    // med and max values present (same key, different maps)
+    assert(detail.contains("\"sig_fanout_merged\":234.56"))
+    assert(detail.contains("\"sig_fanout_merged\":345.67"))
   }
 }
