@@ -69,16 +69,44 @@ object Tables {
     registeredDir.keysIterator.filter(dead).foreach(registeredDir.remove)
   }
 
-  /** Memoized localCheckpointed frame per (session, dir, key) — for index
-    * structures (centroids, inverted lists) that queries PROBE rather than
-    * rebuild. `build` runs at most once per live session; locked for the
-    * same reason as cachedStat (a duplicate eager localCheckpoint would
-    * strand its checkpoint blocks for the session's lifetime). */
-  def cachedFrame(spark: SparkSession, dir: String, key: String)
-      (build: => DataFrame): DataFrame = {
+  /** Durable-index root. Production sets `GRAFT_INDEX_DIR`; specs inject
+    * the override (the JVM can't mutate its own env). When set, index
+    * frames resolve through IndexStore under `$root/<dataset>/<key>` — the
+    * across-session lifecycle: one session builds and persists, later
+    * sessions (or JVMs) probe the stored parquet with zero rebuild jobs. */
+  @volatile private[graft] var indexDirOverride: Option[String] = None
+  private def indexDir: Option[String] =
+    indexDirOverride.orElse(sys.env.get("GRAFT_INDEX_DIR"))
+
+  /** Store path for (dir, key): human-readable dataset basename plus a
+    * short dir hash so two datasets sharing a basename can't collide. */
+  private[graft] def storePath(root: String, dir: String, key: String): String = {
+    val base = new java.io.File(dir).getName
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    s"$root/${base}_$h/$key"
+  }
+
+  /** Memoized index frame per (session, dir, key) — for index structures
+    * (centroids, inverted lists, band signatures, quantized vectors) that
+    * queries PROBE rather than rebuild. Without a durable root the frame is
+    * localCheckpointed (session-lifetime memo); with `GRAFT_INDEX_DIR` set
+    * and `durable=true` it resolves via IndexStore.loadOrBuild, so the
+    * session serves a parquet scan of the stored index instead. `build`
+    * runs at most once per live session; locked for the same reason as
+    * cachedStat (a duplicate eager localCheckpoint would strand its
+    * checkpoint blocks for the session's lifetime). `durable=false` marks
+    * session-local BUILD intermediates (e.g. the exploded k-means component
+    * frame) that must not be persisted as if they were the index. */
+  def cachedFrame(spark: SparkSession, dir: String, key: String,
+      durable: Boolean = true)(build: => DataFrame): DataFrame = {
     purge()
     frameCache.synchronized {
-      frameCache.getOrElseUpdate((spark, dir, key), build.localCheckpoint())
+      frameCache.getOrElseUpdate((spark, dir, key), indexDir match {
+        case Some(root) if durable =>
+          IndexStore.loadOrBuild(spark, storePath(root, dir, key))(build)
+        case _ => build.localCheckpoint()
+      })
     }
   }
 

@@ -185,6 +185,70 @@ object Dedup {
                    ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id)"""
   private val candSql = candSqlFor(nearDupSql)
 
+  /** Exact-Jaccard verification of cross (index, batch) candidate pairs:
+    * attach both sides' sid arrays, one narrow size(array_intersect) per
+    * pair, keep J ≥ 0.5 as (doc_id=batch, dup_of=index, jaccard). Shared by
+    * the memoized (`dedup_incremental`) and store-maintained
+    * (`dedup_incremental_maint`) ingest shapes. */
+  private def verifyCross(cand: DataFrame, indexSids: DataFrame,
+      batchSids: DataFrame): DataFrame = {
+    val a = indexSids.select(col("doc_id").as("da"), col("sids").as("sa"))
+    val b = batchSids.select(col("doc_id").as("db"), col("sids").as("sb"))
+    cand.join(a, "da").join(b, "db")
+      .select(col("da"), col("db"),
+        expr("size(array_intersect(sa, sb))").as("common"),
+        size(col("sa")).as("ca"), size(col("sb")).as("cb"))
+      .withColumn("jaccard",
+        round(col("common") / (col("ca") + col("cb") - col("common")), 3))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("db").as("doc_id"), col("da").as("dup_of"), col("jaccard"))
+  }
+
+  /** Cross candidates from a band-signature INDEX × a batch's bands —
+    * never index×index or batch×batch. */
+  private def crossCandidates(indexBands: DataFrame, batchBands: DataFrame): DataFrame =
+    indexBands.as("x").join(batchBands.as("y"),
+        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .distinct()
+
+  /** One ingest step of the MAINTAINED dedup index: dedup `batch` against
+    * the stored index (band signatures at `bandPath`, sid arrays at
+    * `sidPath`), then APPEND the batch's signatures so the NEXT batch
+    * dedups against base + this batch — steady-state ingest never re-pairs
+    * the corpus, and the index grows by exactly one batch per step.
+    * Callers own doc-id discipline (batch ids disjoint from the index).
+    * The dup result is materialized BEFORE the appends: the verification
+    * plan reads the stored index lazily, and appending first would make it
+    * see the batch's own rows (every doc would self-match at J = 1.0). */
+  private[ops] def ingestStep(s: SparkSession, sidPath: String,
+      bandPath: String, batch: DataFrame): DataFrame = {
+    import graft.engine.IndexStore
+    val indexSids = IndexStore.load(s, sidPath)
+    val indexBands = IndexStore.load(s, bandPath)
+    val batchSids = sidArrays(batch, md5Sids)
+      .select(col("doc_id"), expr("array_distinct(sids)").as("sids"))
+      .localCheckpoint() // 3 consumers: bands + verification + append
+    val batchBands = bandSigs(batchSids).localCheckpoint()
+    val dups =
+      verifyCross(crossCandidates(indexBands, batchBands), indexSids, batchSids)
+        .localCheckpoint()
+    IndexStore.append(batchSids, sidPath)
+    IndexStore.append(batchBands, bandPath)
+    dups
+  }
+
+  /** Oracle corpus for the maintained-ingest query: base + both batches
+    * (the appended index state batch 2 is deduped against). */
+  private val maintCorpusSql =
+    """SELECT doc_id, text FROM documents
+       UNION ALL
+       SELECT doc_id + 100000 AS doc_id, text || ' zz0 zz1' AS text
+       FROM documents WHERE doc_id % 3 = 0
+       UNION ALL
+       SELECT doc_id + 200000 AS doc_id, text || ' zz0 zz1 zz2' AS text
+       FROM documents WHERE doc_id % 5 = 0"""
+
   /** Truncated-copy corpus for the containment query's oracle. */
   private val containCorpusSql =
     """SELECT doc_id, text FROM documents
@@ -348,20 +412,44 @@ object Dedup {
       val batchSids = sidArrays(batch, md5Sids)
         .select(col("doc_id"), expr("array_distinct(sids)").as("sids"))
         .localCheckpoint() // 2 consumers: bands + verification
-      val cand = baseBands.as("x").join(bandSigs(batchSids).as("y"),
-          col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig"))
-        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
-        .distinct()
-      val a = baseSids.select(col("doc_id").as("da"), col("sids").as("sa"))
-      val b = batchSids.select(col("doc_id").as("db"), col("sids").as("sb"))
-      cand.join(a, "da").join(b, "db")
-        .select(col("da"), col("db"),
-          expr("size(array_intersect(sa, sb))").as("common"),
-          size(col("sa")).as("ca"), size(col("sb")).as("cb"))
-        .withColumn("jaccard",
-          round(col("common") / (col("ca") + col("cb") - col("common")), 3))
-        .filter(col("jaccard") >= 0.5)
-        .select(col("db").as("doc_id"), col("da").as("dup_of"), col("jaccard"))
+      verifyCross(crossCandidates(baseBands, bandSigs(batchSids)),
+          baseSids, batchSids)
+        .orderBy("doc_id", "dup_of")
+    }),
+
+    // MAINTAINED incremental dedup: the dedup index lives in the durable
+    // store (IndexStore) and each ingest step APPENDS the arriving batch's
+    // signatures after deduping it — so batch 2 is checked against
+    // base + batch 1, not just the base. Two consecutive batches are run
+    // here; the emitted rows are batch 2's dups, which include near-dups
+    // OF BATCH 1 docs (dup_of in [100000, 200000)) — the appended state is
+    // what the oracle verifies. Each invocation uses a fresh temp store
+    // (append semantics make the query stateful by design; a fixed path
+    // would double-append across invocations). At 100 TB the store is a
+    // table and this is the per-shard ingest job, O(batch) work per step.
+    "dedup_incremental_maint" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val base = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      // base index frames shared with dedup_incremental's session memo
+      val baseSids = Tables.cachedFrame(s, dir, "dedup_sid_index")(
+        sidArrays(base, md5Sids)
+          .select(col("doc_id"), expr("array_distinct(sids)").as("sids")))
+      val baseBands = Tables.cachedFrame(s, dir, "dedup_band_index")(
+        bandSigs(baseSids))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-dedup-ingest").toString
+      val sidPath = s"$root/sids"
+      val bandPath = s"$root/bands"
+      graft.engine.IndexStore.save(baseSids, sidPath)
+      graft.engine.IndexStore.save(baseBands, bandPath)
+      val batch1 = base.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" zz0 zz1")).as("text"))
+      val batch2 = base.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" zz0 zz1 zz2")).as("text"))
+      ingestStep(s, sidPath, bandPath, batch1) // dups vs base; index += batch1
+      ingestStep(s, sidPath, bandPath, batch2) // dups vs base AND batch1
         .orderBy("doc_id", "dup_of")
     }),
 
@@ -690,6 +778,25 @@ object Dedup {
     "dedup_incremental" ->
       s"""WITH $candSql,
           xc AS (SELECT da, db FROM cand WHERE da < 100000 AND db >= 100000),
+          cnt AS (SELECT doc_id, count(DISTINCT sid) AS c FROM doc_sh GROUP BY doc_id),
+          com AS (SELECT da, db, count(DISTINCT sa.sid) AS common
+                  FROM xc
+                  JOIN doc_sh sa ON xc.da = sa.doc_id
+                  JOIN doc_sh sb ON xc.db = sb.doc_id AND sa.sid = sb.sid
+                  GROUP BY da, db)
+          SELECT db AS doc_id, da AS dup_of,
+                 round(common / (ca.c + cb.c - common * 1.0), 3) AS jaccard
+          FROM com JOIN cnt ca ON com.da = ca.doc_id JOIN cnt cb ON com.db = cb.doc_id
+          WHERE round(common / (ca.c + cb.c - common * 1.0), 3) >= 0.5
+          ORDER BY doc_id, dup_of""",
+
+    // the appended-state replay: candidates between batch 2 (ids >=
+    // 200000) and EVERYTHING already in the index when it arrives — base
+    // AND batch 1 (da < 200000; da<db ordering puts the index side on da
+    // for every cross pair, exactly the Spark side's index×batch join)
+    "dedup_incremental_maint" ->
+      s"""WITH ${candSqlFor(maintCorpusSql)},
+          xc AS (SELECT da, db FROM cand WHERE da < 200000 AND db >= 200000),
           cnt AS (SELECT doc_id, count(DISTINCT sid) AS c FROM doc_sh GROUP BY doc_id),
           com AS (SELECT da, db, count(DISTINCT sa.sid) AS common
                   FROM xc

@@ -163,7 +163,7 @@ object Similarity {
       // comp (vec_id, d, x) feeds the per-dim mean UPDATE steps (2 rounds)
       // — checkpointed via the session memo so the corpus is exploded
       // exactly once, the same way dedup_ngram_jaccard checkpoints postings
-      val comp = Tables.cachedFrame(s, dir, "ivf_kmeans_comp")(
+      val comp = Tables.cachedFrame(s, dir, "ivf_kmeans_comp", durable = false)(
         cand.select(col("vec_id"),
           posexplode(col("embedding")).as(Seq("d", "x"))))
       // (cid, d, c) → (cid, carr) array form for the vec_sqdist kernel;

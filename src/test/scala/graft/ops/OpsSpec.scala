@@ -397,6 +397,31 @@ class OpsSpec extends SparkSpec {
       s"recall ${found.toDouble / planted.size} ($found/${planted.size})")
   }
 
+  test("maintained incremental dedup: batch 2 catches near-dups of batch 1, not just the base") {
+    val out = Dedup.queries("dedup_incremental_maint")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.nonEmpty)
+    // structure: emitted pairs are (batch-2 doc, anything already indexed)
+    out.foreach { case (b, a, j) =>
+      assert(b >= 200000 && a < 200000 && j >= 0.5, s"($b, $a, $j)")
+    }
+    // the appended state is live: docs divisible by 15 exist in BOTH
+    // batches (batch 1: +' zz0 zz1', batch 2: +' zz0 zz1 zz2'), so batch 2
+    // must find its batch-1 twin — a dup_of in [100000, 200000) proves the
+    // index really grew between the two ingest steps
+    val vsBatch1 = out.filter { case (_, a, _) => a >= 100000 }
+    assert(vsBatch1.nonEmpty, "no dup_of from batch 1 — the index did not grow")
+    val both = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 15 === 0 && size(split(col("text"), " ")) >= 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val hits = vsBatch1.map { case (b, a, _) => (b - 200000, a - 100000) }.toSet
+    val found = both.count(d => hits.contains((d, d)))
+    assert(found.toDouble / both.size >= 0.8,
+      s"batch1-twin recall ${found.toDouble / both.size} ($found/${both.size})")
+    // and it still finds base near-dups too
+    assert(out.exists { case (_, a, _) => a < 100000 })
+  }
+
   test("keep-canonical summary is consistent with the planted duplicates") {
     val r = Dedup.queries("dedup_keep_canonical")(spark, dir).head
     val (docs, kept, dropped) = (r.getLong(0), r.getLong(1), r.getLong(2))
