@@ -17,8 +17,9 @@ object PlanAudit {
   // broadcast against a scan (the ANN query set); everything else flags.
   private val bnljAllowed = Set(
     "sim_topk_bruteforce", "sim_ivf_ann", "sim_ivf_nprobe2", "sim_ivf_kmeans",
-    "sim_lsh_ann", "sim_q8_rerank", "text_bm25_topk", "text_vocab_topk",
-    "text_length_outliers", "mix_rebalance", "mix_temperature")
+    "sim_lsh_ann", "sim_q8_rerank", "text_bm25_topk", "text_bm25_multi",
+    "text_vocab_topk", "text_length_outliers", "mix_rebalance",
+    "mix_temperature")
 
   // A one-row global summary ends in an Exchange SinglePartition that
   // receives only per-task PARTIAL aggregates (map-side combined) — the
@@ -28,7 +29,7 @@ object PlanAudit {
   private val globalSummaryAllowed = Set(
     "quality_expectations", "text_length_outliers", "mix_rebalance",
     "mix_temperature", "dedup_keep_canonical", "text_bm25_topk",
-    "text_vocab_topk")
+    "text_bm25_multi", "text_vocab_topk")
 
   /** Big parquet tables: a scan of one of these feeding an INTERPRETED
     * (non-WholeStageCodegen) stretch is a hot path running the row-at-a-

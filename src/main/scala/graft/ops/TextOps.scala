@@ -54,7 +54,82 @@ object TextOps {
         / (tf$i + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * dl / avgdl))"""
   }.mkString(" + ")
 
+  /** Multi-query BM25 workload: (q_id, terms). Declared once and rendered
+    * into BOTH engines (Spark rows / SQL VALUES) so the workloads can't
+    * drift. Terms are real corpus vocabulary. */
+  private val bm25Queries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("hash", "join", "vector", "stream"), // the single-query terms
+    1L -> Seq("window", "scan", "batch"),
+    2L -> Seq("filter", "sort", "merge", "query", "key"))
+
+  /** Per-term BM25 contribution over posting columns (tf, df, dl, n,
+    * avgdl) — ONE formula string shared verbatim by the Spark expr and the
+    * DuckDB oracle (same engine-parity rationale as bm25ScoreSql). Unlike
+    * the single-query path, the multi-query score is a SUM OVER POSTING
+    * ROWS, whose order neither engine guarantees — so each contribution is
+    * scaled to an exact integer (×1e9, round, BIGINT) before aggregation:
+    * integer sums are order-independent, making the ranking bit-replayable
+    * with no cross-engine float channel. */
+  private val bm25ContribSql =
+    """ln((n - df + 0.5e0) / (df + 0.5e0) + 1.0e0)
+       * (tf * (1.2e0 + 1.0e0))
+       / (tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * dl / avgdl))"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Generalized BM25 retrieval: N queries scored in ONE pass via the
+    // inverted-index/posting-join formulation a retrieval deployment runs
+    // (the single-query variant generates one column per compile-time term
+    // — it cannot express "score these N queries from a table"). Shape:
+    // the (term, doc_id, dl, tf) inverted index is ONE map-side-combined
+    // shuffle of the token stream, memoized per session and durable under
+    // GRAFT_INDEX_DIR (the build-once/probe-forever index lifecycle);
+    // probing filters the posting scan to the query-term set (pushed to
+    // the scan), broadcasts the tiny query/df/stats sides, and the
+    // per-(q_id, doc) score is an exact-integer sum. Top-8 per query is
+    // the bounded topk8_ids aggregate — map-side partials keep ≤8 rows
+    // per query, no data-bearing single-partition exchange. At 100 TB:
+    // the index is a bucketed table keyed by term; a query batch touches
+    // only its terms' postings.
+    "text_bm25_multi" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      import s.implicits._
+      val qdf = bm25Queries
+        .flatMap { case (q, ts) => ts.map(t => (q, t)) }.toDF("q_id", "term")
+      val postings = Tables.cachedFrame(s, dir, "bm25_postings")(
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+            explode(col("toks")).as("term"))
+          .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf")))
+      val allTerms = bm25Queries.flatMap(_._2).distinct
+      // postings touched at all: query terms only (filter pushed to the
+      // memoized/stored index scan)
+      val hit = postings.filter(col("term").isin(allTerms: _*))
+      // per-term document frequency and corpus stats (N, avgdl) are index
+      // METADATA — built once with the index, durable alongside it, so a
+      // probe never re-aggregates the posting list
+      val dfs = Tables.cachedFrame(s, dir, "bm25_dfs")(
+        postings.groupBy("term").agg(count(lit(1)).as("df")))
+        .filter(col("term").isin(allTerms: _*))
+      val stats = Tables.cachedFrame(s, dir, "bm25_stats")(
+        Tables(s, dir, "documents")
+          .select(size(split(col("text"), " ")).cast("long").as("dl"))
+          .agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")))
+      val scored = hit
+        .join(broadcast(qdf), "term")
+        .join(broadcast(dfs), "term")
+        .crossJoin(broadcast(stats))
+        .select(col("q_id"), col("doc_id"),
+          expr(s"CAST(round(($bm25ContribSql) * 1e9) AS BIGINT)").as("c9"))
+        .groupBy("q_id", "doc_id").agg(sum(col("c9")).as("s9"))
+      // s9 ≤ ~1e11 ≪ 2^53: the double cast for the top-k agg is exact
+      scored.groupBy("q_id")
+        .agg(expr("topk8_ids(CAST(s9 AS DOUBLE), doc_id)").as("top"))
+        .select(col("q_id"), posexplode(col("top.ids")).as(Seq("pos", "doc_id")))
+        .select(col("q_id"), (col("pos") + 1).as("rank"), col("doc_id"))
+        .orderBy("q_id", "rank")
+    }),
+
     // BM25 relevance search (Robertson/Sparck-Jones idf with +1 floor,
     // k1=1.2, b=0.75): the lexical retrieval baseline a training-data
     // pipeline uses for corpus search / targeted decontamination. Scale
@@ -302,6 +377,42 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical tokenization, the VERBATIM shared bm25ContribSql formula,
+    // and exact-integer (×1e9) contribution sums — ranking replays
+    // bit-for-bit regardless of either engine's aggregation order
+    "text_bm25_multi" -> {
+      val valuesSql = bm25Queries
+        .flatMap { case (q, ts) => ts.map(t => s"(CAST($q AS BIGINT), '$t')") }
+        .mkString(", ")
+      val termsIn = bm25Queries.flatMap(_._2).distinct
+        .map(t => s"'$t'").mkString(", ")
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+          stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM lens),
+          postings AS (
+            SELECT term, doc_id, count(*) AS tf FROM (
+              SELECT doc_id, unnest(toks) AS term FROM d)
+            GROUP BY 1, 2),
+          q(q_id, term) AS (VALUES $valuesSql),
+          dfs AS (SELECT term, count(*) AS df FROM postings
+                  WHERE term IN ($termsIn) GROUP BY 1),
+          scored AS (
+            SELECT q.q_id, p.doc_id,
+                   sum(CAST(round(($bm25ContribSql) * 1e9) AS BIGINT)) AS s9
+            FROM q JOIN postings p USING (term)
+                 JOIN dfs f ON p.term = f.term
+                 JOIN lens l ON p.doc_id = l.doc_id
+                 CROSS JOIN stats
+            GROUP BY 1, 2),
+          ranked AS (
+            SELECT q_id, doc_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY s9 DESC, doc_id) AS rank
+            FROM scored)
+          SELECT q_id, rank, doc_id FROM ranked WHERE rank <= 8
+          ORDER BY q_id, rank"""
+    },
+
     // integer counts; n/total is double division of exact integers in both
     // engines, so the 6dp rounding is deterministic
     "text_vocab_topk" ->

@@ -520,6 +520,27 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("multi-query BM25: 3 queries in one pass, q0 ranking agrees with the single-query path") {
+    val multi = TextOps.queries("text_bm25_multi")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // 3 queries, each with ranks 1..8 and distinct docs
+    assert(multi.map(_._1).distinct.sorted.toSeq == Seq(0L, 1L, 2L))
+    multi.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to 8), s"q$q ranks")
+      assert(rs.map(_._3).distinct.length == 8, s"q$q docs distinct")
+    }
+    // q0 uses the single-query terms: the posting-join ranking must agree
+    // with the generated-column ranking (both k1=1.2 b=0.75; ties at the
+    // two paths' different rounding granularities may swap adjacent rows,
+    // so assert strong overlap plus an identical leader)
+    val single = TextOps.queries("text_bm25_topk")(spark, dir).collect()
+      .map(_.getLong(0)).take(8)
+    val q0 = multi.filter(_._1 == 0L).sortBy(_._2).map(_._3)
+    assert(q0.head == single.head, "top-1 must agree between formulations")
+    assert(q0.toSet.intersect(single.toSet).size >= 6,
+      s"rankings diverged: multi=${q0.toSeq} single=${single.toSeq}")
+  }
+
   test("k-means IVF: every query gets 3 ranked neighbors, nonzero recall vs brute force") {
     def top(name: String): Map[Long, Set[Long]] =
       Similarity.queries(name)(spark, dir).collect()
