@@ -135,11 +135,34 @@ object GraftFunctions {
     new ExpressionInfo(classOf[MinHash16Expr].getName, "minhash16"),
     unary("minhash16", MinHash16Expr.apply))
 
+  /** Second-argument literal extraction with honest diagnostics: a
+    * non-foldable expression or a NULL literal raises the dedicated
+    * analysis error instead of an NPE at plan build or a misleading
+    * wrong-arg-count ("actualNum=2" on a 2-arg call). */
+  private def foldableArg(fn: String, param: String, tpe: String,
+      e: Expression): Any = {
+    if (!e.foldable)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "NON_FOLDABLE_ARGUMENT",
+        messageParameters = Map(
+          "funcName" -> s"`$fn`", "paramName" -> s"`$param`",
+          "paramType" -> s""""$tpe""""))
+    val v = e.eval()
+    if (v == null)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "INVALID_PARAMETER_VALUE.NULL",
+        messageParameters = Map(
+          "parameter" -> s"`$param`", "functionName" -> s"`$fn`"))
+    v
+  }
+
   /** shingle_sids_*(words, width) — width must be a literal (it is baked
     * into the kernel at plan-build time). */
   private def shingle(name: String, useXx: Boolean): Seq[Expression] => Expression = {
-    case Seq(arr, w) if w.foldable =>
-      ShingleIdsExpr(arr, w.eval().asInstanceOf[Number].intValue(), useXx)
+    case Seq(arr, w) =>
+      ShingleIdsExpr(arr,
+        foldableArg(name, "width", "INT", w).asInstanceOf[Number].intValue(),
+        useXx)
     case children => throw new org.apache.spark.sql.AnalysisException(
       errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
       messageParameters = Map(
@@ -162,8 +185,9 @@ object GraftFunctions {
     FunctionIdentifier("word_ids_md5"),
     new ExpressionInfo(classOf[WordIdsExpr].getName, "word_ids_md5"),
     {
-      case Seq(arr, m) if m.foldable =>
-        WordIdsExpr(arr, m.eval().toString)
+      case Seq(arr, m) =>
+        WordIdsExpr(arr,
+          foldableArg("word_ids_md5", "mode", "STRING", m).toString)
       case children => throw new org.apache.spark.sql.AnalysisException(
         errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
         messageParameters = Map(

@@ -39,13 +39,19 @@ case class VecSqDistExpr(left: Expression, right: Expression)
     e.dataType.asInstanceOf[ArrayType].elementType
 
   override def checkInputDataTypes(): TypeCheckResult = {
+    // DecimalType is NumericType but its physical value is an object the
+    // generated `(double)(...)` cast cannot compile — accepting it here
+    // would Janino-fail the whole stage into a silent interpreted
+    // fallback, so reject it at analysis instead
     def ok(e: Expression): Boolean = e.dataType match {
-      case ArrayType(t: NumericType, _) => true
+      case ArrayType(_: DecimalType, _) => false
+      case ArrayType(_: NumericType, _) => true
       case _ => false
     }
     if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"vec_sqdist expects two arrays of numeric elements, got " +
+      s"vec_sqdist expects two arrays of non-decimal numeric elements " +
+        s"(cast decimals to double), got " +
         s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
   }
 

@@ -48,9 +48,18 @@ object Lsh {
   def sizing(spark: SparkSession, dir: String, key: String, corpus: DataFrame,
              vecCol: String = "embedding"): (Int, Int) = {
     val n = Tables.cachedStat(spark, dir, s"count:$key")(corpus.count())
+    // head(1) not head(): an EMPTY corpus must fail with a message naming
+    // the real problem, not a bare NoSuchElementException from deep inside
+    // the sizing job (and must not poison the memo — cachedStat only
+    // stores after a successful compute)
     val dim = Tables.cachedStat(spark, dir, s"dim:$key")(
-      corpus.select(size(col(vecCol))).head().getInt(0).toLong).toInt
-    (planesFor(n), dim)
+      corpus.select(size(col(vecCol))).head(1) match {
+        case Array(r) => r.getInt(0).toLong
+        case _ => throw new IllegalArgumentException(
+          s"Lsh.sizing: corpus '$key' under $dir is empty — cannot infer " +
+            s"the $vecCol dimension (nothing to bucket)")
+      })
+    (planesFor(n), dim.toInt)
   }
 
   /** Projection of `vecCol` (array<float/double>, `dim` elements) onto
