@@ -18,10 +18,14 @@ import org.apache.spark.sql.functions._
   * from the corpus count, its 10× ratio is ~2×.)
   *
   * Usage:
-  *   runMain graft.ScaleProbe [mult]        ratio table (default mult=30 —
-  *                                          the widest span that still runs
-  *                                          in minutes; replicas at
-  *                                          /tmp/graft_scale_x<mult>)
+  *   runMain graft.ScaleProbe [mult[,mult2,...]] [q1,q2,...]
+  *     ratio table (default mult=30; replicas at /tmp/graft_scale_x<mult>).
+  *     Multiple multipliers time every probed query at 1× and each point
+  *     IN ONE SESSION and report the marginal ratio between the last two
+  *     points — that marginal is what separates "linear with a smaller
+  *     constant" from "mildly super-linear" when kernel fusions shrink the
+  *     1× denominator (the round-6 ratio-table ambiguity). The optional
+  *     second arg restricts the probe to a comma-separated query subset.
   *   runMain graft.ScaleProbe spill [mult]  spill-path probe: re-runs the
   *     full dedup pipeline (dedup_keep_canonical: banded candidates →
   *     large-star/small-star CC → corpus join → summary) at <mult>× with
@@ -41,10 +45,16 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val spillMode = args.headOption.contains("spill")
-    val mult = (if (spillMode) args.drop(1) else args)
-      .headOption.map(_.toInt).getOrElse(30)
+    val rest = if (spillMode) args.drop(1) else args
+    val mults = rest.headOption
+      .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(30))
+    val queryFilter = rest.drop(1).headOption
+      .map(_.split(",").map(_.trim).toSet)
+    val queries = queryFilter.fold(probed)(f => probed.filter(f))
+    val mult = mults.head // spill mode and replica sizing use the first
     val base = "/root/testdata/sf0.1"
-    val out = s"/tmp/graft_scale_x$mult"
+    def outFor(m: Int) = s"/tmp/graft_scale_x$m"
+    val out = outFor(mult)
     // spill mode runs 8-way, not 32-way: the squeeze leaves each task its
     // minimum page allocations (32 concurrent tasks on a squeezed region
     // die in UNABLE_TO_ACQUIRE_MEMORY before any operator can spill) while
@@ -67,42 +77,45 @@ object ScaleProbe {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // documents: suffix every word with the copy tag → vocabularies are
-    // disjoint across copies, so cross-copy shingle/minhash matches vanish
-    val docs = spark.read.parquet(s"$base/documents.parquet")
-    (0 until mult).map { i =>
-      docs
-        .withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
-        .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1c$i"))
-    }.reduce(_ unionAll _)
-      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    def makeReplicas(m: Int, dest: String): Unit = {
+      // documents: suffix every word with the copy tag → vocabularies are
+      // disjoint across copies, so cross-copy shingle/minhash matches vanish
+      val docs = spark.read.parquet(s"$base/documents.parquet")
+      (0 until m).map { i =>
+        docs
+          .withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
+          .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1c$i"))
+      }.reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$dest/documents.parquet")
 
-    // embeddings: deterministic per-(copy, dim) sign flips → cross-copy
-    // cosines are ~random, originals' geometry within a copy is preserved
-    val emb = spark.read.parquet(s"$base/embeddings.parquet")
-    (0 until mult).map { i =>
-      emb
-        .withColumn("vec_id", col("vec_id") + lit(i * 1000000L))
-        .withColumn("embedding", expr(
-          s"""transform(sequence(0, size(embedding) - 1),
-                d -> CAST(embedding[d] *
-                     (CASE WHEN pmod(d * 131 + $i * 17, 2) = 0
-                           THEN 1.0 ELSE -1.0 END) AS FLOAT))"""))
-    }.reduce(_ unionAll _)
-      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      // embeddings: deterministic per-(copy, dim) sign flips → cross-copy
+      // cosines are ~random, originals' geometry within a copy is preserved
+      val emb = spark.read.parquet(s"$base/embeddings.parquet")
+      (0 until m).map { i =>
+        emb
+          .withColumn("vec_id", col("vec_id") + lit(i * 1000000L))
+          .withColumn("embedding", expr(
+            s"""transform(sequence(0, size(embedding) - 1),
+                  d -> CAST(embedding[d] *
+                       (CASE WHEN pmod(d * 131 + $i * 17, 2) = 0
+                             THEN 1.0 ELSE -1.0 END) AS FLOAT))"""))
+      }.reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$dest/embeddings.parquet")
 
-    // remaining tables: copy via a parquet read/write round-trip so the
-    // probe stays layout-agnostic (a raw Files.copy assumes each table is
-    // a single file; driver-generated data could become directory-layout
-    // parquet without notice)
-    // (events.ts is INT64 TIMESTAMP(NANOS): readable only as a long; the
-    // round-trip writes it back as a plain BIGINT of nanos, which
-    // Tables.load converts identically)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    for (n <- engine.Tables.all if n != "documents" && n != "embeddings") {
-      spark.read.parquet(s"$base/$n.parquet")
-        .write.mode("overwrite").parquet(s"$out/$n.parquet")
+      // remaining tables: copy via a parquet read/write round-trip so the
+      // probe stays layout-agnostic (a raw Files.copy assumes each table is
+      // a single file; driver-generated data could become directory-layout
+      // parquet without notice)
+      // (events.ts is INT64 TIMESTAMP(NANOS): readable only as a long; the
+      // round-trip writes it back as a plain BIGINT of nanos, which
+      // Tables.load converts identically)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      for (n <- engine.Tables.all if n != "documents" && n != "embeddings") {
+        spark.read.parquet(s"$base/$n.parquet")
+          .write.mode("overwrite").parquet(s"$dest/$n.parquet")
+      }
     }
+    (if (spillMode) Seq(mult) else mults).foreach(m => makeReplicas(m, outFor(m)))
 
     // one untimed invocation first: JIT/codegen for a query's operators
     // compiles on its first run, which would otherwise inflate t_1x (it
@@ -145,11 +158,21 @@ object ScaleProbe {
         f""""spilled_mem_mb":${spilledMem.get / (1024 * 1024)},""" +
         f""""spilled_disk_mb":${spilledDisk.get / (1024 * 1024)}}""")
     } else {
-      println(f"${"query"}%-24s ${"t_1x"}%8s t_${mult}%dx${""}%4s ${"ratio"}%7s")
-      probed.foreach { name =>
+      val multCols = mults.flatMap(m => Seq(f"t_${m}%dx", "ratio"))
+        .map(h => f"$h%9s").mkString
+      val marginalHdr = if (mults.size >= 2)
+        f"  marg_${mults.init.last}%d->${mults.last}%dx" else ""
+      println(f"${"query"}%-24s ${"t_1x"}%8s$multCols$marginalHdr")
+      queries.foreach { name =>
         val t1 = best(name, base)
-        val tn = best(name, out)
-        println(f"$name%-24s $t1%8.2f $tn%9.2f ${tn / t1}%7.2f")
+        val ts = mults.map(m => best(name, outFor(m)))
+        val cols = ts.map(tn => f"$tn%9.2f${tn / t1}%9.2f").mkString
+        // the marginal between the last two points is the linearity
+        // verdict: data grows mults.last/mults.init.last ×, a linear
+        // pipeline's time should grow about that factor
+        val marginal = if (mults.size >= 2)
+          f"  ${ts.last / ts.init.last}%9.2f" else ""
+        println(f"$name%-24s $t1%8.2f$cols$marginal")
       }
     }
     spark.stop()

