@@ -15,7 +15,7 @@ import graft.rules.{ReferenceCorpus, RuleDef}
   * Batch micro-benchmark — the same logical plan Structured Streaming runs
   * per micro-batch, without trigger-scheduling noise.
   *
-  * Run: sbt "runMain graft.StreamBench [nRows] [nRules] [shards]"
+  * Run: sbt "runMain graft.StreamBench [nRows] [nRules] [shards] [mode] [skew]"
   *
   * shards > 1 measures the rule-SHARDING latency mode: the rule set is
   * split across `shards` concurrent streaming queries, each reading its
@@ -26,6 +26,20 @@ import graft.rules.{ReferenceCorpus, RuleDef}
   * cost of K source consumers. With shards > 1 only the latency section
   * runs (the batch-throughput numbers are a property of the merged plan,
   * unchanged by sharding).
+  *
+  * mode (shards > 1): how rules are assigned to shards.
+  *   "rr"   (default) — contiguous equal-COUNT slices, the round-6 shape.
+  *   "cost" — equal-COST shards: each rule's predicate is timed over one
+  *            cached calibration batch, then greedy bin-packing (largest
+  *            cost first, into the lightest shard) balances measured cost
+  *            instead of rule count. Real rule sets have wildly uneven
+  *            predicate cost; with count-balanced shards the slowest shard
+  *            sets the fleet's p95, because every shard is a consumer of
+  *            the same feed and the laggard's trigger queue grows.
+  * skew: pass "skew" to make every 7th rule ~an order of magnitude more
+  *   expensive (a conjunction of extra substring scans) — the uneven-cost
+  *   workload the mode comparison is about. Without it the synthetic
+  *   clones are near-uniform and both modes measure the same thing.
   *
   * nRules > 25 exercises the 1000-rule scale path (SURVEY §4 "plan size"):
   * the corpus is cloned with an extra per-variant conjunct — every variant's
@@ -39,20 +53,96 @@ import graft.rules.{ReferenceCorpus, RuleDef}
   */
 object StreamBench {
 
-  /** base rules + never-firing literal variants, round-robin to n. */
-  def cloneRules(base: Seq[RuleDef], n: Int): Seq[RuleDef] =
+  /** base rules + never-firing literal variants, round-robin to n. With
+    * `skew`, every 7th clone GROUP carries 8 extra substring conjuncts —
+    * several times the per-event predicate work, the uneven-cost shape of
+    * a real rule set (none of the extras change what fires). The extra
+    * patterns are UNIQUE PER RULE (base index × variant × j): patterns
+    * shared across rules would be collapsed by whole-stage codegen's
+    * common-subexpression elimination whenever those rules land in the
+    * same shard, making measured per-rule costs non-additive — an earlier
+    * shared-pattern version of this skew made cost-packing look 4× WORSE
+    * than contiguous slicing purely because packing scattered each
+    * CSE-shared group across every shard (see README "sharding 1000
+    * rules"; the lesson is real and documented, but the default skew
+    * should model independent rule costs). */
+  def cloneRules(base: Seq[RuleDef], n: Int, skew: Boolean = false): Seq[RuleDef] =
     Iterator.from(0).flatMap { i =>
-      base.map { r =>
+      base.zipWithIndex.map { case (r, bi) =>
         if (i == 0) r
-        else r.copy(name = s"${r.name} [v$i]",
-          where = And(r.where, Like("CommandLine", s"%__variant_$i%")))
+        else {
+          val variant = And(r.where, Like("CommandLine", s"%__variant_$i%"))
+          val where =
+            if (skew && i % 7 == 1) {
+              // heavy = an always-false OR-chain as the LEFT conjunct: Or
+              // only short-circuits on TRUE, so all 8 substring scans run
+              // on EVERY row (an expensive conjunct placed right of a
+              // cheap mostly-false base predicate would almost never
+              // evaluate — no runtime skew at all)
+              val chain = (1 until 8).foldLeft[graft.compile.Pred](
+                Like("CommandLine", s"%__expensive_${bi}_${i}_0%"))((w, j) =>
+                graft.compile.Or(w, Like("CommandLine", s"%__expensive_${bi}_${i}_$j%")))
+              And(chain, variant)
+            } else variant
+          r.copy(name = s"${r.name} [v$i]", where = where)
+        }
       }
     }.take(n).toSeq
+
+  /** One-batch calibration, OFF-SPARK: collect a sample of the flat synth
+    * load once, then time each rule's compiled in-memory evaluator
+    * (Pred.evaluator) over it. Two full passes; the second is the
+    * measurement (the first pays JIT). Why not time per-rule Spark plans:
+    * (a) a count job's ~90 ms launch overhead swamps a few ms of real
+    * predicate cost, so the measured "costs" are uniform noise and the
+    * bin-packing degenerates to random; (b) compiling 1000 throwaway
+    * codegen'd plans fills the JVM code cache and measurably degrades the
+    * streaming phase measured NEXT in the same JVM (first attempt: rr p50
+    * 5.6 s vs cost p50 30.5 s from pollution alone). */
+  def calibrate(rules: Seq[RuleDef],
+      flat: org.apache.spark.sql.DataFrame, sample: Int = 20000): Map[String, Double] = {
+    val rows = flat.limit(sample).collect()
+    val schema = flat.schema
+    def costOf(r: RuleDef): Double = {
+      val ev = r.where.evaluator
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < rows.length) {
+        val row = rows(i)
+        ev(
+          f => { val j = schema.fieldIndex(f)
+                 if (row.isNullAt(j)) null else row.getString(j) },
+          c => { val j = schema.fieldIndex(c)
+                 if (row.isNullAt(j)) null else row.get(j) })
+        i += 1
+      }
+      (System.nanoTime() - t0) / 1e6
+    }
+    rules.foreach(costOf) // JIT warm-up pass
+    rules.map(r => r.name -> costOf(r)).toMap
+  }
+
+  /** Greedy bin-packing: heaviest rule first, into the currently-lightest
+    * shard — the classic LPT heuristic, within 4/3 of the optimal makespan,
+    * which is all a latency balancer needs. */
+  def packByCost(rules: Seq[RuleDef], costs: Map[String, Double],
+      k: Int): Seq[Seq[RuleDef]] = {
+    val bins = Array.fill(k)(scala.collection.mutable.Buffer.empty[RuleDef])
+    val load = Array.fill(k)(0.0)
+    rules.sortBy(r => -costs(r.name)).foreach { r =>
+      val i = load.indexOf(load.min)
+      bins(i) += r
+      load(i) += costs(r.name)
+    }
+    bins.map(_.toSeq).toSeq
+  }
 
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(2000000L)
     val nRules = args.drop(1).headOption.map(_.toInt).getOrElse(25)
     val shards = args.drop(2).headOption.map(_.toInt).getOrElse(1)
+    val mode = args.drop(3).headOption.getOrElse("rr")
+    val skew = args.drop(4).headOption.contains("skew")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -62,10 +152,11 @@ object StreamBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val rules = cloneRules(ReferenceCorpus.active, nRules)
-    val load = Detection.nestedFrom(Detection.synthFrom(
+    val rules = cloneRules(ReferenceCorpus.active, nRules, skew)
+    val flatLoad = Detection.synthFrom(
       spark.range(n).select(col("id").as("event_id"),
-        timestamp_micros(lit(1700000000000000L) + col("id") * 1000).as("ts"))))
+        timestamp_micros(lit(1700000000000000L) + col("id") * 1000).as("ts")))
+    val load = Detection.nestedFrom(flatLoad)
 
     def time(f: => Long): (Long, Double) = {
       val t0 = System.nanoTime(); val rows = f
@@ -120,12 +211,42 @@ object StreamBench {
       }
     }
     spark.streams.addListener(listener)
+    // diagnostic: time BATCH dispatch per shard for both sharding modes
+    // over the same rows — isolates plan/codegen cost differences from
+    // streaming dynamics
+    if (mode == "batchcmp") {
+      val costs = calibrate(rules, flatLoad)
+      val byCost = packByCost(rules, costs, shards)
+      val byCount = rules.grouped(
+        math.ceil(rules.size.toDouble / shards).toInt).toSeq
+      val batch = load.limit(2000000).localCheckpoint()
+      val order = if (sys.env.contains("SPARK_GRAFT_CMP_REVERSED"))
+        Seq("cost" -> byCost, "rr" -> byCount)
+      else Seq("rr" -> byCount, "cost" -> byCost)
+      for ((nm, sh) <- order; (g, i) <- sh.zipWithIndex) {
+        AlertPipeline.alertsMerged(batch.limit(1000), g).count() // codegen warm
+        val (rows, sec) = time(AlertPipeline.alertsMerged(batch, g).count())
+        println(f"$nm shard $i: ${g.size} rules, $rows alerts, $sec%.2f s")
+      }
+      spark.stop()
+      return
+    }
     // shard the rule set across `shards` concurrent queries: each query
     // reads its own rate source (K consumers of the same feed — the Kafka
     // consumer-group shape) and dispatches only its slice of the rules, so
-    // the fixed per-trigger dispatch cost divides by K
-    val ruleShards = rules.grouped(
-      math.ceil(rules.size.toDouble / shards).toInt).toSeq
+    // the fixed per-trigger dispatch cost divides by K. "rr" slices by
+    // COUNT; "cost" bin-packs by measured per-rule cost so one shard can't
+    // become the fleet's laggard when rule costs are uneven.
+    val ruleShards = mode match {
+      case "cost" if shards > 1 =>
+        val costs = calibrate(rules, flatLoad)
+        val packed = packByCost(rules, costs, shards)
+        val sums = packed.map(_.map(r => costs(r.name)).sum)
+        println(f"calibrated shard costs (ms): ${sums.map(s => f"$s%.0f").mkString(", ")}")
+        packed
+      case _ =>
+        rules.grouped(math.ceil(rules.size.toDouble / shards).toInt).toSeq
+    }
     // 8 source partitions per shard: predicate evaluation is CPU-bound, so
     // starving a shard of partitions (e.g. 32/shards) makes its trigger
     // queue diverge — measured p50 went 4.1 s → 37 s at K=4 when dropped
@@ -156,14 +277,25 @@ object StreamBench {
     // first triggers pay codegen/broadcast warm-up, not latency — drop
     // them per shard, but keep at least half the sample when few
     // batches completed
-    val ds = durations.values.toSeq.flatMap { q =>
+    val perShardDs = durations.values.toSeq.map { q =>
       val all = q.toArray(Array.empty[java.lang.Long]).map(_.toLong)
-      all.drop(math.min(3, all.length / 2))
-    }.sorted
-    def pct(p: Double): Long =
-      if (ds.isEmpty) -1 else ds(math.min(ds.length - 1, math.ceil(p * ds.length).toInt - 1))
+      all.drop(math.min(3, all.length / 2)).sorted.toSeq
+    }.filter(_.nonEmpty)
+    val ds = perShardDs.flatten.sorted
+    def pctOf(xs: Seq[Long], p: Double): Long =
+      if (xs.isEmpty) -1
+      else xs(math.min(xs.length - 1, math.ceil(p * xs.length).toInt - 1))
+    def pct(p: Double): Long = pctOf(ds, p)
+    // the pooled percentiles over-weight FAST shards (they emit more
+    // trigger samples per unit time); every shard serves the same feed, so
+    // the fleet's per-rule detection latency is its WORST shard's — report
+    // that separately or an unbalanced sharding looks fine in aggregate
+    def worst(p: Double): Long =
+      if (perShardDs.isEmpty) -1 else perShardDs.map(pctOf(_, p)).max
     println(s"""{"metric":"detect_latency_ms","rules":${rules.size},""" +
-      s""""shards":$shards,"batches":${ds.length},"p50":${pct(0.5)},"p95":${pct(0.95)},""" +
+      s""""shards":$shards,"mode":"$mode","skew":$skew,""" +
+      s""""batches":${ds.length},"p50":${pct(0.5)},"p95":${pct(0.95)},""" +
+      s""""worst_shard_p50":${worst(0.5)},"worst_shard_p95":${worst(0.95)},""" +
       s""""max":${if (ds.isEmpty) -1 else ds.last}}""")
     spark.stop()
   }

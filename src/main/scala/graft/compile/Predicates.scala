@@ -34,6 +34,88 @@ sealed trait Pred {
   def or(o: Pred): Pred = Or(this, o)
   def unary_! : Pred = Not(this)
 
+  /** Compile to an IN-MEMORY row evaluator with SQL (Kleene) null
+    * semantics — the returned `java.lang.Boolean` is null for SQL NULL,
+    * so `evaluator(...) == TRUE` is exactly "row passes the filter".
+    * Regexes/IN-sets build once here, not per row, and Like mirrors
+    * toColumn's startsWith/endsWith/contains specializations so relative
+    * costs track the Spark plan. This is the off-Spark path StreamBench's
+    * cost calibration uses: compiling and timing 1000 per-rule Spark
+    * plans fills the JVM code cache and measurably degrades whatever
+    * codegen'd plan runs NEXT in the same JVM — the in-process evaluator
+    * leaves the measured streaming phase untouched. PredicatesSpec pins
+    * evaluator ≡ toColumn over the full corpus on the synth load. */
+  def evaluator: Pred.Ev = {
+    import Pred._
+    def tri(b: Boolean): java.lang.Boolean = java.lang.Boolean.valueOf(b)
+    this match {
+      case Eq(f, v) => (fd, _) => {
+        val x = fd(f); if (x == null) null else tri(x == v)
+      }
+      case In(f, vs) =>
+        val set = vs.toSet
+        (fd, _) => { val x = fd(f); if (x == null) null else tri(set(x)) }
+      case IsNull(f) => (fd, _) => tri(fd(f) == null)
+      case Like(f, p) =>
+        def str(g: String => Boolean): Ev =
+          (fd, _) => { val x = fd(f); if (x == null) null else tri(g(x)) }
+        parseLike(p) match {
+          case List(Lit(s)) => str(_ == s)
+          case List(AnyN) => str(_ => true)
+          case List(AnyN, Lit(s)) => str(_.endsWith(s))
+          case List(Lit(s), AnyN) => str(_.startsWith(s))
+          case List(AnyN, Lit(s), AnyN) => str(_.contains(s))
+          case _ =>
+            val re = java.util.regex.Pattern.compile(likeToRegex(p))
+            str(x => re.matcher(x).find())
+        }
+      case SimilarTo(f, p) =>
+        val re = java.util.regex.Pattern.compile(s"^(?:${fixRegex(p)})$$")
+        (fd, _) => {
+          val x = fd(f); if (x == null) null else tri(re.matcher(x).find())
+        }
+      case TopEq(c, v) => (_, top) => {
+        val x = top(c)
+        if (x == null) null
+        else tri(x.asInstanceOf[Number].longValue() == v)
+      }
+      case And(l, r) =>
+        // short-circuit on left-FALSE, exactly like Spark's generated And
+        // — the evaluator's COST profile must track the plan's, or the
+        // calibration mis-ranks rules whose cheap first conjunct rejects
+        // most rows
+        val le = l.evaluator; val re = r.evaluator
+        (fd, top) => {
+          val a = le(fd, top)
+          if (a == java.lang.Boolean.FALSE) java.lang.Boolean.FALSE
+          else {
+            val b = re(fd, top)
+            if (b == java.lang.Boolean.FALSE) java.lang.Boolean.FALSE
+            else if (a == null || b == null) null
+            else java.lang.Boolean.TRUE
+          }
+        }
+      case Or(l, r) =>
+        val le = l.evaluator; val re = r.evaluator
+        (fd, top) => {
+          val a = le(fd, top)
+          if (a == java.lang.Boolean.TRUE) java.lang.Boolean.TRUE
+          else {
+            val b = re(fd, top)
+            if (b == java.lang.Boolean.TRUE) java.lang.Boolean.TRUE
+            else if (a == null || b == null) null
+            else java.lang.Boolean.FALSE
+          }
+        }
+      case Not(p) =>
+        val pe = p.evaluator
+        (fd, top) => {
+          val a = pe(fd, top)
+          if (a == null) null else tri(!a.booleanValue())
+        }
+    }
+  }
+
   /** Render as Spark SQL text (the C6 `gen_flink_sql` analog — a rule as
     * SQL a user can paste into spark.sql). Differs from toDuckDb only in
     * string-literal escaping: Spark SQL treats `\` as an escape inside
@@ -53,6 +135,10 @@ sealed trait Pred {
 }
 
 object Pred {
+  /** In-memory evaluator: (event_data field → value-or-null, top-level
+    * column → value-or-null) → SQL boolean (null = SQL NULL). */
+  type Ev = (String => String, String => Any) => java.lang.Boolean
+
   /** SQL-quote a string literal (standard: only '' needs escaping). */
   def sq(s: String): String = "'" + s.replace("'", "''") + "'"
 
