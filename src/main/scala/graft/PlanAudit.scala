@@ -18,8 +18,8 @@ object PlanAudit {
   private val bnljAllowed = Set(
     "sim_topk_bruteforce", "sim_ivf_ann", "sim_ivf_nprobe2", "sim_ivf_kmeans",
     "sim_lsh_ann", "sim_q8_rerank", "text_bm25_topk", "text_bm25_multi",
-    "text_vocab_topk", "text_length_outliers", "mix_rebalance",
-    "mix_temperature")
+    "text_vocab_topk", "text_length_outliers", "text_length_outliers_approx",
+    "mix_rebalance", "mix_temperature")
 
   // A one-row global summary ends in an Exchange SinglePartition that
   // receives only per-task PARTIAL aggregates (map-side combined) — the
@@ -27,7 +27,8 @@ object PlanAudit {
   // exchanges everywhere else (a global sort or windowless row_number
   // funneling real data through one task IS a scale killer).
   private val globalSummaryAllowed = Set(
-    "quality_expectations", "text_length_outliers", "mix_rebalance",
+    "quality_expectations", "text_length_outliers",
+    "text_length_outliers_approx", "mix_rebalance",
     "mix_temperature", "dedup_keep_canonical", "text_bm25_topk",
     "text_bm25_multi", "text_vocab_topk")
 

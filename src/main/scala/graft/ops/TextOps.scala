@@ -364,6 +364,28 @@ object TextOps {
           sum(when(col("len") > col("hi"), 1L).otherwise(0L)).as("too_long"))
     }),
 
+    // The documented 100 TB swap for text_length_outliers, as CODE: the
+    // exact `percentile` (full sort-based) bounds become the mergeable
+    // t-digest-style sketch `percentile_approx(len, p, 100)` — accuracy
+    // 100 ⇒ rank error ≤ 1%, so each boundary count differs from the
+    // exact trim by at most ~1% of the corpus (OpsSpec asserts the 2%
+    // two-sided bound). Rows-only check like agg_approx_sketch: DuckDB's
+    // approx quantile is a different sketch with different tie-breaks, so
+    // a hash oracle cannot exist by construction.
+    "text_length_outliers_approx" -> ((s, dir) => {
+      val lens = Tables(s, dir, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("len"))
+      val bounds = lens.agg(
+        expr("percentile_approx(len, 0.05, 100)").as("lo"),
+        expr("percentile_approx(len, 0.95, 100)").as("hi"))
+      lens.crossJoin(broadcast(bounds))
+        .agg(count(lit(1)).as("docs"),
+          sum(when(col("len") >= col("lo") && col("len") <= col("hi"), 1L)
+            .otherwise(0L)).as("kept"),
+          sum(when(col("len") < col("lo"), 1L).otherwise(0L)).as("too_short"),
+          sum(when(col("len") > col("hi"), 1L).otherwise(0L)).as("too_long"))
+    }),
+
     // Document fingerprint: positional polynomial hash over words — the
     // rolling-hash shape used for content-defined dedup keys.
     "text_fingerprint" -> ((s, dir) => {

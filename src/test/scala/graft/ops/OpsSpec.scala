@@ -541,6 +541,22 @@ class OpsSpec extends SparkSpec {
       s"rankings diverged: multi=${q0.toSeq} single=${single.toSeq}")
   }
 
+  test("approx length-outlier trim stays within the sketch's rank-error bound of exact") {
+    val exact = TextOps.queries("text_length_outliers")(spark, dir).head()
+    val approx = TextOps.queries("text_length_outliers_approx")(spark, dir).head()
+    val n = exact.getLong(0)
+    assert(approx.getLong(0) == n, "docs count must be exact")
+    // percentile_approx accuracy=100 ⇒ rank error ≤ 1% per boundary; a
+    // boundary shifted by ≤1% of ranks moves each bucket count by ≤1% (2%
+    // two-sided for kept). Ties can only snap the boundary onto the same
+    // values the exact percentile interpolates between.
+    val tol = math.max(2L, (n * 0.02).toLong)
+    Seq(1, 2, 3).foreach { i =>
+      assert(math.abs(approx.getLong(i) - exact.getLong(i)) <= tol,
+        s"col $i: approx=${approx.getLong(i)} exact=${exact.getLong(i)} tol=$tol")
+    }
+  }
+
   test("k-means IVF: every query gets 3 ranked neighbors, nonzero recall vs brute force") {
     def top(name: String): Map[Long, Set[Long]] =
       Similarity.queries(name)(spark, dir).collect()

@@ -95,6 +95,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("S7 both shapes, same YAML dir + file source: union plan and multi-sink fan-out emit identical alert multisets") {
+    // the reference's statement set has two Spark mappings: ONE query with
+    // a UNION ALL plan (alerts) and ONE query fanned out to N sinks per
+    // micro-batch (foreachBatchFanOut). Same compiled YAML rules, same
+    // replayed file-source input => the alert MULTISETS must be identical
+    // (bag semantics: an event matching k rules appears k times).
+    val rules = graft.compile.RuleCompiler.compileDir("src/test/resources/sigma")
+    assert(rules.nonEmpty)
+    val in = java.nio.file.Files.createTempDirectory("graft-s7-in").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/events.json"),
+      Seq(
+        // fires cmdkey (event_id 1 + Image + CommandLine)
+        """{"computer_name":"pc1","event_id":1,"host":"h1","uuid":"e-1","event_data":{"Image":"C:\\Windows\\System32\\cmdkey.exe","CommandLine":"cmdkey /list"}}""",
+        // fires lazagne
+        """{"computer_name":"pc2","event_id":1,"host":"h2","uuid":"e-2","event_data":{"Image":"C:\\tools\\lazagne.exe","CommandLine":"lazagne.exe all"}}""",
+        // benign
+        """{"computer_name":"pc3","event_id":1,"host":"h3","uuid":"e-3","event_data":{"Image":"C:\\Windows\\System32\\notepad.exe","CommandLine":"notepad"}}""")
+        .mkString("\n").getBytes("UTF-8"))
+    def fileSource = graft.engine.Sources.source(spark,
+      Map("source.type" -> "files", "source.path" -> in))
+    def key(r: Row): (String, String, String) =
+      (r.getAs[Row]("rule").getAs[String]("name"),
+        r.getAs[Row]("event").getAs[scala.collection.Seq[String]]("origin_ids").mkString(","),
+        r.getAs[String]("computer_name"))
+
+    // shape 1: union plan into one sink
+    val q1 = AlertPipeline.alerts(fileSource, rules)
+      .writeStream.format("memory").queryName("s7_union")
+      .outputMode("append").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    // shape 2: merged dispatch fanned out to two sinks per micro-batch
+    val sink1 = java.nio.file.Files.createTempDirectory("graft-s7-sink1").toString
+    val collected = new java.util.concurrent.ConcurrentLinkedQueue[Row]()
+    val q2 = AlertPipeline.foreachBatchFanOut(
+        AlertPipeline.alertsMerged(fileSource, rules), Seq(
+          b => b.select("computer_name", "host").write.mode("append").parquet(sink1),
+          b => b.collect().foreach(collected.add)))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try {
+      q1.awaitTermination(60000)
+      q2.awaitTermination(60000)
+      val unionAlerts = spark.table("s7_union").collect().map(key).toSeq.sorted
+      val fanoutAlerts = collected.toArray(Array.empty[Row]).map(key).toSeq.sorted
+      assert(unionAlerts.nonEmpty, "planted events must fire")
+      assert(unionAlerts == fanoutAlerts,
+        s"shapes diverged: union=$unionAlerts fanout=$fanoutAlerts")
+      // the second sink of the fan-out saw the same batch
+      assert(spark.read.parquet(sink1).count() == fanoutAlerts.size)
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("streaming exact dedup: dropDuplicates on uuid within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
