@@ -40,8 +40,10 @@ object ScaleProbe {
     "dedup_minhash_fast", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_simhash", "dedup_simhash_pairs", "dedup_simhash64_pairs",
     "dedup_containment", "dedup_embedding_lsh", "dedup_incremental",
+    "dedup_incremental_maint",
     "sim_topk_bruteforce", "sim_lsh_ann", "sim_lsh_multiprobe",
-    "text_pipeline_e2e", "text_bm25_topk", "pack_sequences")
+    "text_pipeline_e2e", "text_bm25_topk", "text_bm25_multi",
+    "pack_sequences")
 
   def main(args: Array[String]): Unit = {
     val spillMode = args.headOption.contains("spill")
