@@ -19,6 +19,9 @@ object PlanAudit {
     "sim_topk_bruteforce", "sim_ivf_ann", "sim_ivf_nprobe2", "sim_ivf_kmeans",
     "sim_lsh_ann", "sim_q8_rerank", "text_bm25_topk", "text_bm25_multi",
     "text_vocab_topk", "text_length_outliers", "text_length_outliers_approx",
+    // two 1-row corpus-stat frames (rt, tt) cross-joined onto the
+    // 1024-row weight table — never onto the document stream
+    "text_dsir_importance",
     "mix_rebalance", "mix_temperature")
 
   // A one-row global summary ends in an Exchange SinglePartition that
@@ -30,7 +33,7 @@ object PlanAudit {
     "quality_expectations", "text_length_outliers",
     "text_length_outliers_approx", "mix_rebalance",
     "mix_temperature", "dedup_keep_canonical", "text_bm25_topk",
-    "text_bm25_multi", "text_vocab_topk")
+    "text_bm25_multi", "text_vocab_topk", "text_dsir_importance")
 
   /** Big parquet tables: a scan of one of these feeding an INTERPRETED
     * (non-WholeStageCodegen) stretch is a hot path running the row-at-a-
@@ -54,8 +57,12 @@ object PlanAudit {
   private val lambdaAllowed = Set(
     "p13_higher_order",
     "text_quality", "text_langid", "text_fingerprint", "text_repetition",
-    "text_entropy", "text_length_outliers", "text_pipeline_e2e",
+    "text_entropy", "text_length_outliers", "text_length_outliers_approx",
+    "text_pipeline_e2e",
     "text_decontaminate", "text_pii_redact", "text_tokens",
+    // line chunking + reassembly transforms: per-doc arrays of ≤12 lines,
+    // and the big-side stream is checkpointed before the transform anyway
+    "text_line_dedup",
     "pack_sequences", "quality_expectations",
     "dedup_embedding_lsh", "dedup_embedding_cosine",
     "sim_q8_rerank", "mm_frame_sample", "mm_decode_features")

@@ -75,7 +75,103 @@ object TextOps {
        * (tf * (1.2e0 + 1.0e0))
        / (tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * dl / avgdl))"""
 
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): hashed-bigram bucket
+    * counts for a target corpus vs the raw corpus, per-bucket log-ratio
+    * weights with add-1 smoothing, per-doc score = Σ weight[bucket(gram)].
+    * ONE formula string shared verbatim by both engines (same parity
+    * rationale as bm25ContribSql); the per-doc sum is over gram rows whose
+    * order neither engine guarantees, so each weight is integer-scaled
+    * (×1e9, round, BIGINT) — integer sums are order-independent. */
+  private val dsirBuckets = 1024
+  private val dsirTargetSrcs = Seq("src0", "src1", "src2", "src3")
+  private val dsirWeightSql =
+    s"ln((t + 1.0e0) / (tt + $dsirBuckets.0e0)) - ln((r + 1.0e0) / (rt + $dsirBuckets.0e0))"
+
+  /** Planted boilerplate lines for the cross-doc line-dedup fixture — whole
+    * repeated "lines" (the header on every 3rd doc, the footer on every
+    * 4th), so line-frequency dedup has deterministic targets, same planting
+    * style as text_pii_redact / text_decontaminate. */
+  private val boilerHeader = "subscribe to our newsletter for updates"
+  private val boilerFooter = "all rights reserved contact us today"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Cross-document line-level dedup (the C4 / CCNet boilerplate-removal
+    // step): split each doc into lines, count each line's corpus frequency,
+    // drop every line that appears more than once corpus-wide, and
+    // reassemble the cleaned doc. The synthetic corpus has no newlines, so
+    // "lines" are deterministic 10-word chunks plus the planted
+    // header/footer lines (whole-line repeats across docs — exactly what
+    // the real op removes). Scale shape: the line-frequency count is ONE
+    // map-side-combined hash shuffle on the 128-bit line hash; the
+    // boilerplate set (only lines with count ≥ 2) is tiny relative to the
+    // corpus and broadcasts (a bloom filter at extreme scale); reassembly
+    // is one shuffle on doc_id with per-doc state bounded by the doc's own
+    // line count. At 100 TB nothing pairs docs against docs — frequency is
+    // a global aggregate, membership is a broadcast probe.
+    "text_line_dedup" -> ((s, dir) => {
+      val empty = expr("CAST(array() AS ARRAY<STRING>)")
+      val lined = Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"),
+          concat(
+            when(col("doc_id") % 3 === 0, array(lit(boilerHeader))).otherwise(empty),
+            expr("""transform(sequence(0, CAST(ceil(size(w) / 10.0e0) AS INT) - 1),
+                      i -> concat_ws(' ', slice(w, i * 10 + 1, 10)))"""),
+            when(col("doc_id") % 4 === 0, array(lit(boilerFooter))).otherwise(empty)
+          ).as("lines"))
+        .select(col("doc_id"), posexplode(col("lines")).as(Seq("pos", "line")))
+        .localCheckpoint() // 2 consumers: frequency count + reassembly
+      val boiler = lined.groupBy(md5(col("line")).as("h"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 2).select(col("h"))
+      lined.join(broadcast(boiler), md5(col("line")) === col("h"), "left")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_lines"),
+          count(col("h")).as("n_removed"),
+          md5(concat_ws(" ", expr(
+            "transform(sort_array(collect_list(CASE WHEN h IS NULL THEN struct(pos, line) END)), x -> x.line)")))
+            .as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // DSIR importance scoring — the data-selection step that upweights raw
+    // docs resembling a curated target corpus (here: sources src0..src3).
+    // Features are the fused shingle kernel's distinct word-bigram ids
+    // hashed into 1024 buckets. Scale shape: the gram stream is narrow
+    // (zero-shuffle kernel + explode); the two bucket-count aggregations
+    // collapse onto ≤1024 keys (map-side combined, effectively free); the
+    // 1024-row weight table broadcasts — at 100 TB it is index METADATA,
+    // built once with the corpus stats and durable, so scoring any batch is
+    // a single narrow pass + broadcast join + one map-side-combined doc
+    // aggregation. Nothing pairs docs, nothing collects to the driver.
+    "text_dsir_importance" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val grams = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), col("source"),
+          explode(expr("shingle_sids_md5(w, 2)")).as("gid"))
+        .select(col("doc_id"), col("source"),
+          (col("gid") % dsirBuckets).as("b"))
+        .localCheckpoint() // 3 consumers: raw counts, target counts, scoring
+      val raw = grams.groupBy("b").agg(count(lit(1)).as("r"))
+      val tgt = grams.filter(col("source").isin(dsirTargetSrcs: _*))
+        .groupBy("b").agg(count(lit(1)).as("t"))
+      val rt = raw.agg(sum(col("r")).as("rt"))
+      val tt = tgt.agg(coalesce(sum(col("t")), lit(0L)).as("tt"))
+      val weights = raw.join(tgt, Seq("b"), "left")
+        .select(col("b"), coalesce(col("t"), lit(0L)).as("t"), col("r"))
+        .crossJoin(broadcast(rt)).crossJoin(broadcast(tt))
+        .select(col("b"),
+          expr(s"CAST(round(($dsirWeightSql) * 1e9) AS BIGINT)").as("w9"))
+      grams.join(broadcast(weights), "b")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"), sum(col("w9")).as("s9"))
+        .orderBy("doc_id")
+    }),
+
     // Generalized BM25 retrieval: N queries scored in ONE pass via the
     // inverted-index/posting-join formulation a retrieval deployment runs
     // (the single-query variant generates one column per compile-time term
@@ -399,6 +495,62 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical chunking (1-based inclusive slices ≡ Spark's slice), the
+    // same planted header/footer lines, and 128-bit md5 line keys; NULLs
+    // are skipped by string_agg exactly as collect_list skips them, and
+    // ORDER BY pos replays sort_array's struct order
+    "text_line_dedup" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          lw AS (SELECT doc_id,
+                   (CASE WHEN doc_id % 3 = 0 THEN ['$boilerHeader']
+                         ELSE CAST([] AS VARCHAR[]) END)
+                   || list_transform(range(0, CAST(ceil(len(w) / 10.0e0) AS INT)),
+                        i -> array_to_string(w[i * 10 + 1 : i * 10 + 10], ' '))
+                   || (CASE WHEN doc_id % 4 = 0 THEN ['$boilerFooter']
+                         ELSE CAST([] AS VARCHAR[]) END) AS lines
+                 FROM d),
+          lined AS (SELECT doc_id, unnest(lines) AS line,
+                           generate_subscripts(lines, 1) AS pos
+                    FROM lw),
+          boiler AS (SELECT md5(line) AS h FROM lined
+                     GROUP BY 1 HAVING count(*) >= 2)
+          SELECT doc_id, count(*) AS n_lines, count(b.h) AS n_removed,
+                 md5(coalesce(string_agg(CASE WHEN b.h IS NULL THEN line END,
+                                         ' ' ORDER BY pos), '')) AS clean_md5
+          FROM lined l LEFT JOIN boiler b ON md5(l.line) = b.h
+          GROUP BY doc_id ORDER BY doc_id""",
+
+    // kernel-contract bigrams (distinct on the gram STRING per doc, md5 →
+    // long ids), the VERBATIM shared dsirWeightSql formula, and
+    // exact-integer (×1e9) weight sums — order-independent in both engines
+    "text_dsir_importance" -> {
+      val tgtIn = dsirTargetSrcs.map(x => s"'$x'").mkString(", ")
+      s"""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w
+                     FROM documents WHERE len(string_split(text, ' ')) >= 2),
+          g0 AS (SELECT DISTINCT doc_id, source, gram FROM (
+                   SELECT doc_id, source,
+                          unnest(list_transform(range(1, len(w)),
+                            i -> w[i] || ' ' || w[i + 1])) AS gram
+                   FROM d)),
+          g AS (SELECT doc_id, source,
+                  (CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) % $P)
+                    % $dsirBuckets AS b
+                FROM g0),
+          raw AS (SELECT b, count(*) AS r FROM g GROUP BY 1),
+          tgt AS (SELECT b, count(*) AS t FROM g
+                  WHERE source IN ($tgtIn) GROUP BY 1),
+          rtot AS (SELECT CAST(sum(r) AS BIGINT) AS rt FROM raw),
+          ttot AS (SELECT CAST(coalesce(sum(t), 0) AS BIGINT) AS tt FROM tgt),
+          wts AS (SELECT b,
+                    CAST(round(($dsirWeightSql) * 1e9) AS BIGINT) AS w9
+                  FROM (SELECT raw.b, coalesce(t, 0) AS t, r
+                        FROM raw LEFT JOIN tgt USING (b))
+                       CROSS JOIN rtot CROSS JOIN ttot)
+          SELECT doc_id, count(*) AS n_grams, CAST(sum(w9) AS BIGINT) AS s9
+          FROM g JOIN wts USING (b)
+          GROUP BY doc_id ORDER BY doc_id"""
+    },
+
     // identical tokenization, the VERBATIM shared bm25ContribSql formula,
     // and exact-integer (×1e9) contribution sums — ranking replays
     // bit-for-bit regardless of either engine's aggregation order

@@ -541,6 +541,49 @@ class OpsSpec extends SparkSpec {
       s"rankings diverged: multi=${q0.toSeq} single=${single.toSeq}")
   }
 
+  test("line dedup removes exactly the planted boilerplate lines") {
+    val out = TextOps.queries("text_line_dedup")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val words = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").length).toMap
+    assert(out.keySet == words.keySet)
+    var extraDocs = 0
+    out.foreach { case (id, (nLines, nRemoved)) =>
+      val planted = (if (id % 3 == 0) 1 else 0) + (if (id % 4 == 0) 1 else 0)
+      assert(nLines == (words(id) + 9) / 10 + planted, s"doc $id line count")
+      // every planted boilerplate line is removed; docs the DRIVER planted
+      // as duplicate copies (the dedup fixtures) legitimately lose their
+      // shared content chunks too, so > is allowed but bounded below
+      assert(nRemoved >= planted, s"doc $id removed $nRemoved < $planted")
+      if (nRemoved > planted) extraDocs += 1
+    }
+    assert(extraDocs > 0, "the dedup-fixture copies must share chunks")
+    assert(extraDocs <= out.size / 2,
+      s"$extraDocs/${out.size} docs lost non-planted lines — threshold broken")
+  }
+
+  test("DSIR importance: target-source docs outscore the rest on average") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = TextOps.queries("text_dsir_importance")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == docs.size)
+    assert(out.forall(_._2 > 0), "every doc has bigrams")
+    assert(out.exists(_._3 != 0L), "weights must not be degenerate")
+    val target = Set("src0", "src1", "src2", "src3")
+    // per-gram mean log-ratio (s9/n_grams): the weights are ESTIMATED from
+    // the target's own counts, so target docs must score higher on average
+    // — the in-sample direction any importance-weighting scheme shows
+    val (t, r) = out.partition { case (id, _, _) => target(docs(id)) }
+    def mean(xs: Array[(Long, Long, Long)]) =
+      xs.map { case (_, n, s) => s.toDouble / n }.sum / xs.length
+    assert(t.nonEmpty && r.nonEmpty)
+    assert(mean(t) > mean(r),
+      s"target mean ${mean(t)} must exceed non-target mean ${mean(r)}")
+  }
+
   test("approx length-outlier trim stays within the sketch's rank-error bound of exact") {
     val exact = TextOps.queries("text_length_outliers")(spark, dir).head()
     val approx = TextOps.queries("text_length_outliers_approx")(spark, dir).head()
