@@ -31,7 +31,7 @@ object Bench {
     "dedup_exact", "dedup_minhash_lsh", "dedup_minhash_fast",
     "dedup_ngram_jaccard", "dedup_simhash", "dedup_embedding_cosine",
     "dedup_embedding_lsh", "sim_topk_bruteforce", "sim_ivf_ann", "sim_lsh_ann",
-    "sim_q8_rerank", "text_bm25_topk", "text_bm25_multi",
+    "sim_q8_rerank", "sim_pq_adc", "text_bm25_topk", "text_bm25_multi",
     "text_line_dedup", "text_dsir_importance",
     "text_pipeline_e2e", "text_quality", "text_entropy", "mm_decode_features",
     "pack_sequences", "sample_weighted", "mix_rebalance", "win_topk_per_window")

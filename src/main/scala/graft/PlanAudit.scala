@@ -17,7 +17,8 @@ object PlanAudit {
   // broadcast against a scan (the ANN query set); everything else flags.
   private val bnljAllowed = Set(
     "sim_topk_bruteforce", "sim_ivf_ann", "sim_ivf_nprobe2", "sim_ivf_kmeans",
-    "sim_lsh_ann", "sim_q8_rerank", "text_bm25_topk", "text_bm25_multi",
+    "sim_lsh_ann", "sim_q8_rerank", "sim_pq_adc",
+    "text_bm25_topk", "text_bm25_multi",
     "text_vocab_topk", "text_length_outliers", "text_length_outliers_approx",
     // two 1-row corpus-stat frames (rt, tt) cross-joined onto the
     // 1024-row weight table — never onto the document stream
@@ -65,7 +66,9 @@ object PlanAudit {
     "text_line_dedup",
     "pack_sequences", "quality_expectations",
     "dedup_embedding_lsh", "dedup_embedding_cosine",
-    "sim_q8_rerank", "mm_frame_sample", "mm_decode_features")
+    // pq: the ADC-table collect/transform runs over the 8-row query side;
+    // the encoded index and codebook build inside the session memo
+    "sim_q8_rerank", "sim_pq_adc", "mm_frame_sample", "mm_decode_features")
 
   /** Names of big tables scanned OUTSIDE any WholeStageCodegen span.
     * (The scan node lives inside the WSCG subtree via InputAdapter /

@@ -311,6 +311,104 @@ object Similarity {
         .join(broadcast(q.select(col("qid"), col("qe"), col("qn"))), col("cqid") === col("qid"))
         .select(col("qid"), col("nid"),
           round(expr(dotExpr) / (col("qn") * col("cn")), 6).as("cos_r")))
+    }),
+
+    // Product quantization with asymmetric distance computation (ADC) —
+    // the third classic ANN scale lever after IVF (probe fewer vectors)
+    // and int8 (scan smaller vectors): encode each 64-d vector as M=4
+    // subspace codes into a k=16 codebook (4 bytes/vector, a 64× smaller
+    // index than float32), train the codebook with the SAME grouped Lloyd
+    // discipline sim_ivf_kmeans uses (subspace id as an extra group key;
+    // 2 rounds; centroid means and distances rounded to 6dp each step so
+    // assignment argmins can't diverge on summation-order noise). Probing
+    // is ADC: per query, ONE 64-entry distance table (m×cid → squared
+    // subdistance, integer-scaled ×1e6 so all downstream sums are exact
+    // integers) broadcasts; each encoded vector's approx distance is 4
+    // codegen'd array lookups + integer adds — no per-pair float work at
+    // all. Approx top-8 per query via the bounded topk8_ids aggregate,
+    // then exact cosine rerank of ≤8, exactly the q8 two-stage shape. At
+    // 100 TB: codebook training samples the corpus (here: full corpus,
+    // deterministic seeds = vectors 8..23); the encoded index is ~1.6% of
+    // the raw bytes, so the stage-1 scan is memory-bandwidth-trivial, and
+    // the only shuffles are the bounded top-8 partials.
+    "sim_pq_adc" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val (m0, sub, k0) = (8, 8, 16) // M subspaces × sub dims; k codes each
+      val e = Tables(s, dir, "embeddings")
+      val cand = e.filter(col("vec_id") >= 8)
+      // The retrieval metric is COSINE, so PQ runs over UNIT-NORMALIZED
+      // vectors (‖a−b‖² = 2 − 2·cos there, monotone in cosine) — raw-space
+      // L2 codes rank scaled copies LAST instead of first. Components are
+      // rounded to 6dp after the divide so both engines train on identical
+      // bits (the norm itself is a cross-engine float-sum channel).
+      def normalized(src: DataFrame): DataFrame =
+        src.select(col("vec_id"),
+          greatest(expr(normExpr("embedding")), lit(1e-12)).as("nn"),
+          col("embedding"))
+          .select(col("vec_id"),
+            expr("transform(embedding, v -> round(CAST(v AS DOUBLE) / nn, 6))").as("ne"))
+      val cne = Tables.cachedFrame(s, dir, "pq_nemb", durable = false)(normalized(cand))
+      // (vec_id, m, d, x): subspace component stream for the UPDATE steps
+      val comp = Tables.cachedFrame(s, dir, "pq_comp", durable = false)(
+        cne.select(col("vec_id"), posexplode(col("ne")).as(Seq("dd", "x")))
+          .select(col("vec_id"), expr(s"dd DIV $sub").as("m"),
+            (col("dd") % sub).as("d"), col("x")))
+      // (id, m, sv): the M subvectors per normalized vector (ASSIGN steps)
+      def subvecs(src: DataFrame, idCol: String): DataFrame =
+        src.select(col(idCol),
+          posexplode(array((0 until m0).map(mm =>
+            expr(s"slice(ne, ${mm * sub + 1}, $sub)")): _*)).as(Seq("m", "sv")))
+      def toArr(cent: DataFrame): DataFrame =
+        cent.groupBy("m", "cid")
+          .agg(expr("transform(array_sort(collect_list(struct(d, c))), s -> s.c)").as("carr"))
+      def assign(centArr: DataFrame): DataFrame =
+        subvecs(cne, "vec_id")
+          .join(broadcast(centArr), "m")
+          .select(col("vec_id"), col("m"), col("cid"),
+            round(expr("vec_sqdist(sv, carr)"), 6).as("dist"))
+          .groupBy("vec_id", "m")
+          .agg(min(struct(col("dist"), col("cid"))).as("mn"))
+          .select(col("vec_id"), col("m"), col("mn.cid").as("cid"))
+      def update(asg: DataFrame): DataFrame =
+        comp.join(asg, Seq("vec_id", "m"))
+          .groupBy(col("m"), col("cid"), col("d"))
+          .agg(round(avg(col("x")), 6).as("c"))
+          .localCheckpoint()
+      val cent0 = comp.filter(col("vec_id") < 8 + k0)
+        .select(col("m"), (col("vec_id") - 8).as("cid"), col("d"), col("x").as("c"))
+      val cent2 = Tables.cachedFrame(s, dir, "pq_codebook")(
+        toArr(update(assign(toArr(update(assign(toArr(cent0))))))))
+      // the encoded index: (nid, codes int[4], ce, cn) — codes for the ADC
+      // scan, raw vector + norm only consumed by the ≤8-candidate rerank
+      val codes = Tables.cachedFrame(s, dir, "pq_codes")(
+        assign(cent2)
+          .groupBy("vec_id")
+          .agg(expr("transform(array_sort(collect_list(struct(m, cid))), s -> s.cid)").as("codes")))
+      val q = e.filter(col("vec_id") < 8).select(
+        col("vec_id").as("qid"), col("embedding").as("qe"),
+        expr(normExpr("embedding")).as("qn"))
+      // per-query ADC table: 64 integer-scaled subdistances, flattened so
+      // lookup i = m*k + cid (one tiny HOF over 8 query rows)
+      val qdarr = subvecs(
+        normalized(e.filter(col("vec_id") < 8)).withColumnRenamed("vec_id", "qid"), "qid")
+        .join(broadcast(cent2), "m")
+        .select(col("qid"), (col("m") * k0 + col("cid")).as("i"),
+          expr("CAST(round(round(vec_sqdist(sv, carr), 6) * 1e6) AS BIGINT)").as("d9"))
+        .groupBy("qid")
+        .agg(expr("transform(array_sort(collect_list(struct(i, d9))), s -> s.d9)").as("qdarr"))
+      val adcExpr = (0 until m0).map(mm =>
+        s"element_at(qdarr, CAST(${mm * k0 + 1} + codes[$mm] AS INT))").mkString(" + ")
+      val cand8 = codes.crossJoin(broadcast(qdarr))
+        .select(col("qid"), col("vec_id").as("nid"), expr(adcExpr).as("ad9"))
+        .groupBy("qid").agg(expr("topk8_ids(-CAST(ad9 AS DOUBLE), nid)").as("top"))
+        .select(col("qid").as("cqid"), explode(col("top.ids")).as("cnid"))
+      val cfull = cand.select(col("vec_id").as("nid"), col("embedding").as("ce"),
+        expr(normExpr("embedding")).as("cn"))
+      topK3(cand8
+        .join(cfull, col("cnid") === col("nid"))
+        .join(broadcast(q), col("cqid") === col("qid"))
+        .select(col("qid"), col("nid"),
+          round(expr(dotExpr) / (col("qn") * col("cn")), 6).as("cos_r")))
     })
   )
 
@@ -540,6 +638,76 @@ object Similarity {
                    row_number() OVER (PARTITION BY qid
                                       ORDER BY round(dot / (nq * nc), 6) DESC, nid) AS rank
             FROM dots)
+          SELECT qid, rank, nid FROM ranked WHERE rank <= 3 ORDER BY qid, rank""",
+
+    // replay the grouped (per-subspace) 2-round Lloyd training with the
+    // same 6dp rounding discipline, the ×1e6 integer ADC tables, the
+    // integer-exact approx top-8, and the exact top-3 rerank
+    "sim_pq_adc" -> {
+      // one Lloyd round as SQL with the subspace id m as an extra key
+      def assignSql(cent: String, a: String) =
+        s"""$a AS (
+              SELECT vec_id, m, cid FROM (
+                SELECT comp.vec_id, comp.m, c.cid,
+                       row_number() OVER (PARTITION BY comp.vec_id, comp.m
+                         ORDER BY round(sum(power(comp.x - c.c, 2)), 6),
+                                  c.cid) AS rk
+                FROM comp JOIN $cent c ON comp.m = c.m AND comp.d = c.d
+                GROUP BY comp.vec_id, comp.m, c.cid)
+              WHERE rk = 1)"""
+      def updateSql(a: String, cent: String) =
+        s"""$cent AS (
+              SELECT comp.m, $a.cid, comp.d, round(avg(comp.x), 6) AS c
+              FROM comp JOIN $a ON comp.vec_id = $a.vec_id AND comp.m = $a.m
+              GROUP BY comp.m, $a.cid, comp.d)"""
+      s"""WITH raw AS (
+            SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS gs
+            FROM embeddings),
+          norms AS (
+            SELECT vec_id,
+                   greatest(sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 1e-12) AS nn
+            FROM raw GROUP BY 1),
+          ncomp AS (
+            SELECT raw.vec_id, (gs - 1) // 8 AS m, (gs - 1) % 8 AS d,
+                   round(CAST(x AS DOUBLE) / nn, 6) AS x
+            FROM raw JOIN norms ON raw.vec_id = norms.vec_id),
+          comp AS (SELECT * FROM ncomp WHERE vec_id >= 8),
+          c0 AS (SELECT m, vec_id - 8 AS cid, d, x AS c
+                 FROM comp WHERE vec_id < 24),
+          ${assignSql("c0", "a1")}, ${updateSql("a1", "c1")},
+          ${assignSql("c1", "a2")}, ${updateSql("a2", "c2")},
+          ${assignSql("c2", "codes")},
+          qcomp AS (SELECT vec_id AS qid, m, d, x FROM ncomp WHERE vec_id < 8),
+          qd AS (
+            SELECT qid, c.m, c.cid,
+                   CAST(round(round(sum(power(qcomp.x - c.c, 2)), 6) * 1e6)
+                        AS BIGINT) AS d9
+            FROM qcomp JOIN c2 c ON qcomp.m = c.m AND qcomp.d = c.d
+            GROUP BY qid, c.m, c.cid),
+          approx AS (
+            SELECT qd.qid, codes.vec_id AS nid, sum(qd.d9) AS ad9
+            FROM codes JOIN qd ON codes.m = qd.m AND codes.cid = qd.cid
+            GROUP BY qd.qid, codes.vec_id),
+          cand AS (
+            SELECT qid, nid FROM (
+              SELECT qid, nid,
+                     row_number() OVER (PARTITION BY qid
+                       ORDER BY ad9 ASC, nid) AS rk
+              FROM approx)
+            WHERE rk <= 8),
+          q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
+          c AS (SELECT vec_id AS nid, embedding AS ce FROM embeddings WHERE vec_id >= 8),
+          pairs AS (
+            SELECT q.qid, c.nid, q.qe, c.ce
+            FROM cand JOIN q USING (qid) JOIN c USING (nid)),
+          dots AS ($dotsSql),
+          ranked AS (
+            SELECT qid, nid, round(dot / (nq * nc), 6) AS cos_r,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY round(dot / (nq * nc), 6) DESC, nid) AS rank
+            FROM dots)
           SELECT qid, rank, nid FROM ranked WHERE rank <= 3 ORDER BY qid, rank"""
+    }
   )
 }

@@ -481,6 +481,23 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.75, s"recall $recall")
   }
 
+  test("PQ-ADC: full result shape, useful recall vs brute force") {
+    def top(name: String): Map[Long, Set[Long]] =
+      Similarity.queries(name)(spark, dir).collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val exact = top("sim_topk_bruteforce")
+    val pq = top("sim_pq_adc")
+    assert(pq.keySet == exact.keySet, "every query must return candidates")
+    assert(pq.values.forall(_.size == 3))
+    // 4×16 product codes are a far coarser sketch than per-vector int8 —
+    // the bar is "the index is informative", not q8's 0.75: mean recall@3
+    // must beat the ~3/corpus floor random top-8 pools would give
+    val recall = exact.map { case (q, t) => pq(q).count(t).toDouble / t.size }
+      .sum / exact.size
+    info(f"recall@3 vs brute force: $recall%.3f")
+    assert(recall >= 0.25, s"recall $recall")
+  }
+
   test("vocab top-k: frequency-ordered, fractions consistent with direct counts") {
     val out = TextOps.queries("text_vocab_topk")(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
