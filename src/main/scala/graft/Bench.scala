@@ -28,7 +28,7 @@ object Bench {
     "sql_q3_shipping", "sql_q5_local_supplier", "sql_corr_subquery",
     "win_rank_topk", "time_session_10m", "time_tumbling_1h",
     "sig_fanout_counts", "sig_fanout_merged", "sig_alert_shape",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_minhash_fast",
+    "dedup_exact", "dedup_exact_substring", "dedup_minhash_lsh", "dedup_minhash_fast",
     "dedup_ngram_jaccard", "dedup_simhash", "dedup_embedding_cosine",
     "dedup_embedding_lsh", "sim_topk_bruteforce", "sim_ivf_ann", "sim_lsh_ann",
     "sim_q8_rerank", "sim_pq_adc", "text_bm25_topk", "text_bm25_multi",

@@ -64,6 +64,9 @@ object PlanAudit {
     // line chunking + reassembly transforms: per-doc arrays of ≤12 lines,
     // and the big-side stream is checkpointed before the transform anyway
     "text_line_dedup",
+    // positional-gram hashing + span-coverage filter/exists over per-doc
+    // arrays of ≤100 words; the gram stream is checkpointed once
+    "dedup_exact_substring",
     "pack_sequences", "quality_expectations",
     "dedup_embedding_lsh", "dedup_embedding_cosine",
     // pq: the ADC-table collect/transform runs over the 8-row query side;

@@ -312,6 +312,53 @@ object Dedup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact SUBSTRING dedup (Lee et al., "Deduplicating Training Data
+    // Makes Language Models Better"): find every word-span of length ≥ L
+    // that occurs more than once corpus-wide and remove ALL its
+    // occurrences — the span-level modality the whole-doc and line-level
+    // ops can't express (a quoted paragraph inside an otherwise-unique
+    // doc). The suffix-array machinery of the paper is replaced by the
+    // hash-count shape: any duplicated span of length ≥ L contains only
+    // duplicated L-grams, so (1) hash every positional L-gram (L=15),
+    // (2) one map-side-combined count finds the duplicated gram set —
+    // tiny relative to the corpus, broadcast back (a bloom filter at
+    // extreme scale), (3) a word is removed iff some duplicated gram
+    // covers it — per-doc array algebra over the marked start offsets,
+    // no doc-vs-doc pairing anywhere. Fixture: every 6th (≥40-word) doc
+    // gets a quote-doc copying its words 1..30 behind a 10-word reshuffled
+    // own-prefix, so both the quote and the quoted span are planted
+    // deterministically in both engines.
+    "dedup_exact_substring" -> ((s, dir) => {
+      val L = 15
+      val base = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(col("doc_id") % 6 === 0 && size(col("w")) >= 40)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat_ws(" ", concat(expr("slice(w, 31, 10)"), expr("slice(w, 1, 30)"))).as("text"))
+      val docs = base.unionAll(planted)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      val grams = docs.filter(size(col("w")) >= L)
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, size(w) - $L), i -> md5(concat_ws(' ', slice(w, i + 1, $L))))"))
+          .as(Seq("i", "g")))
+        .localCheckpoint() // 2 consumers: global count + marking
+      val dups = grams.groupBy("g").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 2).select(col("g"))
+      val marked = grams.join(broadcast(dups), "g")
+        .groupBy("doc_id").agg(sort_array(collect_list(col("i"))).as("starts"))
+      docs.join(marked, Seq("doc_id"), "left")
+        .select(col("doc_id"), size(col("w")).as("n_words"),
+          coalesce(size(col("starts")), lit(0)).as("n_dup_grams"),
+          expr(s"""filter(w, (x, p) -> NOT exists(
+                     coalesce(starts, CAST(array() AS ARRAY<INT>)),
+                     s -> s <= p AND p <= s + ${L - 1}))""").as("kept"))
+        .select(col("doc_id"), col("n_words"), col("n_dup_grams"),
+          (col("n_words") - size(col("kept"))).as("n_removed"),
+          md5(concat_ws(" ", col("kept"))).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Exact dedup by content hash (md5 so the oracle hashes identically;
     // the key point is group-by-hash, not group-by-text).
     "dedup_exact" -> ((s, dir) => {
@@ -744,6 +791,47 @@ object Dedup {
         GROUP BY node ORDER BY node"""
 
   val oracles: Map[String, String] = Map(
+    // identical planting (1-based inclusive slices ≡ Spark's slice),
+    // identical positional 15-gram strings/md5 keys, and the NOT EXISTS
+    // coverage join replaying the array-land filter/exists predicate
+    "dedup_exact_substring" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 200000 AS doc_id,
+                  array_to_string(string_split(text, ' ')[31:40], ' ')
+                  || ' ' ||
+                  array_to_string(string_split(text, ' ')[1:30], ' ') AS text
+           FROM documents
+           WHERE doc_id % 6 = 0 AND len(string_split(text, ' ')) >= 40),
+         d AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+         grams AS (
+           SELECT doc_id, i - 1 AS i,
+                  md5(array_to_string(w[i : i + 14], ' ')) AS g
+           FROM (SELECT doc_id, w, unnest(range(1, len(w) - 13)) AS i
+                 FROM d WHERE len(w) >= 15)),
+         dups AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+         marked AS (SELECT doc_id, i FROM grams JOIN dups USING (g)),
+         pos AS (SELECT doc_id, unnest(w) AS word,
+                        generate_subscripts(w, 1) - 1 AS p
+                 FROM d),
+         kept AS (
+           SELECT doc_id, p, word FROM pos
+           WHERE NOT EXISTS (
+             SELECT 1 FROM marked m
+             WHERE m.doc_id = pos.doc_id
+               AND m.i <= pos.p AND pos.p <= m.i + 14)),
+         mc AS (SELECT doc_id, count(*) AS c FROM marked GROUP BY 1),
+         kc AS (SELECT doc_id, count(*) AS c,
+                       string_agg(word, ' ' ORDER BY p) AS s
+                FROM kept GROUP BY 1)
+         SELECT d.doc_id, len(w) AS n_words,
+                coalesce(mc.c, 0) AS n_dup_grams,
+                len(w) - coalesce(kc.c, 0) AS n_removed,
+                md5(coalesce(kc.s, '')) AS clean_md5
+         FROM d LEFT JOIN mc USING (doc_id) LEFT JOIN kc USING (doc_id)
+         ORDER BY d.doc_id""",
+
     "dedup_exact" ->
       s"""SELECT canonical, n FROM (
             SELECT md5(text) AS h, min(doc_id) AS canonical, count(*) AS n

@@ -558,6 +558,27 @@ class OpsSpec extends SparkSpec {
       s"rankings diverged: multi=${q0.toSeq} single=${single.toSeq}")
   }
 
+  test("exact substring dedup removes the planted span from quote AND source") {
+    val out = Dedup.queries("dedup_exact_substring")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(3))).toMap
+    val sources = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 6 === 0 &&
+        size(split(col("text"), " ")) >= 40)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(sources.nonEmpty)
+    sources.foreach { id =>
+      // the quote-doc loses the copied 30-word span, keeps its 10-word
+      // reshuffled prefix (boundary 15-grams are unique by construction)
+      val (qw, qr) = out(id + 200000)
+      assert(qw == 40 && qr >= 30, s"quote of $id: $qw words, $qr removed")
+      // the SOURCE loses the same span — removal hits every occurrence
+      assert(out(id)._2 >= 30, s"source $id removed ${out(id)._2}")
+    }
+    // most of the corpus has no ≥15-word repeated span and is untouched
+    val untouched = out.values.count(_._2 == 0)
+    assert(untouched >= out.size / 2, s"only $untouched/${out.size} untouched")
+  }
+
   test("line dedup removes exactly the planted boilerplate lines") {
     val out = TextOps.queries("text_line_dedup")(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
