@@ -343,9 +343,15 @@ object Dedup {
           s"transform(sequence(0, size(w) - $L), i -> md5(concat_ws(' ', slice(w, i + 1, $L))))"))
           .as(Seq("i", "g")))
         .localCheckpoint() // 2 consumers: global count + marking
+      // NO broadcast hint on the dup set: it scales with the CORPUS'S
+      // DUPLICATION RATE, not a constant — tiny on clean corpora (AQE
+      // sees the real post-shuffle size and converts to broadcast), but
+      // on heavily-duplicated crawls it must stay a hash shuffle join on
+      // g (forcing broadcast made the 30→100× marginal super-linear:
+      // 3.6× for 3.33× data, ~120 MB broadcast at 100×)
       val dups = grams.groupBy("g").agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") >= 2).select(col("g"))
-      val marked = grams.join(broadcast(dups), "g")
+      val marked = grams.join(dups, "g")
         .groupBy("doc_id").agg(sort_array(collect_list(col("i"))).as("starts"))
       docs.join(marked, Seq("doc_id"), "left")
         .select(col("doc_id"), size(col("w")).as("n_words"),
