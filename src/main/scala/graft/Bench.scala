@@ -30,7 +30,8 @@ object Bench {
     "sig_fanout_counts", "sig_fanout_merged", "sig_alert_shape",
     "dedup_exact", "dedup_exact_substring", "dedup_minhash_lsh", "dedup_minhash_fast",
     "dedup_ngram_jaccard", "dedup_simhash", "dedup_embedding_cosine",
-    "dedup_embedding_lsh", "sim_topk_bruteforce", "sim_ivf_ann", "sim_lsh_ann",
+    "dedup_embedding_lsh", "dedup_semantic",
+    "sim_topk_bruteforce", "sim_ivf_ann", "sim_lsh_ann",
     "sim_q8_rerank", "sim_pq_adc", "text_bm25_topk", "text_bm25_multi",
     "text_line_dedup", "text_dsir_importance",
     "text_pipeline_e2e", "text_quality", "text_entropy", "mm_decode_features",

@@ -40,7 +40,7 @@ object ScaleProbe {
     "dedup_minhash_fast", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_simhash", "dedup_simhash_pairs", "dedup_simhash64_pairs",
     "dedup_containment", "dedup_embedding_lsh", "dedup_incremental",
-    "dedup_exact_substring",
+    "dedup_exact_substring", "dedup_semantic",
     "dedup_incremental_maint",
     "sim_topk_bruteforce", "sim_lsh_ann", "sim_lsh_multiprobe", "sim_pq_adc",
     "text_pipeline_e2e", "text_bm25_topk", "text_bm25_multi",

@@ -782,6 +782,81 @@ object Dedup {
         .filter(col("dot") / (col("a.norm") * col("b.norm")) >= 0.9)
         .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
         .orderBy("va", "vb")
+    }),
+
+    // SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    // web-scale through semantic deduplication"): cluster the corpus with
+    // a k-means coarse quantizer, then search for near-dup pairs ONLY
+    // within each cluster — pair space O(Σ sᶜ²) instead of O(n²), with
+    // the cluster count auto-sized from the corpus (k = max(8, n/500), so
+    // expected cluster population stays ~constant as the corpus grows —
+    // the Lsh.planesFor discipline applied to clustering). This is the
+    // third embedding-dedup pair-bounding strategy next to hyperplane LSH
+    // (dedup_embedding_lsh) and given-label blocking
+    // (dedup_embedding_cosine): clusters are LEARNED from the data, so it
+    // works on unlabeled corpora and groups by semantic region rather
+    // than random hyperplane cells. Training follows sim_ivf_kmeans
+    // exactly (2-round Lloyd, seeds = vec_id ∈ [8, 8+k), per-round 6dp
+    // rounding of means AND distances so assignment argmins can't
+    // diverge on summation order; quantizer + assignment memoized as the
+    // index). Keep-rule: the lowest vec_id of a cos ≥ 0.9 pair survives
+    // (the paper keeps the member farthest from its centroid — that
+    // changes WHICH duplicate survives, not the topology; min-id is
+    // deterministic cross-engine). At extreme scale the brute-force
+    // nearest-centroid assignment (n×k distances) is the dominant term —
+    // a deployment swaps in hierarchical assignment (coarse √k level
+    // first), which changes only the `assign` helper. Output: per-cluster
+    // (n_members, n_dup_pairs, n_removed) summary.
+    "dedup_semantic" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val e = Tables(s, dir, "embeddings")
+      val dup = e.filter(col("vec_id") % 5 === 0).select(
+        (col("vec_id") + 100000).as("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS FLOAT) * CAST(1.01 AS FLOAT))").as("embedding"))
+      val all = e.select(col("vec_id"), col("embedding")).unionAll(dup)
+      val n = Tables.cachedStat(s, dir, "semdedup_n")(all.count())
+      val k = math.max(8L, n / 500).toInt
+      val comp = Tables.cachedFrame(s, dir, "semdedup_comp", durable = false)(
+        all.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x"))))
+      def toArr(cent: DataFrame): DataFrame =
+        cent.groupBy("cid")
+          .agg(expr("transform(array_sort(collect_list(struct(d, c))), s -> s.c)").as("carr"))
+      def assign(centArr: DataFrame): DataFrame =
+        all.crossJoin(broadcast(centArr))
+          .select(col("vec_id"), col("cid"),
+            round(expr("vec_sqdist(embedding, carr)"), 6).as("dist"))
+          .groupBy("vec_id")
+          .agg(min(struct(col("dist"), col("cid"))).as("m"))
+          .select(col("vec_id"), col("m.cid").as("cid"))
+      def update(asg: DataFrame): DataFrame =
+        comp.join(asg, "vec_id")
+          .groupBy(col("cid"), col("d"))
+          .agg(round(avg(col("x").cast("double")), 6).as("c"))
+          .localCheckpoint()
+      val cent0 = comp.filter(col("vec_id") >= 8 && col("vec_id") < 8 + k)
+        .select((col("vec_id") - 8).as("cid"), col("d"), col("x").cast("double").as("c"))
+      val cent2 = Tables.cachedFrame(s, dir, "semdedup_centarr")(
+        toArr(update(assign(toArr(update(assign(toArr(cent0))))))))
+      val blocks = Tables.cachedFrame(s, dir, "semdedup_blocks")(assign(cent2))
+      // norm once per vector BEFORE the pair join (the embedding_cosine
+      // lesson); checkpointed so the signature side of the self-join and
+      // the member counts share one computation
+      val withB = all.join(blocks, "vec_id")
+        .withColumn("norm", expr("sqrt(vec_dot(embedding, embedding))"))
+        .localCheckpoint()
+      val pairs = withB.as("a").join(withB.as("b"),
+          col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("dot", expr("vec_dot(a.embedding, b.embedding)"))
+        .filter(col("dot") / (col("a.norm") * col("b.norm")) >= 0.9)
+        .select(col("a.cid").as("cid"), col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+      val members = withB.groupBy("cid").agg(count(lit(1)).as("n_members"))
+      val stats = pairs.groupBy("cid")
+        .agg(count(lit(1)).as("n_dup_pairs"), countDistinct(col("vb")).as("n_removed"))
+      members.join(stats, Seq("cid"), "left")
+        .select(col("cid"), col("n_members"),
+          coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+          coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+        .orderBy("cid")
     })
   )
 
@@ -1091,6 +1166,67 @@ object Dedup {
                   sqrt(sum(CAST(xb AS DOUBLE) * CAST(xb AS DOUBLE))) AS nb
            FROM (SELECT va, vb, unnest(ea) AS xa, unnest(eb) AS xb FROM pairs)
            GROUP BY va, vb)
-         SELECT va, vb FROM dots WHERE dot / (na * nb) >= 0.9 ORDER BY va, vb"""
+         SELECT va, vb FROM dots WHERE dot / (na * nb) >= 0.9 ORDER BY va, vb""",
+
+    // replay the auto-sized k (GREATEST(8, n // 500)), the 2-round Lloyd
+    // training (the sim_ivf_kmeans SQL discipline: 6dp-rounded means and
+    // distances, cid tiebreak), the within-cluster pair search, and the
+    // per-cluster summary
+    "dedup_semantic" -> {
+      def assignSql(cent: String, a: String) =
+        s"""$a AS (
+              SELECT vec_id, cid FROM (
+                SELECT comp.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY comp.vec_id
+                         ORDER BY round(sum(power(CAST(comp.x AS DOUBLE) - c.c, 2)), 6),
+                                  c.cid) AS rk
+                FROM comp JOIN $cent c USING (d)
+                GROUP BY comp.vec_id, c.cid)
+              WHERE rk = 1)"""
+      def updateSql(a: String, cent: String) =
+        s"""$cent AS (
+              SELECT cid, d, round(avg(CAST(x AS DOUBLE)), 6) AS c
+              FROM comp JOIN $a USING (vec_id) GROUP BY cid, d)"""
+      s"""WITH all_e AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 100000 AS vec_id,
+                   list_transform(embedding,
+                     x -> CAST(CAST(x AS FLOAT) * CAST(1.01 AS FLOAT) AS FLOAT)) AS embedding
+            FROM embeddings WHERE vec_id % 5 = 0),
+          kk AS (SELECT GREATEST(8, count(*) // 500) AS k FROM all_e),
+          comp AS (
+            SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) - 1 AS d
+            FROM all_e),
+          c0 AS (SELECT vec_id - 8 AS cid, d, CAST(x AS DOUBLE) AS c
+                 FROM comp WHERE vec_id >= 8 AND vec_id < 8 + (SELECT k FROM kk)),
+          ${assignSql("c0", "a1")}, ${updateSql("a1", "c1")},
+          ${assignSql("c1", "a2")}, ${updateSql("a2", "c2")},
+          ${assignSql("c2", "blocks")},
+          wb AS (SELECT a.vec_id, a.embedding, b.cid
+                 FROM all_e a JOIN blocks b ON a.vec_id = b.vec_id),
+          pairs AS (
+            SELECT a.cid, a.vec_id AS va, b.vec_id AS vb,
+                   a.embedding AS ea, b.embedding AS eb
+            FROM wb a JOIN wb b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+          dots AS (
+            SELECT cid, va, vb,
+                   sum(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE)) AS dot,
+                   sqrt(sum(CAST(xa AS DOUBLE) * CAST(xa AS DOUBLE))) AS na,
+                   sqrt(sum(CAST(xb AS DOUBLE) * CAST(xb AS DOUBLE))) AS nb
+            FROM (SELECT cid, va, vb, unnest(ea) AS xa, unnest(eb) AS xb FROM pairs)
+            GROUP BY cid, va, vb),
+          dup AS (SELECT cid, va, vb FROM dots WHERE dot / (na * nb) >= 0.9),
+          members AS (SELECT cid, count(*) AS n_members FROM wb GROUP BY cid),
+          stats AS (SELECT cid, count(*) AS n_dup_pairs,
+                           count(DISTINCT vb) AS n_removed
+                    FROM dup GROUP BY cid)
+          SELECT m.cid, m.n_members,
+                 coalesce(s.n_dup_pairs, 0) AS n_dup_pairs,
+                 coalesce(s.n_removed, 0) AS n_removed
+          FROM members m LEFT JOIN stats s ON m.cid = s.cid
+          ORDER BY m.cid"""
+    }
   )
 }

@@ -47,6 +47,26 @@ class OpsSpec extends SparkSpec {
     assert(out == planted)
   }
 
+  test("semantic dedup catches the planted copies inside learned clusters") {
+    val out = Dedup.queries("dedup_semantic")(spark, dir).collect()
+    val base = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    val planted = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") % 5 === 0).count()
+    // every vector is assigned to exactly one cluster
+    assert(out.map(_.getLong(1)).sum == base + planted)
+    // a planted pair (v, 1.01·v) has cosine ≈ 1; it is caught iff k-means
+    // put both in the same cluster — the 1% scale gap makes a boundary
+    // split possible but rare, so demand ≥ 0.8 recall (the
+    // dedup_incremental_maint floor), not exactness
+    val removed = out.map(_.getLong(3)).sum
+    assert(removed >= (planted * 0.8).toLong,
+      s"removed $removed of $planted planted copies")
+    // clusters partition the corpus: more than one non-empty cluster,
+    // none holding the whole corpus
+    assert(out.length > 1)
+    assert(out.map(_.getLong(1)).max < base + planted)
+  }
+
   test("brute-force top-k: ranks are 1..3 per query, neighbors distinct") {
     val out = Similarity.queries("sim_topk_bruteforce")(spark, dir).collect()
     val byQ = out.groupBy(_.getLong(0))
