@@ -23,6 +23,10 @@ object PlanAudit {
     // two 1-row corpus-stat frames (rt, tt) cross-joined onto the
     // 1024-row weight table — never onto the document stream
     "text_dsir_importance",
+    // the 1-row LM-total frame cross-joined onto the DENSE 4096-row LM
+    // table build — never onto the gram stream (the first version DID
+    // crossJoin the stream and this audit caught it)
+    "text_ngram_perplexity",
     "mix_rebalance", "mix_temperature")
 
   // A one-row global summary ends in an Exchange SinglePartition that
@@ -34,7 +38,8 @@ object PlanAudit {
     "quality_expectations", "text_length_outliers",
     "text_length_outliers_approx", "mix_rebalance",
     "mix_temperature", "dedup_keep_canonical", "text_bm25_topk",
-    "text_bm25_multi", "text_vocab_topk", "text_dsir_importance")
+    "text_bm25_multi", "text_vocab_topk", "text_dsir_importance",
+    "text_ngram_perplexity")
 
   /** Big parquet tables: a scan of one of these feeding an INTERPRETED
     * (non-WholeStageCodegen) stretch is a hot path running the row-at-a-
@@ -67,6 +72,10 @@ object PlanAudit {
     // positional-gram hashing + span-coverage filter/exists over per-doc
     // arrays of ≤100 words; the gram stream is checkpointed once
     "dedup_exact_substring",
+    // positional pair-bucketing transform over the per-doc word-id array
+    // (ids come from the fused kernel; the pair arithmetic is per-doc-
+    // bounded and the gram stream is checkpointed once)
+    "text_ngram_perplexity",
     "pack_sequences", "quality_expectations",
     "dedup_embedding_lsh", "dedup_embedding_cosine",
     // pq: the ADC-table collect/transform runs over the 8-row query side;

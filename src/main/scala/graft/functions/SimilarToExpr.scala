@@ -180,6 +180,25 @@ object GraftFunctions {
     new ExpressionInfo(classOf[ShingleIdsExpr].getName, "shingle_sids_xx"),
     shingle("shingle_sids_xx", useXx = true))
 
+  /** bloom_might_contain(key, bytes) — the filter bytes must be a literal
+    * (deserialized once at plan build, attached to codegen as a reference
+    * object). */
+  val bloomProbe: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bloom_might_contain"),
+    new ExpressionInfo(classOf[BloomProbeExpr].getName, "bloom_might_contain"),
+    {
+      case Seq(v, b) =>
+        BloomProbeExpr(v,
+          foldableArg("bloom_might_contain", "bloomBytes", "BINARY", b)
+            .asInstanceOf[Array[Byte]])
+      case children => throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> "bloom_might_contain",
+          "expectedNum" -> "2 (key, literal filter bytes)",
+          "actualNum" -> children.length.toString, "docroot" -> "-"))
+    })
+
   /** word_ids_md5(words, 'p31'|'lo32'|'hi32') — mode must be a literal. */
   val wordIds: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("word_ids_md5"),
@@ -215,6 +234,8 @@ object GraftFunctions {
       shingleXx._1, shingleXx._2, shingleXx._3)
     spark.sessionState.functionRegistry.registerFunction(
       wordIds._1, wordIds._2, wordIds._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      bloomProbe._1, bloomProbe._2, bloomProbe._3)
     // bounded-state distributed top-k: topkN_ids(score, id) → struct(ids).
     // k=3 is the ANN result size; k=8 is the quantized-scan candidate pool
     // reranked exactly by sim_q8_rerank.

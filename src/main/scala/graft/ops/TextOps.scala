@@ -37,6 +37,32 @@ object TextOps {
       .select(col("doc_id"), explode(expr("shingle_sids_md5(w, 8)")).as("gid"))
   }
 
+  /** The decontamination contract as DuckDB SQL — shared verbatim by
+    * text_decontaminate and text_decontaminate_bloom (the bloom prefilter
+    * changes the plan, not the output). */
+  private def decontaminateSql: String =
+    s"""WITH g AS (
+          SELECT DISTINCT doc_id,
+            CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) % $P AS gid
+          FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(w) - 6),
+                     i -> array_to_string(w[i:i+7], ' '))) AS gram
+            FROM (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM documents WHERE len(string_split(text, ' ')) >= 8))),
+        bench AS (
+          SELECT DISTINCT
+            CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) % $P AS gid
+          FROM (
+            SELECT unnest(list_transform(range(1, len(w) - 6),
+                     i -> array_to_string(w[i:i+7], ' '))) AS gram
+            FROM (SELECT string_split(text, ' ')[3:] AS w
+                  FROM documents
+                  WHERE doc_id % 10 = 0
+                    AND len(string_split(text, ' ')[3:]) >= 8)))
+        SELECT doc_id, count(*) AS shared_grams
+        FROM g JOIN bench USING (gid)
+        GROUP BY doc_id ORDER BY doc_id"""
+
   /** BM25 query terms (fixed, so both engines sum contributions in the
     * same syntactic order — cross-row float aggregation never feeds the
     * output: N/df/tf/dl are integers, avgdl = exact-integer-sum / count). */
@@ -169,6 +195,60 @@ object TextOps {
       grams.join(broadcast(weights), "b")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_grams"), sum(col("w9")).as("s9"))
+        .orderBy("doc_id")
+    }),
+
+    // CCNet-style LM perplexity scoring — the curation stage that ranks
+    // raw docs by how "natural" they look under a language model trained
+    // on a clean target corpus (CCNet/RefinedWeb filter on KenLM 5-gram
+    // perplexity; DSIR above answers "which docs RESEMBLE the target
+    // distribution", this answers "which docs the target LM finds
+    // probable" — ratio vs likelihood, different selectors). The LM here
+    // is an add-1-smoothed model over hashed word-bigram features
+    // (B=4096 buckets) trained on the same target sources DSIR uses — a
+    // documented simplification of KenLM (a real deployment scores with
+    // the trained model behind a mapInPandas boundary, like the
+    // multimodal codecs; the Spark-side topology is identical). Scale
+    // shape: per-word ids from the fused codegen kernel; the positional
+    // pair-bucketing transform is per-doc-bounded array algebra
+    // (PlanAudit-allowlisted like text_line_dedup); training counts
+    // collapse onto ≤4096 keys map-side; the LM table broadcasts as index
+    // metadata; per-doc scores are ×1e9 integer-scaled order-independent
+    // sums. Nothing pairs docs, nothing collects to the driver.
+    "text_ngram_perplexity" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val B = 4096L
+      val grams = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), col("source"),
+          expr("word_ids_md5(w, 'p31')").as("ids"))
+        .select(col("doc_id"), col("source"),
+          explode(expr(
+            s"transform(sequence(1, size(ids) - 1), i -> (ids[i - 1] * 31 + ids[i]) % $B)"))
+            .as("b"))
+        .localCheckpoint() // 3 consumers: LM counts, LM total, scoring
+      val tgt = grams.filter(col("source").isin(dsirTargetSrcs: _*))
+      val total = tgt.agg(count(lit(1)).as("t"))
+      // DENSE 4096-row LM table (unseen buckets carry the smoothed floor
+      // ln(1/(t+B))): the scoring join is then a guaranteed-hit broadcast
+      // hash join — no per-occurrence default path, and crucially no
+      // 1-row crossJoin on the BIG gram stream (PlanAudit caught the
+      // first version's BroadcastNestedLoopJoin + single-partition
+      // exchange on the hot path; the tiny crossJoin lives here on the
+      // 4096-row build side, the DSIR weights shape)
+      val lm = s.range(B).select(col("id").as("b"))
+        .join(tgt.groupBy("b").agg(count(lit(1)).as("c")), Seq("b"), "left")
+        .select(col("b"), coalesce(col("c"), lit(0L)).as("c"))
+        .crossJoin(broadcast(total))
+        .select(col("b"),
+          expr(s"CAST(round(ln((c + 1.0e0) / (t + $B.0e0)) * 1e9) AS BIGINT)")
+            .as("lp9"))
+      grams.join(broadcast(lm), Seq("b"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("lp9")).as("s9"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(exp(-col("s9") / 1e9 / col("n_bigrams")), 4).as("ppl_r"))
         .orderBy("doc_id")
     }),
 
@@ -367,6 +447,45 @@ object TextOps {
         // one gid within a doc must count once, and deduping the tiny
         // contaminated subset is cheaper than deduping the full gram
         // stream.
+        .select(col("doc_id"), col("gid")).distinct()
+        .groupBy("doc_id").agg(count(lit(1)).as("shared_grams"))
+        .orderBy("doc_id")
+    }),
+
+    // The decontamination scale-swap as code: text_decontaminate documents
+    // "at extreme scale the broadcast becomes a bloom filter" — this is
+    // that shape. The benchmark gram set is summarized into a Bloom filter
+    // (built by one distributed pass — df.stat.bloomFilter — and stored as
+    // a 1-row binary index frame: session-memoized, durable under
+    // GRAFT_INDEX_DIR); the train-side gram stream is prefiltered by the
+    // codegen'd bloom_might_contain probe (functions.BloomProbeExpr), and
+    // only the survivors — contaminated grams plus ~fpp false positives —
+    // reach the exact verification join. Bloom filters never
+    // false-negative, so the output is BIT-IDENTICAL to the exact
+    // operator (same oracle), while the join's probe-side input shrinks
+    // from the full gram stream to ~contamination-rate × stream. The
+    // verification join carries no broadcast hint: when the bench set
+    // fits, AQE broadcasts it; when it doesn't (the 1e9-gram regime this
+    // shape exists for), it must stay a hash join.
+    "text_decontaminate_bloom" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      def bench = gram8(docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          expr("concat_ws(' ', slice(split(text, ' '), 3, size(split(text, ' '))))")
+            .as("text")))
+        .select(col("gid")).distinct()
+      val bloomRow = Tables.cachedFrame(s, dir, "decontam_bloom") {
+        val b = bench
+        val bf = b.stat.bloomFilter("gid", math.max(1L, b.count()), 0.01)
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        s.createDataFrame(Seq(Tuple1(bos.toByteArray))).toDF("bloom")
+      }
+      val bytes = bloomRow.head().getAs[Array[Byte]](0) // 1-row index read
+      gram8(docs)
+        .filter(call_function("bloom_might_contain", col("gid"), lit(bytes)))
+        .join(bench, "gid")
         .select(col("doc_id"), col("gid")).distinct()
         .groupBy("doc_id").agg(count(lit(1)).as("shared_grams"))
         .orderBy("doc_id")
@@ -657,28 +776,44 @@ object TextOps {
           FROM kept JOIN canonical USING (doc_id)
           GROUP BY lang ORDER BY lang""",
 
-    "text_decontaminate" ->
-      s"""WITH g AS (
-            SELECT DISTINCT doc_id,
-              CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) % $P AS gid
-            FROM (
-              SELECT doc_id, unnest(list_transform(range(1, len(w) - 6),
-                       i -> array_to_string(w[i:i+7], ' '))) AS gram
-              FROM (SELECT doc_id, string_split(text, ' ') AS w
-                    FROM documents WHERE len(string_split(text, ' ')) >= 8))),
-          bench AS (
-            SELECT DISTINCT
-              CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) % $P AS gid
-            FROM (
-              SELECT unnest(list_transform(range(1, len(w) - 6),
-                       i -> array_to_string(w[i:i+7], ' '))) AS gram
-              FROM (SELECT string_split(text, ' ')[3:] AS w
-                    FROM documents
-                    WHERE doc_id % 10 = 0
-                      AND len(string_split(text, ' ')[3:]) >= 8)))
-          SELECT doc_id, count(*) AS shared_grams
-          FROM g JOIN bench USING (gid)
-          GROUP BY doc_id ORDER BY doc_id""",
+    // replay the p31 word ids, the positional pair-bucketing, the add-1
+    // LM over the target slice, and the integer-scaled scoring (DuckDB
+    // lists are 1-based: range(2, n+1) pairs (1,2)..(n-1,n) ≡ Spark's
+    // 0-based (ids[i-1], ids[i]) over sequence(1, n-1))
+    "text_ngram_perplexity" ->
+      s"""WITH ids AS (
+            SELECT doc_id, source,
+                   list_transform(string_split(text, ' '),
+                     x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)
+                          % 2147483647) AS ids
+            FROM documents WHERE len(string_split(text, ' ')) >= 2),
+          grams AS (
+            SELECT doc_id, source,
+                   unnest(list_transform(range(2, len(ids) + 1),
+                     i -> (ids[i - 1] * 31 + ids[i]) % 4096)) AS b
+            FROM ids),
+          tgt AS (SELECT b FROM grams
+                  WHERE source IN (${dsirTargetSrcs.map(s0 => s"'$s0'").mkString(", ")})),
+          total AS (SELECT count(*) AS t FROM tgt),
+          lm AS (SELECT b,
+                        CAST(round(ln((count(*) + 1.0e0) / (t + 4096.0e0)) * 1e9)
+                             AS BIGINT) AS lp9
+                 FROM tgt CROSS JOIN total GROUP BY b, t),
+          scored AS (
+            SELECT g.doc_id,
+                   coalesce(lm.lp9,
+                     CAST(round(ln(1.0e0 / (t + 4096.0e0)) * 1e9) AS BIGINT)) AS lp9
+            FROM grams g LEFT JOIN lm USING (b) CROSS JOIN total)
+          SELECT doc_id, count(*) AS n_bigrams,
+                 round(exp(-sum(lp9) / 1e9 / count(*)), 4) AS ppl_r
+          FROM scored GROUP BY doc_id ORDER BY doc_id""",
+
+    "text_decontaminate" -> decontaminateSql,
+
+    // the bloom prefilter never false-negatives and the survivors go
+    // through the same exact verification join, so the bloom variant's
+    // contract IS the exact operator's output — one oracle, two plans
+    "text_decontaminate_bloom" -> decontaminateSql,
 
     "text_pii_redact" ->
       """WITH dirty AS (

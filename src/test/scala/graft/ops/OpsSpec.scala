@@ -599,6 +599,18 @@ class OpsSpec extends SparkSpec {
     assert(untouched >= out.size / 2, s"only $untouched/${out.size} untouched")
   }
 
+  test("bloom decontamination output is bit-identical to the exact operator") {
+    // the bloom prefilter may pass false positives, but the exact
+    // verification join removes them and the prefilter never drops a true
+    // member — so the two plans must produce the same rows
+    def rows(q: String) = TextOps.queries(q)(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val exact = rows("text_decontaminate")
+    val bloom = rows("text_decontaminate_bloom")
+    assert(exact.nonEmpty)
+    assert(bloom == exact)
+  }
+
   test("line dedup removes exactly the planted boilerplate lines") {
     val out = TextOps.queries("text_line_dedup")(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
@@ -619,6 +631,26 @@ class OpsSpec extends SparkSpec {
     assert(extraDocs > 0, "the dedup-fixture copies must share chunks")
     assert(extraDocs <= out.size / 2,
       s"$extraDocs/${out.size} docs lost non-planted lines — threshold broken")
+  }
+
+  test("ngram perplexity: the target LM finds its own sources more probable") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = TextOps.queries("text_ngram_perplexity")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.forall(_._2 > 0), "every doc has bigrams")
+    assert(out.forall { case (_, _, p) => p > 1.0 && !p.isInfinite },
+      "perplexity must be finite and > 1")
+    // the LM is trained on the target slice's own counts, so target docs
+    // must look more probable (lower perplexity) on average — the same
+    // in-sample direction the DSIR spec pins
+    val target = Set("src0", "src1", "src2", "src3")
+    val (t, r) = out.partition { case (id, _, _) => target(docs(id)) }
+    def meanPpl(xs: Array[(Long, Long, Double)]) = xs.map(_._3).sum / xs.length
+    assert(t.nonEmpty && r.nonEmpty)
+    assert(meanPpl(t) < meanPpl(r),
+      s"target mean ppl ${meanPpl(t)} must be below non-target ${meanPpl(r)}")
   }
 
   test("DSIR importance: target-source docs outscore the rest on average") {
