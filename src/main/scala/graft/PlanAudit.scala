@@ -76,6 +76,10 @@ object PlanAudit {
     // (ids come from the fused kernel; the pair arithmetic is per-doc-
     // bounded and the gram stream is checkpointed once)
     "text_ngram_perplexity",
+    // the adjacent-pair transform runs on the VOCAB-BOUNDED side above
+    // the word-count shuffle (per-word arrays ≤ word length); the corpus
+    // scan below the shuffle never evaluates a lambda
+    "text_bpe_train",
     "pack_sequences", "quality_expectations",
     "dedup_embedding_lsh", "dedup_embedding_cosine",
     // pq: the ADC-table collect/transform runs over the 8-row query side;

@@ -63,6 +63,10 @@ object TextOps {
         FROM g JOIN bench USING (gid)
         GROUP BY doc_id ORDER BY doc_id"""
 
+  /** BPE merge rounds — shared by the Spark training loop and the
+    * unrolled oracle replay. */
+  private val bpeRounds = 6
+
   /** BM25 query terms (fixed, so both engines sum contributions in the
     * same syntactic order — cross-row float aggregation never feeds the
     * output: N/df/tf/dl are integers, avgdl = exact-integer-sum / count). */
@@ -196,6 +200,53 @@ object TextOps {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_grams"), sum(col("w9")).as("s9"))
         .orderBy("doc_id")
+    }),
+
+    // BPE merge-rule training (Sennrich et al., "Neural Machine
+    // Translation of Rare Words with Subword Units") — the tokenizer-
+    // training pass every LLM data pipeline runs. Shape: ONE corpus pass
+    // builds the word-frequency table; the merge rounds then run on the
+    // VOCAB-BOUNDED table only (|V| rows, never the corpus), each round =
+    // one pair-count aggregation + a TakeOrderedAndProject argmax whose
+    // single row comes to the driver (the starCC one-scalar-per-round
+    // discipline) + a narrow literal-replace rewrite, localCheckpointed
+    // so plan size stays O(1) across rounds. Cross-engine determinism
+    // hangs on two shared primitives: words are spelled as
+    // space-separated char strings (regexp_replace '(.)' → '$1 '), and
+    // the merge rewrite is the built-in literal `replace`, whose greedy
+    // left-to-right non-overlapping semantics ("a a a" + (a,a) → "aa a")
+    // are identical in Spark and DuckDB — the oracle replays all 6
+    // rounds with scalar-subquery argmaxes. Ties break lexicographically
+    // on the pair string in both engines. (No end-of-word marker — a
+    // deployment appends one before char-spelling; the training topology
+    // is unchanged.)
+    "text_bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      var vocab = Tables(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .select(col("word"), col("freq"),
+          trim(regexp_replace(col("word"), "(.)", "$1 ")).as("sp"))
+        .localCheckpoint()
+      val merges = collection.mutable.Buffer[(Int, String, String, Long)]()
+      for (r <- 1 to bpeRounds) {
+        val top = vocab
+          .select(col("freq"), split(col("sp"), " ").as("t"))
+          .filter(size(col("t")) >= 2)
+          .select(col("freq"), explode(expr(
+            "transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))"))
+            .as("pair"))
+          .groupBy("pair").agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair").asc)
+          .limit(1).head()
+        val (pair, cnt) = (top.getString(0), top.getLong(1))
+        val merged = pair.replace(" ", "")
+        merges += ((r, pair, merged, cnt))
+        vocab = vocab
+          .withColumn("sp", replace(col("sp"), lit(pair), lit(merged)))
+          .localCheckpoint()
+      }
+      merges.toSeq.toDF("r", "pair", "merged", "cnt").orderBy("r")
     }),
 
     // CCNet-style LM perplexity scoring — the curation stage that ranks
@@ -775,6 +826,42 @@ object TextOps {
                  round(avg(n_words), 2) AS avg_tokens
           FROM kept JOIN canonical USING (doc_id)
           GROUP BY lang ORDER BY lang""",
+
+    // replay ALL training rounds: char-spelling via the same regex, pair
+    // counts weighted by word frequency, argmax with the same
+    // (cnt DESC, pair ASC) tiebreak as a 1-row CTE per round, and the
+    // rewrite via scalar-subquery literal `replace` (greedy left-to-right
+    // non-overlap in both engines)
+    "text_bpe_train" -> {
+      def mSql(v: String, m: String) =
+        s"""$m AS (
+              SELECT pair, replace(pair, ' ', '') AS merged,
+                     CAST(sum(freq) AS BIGINT) AS cnt
+              FROM (SELECT freq,
+                      unnest(list_transform(range(1, len(t)),
+                        i -> t[i] || ' ' || t[i + 1])) AS pair
+                    FROM (SELECT freq, string_split(sp, ' ') AS t FROM $v)
+                    WHERE len(t) >= 2)
+              GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1)"""
+      def vSql(prev: String, m: String, v: String) =
+        s"""$v AS (SELECT freq, replace(sp, (SELECT pair FROM $m),
+                          (SELECT merged FROM $m)) AS sp FROM $prev)"""
+      val ctes = new StringBuilder(
+        """WITH vocab0 AS (
+             SELECT word, count(*) AS freq,
+                    trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS sp
+             FROM (SELECT unnest(string_split(text, ' ')) AS word
+                   FROM documents)
+             GROUP BY word)""")
+      for (r <- 1 to bpeRounds) {
+        ctes ++= ",\n" + mSql(s"vocab${r - 1}", s"m$r")
+        if (r < bpeRounds) ctes ++= ",\n" + vSql(s"vocab${r - 1}", s"m$r", s"vocab$r")
+      }
+      val union = (1 to bpeRounds)
+        .map(r => s"SELECT $r AS r, pair, merged, cnt FROM m$r")
+        .mkString("\n          UNION ALL ")
+      s"$ctes\n          $union ORDER BY r"
+    },
 
     // replay the p31 word ids, the positional pair-bucketing, the add-1
     // LM over the target slice, and the integer-scaled scoring (DuckDB

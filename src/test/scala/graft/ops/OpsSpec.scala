@@ -633,6 +633,26 @@ class OpsSpec extends SparkSpec {
       s"$extraDocs/${out.size} docs lost non-planted lines — threshold broken")
   }
 
+  test("BPE training: 6 well-formed merges with non-increasing counts") {
+    val out = TextOps.queries("text_bpe_train")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.map(_._1).toSeq == (1 to 6))
+    out.foreach { case (_, pair, merged, cnt) =>
+      // a merge is two adjacent units glued together
+      assert(pair.count(_ == ' ') == 1, s"pair '$pair' must have one space")
+      assert(merged == pair.replace(" ", ""))
+      assert(cnt > 0)
+    }
+    // merging the top pair can only consume occurrences or create pairs
+    // bounded by the merged count, so the winning count never increases
+    val cnts = out.map(_._4)
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => b <= a },
+      s"counts must be non-increasing: ${cnts.toSeq}")
+    // later merges may build on earlier ones (that's the point of BPE) —
+    // at minimum the 6 winning pairs are distinct
+    assert(out.map(_._2).distinct.length == 6)
+  }
+
   test("ngram perplexity: the target LM finds its own sources more probable") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "source").collect()
