@@ -9,6 +9,14 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage: runMain graft.QueryTimer <query> [sfDir] [reps]
   * Prints one line per rep plus min/median after an untimed warm-up rep.
+  *
+  * GRAFT_FORCE=all switches the forcing action from count() to a noop-sink
+  * write. count() matches the bench's historical semantics, but for a PURE
+  * PROJECTION query the optimizer prunes every computed column and
+  * eliminates the sort under the count — the timing then measures the scan
+  * and any index fetch, not the operator (text_bpe_tokens was the first
+  * probed query narrow enough to hit this). The noop write materializes
+  * every output column without sink IO.
   */
 object QueryTimer {
   def main(args: Array[String]): Unit = {
@@ -40,12 +48,19 @@ object QueryTimer {
       spark.stop()
       return
     }
-    fn(spark, dir).count() // warm-up: JIT, parquet footers, memoized stats
+    val forceAll = sys.env.get("GRAFT_FORCE").contains("all")
+    def force(): Long = {
+      val df = fn(spark, dir)
+      if (forceAll) { df.write.format("noop").mode("overwrite").save(); -1L }
+      else df.count()
+    }
+    force() // warm-up: JIT, parquet footers, memoized stats
     val times = (1 to reps).map { i =>
       val t0 = System.nanoTime()
-      val rows = fn(spark, dir).count()
+      val rows = force()
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"rep $i: $sec%.3f s ($rows rows)")
+      val suffix = if (forceAll) "" else s" ($rows rows)"
+      println(f"rep $i: $sec%.3f s$suffix")
       sec
     }.sorted
     println(f"$name min=${times.head}%.3f med=${times(reps / 2)}%.3f max=${times.last}%.3f")

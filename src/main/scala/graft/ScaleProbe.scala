@@ -45,7 +45,7 @@ object ScaleProbe {
     "sim_topk_bruteforce", "sim_lsh_ann", "sim_lsh_multiprobe", "sim_pq_adc",
     "text_pipeline_e2e", "text_bm25_topk", "text_bm25_multi",
     "text_line_dedup", "text_dsir_importance", "text_decontaminate_bloom",
-    "text_ngram_perplexity", "text_bpe_train",
+    "text_ngram_perplexity", "text_bpe_train", "text_bpe_tokens",
     "pack_sequences")
 
   def main(args: Array[String]): Unit = {

@@ -653,6 +653,25 @@ class OpsSpec extends SparkSpec {
     assert(out.map(_._2).distinct.length == 6)
   }
 
+  test("BPE tokenize: every merge compresses, no doc crosses a word boundary") {
+    val out = TextOps.queries("text_bpe_tokens")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // baseline = char-level token count (chars + word separators): the
+    // learned merges must strictly compress the corpus overall, and no
+    // doc may ever GAIN tokens (replace only shrinks)
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        (length(translate(col("text"), " ", "")) +
+          size(split(col("text"), " ")) - 1).cast("long").as("chars"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == base.keySet)
+    out.foreach { case (id, n) =>
+      assert(n > 0 && n <= base(id), s"doc $id: $n tokens vs ${base(id)} chars")
+    }
+    assert(out.values.sum < base.values.sum,
+      "the merges must compress the corpus overall")
+  }
+
   test("ngram perplexity: the target LM finds its own sources more probable") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "source").collect()
