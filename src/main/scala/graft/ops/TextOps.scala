@@ -48,16 +48,19 @@ object TextOps {
             FROM (SELECT freq,
                     unnest(list_transform(range(1, len(t)),
                       i -> t[i] || ' ' || t[i + 1])) AS pair
-                  FROM (SELECT freq, string_split(sp, ' ') AS t FROM $v)
+                  FROM (SELECT freq, string_split(trim(sp), '  ') AS t FROM $v)
                   WHERE len(t) >= 2)
             GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1)"""
     def vSql(prev: String, m: String, v: String) =
-      s"""$v AS (SELECT freq, replace(sp, (SELECT pair FROM $m),
-                        (SELECT merged FROM $m)) AS sp FROM $prev)"""
+      s"""$v AS (SELECT freq,
+                   replace(sp,
+                     ' ' || replace((SELECT pair FROM $m), ' ', '  ') || ' ',
+                     ' ' || (SELECT merged FROM $m) || ' ') AS sp
+                 FROM $prev)"""
     val ctes = new StringBuilder(
       """WITH vocab0 AS (
            SELECT word, count(*) AS freq,
-                  trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS sp
+                  ' ' || trim(regexp_replace(word, '(.)', '\1  ', 'g')) || ' ' AS sp
            FROM (SELECT unnest(string_split(text, ' ')) AS word
                  FROM documents)
            GROUP BY word)""")
@@ -102,7 +105,19 @@ object TextOps {
     * built once per session (durable under GRAFT_INDEX_DIR — the stored
     * tokenizer), probed by text_bpe_train (returns it) and
     * text_bpe_tokens (applies it). See the text_bpe_train query comment
-    * for the training discipline. */
+    * for the training discipline.
+    *
+    * Token-sequence ENCODING: one-space pad, two-space gaps
+    * (" c1  c2  c3 "). With the pad/gap encoding, the literal-replace
+    * rewrite of pattern " a  b " → " ab " is EXACTLY token-aligned greedy
+    * BPE: a match must be delimited by spaces on both sides, so a pair
+    * can never match a token SUFFIX (with a plain single-space join,
+    * pair "a b" also matches inside "xa b" and corrupts the token
+    * structure — both engines consistently, which is why only analysis,
+    * not the oracle, could catch it). Adjacent occurrences still chain:
+    * each match consumes one space of the following gap and leaves the
+    * next occurrence its leading space (" a  b  a  b " → " ab  ab "),
+    * preserving the greedy left-to-right semantics BPE specifies. */
   private def bpeMergesFrame(s: SparkSession, dir: String): DataFrame =
     Tables.cachedFrame(s, dir, "bpe_merges") {
       import s.implicits._
@@ -110,12 +125,13 @@ object TextOps {
         .select(explode(split(col("text"), " ")).as("word"))
         .groupBy("word").agg(count(lit(1)).as("freq"))
         .select(col("word"), col("freq"),
-          trim(regexp_replace(col("word"), "(.)", "$1 ")).as("sp"))
+          concat(lit(" "),
+            trim(regexp_replace(col("word"), "(.)", "$1  ")), lit(" ")).as("sp"))
         .localCheckpoint()
       val merges = collection.mutable.Buffer[(Int, String, String, Long)]()
       for (r <- 1 to bpeRounds) {
         val top = vocab
-          .select(col("freq"), split(col("sp"), " ").as("t"))
+          .select(col("freq"), split(trim(col("sp")), "  ").as("t"))
           .filter(size(col("t")) >= 2)
           .select(col("freq"), explode(expr(
             "transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))"))
@@ -127,7 +143,9 @@ object TextOps {
         val merged = pair.replace(" ", "")
         merges += ((r, pair, merged, cnt))
         vocab = vocab
-          .withColumn("sp", replace(col("sp"), lit(pair), lit(merged)))
+          .withColumn("sp",
+            replace(col("sp"), lit(" " + pair.replace(" ", "  ") + " "),
+              lit(" " + merged + " ")))
           .localCheckpoint()
       }
       merges.toSeq.toDF("r", "pair", "merged", "cnt")
@@ -277,12 +295,13 @@ object TextOps {
     // single row comes to the driver (the starCC one-scalar-per-round
     // discipline) + a narrow literal-replace rewrite, localCheckpointed
     // so plan size stays O(1) across rounds. Cross-engine determinism
-    // hangs on two shared primitives: words are spelled as
-    // space-separated char strings (regexp_replace '(.)' → '$1 '), and
-    // the merge rewrite is the built-in literal `replace`, whose greedy
-    // left-to-right non-overlapping semantics ("a a a" + (a,a) → "aa a")
-    // are identical in Spark and DuckDB — the oracle replays all 6
-    // rounds with scalar-subquery argmaxes. Ties break lexicographically
+    // hangs on two shared primitives: the pad/gap token encoding (see
+    // bpeMergesFrame — one-space pad, two-space gaps, which makes
+    // literal `replace` EXACTLY token-aligned greedy BPE), and the
+    // built-in literal `replace` itself, whose greedy left-to-right
+    // non-overlapping semantics are identical in Spark and DuckDB — the
+    // oracle replays all 6 rounds with scalar-subquery argmaxes. Ties
+    // break lexicographically
     // on the pair string in both engines. (No end-of-word marker — a
     // deployment appends one before char-spelling; the training topology
     // is unchanged.)
@@ -304,13 +323,16 @@ object TextOps {
       val spelled = Tables(s, dir, "documents")
         .select(col("doc_id"),
           size(split(col("text"), " ")).as("n_words"),
-          trim(regexp_replace(regexp_replace(col("text"), " ", "|"), "(.)", "$1 "))
-            .as("sp"))
+          concat(lit(" "),
+            trim(regexp_replace(regexp_replace(col("text"), " ", "|"),
+              "(.)", "$1  ")), lit(" ")).as("sp"))
       val applied = ms.foldLeft(spelled) { case (df, (pair, merged)) =>
-        df.withColumn("sp", replace(col("sp"), lit(pair), lit(merged)))
+        df.withColumn("sp",
+          replace(col("sp"), lit(" " + pair.replace(" ", "  ") + " "),
+            lit(" " + merged + " ")))
       }
       applied.select(col("doc_id"),
-        (size(split(col("sp"), " ")) - (col("n_words") - 1)).cast("long")
+        (size(split(trim(col("sp")), "  ")) - (col("n_words") - 1)).cast("long")
           .as("n_tokens"),
         md5(col("sp")).as("tok_md5"))
         .orderBy("doc_id")
@@ -912,18 +934,20 @@ object TextOps {
     "text_bpe_tokens" -> {
       val spCtes = (1 to bpeRounds).map { r =>
         s"""sp$r AS (SELECT doc_id, n_words,
-                 replace(sp, (SELECT pair FROM m$r),
-                         (SELECT merged FROM m$r)) AS sp FROM sp${r - 1})"""
+                 replace(sp,
+                   ' ' || replace((SELECT pair FROM m$r), ' ', '  ') || ' ',
+                   ' ' || (SELECT merged FROM m$r) || ' ') AS sp
+               FROM sp${r - 1})"""
       }.mkString(",\n          ")
       s"""$bpeTrainCtes,
           sp0 AS (
             SELECT doc_id, len(string_split(text, ' ')) AS n_words,
-                   trim(regexp_replace(regexp_replace(text, ' ', '|', 'g'),
-                        '(.)', '\\1 ', 'g')) AS sp
+                   ' ' || trim(regexp_replace(regexp_replace(text, ' ', '|', 'g'),
+                        '(.)', '\\1  ', 'g')) || ' ' AS sp
             FROM documents),
           $spCtes
           SELECT doc_id,
-                 CAST(len(string_split(sp, ' ')) - (n_words - 1) AS BIGINT)
+                 CAST(len(string_split(trim(sp), '  ')) - (n_words - 1) AS BIGINT)
                    AS n_tokens,
                  md5(sp) AS tok_md5
           FROM sp$bpeRounds ORDER BY doc_id"""

@@ -633,6 +633,24 @@ class OpsSpec extends SparkSpec {
       s"$extraDocs/${out.size} docs lost non-planted lines — threshold broken")
   }
 
+  test("BPE pad/gap encoding: literal replace is token-aligned and chains") {
+    // the contract both engines' literal `replace` must satisfy for the
+    // rewrite to BE greedy token-aligned BPE (java.lang.String.replace,
+    // Spark's UTF8String.replace, and DuckDB's replace share it)
+    def merge(sp: String, a: String, b: String): String =
+      sp.replace(s" $a  $b ", s" ${a + b} ")
+    def enc(toks: String*): String = toks.mkString(" ", "  ", " ")
+    // adjacency chains: both (a,b) occurrences merge
+    assert(merge(enc("a", "b", "a", "b"), "a", "b") == enc("ab", "ab"))
+    // greedy left-to-right on overlap
+    assert(merge(enc("a", "a", "a"), "a", "a") == enc("aa", "a"))
+    // token alignment: pair (a, b) must NOT match the suffix of "xa" —
+    // the single-space join this encoding replaced DID mis-merge here
+    assert(merge(enc("xa", "b"), "a", "b") == enc("xa", "b"))
+    assert("xa b".replace("a b", "ab") == "xab", // the old failure mode
+      "single-space join suffix-matches; the pad/gap encoding exists because of this")
+  }
+
   test("BPE training: 6 well-formed merges with non-increasing counts") {
     val out = TextOps.queries("text_bpe_train")(spark, dir).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
