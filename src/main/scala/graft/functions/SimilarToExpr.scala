@@ -199,6 +199,25 @@ object GraftFunctions {
           "actualNum" -> children.length.toString, "docroot" -> "-"))
     })
 
+  /** bpe_apply(text, pairs) — the merge list must be a literal array (it
+    * is the trained 6-row index, baked into the kernel at plan build). */
+  val bpeApply: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bpe_apply"),
+    new ExpressionInfo(classOf[BpeApplyExpr].getName, "bpe_apply"),
+    {
+      case Seq(t, p) =>
+        val arr = foldableArg("bpe_apply", "pairs", "ARRAY<STRING>", p)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        BpeApplyExpr(t, arr.toObjectArray(org.apache.spark.sql.types.StringType)
+          .map(_.toString).toSeq)
+      case children => throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> "bpe_apply",
+          "expectedNum" -> "2 (text, literal pair array)",
+          "actualNum" -> children.length.toString, "docroot" -> "-"))
+    })
+
   /** word_ids_md5(words, 'p31'|'lo32'|'hi32') — mode must be a literal. */
   val wordIds: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("word_ids_md5"),
@@ -236,6 +255,8 @@ object GraftFunctions {
       wordIds._1, wordIds._2, wordIds._3)
     spark.sessionState.functionRegistry.registerFunction(
       bloomProbe._1, bloomProbe._2, bloomProbe._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      bpeApply._1, bpeApply._2, bpeApply._3)
     // bounded-state distributed top-k: topkN_ids(score, id) → struct(ids).
     // k=3 is the ANN result size; k=8 is the quantized-scan candidate pool
     // reranked exactly by sim_q8_rerank.

@@ -71,6 +71,31 @@ object TextOps {
     ctes.toString
   }
 
+  /** The BPE tokenization contract as DuckDB SQL — shared verbatim by
+    * text_bpe_tokens (chained replaces) and text_bpe_tokens_fused (the
+    * kernel): training replay, then the apply chain. */
+  private def bpeTokensSql: String = {
+    val spCtes = (1 to bpeRounds).map { r =>
+      s"""sp$r AS (SELECT doc_id, n_words,
+               replace(sp,
+                 ' ' || replace((SELECT pair FROM m$r), ' ', '  ') || ' ',
+                 ' ' || (SELECT merged FROM m$r) || ' ') AS sp
+             FROM sp${r - 1})"""
+    }.mkString(",\n          ")
+    s"""$bpeTrainCtes,
+        sp0 AS (
+          SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+                 ' ' || trim(regexp_replace(regexp_replace(text, ' ', '|', 'g'),
+                      '(.)', '\\1  ', 'g')) || ' ' AS sp
+          FROM documents),
+        $spCtes
+        SELECT doc_id,
+               CAST(len(string_split(trim(sp), '  ')) - (n_words - 1) AS BIGINT)
+                 AS n_tokens,
+               md5(sp) AS tok_md5
+        FROM sp$bpeRounds ORDER BY doc_id"""
+  }
+
   /** The decontamination contract as DuckDB SQL — shared verbatim by
     * text_decontaminate and text_decontaminate_bloom (the bloom prefilter
     * changes the plan, not the output). */
@@ -335,6 +360,29 @@ object TextOps {
         (size(split(trim(col("sp")), "  ")) - (col("n_words") - 1)).cast("long")
           .as("n_tokens"),
         md5(col("sp")).as("tok_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // The chained-replace GC swap as code: one fused kernel
+    // (functions.BpeApplyExpr) char-spells and applies all 6 merges in
+    // token-array passes per row — no k+1 intermediate string copies
+    // (the chained path's 100× probe was allocation-bound, reps swinging
+    // 9–20 s on identical work). Output is BIT-IDENTICAL to
+    // text_bpe_tokens (the pad/gap encoding contract pins the
+    // equivalence; OpsSpec pins row identity), so the oracle is shared —
+    // one contract, two plans, like text_decontaminate_bloom.
+    "text_bpe_tokens_fused" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val ms = bpeMergesFrame(s, dir).orderBy("r").head(bpeRounds)
+        .map(_.getString(1))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_words"),
+          call_function("bpe_apply", col("text"), lit(ms)).as("sp"))
+        .select(col("doc_id"),
+          (size(split(trim(col("sp")), "  ")) - (col("n_words") - 1)).cast("long")
+            .as("n_tokens"),
+          md5(col("sp")).as("tok_md5"))
         .orderBy("doc_id")
     }),
 
@@ -931,27 +979,11 @@ object TextOps {
     // replay the training (shared CTEs), then the apply chain: the same
     // char-spelling with '|' word markers and 6 scalar-subquery literal
     // replaces, token count = spelled tokens minus the n_words−1 markers
-    "text_bpe_tokens" -> {
-      val spCtes = (1 to bpeRounds).map { r =>
-        s"""sp$r AS (SELECT doc_id, n_words,
-                 replace(sp,
-                   ' ' || replace((SELECT pair FROM m$r), ' ', '  ') || ' ',
-                   ' ' || (SELECT merged FROM m$r) || ' ') AS sp
-               FROM sp${r - 1})"""
-      }.mkString(",\n          ")
-      s"""$bpeTrainCtes,
-          sp0 AS (
-            SELECT doc_id, len(string_split(text, ' ')) AS n_words,
-                   ' ' || trim(regexp_replace(regexp_replace(text, ' ', '|', 'g'),
-                        '(.)', '\\1  ', 'g')) || ' ' AS sp
-            FROM documents),
-          $spCtes
-          SELECT doc_id,
-                 CAST(len(string_split(trim(sp), '  ')) - (n_words - 1) AS BIGINT)
-                   AS n_tokens,
-                 md5(sp) AS tok_md5
-          FROM sp$bpeRounds ORDER BY doc_id"""
-    },
+    "text_bpe_tokens" -> bpeTokensSql,
+
+    // the fused kernel's contract IS the chained path's output (pad/gap
+    // encoding equivalence, OpsSpec-pinned) — one oracle, two plans
+    "text_bpe_tokens_fused" -> bpeTokensSql,
 
     // replay the p31 word ids, the positional pair-bucketing, the add-1
     // LM over the target slice, and the integer-scaled scoring (DuckDB

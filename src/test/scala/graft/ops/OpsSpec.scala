@@ -690,6 +690,15 @@ class OpsSpec extends SparkSpec {
       "the merges must compress the corpus overall")
   }
 
+  test("fused BPE kernel output is bit-identical to the chained-replace path") {
+    def rows(q: String) = TextOps.queries(q)(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val chained = rows("text_bpe_tokens")
+    val fused = rows("text_bpe_tokens_fused")
+    assert(chained.nonEmpty)
+    assert(fused == chained)
+  }
+
   test("ngram perplexity: the target LM finds its own sources more probable") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "source").collect()
