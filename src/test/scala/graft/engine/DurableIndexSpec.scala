@@ -18,9 +18,14 @@ import graft.SparkSpec
 class DurableIndexSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
   private def q = graft.SparkEntry.queries
-  // the durable indexes behind dedup_incremental, sim_ivf_ann, sim_q8_rerank
+  // the durable indexes behind dedup_incremental, sim_ivf_ann,
+  // sim_q8_rerank, plus the round-7 artifacts: the SemDeDup quantizer +
+  // assignment, the decontamination bloom, and the trained BPE merge
+  // table (semdedup_comp is durable=false by design — a build
+  // intermediate, not an index)
   private val keys =
-    Seq("dedup_sid_index", "dedup_band_index", "ivf_label_centarr", "q8_index")
+    Seq("dedup_sid_index", "dedup_band_index", "ivf_label_centarr", "q8_index",
+      "semdedup_centarr", "semdedup_blocks", "decontam_bloom", "bpe_merges")
 
   test("second session serves index-backed queries from the store with zero rebuilds") {
     val root = Files.createTempDirectory("graft-idx-root").toString
@@ -33,7 +38,11 @@ class DurableIndexSpec extends SparkSpec {
       val incA = q("dedup_incremental")(sA, dir).collect().toSeq
       val ivfA = q("sim_ivf_ann")(sA, dir).collect().toSeq
       val q8A = q("sim_q8_rerank")(sA, dir).collect().toSeq
-      assert(incA.nonEmpty && ivfA.nonEmpty && q8A.nonEmpty)
+      val semA = q("dedup_semantic")(sA, dir).collect().toSeq
+      val bloomA = q("text_decontaminate_bloom")(sA, dir).collect().toSeq
+      val bpeA = q("text_bpe_tokens_fused")(sA, dir).collect().toSeq
+      assert(incA.nonEmpty && ivfA.nonEmpty && q8A.nonEmpty &&
+        semA.nonEmpty && bloomA.nonEmpty && bpeA.nonEmpty)
       keys.foreach { k =>
         assert(IndexStore.buildCounts.get(paths(k)).contains(1),
           s"$k: expected exactly one cold build")
@@ -72,6 +81,9 @@ class DurableIndexSpec extends SparkSpec {
       assert(q("dedup_incremental")(sB, dir).collect().toSeq == incA)
       assert(q("sim_ivf_ann")(sB, dir).collect().toSeq == ivfA)
       assert(q("sim_q8_rerank")(sB, dir).collect().toSeq == q8A)
+      assert(q("dedup_semantic")(sB, dir).collect().toSeq == semA)
+      assert(q("text_decontaminate_bloom")(sB, dir).collect().toSeq == bloomA)
+      assert(q("text_bpe_tokens_fused")(sB, dir).collect().toSeq == bpeA)
       keys.foreach { k =>
         assert(IndexStore.buildCounts.get(paths(k)).contains(1),
           s"$k: probing session must not rebuild")
