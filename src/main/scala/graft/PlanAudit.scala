@@ -66,6 +66,7 @@ object PlanAudit {
     "text_entropy", "text_length_outliers", "text_length_outliers_approx",
     "text_pipeline_e2e",
     "text_decontaminate", "text_pii_redact", "text_tokens",
+    "text_chunk_sliding",
     // line chunking + reassembly transforms: per-doc arrays of ≤12 lines,
     // and the big-side stream is checkpointed before the transform anyway
     "text_line_dedup",

@@ -46,7 +46,7 @@ object ScaleProbe {
     "text_pipeline_e2e", "text_bm25_topk", "text_bm25_multi",
     "text_line_dedup", "text_dsir_importance", "text_decontaminate_bloom",
     "text_ngram_perplexity", "text_bpe_train", "text_bpe_tokens",
-    "text_bpe_tokens_fused",
+    "text_bpe_tokens_fused", "text_chunk_sliding",
     "pack_sequences")
 
   def main(args: Array[String]): Unit = {

@@ -126,6 +126,10 @@ object TextOps {
     * unrolled oracle replay. */
   private val bpeRounds = 6
 
+  /** Sliding-chunk window/stride (tokens) — shared with the oracle. */
+  private val chunkWindow = 50
+  private val chunkStride = 40
+
   /** The trained BPE merge table (r, pair, merged, cnt) as an index frame:
     * built once per session (durable under GRAFT_INDEX_DIR — the stored
     * tokenizer), probed by text_bpe_train (returns it) and
@@ -640,6 +644,26 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Sliding-window document chunking — the RAG / training-sequence
+    // preparation stage: W=50-token windows at stride S=40 (10-token
+    // overlap), the tail window truncated, every start < n emitted.
+    // Shape: per-doc array algebra (slice over a stepped sequence) +
+    // one explode — embarrassingly parallel, no shuffle but the output
+    // sort; the per-doc lambda is bounded by the doc's own chunk count
+    // (PlanAudit-allowlisted like the other per-doc text transforms).
+    "text_chunk_sliding" -> ((s, dir) => {
+      val (w, st) = (chunkWindow, chunkStride)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, size(w) - 1, $st), p -> concat_ws(' ', slice(w, p + 1, $w)))"))
+          .as(Seq("chunk_id", "chunk")))
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          size(split(col("chunk"), " ")).cast("long").as("n_tokens"),
+          md5(col("chunk")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // The decontamination scale-swap as code: text_decontaminate documents
     // "at extreme scale the broadcast becomes a bloom filter" — this is
     // that shape. The benchmark gram set is summarized into a Bloom filter
@@ -1016,6 +1040,20 @@ object TextOps {
           SELECT doc_id, count(*) AS n_bigrams,
                  round(exp(-sum(lp9) / 1e9 / count(*)), 4) AS ppl_r
           FROM scored GROUP BY doc_id ORDER BY doc_id""",
+
+    // replay the stepped starts (Spark 0-based sequence(0, n-1, S) ≡
+    // DuckDB 1-based range(1, n+1, S)), truncating slices, and the
+    // 0-based chunk ids (generate_subscripts − 1 ≡ posexplode's pos)
+    "text_chunk_sliding" ->
+      s"""WITH chunks AS (
+            SELECT doc_id,
+                   list_transform(range(1, len(w) + 1, $chunkStride),
+                     st -> array_to_string(w[st:st + ${chunkWindow - 1}], ' ')) AS cs
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+          SELECT doc_id, generate_subscripts(cs, 1) - 1 AS chunk_id,
+                 CAST(len(string_split(unnest(cs), ' ')) AS BIGINT) AS n_tokens,
+                 md5(unnest(cs)) AS chunk_md5
+          FROM chunks ORDER BY doc_id, chunk_id""",
 
     "text_decontaminate" -> decontaminateSql,
 

@@ -443,7 +443,7 @@ class OpsSpec extends SparkSpec {
   }
 
   test("keep-canonical summary is consistent with the planted duplicates") {
-    val r = Dedup.queries("dedup_keep_canonical")(spark, dir).head
+    val r = Dedup.queries("dedup_keep_canonical")(spark, dir).head()
     val (docs, kept, dropped) = (r.getLong(0), r.getLong(1), r.getLong(2))
     val n = spark.read.parquet(s"$dir/documents.parquet").count()
     val planted = spark.read.parquet(s"$dir/documents.parquet")
@@ -697,6 +697,27 @@ class OpsSpec extends SparkSpec {
     val fused = rows("text_bpe_tokens_fused")
     assert(chained.nonEmpty)
     assert(fused == chained)
+  }
+
+  test("sliding chunks: full coverage, correct overlap, truncated tail") {
+    val out = TextOps.queries("text_chunk_sliding")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val lens = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc.keySet == lens.keySet, "every doc chunks")
+    byDoc.foreach { case (id, cs) =>
+      val n = lens(id)
+      // one chunk per stride start below n
+      assert(cs.length == ((n - 1) / 40 + 1), s"doc $id: ${cs.length} chunks for $n tokens")
+      assert(cs.map(_._2).sorted.sameElements(cs.indices.map(_.toLong)), "dense ids")
+      // every chunk is full-width except possibly the trailing ones
+      cs.sortBy(_._2).foreach { case (_, cid, toks) =>
+        val expected = math.min(50L, n - cid * 40)
+        assert(toks == expected, s"doc $id chunk $cid: $toks vs $expected")
+      }
+    }
   }
 
   test("ngram perplexity: the target LM finds its own sources more probable") {
