@@ -122,6 +122,56 @@ object Curation {
         .orderBy("lang")
     }),
 
+    // Quality-ranked token-budget curation (the FineWeb/Dolma "keep the
+    // best X tokens per source" step): within each source, documents are
+    // ranked by a quality proxy (capped token count here — the score
+    // column is pluggable; text_quality's composite drops in unchanged)
+    // and kept while the running token sum stays under the source's
+    // budget. The budget is split across md5 hash-shards exactly like
+    // pack_sequences' packing groups: a source holding half the corpus
+    // can never fit one partition's sort at 100 TB, so each (source,
+    // shard) selects independently against budget/K — the standard
+    // sharded approximation of the global per-source top, and the only
+    // shape whose parallelism grows with the data. One shuffle on
+    // (source, shard); the cut is a running-sum window + filter.
+    "curate_token_budget" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source", "shard")
+        .orderBy(col("q").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          (bucket("doc_id") % 4).as("shard"))
+        .withColumn("q", least(col("n_tokens"), lit(400L)))
+        .withColumn("cum_tokens", sum("n_tokens").over(w))
+        .where(col("cum_tokens") <= 200)
+        .select("doc_id", "source", "shard", "n_tokens", "cum_tokens")
+        .orderBy("source", "shard", "cum_tokens")
+    }),
+
+    // Deterministic global shuffle for training order (the step between
+    // curation and packing): every doc is assigned a shard and a position
+    // within it by ordering on a seeded md5 of its id — reproducible
+    // across reruns, auditable per row, and free of driver-side
+    // randomness. At 100 TB this is exactly how training shards are
+    // written: one hash-shuffle on the shard key, a per-shard sort whose
+    // parallelism is the shard count (16 here; tens of thousands at
+    // cluster scale), and no global sort anywhere. Re-seeding re-deals
+    // every shard without touching the data.
+    "shuffle_deterministic" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("shard").orderBy("h", "doc_id")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(concat(col("doc_id").cast("string"), lit("#42"))).as("h"))
+        .withColumn("shard",
+          conv(substring(col("h"), 1, 15), 16, 10).cast("long") % 16)
+        .withColumn("pos", row_number().over(w).cast("long") - 1)
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
+    }),
+
     // Temperature-flattened mixture (the multilingual-LM sampling knob:
     // q_l ∝ p_l^α with α = 0.5): flattens the language distribution so
     // low-resource languages are upweighted without going all the way to
@@ -204,6 +254,39 @@ object Curation {
       """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang)
          SELECT lang, n, round((SELECT min(n) FROM c) / (n * 1.0), 4) AS rate
          FROM c ORDER BY lang""",
+
+    // cum_tokens is strictly increasing within (source, shard) — every
+    // doc has ≥1 token — so the output order is total without doc_id
+    "curate_token_budget" ->
+      """WITH d AS (
+           SELECT doc_id, source,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                       AS BIGINT) % 100 % 4 AS shard
+           FROM documents),
+         r AS (
+           SELECT *, CAST(sum(n_tokens) OVER (
+                  PARTITION BY source, shard
+                  ORDER BY least(n_tokens, 400) DESC, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                  AS cum_tokens
+           FROM d)
+         SELECT doc_id, source, shard, n_tokens, cum_tokens
+         FROM r WHERE cum_tokens <= 200
+         ORDER BY source, shard, cum_tokens""",
+
+    "shuffle_deterministic" ->
+      """WITH d AS (
+           SELECT doc_id, md5(concat(CAST(doc_id AS VARCHAR), '#42')) AS h
+           FROM documents),
+         s AS (
+           SELECT doc_id, h,
+                  CAST(concat('0x', substr(h, 1, 15)) AS BIGINT) % 16 AS shard
+           FROM d)
+         SELECT doc_id, shard,
+                CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+                     AS BIGINT) - 1 AS pos
+         FROM s ORDER BY shard, pos""",
 
     // sqrt(n) IS n^0.5 exactly on both engines (IEEE sqrt is correctly
     // rounded; pow(x, 0.5) need not be), so the shares hash-match

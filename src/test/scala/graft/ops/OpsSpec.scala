@@ -342,6 +342,46 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("token-budget curation: budget binds, kept set is the greedy quality prefix") {
+    val out = Curation.queries("curate_token_budget")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    assert(out.forall(_._5 <= 200), "running sum exceeds the per-shard budget")
+    // recompute every doc's (source, shard, rank) with the op's own hash
+    val all = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 100 % 4).as("shard"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.length < all.length, "budget never bound — raise the fixture density")
+    // the kept set per (source, shard) is exactly the greedy prefix of the
+    // quality order (capped tokens desc, doc_id asc) under the budget
+    all.groupBy(t => (t._2, t._4)).foreach { case ((src, shard), docs) =>
+      val ordered = docs.sortBy(t => (-math.min(t._3, 400L), t._1))
+      val expected = ordered.scanLeft(0L)(_ + _._3).tail.zip(ordered)
+        .takeWhile(_._1 <= 200).map(_._2._1).toSet
+      val got = out.filter(t => t._2 == src && t._3 == shard).map(_._1).toSet
+      assert(got == expected, s"($src, $shard): $got vs $expected")
+    }
+  }
+
+  test("deterministic shuffle: a permutation, dense positions, reproducible") {
+    val out = Curation.queries("shuffle_deterministic")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(out.length == n, "every doc assigned exactly once")
+    assert(out.map(_._1).distinct.length == n)
+    // positions are dense 0..k-1 within each shard
+    out.groupBy(_._2).values.foreach { rs =>
+      assert(rs.map(_._3).sorted.sameElements(rs.indices.map(_.toLong)))
+    }
+    // rerun is bit-identical (no rand() anywhere)
+    val again = Curation.queries("shuffle_deterministic")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.sameElements(again))
+  }
+
   test("weighted sampling honors the per-language target rates") {
     val out = Curation.queries("sample_weighted")(spark, dir).collect()
     out.foreach { r =>
