@@ -38,7 +38,7 @@ object Bench {
     "text_chunk_sliding",
     "text_pipeline_e2e", "text_quality", "text_entropy", "mm_decode_features",
     "pack_sequences", "sample_weighted", "mix_rebalance", "curate_token_budget",
-    "shuffle_deterministic", "win_topk_per_window")
+    "shuffle_deterministic", "curate_pipeline_e2e", "win_topk_per_window")
 
   /** One timed query: (name, min, median, max) over the reps. */
   type Timing = (String, Double, Double, Double)

@@ -47,7 +47,8 @@ object ScaleProbe {
     "text_line_dedup", "text_dsir_importance", "text_decontaminate_bloom",
     "text_ngram_perplexity", "text_bpe_train", "text_bpe_tokens",
     "text_bpe_tokens_fused", "text_chunk_sliding",
-    "pack_sequences", "curate_token_budget", "shuffle_deterministic")
+    "pack_sequences", "curate_token_budget", "shuffle_deterministic",
+    "curate_pipeline_e2e")
 
   def main(args: Array[String]): Unit = {
     val spillMode = args.headOption.contains("spill")

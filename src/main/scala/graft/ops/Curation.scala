@@ -172,6 +172,41 @@ object Curation {
         .orderBy("shard", "pos")
     }),
 
+    // The three stages composed end-to-end — curate under a token budget,
+    // deal the kept docs into deterministic training order, pack them
+    // into 2048-token bins in that order. The whole pipeline is TWO data
+    // shuffles: one on (source, shard) for the budget window, one on the
+    // training shard for the shuffle+pack windows (row_number and the
+    // lagged running sum share one partition+sort, so packing rides the
+    // shuffle's sort for free). This is the query a training-data job
+    // actually runs; the single-stage ops above are its unit tests.
+    "curate_pipeline_e2e" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wBudget = Window.partitionBy("source", "shard4")
+        .orderBy(col("q").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val kept = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          (bucket("doc_id") % 4).as("shard4"))
+        .withColumn("q", least(col("n_tokens"), lit(400L)))
+        .withColumn("cum_tokens", sum("n_tokens").over(wBudget))
+        .where(col("cum_tokens") <= 200)
+        .select(col("doc_id"), col("n_tokens"),
+          md5(concat(col("doc_id").cast("string"), lit("#42"))).as("h"))
+        .withColumn("shard",
+          conv(substring(col("h"), 1, 15), 16, 10).cast("long") % 16)
+      val wShard = Window.partitionBy("shard").orderBy("h", "doc_id")
+      kept
+        .withColumn("pos", row_number().over(wShard).cast("long") - 1)
+        .withColumn("off", coalesce(
+          sum("n_tokens").over(wShard.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select(col("doc_id"), col("shard"), col("pos"), col("n_tokens"),
+          expr("off div 2048").as("bin"), (col("off") % 2048).as("off_in_bin"))
+        .orderBy("shard", "pos")
+    }),
+
     // Temperature-flattened mixture (the multilingual-LM sampling knob:
     // q_l ∝ p_l^α with α = 0.5): flattens the language distribution so
     // low-resource languages are upweighted without going all the way to
@@ -287,6 +322,41 @@ object Curation {
                 CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
                      AS BIGINT) - 1 AS pos
          FROM s ORDER BY shard, pos""",
+
+    "curate_pipeline_e2e" ->
+      """WITH d AS (
+           SELECT doc_id, source,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                       AS BIGINT) % 100 % 4 AS shard4
+           FROM documents),
+         r AS (
+           SELECT *, CAST(sum(n_tokens) OVER (
+                  PARTITION BY source, shard4
+                  ORDER BY least(n_tokens, 400) DESC, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                  AS cum_tokens
+           FROM d),
+         kept AS (
+           SELECT doc_id, n_tokens,
+                  md5(concat(CAST(doc_id AS VARCHAR), '#42')) AS h
+           FROM r WHERE cum_tokens <= 200),
+         a AS (
+           SELECT doc_id, n_tokens, h,
+                  CAST(concat('0x', substr(h, 1, 15)) AS BIGINT) % 16 AS shard
+           FROM kept),
+         p AS (
+           SELECT doc_id, n_tokens, shard,
+                  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+                       AS BIGINT) - 1 AS pos,
+                  COALESCE(CAST(sum(n_tokens) OVER (
+                    PARTITION BY shard ORDER BY h, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+                    AS off
+           FROM a)
+         SELECT doc_id, shard, pos, n_tokens,
+                off // 2048 AS bin, off % 2048 AS off_in_bin
+         FROM p ORDER BY shard, pos""",
 
     // sqrt(n) IS n^0.5 exactly on both engines (IEEE sqrt is correctly
     // rounded; pow(x, 0.5) need not be), so the shares hash-match

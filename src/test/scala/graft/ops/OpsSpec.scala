@@ -382,6 +382,28 @@ class OpsSpec extends SparkSpec {
     assert(out.sameElements(again))
   }
 
+  test("curation pipeline e2e composes its three stages exactly") {
+    val out = Curation.queries("curate_pipeline_e2e")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // stage 1: the kept ids are exactly curate_token_budget's kept set
+    val kept = Curation.queries("curate_token_budget")(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    assert(out.map(_._1).toSet == kept)
+    // stage 2: positions are dense per shard, ordered by the seeded hash
+    out.groupBy(_._2).values.foreach { rs =>
+      assert(rs.map(_._3).sorted.sameElements(rs.indices.map(_.toLong)))
+    }
+    // stage 3: offsets are the running token sum in (shard, pos) order
+    out.groupBy(_._2).values.foreach { rs =>
+      var off = 0L
+      rs.sortBy(_._3).foreach { case (_, _, _, toks, bin, offInBin) =>
+        assert(bin == off / 2048 && offInBin == off % 2048)
+        off += toks
+      }
+    }
+  }
+
   test("weighted sampling honors the per-language target rates") {
     val out = Curation.queries("sample_weighted")(spark, dir).collect()
     out.foreach { r =>
