@@ -34,6 +34,7 @@ object Bench {
     "sim_topk_bruteforce", "sim_ivf_ann", "sim_lsh_ann",
     "sim_q8_rerank", "sim_pq_adc", "text_bm25_topk", "text_bm25_multi",
     "text_line_dedup", "text_dsir_importance", "text_decontaminate_bloom",
+    "text_contamination_score",
     "text_ngram_perplexity", "text_bpe_train", "text_bpe_tokens_fused",
     "text_chunk_sliding",
     "text_pipeline_e2e", "text_quality", "text_entropy", "mm_decode_features",

@@ -45,6 +45,7 @@ object ScaleProbe {
     "sim_topk_bruteforce", "sim_lsh_ann", "sim_lsh_multiprobe", "sim_pq_adc",
     "text_pipeline_e2e", "text_bm25_topk", "text_bm25_multi",
     "text_line_dedup", "text_dsir_importance", "text_decontaminate_bloom",
+    "text_contamination_score",
     "text_ngram_perplexity", "text_bpe_train", "text_bpe_tokens",
     "text_bpe_tokens_fused", "text_chunk_sliding",
     "pack_sequences", "curate_token_budget", "shuffle_deterministic",

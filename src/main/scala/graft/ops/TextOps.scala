@@ -644,6 +644,39 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Contamination SCORING — the reporting counterpart to the boolean
+    // decontaminate drop: every eligible doc (≥8 tokens) gets its
+    // distinct-8-gram count, the count shared with the benchmark set,
+    // and the overlap fraction — including the zero rows, which is what
+    // a contamination-rate report needs and the drop query never emits.
+    // Same topology as text_decontaminate (zero-shuffle kernel gram
+    // stream, broadcast bench probe, one doc_id agg) with one twist:
+    // the per-doc totals must count distinct gram IDS on both engines,
+    // so the kernel output goes through array_distinct per row — still
+    // no shuffle (the kernel already dedups STRINGS; this collapses the
+    // rare id collisions the oracle's DISTINCT doc_id, gid collapses).
+    "text_contamination_score" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = gram8(docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          expr("concat_ws(' ', slice(split(text, ' '), 3, size(split(text, ' '))))")
+            .as("text")))
+        .select(col("gid")).distinct()
+      docs
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 8)
+        .select(col("doc_id"),
+          explode(expr("array_distinct(shingle_sids_md5(w, 8))")).as("gid"))
+        .join(broadcast(bench.withColumn("hit", lit(1L))), Seq("gid"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          coalesce(sum("hit"), lit(0L)).as("shared_grams"))
+        .withColumn("contamination",
+          round(col("shared_grams") / (col("n_grams") * lit(1.0)), 4))
+        .orderBy("doc_id")
+    }),
+
     // Sliding-window document chunking — the RAG / training-sequence
     // preparation stage: W=50-token windows at stride S=40 (10-token
     // overlap), the tail window truncated, every start < n emitted.
@@ -1054,6 +1087,33 @@ object TextOps {
                  CAST(len(string_split(unnest(cs), ' ')) AS BIGINT) AS n_tokens,
                  md5(unnest(cs)) AS chunk_md5
           FROM chunks ORDER BY doc_id, chunk_id""",
+
+    // the same gram/bench CTEs as decontaminateSql, but every eligible
+    // doc reports (total, shared, fraction) — zeros included
+    "text_contamination_score" ->
+      s"""WITH g AS (
+            SELECT DISTINCT doc_id,
+              CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) % $P AS gid
+            FROM (
+              SELECT doc_id, unnest(list_transform(range(1, len(w) - 6),
+                       i -> array_to_string(w[i:i+7], ' '))) AS gram
+              FROM (SELECT doc_id, string_split(text, ' ') AS w
+                    FROM documents WHERE len(string_split(text, ' ')) >= 8))),
+          bench AS (
+            SELECT DISTINCT
+              CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) % $P AS gid
+            FROM (
+              SELECT unnest(list_transform(range(1, len(w) - 6),
+                       i -> array_to_string(w[i:i+7], ' '))) AS gram
+              FROM (SELECT string_split(text, ' ')[3:] AS w
+                    FROM documents
+                    WHERE doc_id % 10 = 0
+                      AND len(string_split(text, ' ')[3:]) >= 8)))
+          SELECT doc_id, count(*) AS n_grams,
+                 count(b.gid) AS shared_grams,
+                 round(count(b.gid) / (count(*) * 1.0), 4) AS contamination
+          FROM g LEFT JOIN bench b ON g.gid = b.gid
+          GROUP BY doc_id ORDER BY doc_id""",
 
     "text_decontaminate" -> decontaminateSql,
 

@@ -761,6 +761,27 @@ class OpsSpec extends SparkSpec {
     assert(fused == chained)
   }
 
+  test("contamination score: zeros included, bench sources score near 1") {
+    val out = TextOps.queries("text_contamination_score")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // every eligible doc reports, including uncontaminated ones
+    val eligible = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(size(split(col("text"), " ")) >= 8).count()
+    assert(out.length == eligible)
+    assert(out.forall { case (_, n, sh, c) => sh <= n && c >= 0.0 && c <= 1.0 })
+    // the benchmark was built from every 10th doc's suffix: those docs'
+    // own grams are nearly all in the bench set
+    val benchDocs = out.filter(t => t._1 % 10 == 0 && t._2 >= 12)
+    assert(benchDocs.nonEmpty)
+    benchDocs.foreach { case (id, _, _, c) =>
+      assert(c > 0.5, s"bench-source doc $id scores $c")
+    }
+    // and the boolean drop query agrees with the nonzero rows
+    val dropped = TextOps.queries("text_decontaminate")(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    assert(out.filter(_._3 > 0).map(_._1).toSet == dropped)
+  }
+
   test("sliding chunks: full coverage, correct overlap, truncated tail") {
     val out = TextOps.queries("text_chunk_sliding")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
