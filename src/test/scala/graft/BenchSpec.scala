@@ -32,11 +32,37 @@ class BenchSpec extends AnyFunSuite {
     names.take(n).map(nm => (nm, 123.45, 234.56, 345.67))
   }
 
-  test("compact line stays under 1500 bytes at 40 queries with worst-case timings") {
-    val line = Bench.compactLine(syntheticResults(40), reps = 3, sf = "0.1")
+  test("compact line stays under 1500 bytes beyond the CURRENT list with worst-case timings") {
+    // track the real headline size (+5 headroom) so growing the list keeps
+    // re-tightening this guard instead of silently outgrowing a fixed n
+    val n = Bench.headline.size + 5
+    val line = Bench.compactLine(syntheticResults(n), reps = 3, sf = "0.1")
     assert(line.getBytes("UTF-8").length < 1500,
-      s"compact bench line is ${line.length} bytes — would overflow the driver tail")
+      s"compact bench line is ${line.getBytes("UTF-8").length} bytes at $n queries " +
+        "with worst-case timings — would overflow the driver tail")
     assert(!line.contains("\n"), "driver record must be ONE line")
+  }
+
+  test("an oversized map self-limits: slowest kept, omissions counted, total intact") {
+    // force truncation with an absurd query count
+    val rs = syntheticResults(Bench.headline.size) ++
+      (0 until 60).map(i => (f"overflow_query_with_a_long_name_$i%02d", 0.01, 0.02, 0.03))
+    val line = Bench.compactLine(rs, reps = 3, sf = "0.1")
+    assert(line.getBytes("UTF-8").length <= Bench.lineCap)
+    assert(line.contains("\"queries_omitted\":"), "omission count must be reported")
+    // the cheap filler queries are dropped first; the real (slow) ones survive
+    assert(line.contains("\"sig_fanout_merged\":"))
+    assert(!line.contains("overflow_query_with_a_long_name_59"))
+    // the headline total still sums EVERY query, omitted ones included
+    val total = """"value":([0-9.]+)""".r.findFirstMatchIn(line).get.group(1).toDouble
+    assert(math.abs(total - rs.map(_._2).sum) < 0.01)
+  }
+
+  test("the REAL headline list at realistic timings omits nothing") {
+    val rs = Bench.headline.map(nm => (nm, 9.99, 9.99, 9.99))
+    val line = Bench.compactLine(rs, reps = 3, sf = "0.1")
+    assert(!line.contains("queries_omitted"),
+      "the current real list must fit the cap without truncation")
   }
 
   test("compact line carries the contract fields and only ONE per-query map") {
