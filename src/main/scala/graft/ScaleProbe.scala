@@ -155,8 +155,12 @@ object ScaleProbe {
 
     if (spillMode) {
       // completion under memory pressure is the assertion: a wrong-shaped
-      // pipeline OOMs or dies in the sorter here instead of spilling
-      val pipeline = "dedup_keep_canonical"
+      // pipeline OOMs or dies in the sorter here instead of spilling.
+      // Default is the end-to-end dedup pipeline; `spill <mult> <query>`
+      // probes any other registered query (e.g. the window-sort path of
+      // curate_pipeline_e2e).
+      val pipeline = queryFilter.flatMap(_.headOption)
+        .getOrElse("dedup_keep_canonical")
       val t0 = System.nanoTime()
       val rows = SparkEntry.queries(pipeline)(spark, out).count()
       val sec = (System.nanoTime() - t0) / 1e9
