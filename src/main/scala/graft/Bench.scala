@@ -39,7 +39,9 @@ object Bench {
     "text_chunk_sliding",
     "text_pipeline_e2e", "text_quality", "text_entropy", "mm_decode_features",
     "pack_sequences", "sample_weighted", "mix_rebalance", "curate_token_budget",
-    "shuffle_deterministic", "curate_pipeline_e2e", "win_topk_per_window")
+    "shuffle_deterministic", "curate_pipeline_e2e", "win_topk_per_window",
+    "sim_knn_graph", "text_quality_classifier", "curate_domain_quality",
+    "curate_snapshot_diff")
 
   /** One timed query: (name, min, median, max) over the reps. */
   type Timing = (String, Double, Double, Double)

@@ -49,7 +49,9 @@ object ScaleProbe {
     "text_ngram_perplexity", "text_bpe_train", "text_bpe_tokens",
     "text_bpe_tokens_fused", "text_chunk_sliding",
     "pack_sequences", "curate_token_budget", "shuffle_deterministic",
-    "curate_pipeline_e2e")
+    "curate_pipeline_e2e",
+    "sim_knn_graph", "text_quality_classifier", "curate_domain_quality",
+    "curate_snapshot_diff")
 
   def main(args: Array[String]): Unit = {
     val spillMode = args.headOption.contains("spill")

@@ -133,9 +133,22 @@ object Tables {
 
   private def load(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
+      // The driver has written events.ts two ways across testdata
+      // generations: parquet INT64 TIMESTAMP(NANOS) (surfaced as a LONG of
+      // ns under nanosAsLong — converted here with integer div, since a
+      // double division loses precision above 2^53 ns) and native
+      // TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ). Branch on the read
+      // schema so both generations load identically; the NTZ cast to
+      // session-tz TimestampType is value-identity because every entry
+      // point pins spark.sql.session.timeZone=UTC.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case _ =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+      }
     case other =>
       spark.read.parquet(s"$dir/$other.parquet")
   }

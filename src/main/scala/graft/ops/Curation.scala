@@ -215,6 +215,64 @@ object Curation {
     // low-resource slice is repeated per pass over the mixture). Same
     // topology as mix_rebalance: one keyed count, one one-row broadcast —
     // nothing driver-side, nothing that grows with corpus size.
+    // Domain-level quality filtering (the RefinedWeb/C4 "drop bad
+    // domains wholesale" step — `source` stands in for the URL domain):
+    // a domain is kept when its mean tokens/doc clears a threshold, and
+    // every document inherits its domain's decision. The decision is
+    // evaluated as an INTEGER comparison (sum_tokens ≥ T · docs, never
+    // avg ≥ T): integer sums are order-independent, so the keep/drop
+    // bit can't flip on float-summation order across engines or between
+    // cluster runs — a knife-edge domain decides identically everywhere.
+    // Topology at 100 TB: domains are a tiny key space (millions at
+    // most), so the stats agg map-side-combines to almost nothing and
+    // the decision table broadcasts back onto the corpus scan — the
+    // per-doc filter costs one hash-map probe per row, zero extra
+    // shuffles. Output: per-language survival of the domain filter.
+    "curate_domain_quality" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val dom = d.groupBy("source")
+        .agg(count(lit(1)).as("docs"), sum("n_tokens").as("toks"))
+        .select(col("source"), (col("toks") >= col("docs") * 54L).as("keep"))
+      d.join(broadcast(dom), "source")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("total"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("kept"))
+        .withColumn("kept_frac", round(col("kept") / (col("total") * lit(1.0)), 4))
+        .orderBy("lang")
+    }),
+
+    // Corpus snapshot diff (the data-versioning step an incremental
+    // pipeline runs between crawls: what was added, what disappeared,
+    // what changed in place — the changed set is what gets re-processed
+    // downstream instead of the whole corpus). Snapshots are compared by
+    // doc key with md5 CONTENT fingerprints, so the join ships 16-byte
+    // hashes, never document bodies; the diff is ONE full-outer
+    // hash-join on the snapshot key — the only shape that works when
+    // both snapshots are corpus-sized (neither side broadcasts) — and
+    // it partitions/scales on that key like any other corpus shuffle.
+    // The two snapshots here are deterministic slices of `documents`
+    // (A drops ids ≡7 (mod 10), B drops ≡3 and revises ids ≡0 (mod 5))
+    // so the oracle replays the exact added/removed/changed multiset.
+    "curate_snapshot_diff" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val a = d.filter(col("doc_id") % 10 =!= 7)
+        .select(col("doc_id"), col("source").as("sa"), md5(col("text")).as("ha"))
+      val b = d.filter(col("doc_id") % 10 =!= 3)
+        .select(col("doc_id"), col("source").as("sb"),
+          md5(when(col("doc_id") % 5 === 0, concat(col("text"), lit("#rev")))
+            .otherwise(col("text"))).as("hb"))
+      a.join(b, Seq("doc_id"), "full_outer")
+        .select(coalesce(col("sa"), col("sb")).as("source"),
+          when(col("ha").isNull, "added")
+            .when(col("hb").isNull, "removed")
+            .when(col("ha") =!= col("hb"), "changed")
+            .otherwise("unchanged").as("status"))
+        .groupBy("source", "status").agg(count(lit(1)).as("n"))
+        .orderBy("source", "status")
+    }),
+
     "mix_temperature" -> ((s, dir) => {
       val cnts = Tables(s, dir, "documents")
         .groupBy("lang").agg(count(lit(1)).as("n"))
@@ -357,6 +415,39 @@ object Curation {
          SELECT doc_id, shard, pos, n_tokens,
                 off // 2048 AS bin, off % 2048 AS off_in_bin
          FROM p ORDER BY shard, pos""",
+
+    // the keep decision replays as the same integer comparison
+    "curate_domain_quality" ->
+      """WITH d AS (
+           SELECT doc_id, lang, source,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         dom AS (
+           SELECT source, (CAST(sum(n_tokens) AS BIGINT) >= count(*) * 54) AS keep
+           FROM d GROUP BY source)
+         SELECT lang, count(*) AS total,
+                CAST(count(CASE WHEN keep THEN 1 END) AS BIGINT) AS kept,
+                round(count(CASE WHEN keep THEN 1 END) / (count(*) * 1.0), 4)
+                  AS kept_frac
+         FROM d JOIN dom USING (source)
+         GROUP BY lang ORDER BY lang""",
+
+    "curate_snapshot_diff" ->
+      """WITH a AS (
+           SELECT doc_id, source AS sa, md5(text) AS ha
+           FROM documents WHERE doc_id % 10 <> 7),
+         b AS (
+           SELECT doc_id, source AS sb,
+                  md5(CASE WHEN doc_id % 5 = 0 THEN text || '#rev' ELSE text END) AS hb
+           FROM documents WHERE doc_id % 10 <> 3)
+         SELECT coalesce(sa, sb) AS source,
+                CASE WHEN ha IS NULL THEN 'added'
+                     WHEN hb IS NULL THEN 'removed'
+                     WHEN ha <> hb THEN 'changed'
+                     ELSE 'unchanged' END AS status,
+                count(*) AS n
+         FROM a FULL OUTER JOIN b USING (doc_id)
+         GROUP BY 1, 2 ORDER BY source, status""",
 
     // sqrt(n) IS n^0.5 exactly on both engines (IEEE sqrt is correctly
     // rounded; pow(x, 0.5) need not be), so the shares hash-match

@@ -272,6 +272,38 @@ object Similarity {
             round(expr(dotExpr) / (col("qn") * col("cn")), 6).as("cos_r")))
     }),
 
+    // k-NN GRAPH build (every node's top-3 cosine neighbors) — the
+    // substrate for graph-based curation: SemDeDup-style cluster pruning,
+    // graph connectivity dedup, and density-based quality scoring all
+    // start from this structure. Unlike the ANN queries above (8 probe
+    // vectors × corpus), here EVERY vector is a query, so the naive
+    // all-pairs formulation is O(n²) and unshippable at 100 TB. The LSH
+    // bucket SELF-join bounds it: plane count sized so expected bucket
+    // population stays ~TargetBucketPop regardless of corpus size
+    // (Lsh.planesFor), making the candidate-pair space O(n · pop) —
+    // linear — and the per-node top-3 the bounded-state topk3_ids
+    // aggregate, so no full pair set is ever shuffled or sorted. One
+    // signature pass (localCheckpointed, shared by both join sides), one
+    // bucket equi-join, one map-side-combined top-k agg. Nodes alone in
+    // their bucket get no edges — the standard LSH-graph tradeoff;
+    // multi-probe (sim_lsh_multiprobe's explode) is the recall knob and
+    // would multiply only the probe side here too.
+    "sim_knn_graph" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val e = Tables(s, dir, "embeddings")
+      val (planes, dim) = Lsh.sizing(s, dir, "embeddings", e)
+      val withB = e.withColumn("bucket", Lsh.bucket(planes, "embedding", dim))
+        .localCheckpoint()
+      val q = withB.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("bucket"), expr(normExpr("embedding")).as("qn"))
+      val c = withB.select(col("vec_id").as("nid"), col("embedding").as("ce"),
+        col("bucket").as("cb"), expr(normExpr("embedding")).as("cn"))
+      topK3(
+        q.join(c, col("bucket") === col("cb") && col("qid") =!= col("nid"))
+          .select(col("qid"), col("nid"),
+            round(expr(dotExpr) / (col("qn") * col("cn")), 6).as("cos_r")))
+    }),
+
     // Two-stage retrieval over an int8 SCALAR-QUANTIZED index — the
     // production memory-bandwidth lever: stage 1 scans quantized vectors
     // (4× smaller than float32, so a 100 TB corpus scans as ~25 TB) and
@@ -597,6 +629,28 @@ object Similarity {
             WHERE p < params.np),
           c AS (SELECT vec_id AS nid, embedding AS ce, bucket AS cb FROM withb WHERE vec_id >= 8),
           pairs AS (SELECT qid, nid, qe, ce FROM probes JOIN c ON pb = cb),
+          dots AS ($dotsSql),
+          ranked AS (
+            SELECT qid, nid, round(dot / (nq * nc), 6) AS cos_r,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY round(dot / (nq * nc), 6) DESC, nid) AS rank
+            FROM dots)
+          SELECT qid, rank, nid FROM ranked WHERE rank <= 3 ORDER BY qid, rank""",
+
+    // same bucket replay as sim_lsh_ann, but every vector is a query and
+    // the bucket join is a self-join minus the diagonal
+    "sim_knn_graph" ->
+      s"""WITH ${Lsh.paramsSql("embeddings")},
+          comp AS (
+            SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) - 1 AS d
+            FROM embeddings),
+          ${Lsh.bucketsSql},
+          withb AS (SELECT e.vec_id, e.embedding, b.bucket
+                    FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id),
+          q AS (SELECT vec_id AS qid, embedding AS qe, bucket FROM withb),
+          c AS (SELECT vec_id AS nid, embedding AS ce, bucket AS cb FROM withb),
+          pairs AS (SELECT qid, nid, qe, ce FROM q JOIN c ON bucket = cb AND qid <> nid),
           dots AS ($dotsSql),
           ranked AS (
             SELECT qid, nid, round(dot / (nq * nc), 6) AS cos_r,

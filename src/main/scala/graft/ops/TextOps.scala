@@ -315,6 +315,33 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Model-based quality filtering (the CCNet/GPT-3 "fastText classifier"
+    // step): a TRAINED linear model scored at corpus scale. The model here
+    // is a deterministic stand-in — hashed unigram features (1024 buckets
+    // via the word_ids_md5 kernel) with per-bucket integer weights
+    // w(b) = (b·2654435761) mod 2001 − 1000 — but the inference topology
+    // is the real one: the model rides INSIDE the expression (a fixed
+    // arithmetic map; a real weight vector would be a 1024-row broadcast
+    // like DSIR's), so scoring is one narrow kernel pass + one
+    // map-side-combined per-doc sum — no training aggregations, no second
+    // scan, nothing driver-side. Scores are exact integer sums
+    // (|w| ≤ 1000, ≪ 2⁵³), so the keep/drop decision is order-independent
+    // and replays bit-for-bit — a classifier whose accept bit flips on
+    // summation order would make curation non-reproducible across runs.
+    "text_quality_classifier" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(expr("word_ids_md5(split(text, ' '), 'p31')")).as("gid"))
+        .select(col("doc_id"),
+          ((col("gid") % 1024L) * 2654435761L % 2001L - 1000L).as("w"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("w").as("score"))
+        .withColumn("label",
+          when(col("score") > 0, lit("keep")).otherwise(lit("drop")))
+        .orderBy("doc_id")
+    }),
+
     // BPE merge-rule training (Sennrich et al., "Neural Machine
     // Translation of Rare Words with Subword Units") — the tokenizer-
     // training pass every LLM data pipeline runs. Shape: ONE corpus pass
@@ -914,6 +941,22 @@ object TextOps {
           FROM g JOIN wts USING (b)
           GROUP BY doc_id ORDER BY doc_id"""
     },
+
+    // kernel-contract word ids (p31 mode), the same integer weight map,
+    // exact integer sums — the keep bit cannot diverge cross-engine
+    "text_quality_classifier" ->
+      s"""WITH t AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+          g AS (
+            SELECT doc_id,
+                   (CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) % $P)
+                     % 1024 AS b
+            FROM t)
+          SELECT doc_id, count(*) AS n_tokens,
+                 CAST(sum(b * 2654435761 % 2001 - 1000) AS BIGINT) AS score,
+                 CASE WHEN CAST(sum(b * 2654435761 % 2001 - 1000) AS BIGINT) > 0
+                      THEN 'keep' ELSE 'drop' END AS label
+          FROM g GROUP BY doc_id ORDER BY doc_id""",
 
     // identical tokenization, the VERBATIM shared bm25ContribSql formula,
     // and exact-integer (×1e9) contribution sums — ranking replays

@@ -897,4 +897,80 @@ class OpsSpec extends SparkSpec {
       assert(math.abs(r.getDouble(2) - minN.toDouble / r.getLong(1)) < 1e-3)
     }
   }
+
+  test("kNN graph: consecutive ranks, no self-edges, most nodes get neighbors") {
+    val out = Similarity.queries("sim_knn_graph")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.forall { case (qid, _, nid) => qid != nid })
+    val byQ = out.groupBy(_._1)
+    byQ.foreach { case (qid, es) =>
+      assert(es.map(_._2).sorted.sameElements(1 to es.length), s"node $qid ranks")
+      assert(es.map(_._3).distinct.length == es.length, s"node $qid dup neighbor")
+    }
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    // a node misses out only when alone in its LSH bucket — rare at
+    // TargetBucketPop=64 expected occupancy
+    assert(byQ.size >= n * 8 / 10, s"coverage ${byQ.size}/$n")
+  }
+
+  test("domain-quality filter: decision matches a direct integer recomputation") {
+    val out = Curation.queries("curate_domain_quality")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // per-lang tallies are consistent and the filter is actually active
+    out.foreach { case (lang, total, kept, frac) =>
+      assert(kept >= 0 && kept <= total, s"$lang")
+      assert(math.abs(frac - kept.toDouble / total) < 1e-3, s"$lang frac")
+    }
+    assert(out.map(_._3).sum > 0, "filter dropped everything")
+    assert(out.map(_._3).sum < out.map(_._2).sum, "filter kept everything")
+    // replay the per-source integer decision directly and re-derive the
+    // per-lang kept counts
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("lang"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("t"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val keep = docs.groupBy(_._2).map { case (src, ds) =>
+      src -> (ds.map(_._3).sum >= 54L * ds.length)
+    }
+    val expect = docs.groupBy(_._1).map { case (lang, ds) =>
+      lang -> ds.count(d => keep(d._2)).toLong
+    }
+    out.foreach { case (lang, _, kept, _) => assert(kept == expect(lang), lang) }
+  }
+
+  test("snapshot diff statuses partition both snapshots with the planted counts") {
+    val ids = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val out = Curation.queries("curate_snapshot_diff")(spark, dir).collect()
+    val byStatus = out.groupBy(_.getString(1))
+      .map { case (st, rs) => st -> rs.map(_.getLong(2)).sum }
+    assert(byStatus("added") == ids.count(_ % 10 == 7))
+    assert(byStatus("removed") == ids.count(_ % 10 == 3))
+    assert(byStatus("changed") ==
+      ids.count(i => i % 10 != 7 && i % 10 != 3 && i % 5 == 0))
+    assert(byStatus.values.sum ==
+      ids.count(i => i % 10 != 7 || i % 10 != 3)) // |A ∪ B|
+  }
+
+  test("quality classifier: exact score replay for one doc, labels follow sign") {
+    val rows = TextOps.queries("text_quality_classifier")(spark, dir).collect()
+    rows.foreach { r =>
+      val (score, label) = (r.getLong(2), r.getString(3))
+      assert(if (score > 0) label == "keep" else label == "drop")
+    }
+    assert(rows.map(_.getString(3)).distinct.sorted.sameElements(Array("drop", "keep")),
+      "both labels should occur on this corpus")
+    // bit-exact replay of doc 0's score off-Spark
+    val text = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") === 0).select("text").collect()(0).getString(0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val score0 = text.split(" ").map { w =>
+      val hex = md.digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val gid = java.lang.Long.parseLong(hex.take(15), 16) % 2147483647L
+      (gid % 1024L) * 2654435761L % 2001L - 1000L
+    }.sum
+    val r0 = rows.find(_.getLong(0) == 0L).get
+    assert(r0.getLong(2) == score0)
+    assert(r0.getLong(1) == text.split(" ").length.toLong)
+  }
 }
