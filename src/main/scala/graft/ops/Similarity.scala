@@ -304,6 +304,34 @@ object Similarity {
             round(expr(dotExpr) / (col("qn") * col("cn")), 6).as("cos_r")))
     }),
 
+    // Embedding-space clustering: the kNN-graph edges above resolved
+    // into connected components — every vector gets a cluster label.
+    // This is the cluster structure SemDeDup-style pruning and
+    // cluster-balanced sampling consume; at 100 TB it composes the two
+    // bounded pieces this engine already has: the O(n · pop) LSH-bounded
+    // edge build (never all-pairs) and the O(log d) large-star/small-star
+    // CC (Dedup.starCC — one boolean per round to the driver, plan size
+    // O(1) via per-round localCheckpoint). Cosine ties in the top-3 are
+    // broken by nid, so the edge SET is deterministic and the labels
+    // replay exactly in the recursive-CTE oracle.
+    "sim_cluster_knn" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val e = Tables(s, dir, "embeddings")
+      val (planes, dim) = Lsh.sizing(s, dir, "embeddings", e)
+      val withB = e.withColumn("bucket", Lsh.bucket(planes, "embedding", dim))
+        .localCheckpoint()
+      val q = withB.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("bucket"), expr(normExpr("embedding")).as("qn"))
+      val c = withB.select(col("vec_id").as("nid"), col("embedding").as("ce"),
+        col("bucket").as("cb"), expr(normExpr("embedding")).as("cn"))
+      val edges = topK3(
+        q.join(c, col("bucket") === col("cb") && col("qid") =!= col("nid"))
+          .select(col("qid"), col("nid"),
+            round(expr(dotExpr) / (col("qn") * col("cn")), 6).as("cos_r")))
+        .select(col("qid").as("da"), col("nid").as("db"))
+      Dedup.starCC(edges)._1.orderBy("node")
+    }),
+
     // Two-stage retrieval over an int8 SCALAR-QUANTIZED index — the
     // production memory-bandwidth lever: stage 1 scans quantized vectors
     // (4× smaller than float32, so a 100 TB corpus scans as ~25 TB) and
@@ -658,6 +686,36 @@ object Similarity {
                                       ORDER BY round(dot / (nq * nc), 6) DESC, nid) AS rank
             FROM dots)
           SELECT qid, rank, nid FROM ranked WHERE rank <= 3 ORDER BY qid, rank""",
+
+    // the sim_knn_graph edge replay + the dedup_cluster_cc recursive-CTE
+    // min-label reachability (edges undirected for CC)
+    "sim_cluster_knn" ->
+      s"""WITH RECURSIVE ${Lsh.paramsSql("embeddings")},
+          comp AS (
+            SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) - 1 AS d
+            FROM embeddings),
+          ${Lsh.bucketsSql},
+          withb AS (SELECT e.vec_id, e.embedding, b.bucket
+                    FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id),
+          q AS (SELECT vec_id AS qid, embedding AS qe, bucket FROM withb),
+          c AS (SELECT vec_id AS nid, embedding AS ce, bucket AS cb FROM withb),
+          pairs AS (SELECT qid, nid, qe, ce FROM q JOIN c ON bucket = cb AND qid <> nid),
+          dots AS ($dotsSql),
+          ranked AS (
+            SELECT qid, nid, round(dot / (nq * nc), 6) AS cos_r,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY round(dot / (nq * nc), 6) DESC, nid) AS rank
+            FROM dots),
+          topk AS (SELECT qid, nid FROM ranked WHERE rank <= 3),
+          edges AS (SELECT qid AS a, nid AS b FROM topk
+                    UNION SELECT nid AS a, qid AS b FROM topk),
+          reach(node, lbl) AS (
+            SELECT DISTINCT a AS node, a AS lbl FROM edges
+            UNION
+            SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node)
+          SELECT node, min(lbl) AS cluster FROM reach
+          GROUP BY node ORDER BY node""",
 
     // replay the symmetric int8 quantization (round(x·127/max|x|)), the
     // integer-exact approx top-8, and the exact top-3 rerank

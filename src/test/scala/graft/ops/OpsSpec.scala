@@ -913,6 +913,18 @@ class OpsSpec extends SparkSpec {
     assert(byQ.size >= n * 8 / 10, s"coverage ${byQ.size}/$n")
   }
 
+  test("kNN clustering: labels are cluster minima and every kNN edge is intra-cluster") {
+    val labels = Similarity.queries("sim_cluster_knn")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    labels.groupBy(_._2).foreach { case (lbl, ns) =>
+      assert(ns.keys.min == lbl, s"cluster $lbl is not rooted at its minimum")
+    }
+    assert(labels.values.toSet.size > 1, "everything collapsed into one cluster")
+    val edges = Similarity.queries("sim_knn_graph")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    edges.foreach { case (a, b) => assert(labels(a) == labels(b), s"edge $a-$b split") }
+  }
+
   test("domain-quality filter: decision matches a direct integer recomputation") {
     val out = Curation.queries("curate_domain_quality")(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
