@@ -41,7 +41,7 @@ object Bench {
     "pack_sequences", "sample_weighted", "mix_rebalance", "curate_token_budget",
     "shuffle_deterministic", "curate_pipeline_e2e", "win_topk_per_window",
     "sim_knn_graph", "text_quality_classifier", "curate_domain_quality",
-    "curate_snapshot_diff")
+    "curate_snapshot_diff", "sim_knn_density", "text_winnowing")
   // sim_cluster_knn joins dedup_cluster_cc/_stars OUTSIDE the headline
   // set: iterative-CC queries are round-latency-dominated at bench SF
   // (each star round is a fixed handful of jobs; the data term only

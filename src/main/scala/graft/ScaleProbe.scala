@@ -51,7 +51,8 @@ object ScaleProbe {
     "pack_sequences", "curate_token_budget", "shuffle_deterministic",
     "curate_pipeline_e2e",
     "sim_knn_graph", "text_quality_classifier", "curate_domain_quality",
-    "curate_snapshot_diff", "sim_cluster_knn")
+    "curate_snapshot_diff", "sim_cluster_knn", "sim_knn_density",
+    "text_winnowing")
 
   def main(args: Array[String]): Unit = {
     val spillMode = args.headOption.contains("spill")

@@ -234,7 +234,17 @@ object GraftFunctions {
           "actualNum" -> children.length.toString, "docroot" -> "-"))
     })
 
-  def register(spark: SparkSession): Unit = {
+  // Registration is idempotent in effect but the registry logs a WARN per
+  // re-registered name — 3 UDAFs × every query invocation floods stderr
+  // (and the driver's captured output tail). Register once per live
+  // session; stopped sessions are dropped so a long-lived app cycling
+  // sessions doesn't retain them.
+  private val registered =
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean])
+
+  def register(spark: SparkSession): Unit = synchronized {
+    if (!registered.add(spark)) return
     spark.sessionState.functionRegistry.registerFunction(
       similarTo._1, similarTo._2, similarTo._3)
     spark.sessionState.functionRegistry.registerFunction(
@@ -265,6 +275,9 @@ object GraftFunctions {
         org.apache.spark.sql.Encoders.product[ScoredId]))
     spark.udf.register("topk8_ids",
       org.apache.spark.sql.functions.udaf(new TopKAgg(8),
+        org.apache.spark.sql.Encoders.product[ScoredId]))
+    spark.udf.register("topk3_scored",
+      org.apache.spark.sql.functions.udaf(new TopKScoredAgg(3),
         org.apache.spark.sql.Encoders.product[ScoredId]))
     // optimizer rewrite: size(array_intersect) → fused intersect_count.
     // experimental.extraOptimizations reaches an ALREADY-BUILT session

@@ -27,6 +27,25 @@ case class TopKOut(ids: Seq[Long])
   * Not codegen'd (typed Aggregator), but it runs once per already-scored
   * row and its state is k entries; the scoring itself stays in codegen.
   */
+/** Aggregate output for the scored variant: ids best-first plus their
+  * scores in the same order. */
+case class TopKScoredOut(ids: Seq[Long], scores: Seq[Double])
+
+/** TopKAgg that also returns the winning scores — for consumers that need
+  * the neighbor similarities (density/prototypicality), not just the
+  * identities. Same bounded state and ordering as TopKAgg. */
+class TopKScoredAgg(k: Int) extends Aggregator[ScoredId, TopKBuf, TopKScoredOut] {
+  private val inner = new TopKAgg(k)
+  override def zero: TopKBuf = inner.zero
+  override def reduce(b: TopKBuf, in: ScoredId): TopKBuf = inner.reduce(b, in)
+  override def merge(a: TopKBuf, b: TopKBuf): TopKBuf = inner.merge(a, b)
+  override def finish(b: TopKBuf): TopKScoredOut =
+    TopKScoredOut(b.items.map(_.id), b.items.map(_.score))
+  override def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+  override def outputEncoder: Encoder[TopKScoredOut] =
+    Encoders.product[TopKScoredOut]
+}
+
 class TopKAgg(k: Int) extends Aggregator[ScoredId, TopKBuf, TopKOut] {
   private def ord: Ordering[ScoredId] = Ordering.by(s => (-s.score, s.id))
 

@@ -87,6 +87,74 @@ object Lsh {
       .map(p => when(planeDot(p, vecCol, dim) >= 0, lit(1L << p)).otherwise(lit(0L)))
       .reduce(_ + _)
 
+  // ---- Balanced-split (median-thresholded) variant ----------------------
+  //
+  // Sign-at-zero bucketing assumes each plane's projection distribution
+  // straddles 0. On this corpus it does NOT: measured at the 100× probe
+  // scale, only 1 200 of 4 096 buckets were occupied with an effective
+  // bucket population of 898 against the 64 target — a 5.8× pair-space
+  // blow-up between the 30× and 100× points that made the all-nodes kNN
+  // queries super-linear. The classic fix is balanced hyperplane LSH:
+  // threshold each plane at its corpus MEDIAN projection, so every bit
+  // splits the corpus 50/50 by construction.
+  //
+  // Cross-engine discipline: per-vector projections are scaled to exact
+  // integers d6 = round(dot·1e6) (the same rounding both engines already
+  // share for cosines); the stored threshold is t2 = 2·median(d6) — an
+  // INTEGER for both odd and even corpus sizes, since the even-n
+  // interpolated median (a+b)/2 doubles back to a+b — and the bit test is
+  // the all-integer comparison 2·d6 ≥ t2. No float-summation or division
+  // channel anywhere. The thresholds are one corpus aggregation per
+  // session (memoized below; index METADATA at deployment — built with
+  // the index, read by probes; swap exact percentile for approx at
+  // 100 TB corpus sizes and persist it like any other index artifact).
+  private val thrCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), Seq[Long]]
+
+  /** 2×median of round(planeDot·1e6) per plane, one job, memoized per
+    * (session, dir, key). */
+  def medianThr2(spark: SparkSession, dir: String, key: String,
+                 corpus: DataFrame, planes: Int, dim: Int,
+                 vecCol: String = "embedding"): Seq[Long] = {
+    thrCache.filterInPlace { case ((s, _, _), _) => !s.sparkContext.isStopped }
+    thrCache.getOrElseUpdate((spark, dir, key), {
+      val withD = corpus.select((0 until planes).map(p =>
+        round(planeDot(p, vecCol, dim) * lit(1e6)).cast("long").as(s"d$p")): _*)
+      val aggs = (0 until planes).map(p =>
+        expr(s"CAST(round(2 * percentile(d$p, 0.5D)) AS BIGINT)").as(s"t$p"))
+      val row = withD.agg(aggs.head, aggs.tail: _*).head()
+      (0 until planes).map(row.getLong)
+    })
+  }
+
+  /** Bucket id from median-thresholded plane bits (balanced splits). */
+  def centeredBucket(planes: Int, vecCol: String, dim: Int,
+                     thr2: Seq[Long]): Column =
+    (0 until planes)
+      .map(p => when(
+        round(planeDot(p, vecCol, dim) * lit(1e6)).cast("long") * 2L >= lit(thr2(p)),
+        lit(1L << p)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** DuckDB CTEs `pd` + `d6` + `thr` + `buckets` replaying the
+    * median-thresholded bucketing over `comp` for `params.np` planes. */
+  val centeredBucketsSql: String =
+    s"""pd AS (
+          SELECT vec_id, p, sum(CAST(x AS DOUBLE) * ((p * 131 + d * 137) % 97 - 48)) AS dot
+          FROM comp
+          CROSS JOIN (SELECT CAST(i AS INT) AS p FROM range($MaxPlanes) t(i))
+          CROSS JOIN params
+          WHERE p < params.np
+          GROUP BY vec_id, p),
+        d6 AS (SELECT vec_id, p, CAST(round(dot * 1e6) AS BIGINT) AS d6 FROM pd),
+        thr AS (SELECT p, CAST(round(2 * quantile_cont(d6, 0.5)) AS BIGINT) AS t2
+                FROM d6 GROUP BY p),
+        buckets AS (
+          SELECT vec_id,
+                 CAST(sum(CASE WHEN 2 * d6 >= t2 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END)
+                      AS BIGINT) AS bucket
+          FROM d6 JOIN thr USING (p) GROUP BY vec_id)"""
+
   /** DuckDB CTE computing the same plane count from the same corpus count:
     * `params(np)` — smallest p ≥ 4 with (1::BIGINT << p) · targetPop ≥ n.
     * `corpusRel` must be a relation already defined in the WITH chain. */

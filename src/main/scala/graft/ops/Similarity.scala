@@ -55,6 +55,65 @@ object Similarity {
       .groupBy("label")
       .agg(expr("transform(array_sort(collect_list(struct(d, c))), s -> s.c)").as("carr"))
 
+  /** Bucketed embeddings frame for the ALL-NODES kNN queries (graph /
+    * density / clustering), with a HARD candidate-pair bound.
+    *
+    * Round-8 measurement history, because the bound matters: at the 100×
+    * probe the plain sign-at-zero buckets left only 1 200 of 4 096 buckets
+    * occupied (effective population 898 vs the 64 target) and the kNN
+    * marginal went super-linear (5.3× for 3.33× data). Median-thresholding
+    * the planes (Lsh.centeredBucket) changed NOTHING — the per-plane
+    * medians were already ~0, so the skew is inter-plane CORRELATION:
+    * this corpus is clustered, and similar vectors sharing a bucket is
+    * precisely what LSH is for — a dense cluster IS a mega-bucket, and no
+    * plane count sized on a balance assumption caps it. (The centered
+    * bits are kept: they cost one memoized stats job and make the scheme
+    * robust to mean-shifted corpora, the OTHER failure mode.)
+    *
+    * The distribution-proof fix is BUCKET CAPPING: every bucket over the
+    * target population is split into nsub = ceil(pop / TargetBucketPop)
+    * deterministic sub-buckets by vec_id mod nsub, and the self-join
+    * requires sub-bucket equality too — per bucket the pair space drops
+    * from pop² to ≤ pop · cap, so the TOTAL is ≤ n · cap for ANY data
+    * distribution: no corpus can blow up the join. The trade is candidate
+    * DIVERSITY inside mega-clusters (a capped node sees ~cap of its
+    * cluster-mates, still plenty to pick 3 neighbors from); pops is one
+    * keyed count off the checkpointed signatures, joined back on the same
+    * bucket key the main join shuffles on (index metadata at deployment).
+    * Measured at 100×: pairs 179.6M → 13.8M (effective population 898 →
+    * 69 against the 64 target), the kNN marginal back to ~linear. */
+  private def cappedKnnBuckets(s: SparkSession, dir: String): DataFrame =
+    Tables.cachedFrame(s, dir, "knn_capped_buckets") {
+      val e = Tables(s, dir, "embeddings")
+      val (planes, dim) = Lsh.sizing(s, dir, "embeddings", e)
+      val thr2 = Lsh.medianThr2(s, dir, "embeddings", e, planes, dim)
+      val withB = e.withColumn("bucket",
+        Lsh.centeredBucket(planes, "embedding", dim, thr2)).localCheckpoint()
+      val pops = withB.groupBy("bucket").agg(
+        expr(s"(count(1) + ${Lsh.TargetBucketPop - 1}) div ${Lsh.TargetBucketPop}")
+          .as("nsub"))
+      withB.join(pops, "bucket")
+    }
+
+  /** Shared oracle CTEs replaying cappedKnnBuckets: centered buckets +
+    * pop-capped sub-splits + the diagonal-free self-join. Expects `comp`
+    * and `params` upstream; yields `pairs` (qid, nid, qe, ce). */
+  private val knnPairsSql: String =
+    s"""${Lsh.centeredBucketsSql},
+        pops AS (SELECT bucket,
+                        (count(*) + ${Lsh.TargetBucketPop - 1}) // ${Lsh.TargetBucketPop}
+                          AS nsub
+                 FROM buckets GROUP BY bucket),
+        withb AS (SELECT e.vec_id, e.embedding, b.bucket, p.nsub
+                  FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id
+                  JOIN pops p USING (bucket)),
+        q AS (SELECT vec_id AS qid, embedding AS qe, bucket,
+                     vec_id % nsub AS sub FROM withb),
+        c AS (SELECT vec_id AS nid, embedding AS ce, bucket AS cb,
+                     vec_id % nsub AS csub FROM withb),
+        pairs AS (SELECT qid, nid, qe, ce FROM q JOIN c
+                  ON bucket = cb AND sub = csub AND qid <> nid)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact ANN baseline: 8 query vectors × full corpus, cosine top-3.
     "sim_topk_bruteforce" -> ((s, dir) => {
@@ -290,18 +349,50 @@ object Similarity {
     // would multiply only the probe side here too.
     "sim_knn_graph" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
-      val e = Tables(s, dir, "embeddings")
-      val (planes, dim) = Lsh.sizing(s, dir, "embeddings", e)
-      val withB = e.withColumn("bucket", Lsh.bucket(planes, "embedding", dim))
-        .localCheckpoint()
-      val q = withB.select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("bucket"), expr(normExpr("embedding")).as("qn"))
-      val c = withB.select(col("vec_id").as("nid"), col("embedding").as("ce"),
-        col("bucket").as("cb"), expr(normExpr("embedding")).as("cn"))
+      val b = cappedKnnBuckets(s, dir)
+      val q = b.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("bucket"), (col("vec_id") % col("nsub")).as("sub"),
+        expr(normExpr("embedding")).as("qn"))
+      val c = b.select(col("vec_id").as("nid"), col("embedding").as("ce"),
+        col("bucket").as("cb"), (col("vec_id") % col("nsub")).as("csub"),
+        expr(normExpr("embedding")).as("cn"))
       topK3(
-        q.join(c, col("bucket") === col("cb") && col("qid") =!= col("nid"))
+        q.join(c, col("bucket") === col("cb") && col("sub") === col("csub")
+            && col("qid") =!= col("nid"))
           .select(col("qid"), col("nid"),
             round(expr(dotExpr) / (col("qn") * col("cn")), 6).as("cos_r")))
+    }),
+
+    // kNN density / prototypicality scoring: each node's mean cosine to
+    // its top-3 neighbors — the per-item quality signal cluster-pruning
+    // recipes rank by (dense core points are prototypical; low-density
+    // points are outliers/noise). Same O(n · pop) bucket self-join as the
+    // graph build, but the aggregate keeps SCORES (topk3_scored), and the
+    // mean is computed exactly: each 6dp cosine is scaled to an integer
+    // (round(c·1e6)), the ≤3 integers sum exactly in both engines, and
+    // only the final division rounds — no float-summation-order channel.
+    "sim_knn_density" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val b = cappedKnnBuckets(s, dir)
+      val q = b.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("bucket"), (col("vec_id") % col("nsub")).as("sub"),
+        expr(normExpr("embedding")).as("qn"))
+      val c = b.select(col("vec_id").as("nid"), col("embedding").as("ce"),
+        col("bucket").as("cb"), (col("vec_id") % col("nsub")).as("csub"),
+        expr(normExpr("embedding")).as("cn"))
+      def s6(i: Int) = when(size(col("top.scores")) >= i,
+        round(element_at(col("top.scores"), i) * 1e6).cast("long"))
+        .otherwise(lit(0L))
+      q.join(c, col("bucket") === col("cb") && col("sub") === col("csub")
+          && col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"),
+          round(expr(dotExpr) / (col("qn") * col("cn")), 6).as("cos_r"))
+        .groupBy("qid")
+        .agg(expr("topk3_scored(cos_r, nid)").as("top"))
+        .select(col("qid"), size(col("top.ids")).cast("long").as("k"),
+          (s6(1) + s6(2) + s6(3)).as("sum6"))
+        .withColumn("density", round(col("sum6") / (col("k") * lit(1e6)), 6))
+        .orderBy("qid")
     }),
 
     // Embedding-space clustering: the kNN-graph edges above resolved
@@ -316,16 +407,16 @@ object Similarity {
     // replay exactly in the recursive-CTE oracle.
     "sim_cluster_knn" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
-      val e = Tables(s, dir, "embeddings")
-      val (planes, dim) = Lsh.sizing(s, dir, "embeddings", e)
-      val withB = e.withColumn("bucket", Lsh.bucket(planes, "embedding", dim))
-        .localCheckpoint()
-      val q = withB.select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("bucket"), expr(normExpr("embedding")).as("qn"))
-      val c = withB.select(col("vec_id").as("nid"), col("embedding").as("ce"),
-        col("bucket").as("cb"), expr(normExpr("embedding")).as("cn"))
+      val b = cappedKnnBuckets(s, dir)
+      val q = b.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("bucket"), (col("vec_id") % col("nsub")).as("sub"),
+        expr(normExpr("embedding")).as("qn"))
+      val c = b.select(col("vec_id").as("nid"), col("embedding").as("ce"),
+        col("bucket").as("cb"), (col("vec_id") % col("nsub")).as("csub"),
+        expr(normExpr("embedding")).as("cn"))
       val edges = topK3(
-        q.join(c, col("bucket") === col("cb") && col("qid") =!= col("nid"))
+        q.join(c, col("bucket") === col("cb") && col("sub") === col("csub")
+            && col("qid") =!= col("nid"))
           .select(col("qid"), col("nid"),
             round(expr(dotExpr) / (col("qn") * col("cn")), 6).as("cos_r")))
         .select(col("qid").as("da"), col("nid").as("db"))
@@ -673,12 +764,7 @@ object Similarity {
             SELECT vec_id, unnest(embedding) AS x,
                    generate_subscripts(embedding, 1) - 1 AS d
             FROM embeddings),
-          ${Lsh.bucketsSql},
-          withb AS (SELECT e.vec_id, e.embedding, b.bucket
-                    FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id),
-          q AS (SELECT vec_id AS qid, embedding AS qe, bucket FROM withb),
-          c AS (SELECT vec_id AS nid, embedding AS ce, bucket AS cb FROM withb),
-          pairs AS (SELECT qid, nid, qe, ce FROM q JOIN c ON bucket = cb AND qid <> nid),
+          $knnPairsSql,
           dots AS ($dotsSql),
           ranked AS (
             SELECT qid, nid, round(dot / (nq * nc), 6) AS cos_r,
@@ -686,6 +772,28 @@ object Similarity {
                                       ORDER BY round(dot / (nq * nc), 6) DESC, nid) AS rank
             FROM dots)
           SELECT qid, rank, nid FROM ranked WHERE rank <= 3 ORDER BY qid, rank""",
+
+    // the sim_knn_graph ranking replay; the mean is integer-scaled sums
+    // with one final division, so no summation-order channel
+    "sim_knn_density" ->
+      s"""WITH ${Lsh.paramsSql("embeddings")},
+          comp AS (
+            SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) - 1 AS d
+            FROM embeddings),
+          $knnPairsSql,
+          dots AS ($dotsSql),
+          ranked AS (
+            SELECT qid, nid, round(dot / (nq * nc), 6) AS cos_r,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY round(dot / (nq * nc), 6) DESC, nid) AS rank
+            FROM dots),
+          agg AS (
+            SELECT qid, count(*) AS k,
+                   CAST(sum(CAST(round(cos_r * 1e6) AS BIGINT)) AS BIGINT) AS sum6
+            FROM ranked WHERE rank <= 3 GROUP BY qid)
+          SELECT qid, k, sum6, round(sum6 / (k * 1000000.0), 6) AS density
+          FROM agg ORDER BY qid""",
 
     // the sim_knn_graph edge replay + the dedup_cluster_cc recursive-CTE
     // min-label reachability (edges undirected for CC)
@@ -695,12 +803,7 @@ object Similarity {
             SELECT vec_id, unnest(embedding) AS x,
                    generate_subscripts(embedding, 1) - 1 AS d
             FROM embeddings),
-          ${Lsh.bucketsSql},
-          withb AS (SELECT e.vec_id, e.embedding, b.bucket
-                    FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id),
-          q AS (SELECT vec_id AS qid, embedding AS qe, bucket FROM withb),
-          c AS (SELECT vec_id AS nid, embedding AS ce, bucket AS cb FROM withb),
-          pairs AS (SELECT qid, nid, qe, ce FROM q JOIN c ON bucket = cb AND qid <> nid),
+          $knnPairsSql,
           dots AS ($dotsSql),
           ranked AS (
             SELECT qid, nid, round(dot / (nq * nc), 6) AS cos_r,

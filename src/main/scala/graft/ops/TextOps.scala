@@ -342,6 +342,49 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    // "Winnowing: Local Algorithms for Document Fingerprinting" — the
+    // MOSS algorithm): hash every positional word 4-gram, slide a w=5
+    // window over the hash sequence, select each window's minimum (ties →
+    // rightmost), keep the distinct selections as the doc's fingerprint
+    // set. The guarantee: any shared word-run of length ≥ w+k−1 between
+    // two docs shares ≥1 fingerprint, at ~2/(w+1) of the full gram count
+    // — the span-level near-dup index at a fraction of the postings.
+    // Shape: explode the words (narrow), then ONE doc_id shuffle whose
+    // partition+sort serves EVERYTHING — gram construction via lead()
+    // (each position concatenates itself with its next 3 tokens: no
+    // array HOF anywhere, so nothing interpreted touches the corpus
+    // scan — the first transform+posexplode draft tripped PlanAudit's
+    // HOF detector and was rewritten to this), the full-gram filter,
+    // and the sliding min. The rightmost-tie rule rides INSIDE the min:
+    // the compared string is g || lpad(999999 − i), so a plain string
+    // min picks the smallest hash and, among equals, the largest
+    // position — no argmin/min_by, which keeps the window a built-in
+    // MIN both engines order identically (binary collation on hex).
+    "text_winnowing" -> ((s, dir) => {
+      val K = 4; val W = 5
+      import org.apache.spark.sql.expressions.Window
+      val wOrd = Window.partitionBy("doc_id").orderBy("i")
+      val winMin = wOrd.rowsBetween(Window.currentRow, W - 1)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= K)
+        .select(col("doc_id"), (size(col("w")) - (K - 1)).as("ng"),
+          posexplode(col("w")).as(Seq("i", "tok")))
+        .withColumn("g", md5(concat_ws(" ", col("tok"),
+          lead("tok", 1).over(wOrd), lead("tok", 2).over(wOrd),
+          lead("tok", 3).over(wOrd))))
+        .filter(col("i") < col("ng")) // drop the K-1 tail positions' partial grams
+        .withColumn("sel", min(concat(col("g"),
+          lpad((lit(999999) - col("i")).cast("string"), 6, "0"))).over(winMin))
+        .filter(col("i") <= col("ng") - W)
+        .select(col("doc_id"), substring(col("sel"), 1, 32).as("fp"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_fp"), min("fp").as("fp_min"))
+        .orderBy("doc_id")
+    }),
+
     // BPE merge-rule training (Sennrich et al., "Neural Machine
     // Translation of Rare Words with Subword Units") — the tokenizer-
     // training pass every LLM data pipeline runs. Shape: ONE corpus pass
@@ -941,6 +984,28 @@ object TextOps {
           FROM g JOIN wts USING (b)
           GROUP BY doc_id ORDER BY doc_id"""
     },
+
+    // identical positional 4-gram md5 strings, the same encoded-tie min
+    // over the same 5-wide frame, distinct + per-doc agg
+    "text_winnowing" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents
+           WHERE len(string_split(text, ' ')) >= 4),
+         g AS (
+           SELECT doc_id, i - 1 AS i, len(w) - 3 AS ng,
+                  md5(array_to_string(w[i : i + 3], ' ')) AS g
+           FROM (SELECT doc_id, w, unnest(range(1, len(w) - 2)) AS i FROM d)),
+         sel AS (
+           SELECT doc_id, i, ng,
+                  min(g || lpad(CAST(999999 - i AS VARCHAR), 6, '0'))
+                    OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS s
+           FROM g),
+         fp AS (
+           SELECT DISTINCT doc_id, substr(s, 1, 32) AS fp
+           FROM sel WHERE i <= ng - 5)
+         SELECT doc_id, count(*) AS n_fp, min(fp) AS fp_min
+         FROM fp GROUP BY doc_id ORDER BY doc_id""",
 
     // kernel-contract word ids (p31 mode), the same integer weight map,
     // exact integer sums — the keep bit cannot diverge cross-engine

@@ -925,6 +925,38 @@ class OpsSpec extends SparkSpec {
     edges.foreach { case (a, b) => assert(labels(a) == labels(b), s"edge $a-$b split") }
   }
 
+  test("kNN density agrees with the graph's neighbor sets; densities are valid cosine means") {
+    val edges = Similarity.queries("sim_knn_graph")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+    val dens = Similarity.queries("sim_knn_density")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(dens.map(_._1).toSet == edges.keySet, "same covered node set")
+    dens.foreach { case (qid, k, d) =>
+      assert(k == edges(qid).length, s"node $qid k")
+      assert(d >= -1.000001 && d <= 1.000001, s"node $qid density $d")
+    }
+  }
+
+  test("winnowing: doc 0's fingerprint count matches a direct replay of the algorithm") {
+    val out = TextOps.queries("text_winnowing")(spark, dir).collect()
+    assert(out.nonEmpty)
+    val text = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") === 0).select("text").collect()(0).getString(0)
+    val w = text.split(" ")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String) = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val grams = (0 to w.length - 4).map(i => h(w.slice(i, i + 4).mkString(" ")))
+    val fps = (0 to grams.length - 5).map { i =>
+      // min hash in the window, ties -> rightmost (largest position)
+      (i until i + 5).map(j => (grams(j), -j)).min._1
+    }.distinct
+    val r0 = out.find(_.getLong(0) == 0L).get
+    assert(r0.getLong(1) == fps.length.toLong, s"doc0 n_fp ${r0.getLong(1)} vs ${fps.length}")
+    assert(r0.getString(2) == fps.min)
+    // reduction: fingerprints are a strict subset of the gram set
+    assert(fps.length < grams.distinct.length)
+  }
+
   test("domain-quality filter: decision matches a direct integer recomputation") {
     val out = Curation.queries("curate_domain_quality")(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
