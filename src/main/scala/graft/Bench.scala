@@ -42,11 +42,12 @@ object Bench {
     "shuffle_deterministic", "curate_pipeline_e2e", "win_topk_per_window",
     "sim_knn_graph", "text_quality_classifier", "curate_domain_quality",
     "curate_snapshot_diff", "sim_knn_density", "text_winnowing")
-  // sim_cluster_knn joins dedup_cluster_cc/_stars OUTSIDE the headline
-  // set: iterative-CC queries are round-latency-dominated at bench SF
-  // (each star round is a fixed handful of jobs; the data term only
-  // shows at probe scale), so they'd measure scheduler latency, not the
-  // engine — the scale probe is their honest benchmark.
+  // sim_cluster_knn and curate_cluster_balanced join
+  // dedup_cluster_cc/_stars OUTSIDE the headline set: iterative-CC
+  // queries are round-latency-dominated at bench SF (each star round is
+  // a fixed handful of jobs; the data term only shows at probe scale),
+  // so they'd measure scheduler latency, not the engine — the scale
+  // probe is their honest benchmark.
 
   /** One timed query: (name, min, median, max) over the reps. */
   type Timing = (String, Double, Double, Double)

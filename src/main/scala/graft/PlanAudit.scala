@@ -27,7 +27,10 @@ object PlanAudit {
     // table build — never onto the gram stream (the first version DID
     // crossJoin the stream and this audit caught it)
     "text_ngram_perplexity",
-    "mix_rebalance", "mix_temperature")
+    "mix_rebalance", "mix_temperature",
+    // the 1-row min-cluster-count frame cross-joined onto the per-cluster
+    // count table (mix_rebalance's exact shape, cluster-keyed)
+    "curate_cluster_balanced")
 
   // A one-row global summary ends in an Exchange SinglePartition that
   // receives only per-task PARTIAL aggregates (map-side combined) — the
@@ -39,7 +42,7 @@ object PlanAudit {
     "text_length_outliers_approx", "mix_rebalance",
     "mix_temperature", "dedup_keep_canonical", "text_bm25_topk",
     "text_bm25_multi", "text_vocab_topk", "text_dsir_importance",
-    "text_ngram_perplexity")
+    "text_ngram_perplexity", "curate_cluster_balanced")
 
   /** Big parquet tables: a scan of one of these feeding an INTERPRETED
     * (non-WholeStageCodegen) stretch is a hot path running the row-at-a-

@@ -273,6 +273,35 @@ object Curation {
         .orderBy("source", "status")
     }),
 
+    // Cluster-balanced sampling: mix_rebalance's "equalize to the rarest"
+    // applied to SEMANTIC clusters instead of language labels — the
+    // embedding-space mixing knob (downsample over-represented semantic
+    // regions; the consumer of sim_cluster_knn's labels, closing the
+    // clustering → curation loop). Per-cluster keep rates are integer
+    // percent floors ((100·minN) div cn — no float rate can diverge) and
+    // the per-node keep is the same deterministic md5 threshold every
+    // sampling op here uses: replayable, auditable, no sampling state.
+    // Topology: the label build is the (once-per-corpus) index job;
+    // balancing adds one tiny keyed count, a one-row broadcast, a rate
+    // join on the cluster key, and one agg — nothing driver-side.
+    "curate_cluster_balanced" -> ((s, dir) => {
+      // the labels ARE the index artifact: checkpoint once, so the three
+      // balancing consumers (counts, rate join) read materialized rows
+      // instead of re-deriving the CC output, and the balancing plan is
+      // just its own four keyed shuffles
+      val labels = Similarity.queries("sim_cluster_knn")(s, dir).localCheckpoint()
+      val cnts = labels.groupBy("cluster").agg(count(lit(1)).as("cn"))
+      val mn = cnts.agg(min("cn").as("mn"))
+      val rates = cnts.crossJoin(broadcast(mn))
+        .select(col("cluster"), expr("(100 * mn) div cn").as("pct"))
+      labels.join(rates, "cluster")
+        .withColumn("b", bucket("node"))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("total"),
+          sum(when(col("b") < col("pct"), 1L).otherwise(0L)).as("kept"))
+        .orderBy("cluster")
+    }),
+
     "mix_temperature" -> ((s, dir) => {
       val cnts = Tables(s, dir, "documents")
         .groupBy("lang").agg(count(lit(1)).as("n"))
@@ -448,6 +477,24 @@ object Curation {
                 count(*) AS n
          FROM a FULL OUTER JOIN b USING (doc_id)
          GROUP BY 1, 2 ORDER BY source, status""",
+
+    // the full sim_cluster_knn label replay as a CTE, then integer
+    // percent rates and the shared md5-threshold keep
+    "curate_cluster_balanced" -> {
+      val lab = Similarity.oracles("sim_cluster_knn")
+      s"""WITH labels AS ($lab),
+          cnts AS (SELECT cluster, count(*) AS cn FROM labels GROUP BY cluster),
+          mn AS (SELECT min(cn) AS mn FROM cnts),
+          rates AS (SELECT cluster, (100 * mn) // cn AS pct
+                    FROM cnts CROSS JOIN mn),
+          k AS (SELECT l.node, l.cluster, r.pct,
+                       CAST(concat('0x', substr(md5(CAST(l.node AS VARCHAR)), 1, 15))
+                            AS BIGINT) % 100 AS b
+                FROM labels l JOIN rates r USING (cluster))
+          SELECT cluster, count(*) AS total,
+                 CAST(count(CASE WHEN b < pct THEN 1 END) AS BIGINT) AS kept
+          FROM k GROUP BY cluster ORDER BY cluster"""
+    },
 
     // sqrt(n) IS n^0.5 exactly on both engines (IEEE sqrt is correctly
     // rounded; pow(x, 0.5) need not be), so the shares hash-match

@@ -82,7 +82,7 @@ object Similarity {
     * bucket key the main join shuffles on (index metadata at deployment).
     * Measured at 100×: pairs 179.6M → 13.8M (effective population 898 →
     * 69 against the 64 target), the kNN marginal back to ~linear. */
-  private def cappedKnnBuckets(s: SparkSession, dir: String): DataFrame =
+  private[ops] def cappedKnnBuckets(s: SparkSession, dir: String): DataFrame =
     Tables.cachedFrame(s, dir, "knn_capped_buckets") {
       val e = Tables(s, dir, "embeddings")
       val (planes, dim) = Lsh.sizing(s, dir, "embeddings", e)

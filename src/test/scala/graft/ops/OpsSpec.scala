@@ -913,6 +913,27 @@ class OpsSpec extends SparkSpec {
     assert(byQ.size >= n * 8 / 10, s"coverage ${byQ.size}/$n")
   }
 
+  test("bucket capping fires on a single-cluster corpus: sub-buckets hold the target pop") {
+    // degenerate worst case for LSH: EVERY vector identical -> one bucket
+    // holds the whole corpus; without capping the self-join is n^2. The
+    // cap must split it into ceil(n/64) sub-buckets of exactly the target
+    // population, and the kNN queries must still serve every node.
+    val tmp = java.nio.file.Files.createTempDirectory("knncap").toString
+    val n = 256
+    import spark.implicits._
+    val vec = Array.fill(64)(0.5f)
+    (0 until n).map(i => (i.toLong, vec, 0)).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val pops = Similarity.cappedKnnBuckets(spark, tmp)
+      .select(col("bucket"), (col("vec_id") % col("nsub")).as("sub"))
+      .groupBy("bucket", "sub").count().collect()
+    assert(pops.length == 4, s"expected ceil(256/64)=4 sub-buckets, got ${pops.length}")
+    assert(pops.forall(_.getLong(2) == 64L), "every sub-bucket at the target pop")
+    val edges = Similarity.queries("sim_knn_graph")(spark, tmp).collect()
+    assert(edges.map(_.getLong(0)).distinct.length == n,
+      "capping must not orphan any node")
+  }
+
   test("kNN clustering: labels are cluster minima and every kNN edge is intra-cluster") {
     val labels = Similarity.queries("sim_cluster_knn")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
@@ -955,6 +976,21 @@ class OpsSpec extends SparkSpec {
     assert(r0.getString(2) == fps.min)
     // reduction: fingerprints are a strict subset of the gram set
     assert(fps.length < grams.distinct.length)
+  }
+
+  test("cluster-balanced sampling equalizes toward the rarest cluster") {
+    val out = Curation.queries("curate_cluster_balanced")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    val minTotal = out.map(_._2).min
+    out.foreach { case (c, total, kept) =>
+      assert(kept <= total, s"cluster $c")
+      if (total == minTotal) assert(kept == total, s"rarest cluster $c keeps all")
+    }
+    // every cluster's keep count lands near the rarest cluster's size
+    // (integer pct floor + deterministic hash ⇒ a slack band, not exact)
+    assert(out.map(_._3).max <= minTotal * 3 + 5,
+      s"keeps ${out.map(_._3).max} should approximate rarest $minTotal")
   }
 
   test("domain-quality filter: decision matches a direct integer recomputation") {
