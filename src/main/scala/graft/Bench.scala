@@ -41,7 +41,8 @@ object Bench {
     "pack_sequences", "sample_weighted", "mix_rebalance", "curate_token_budget",
     "shuffle_deterministic", "curate_pipeline_e2e", "win_topk_per_window",
     "sim_knn_graph", "text_quality_classifier", "curate_domain_quality",
-    "curate_snapshot_diff", "sim_knn_density", "text_winnowing")
+    "curate_snapshot_diff", "sim_knn_density", "text_winnowing",
+    "text_hybrid_rrf")
   // sim_cluster_knn and curate_cluster_balanced join
   // dedup_cluster_cc/_stars OUTSIDE the headline set: iterative-CC
   // queries are round-latency-dominated at bench SF (each star round is
@@ -66,7 +67,12 @@ object Bench {
     * what makes the record robust to list growth rather than tuned to the
     * current size (the r1/r6 lesson); BenchSpec asserts the cap holds at
     * the current headline size + 5 with worst-case timings. */
-  private[graft] val lineCap = 1450
+  // Raised 1450 → 1800 in round 8 when the headline hit 57 queries and
+  // the growth guard tripped (by design — growth must raise this
+  // CONSCIOUSLY). Margin math: the driver's tail capture keeps the LAST
+  // ~2 KB and the compact line prints last, so 1 800 still fits even if
+  // a stray WARN lands after it; the r6 loss was a 3.4 KB line.
+  private[graft] val lineCap = 1800
   private[graft] def compactLine(results: Seq[Timing], reps: Int, sf: String): String = {
     val total = results.map(_._2).sum
     def render(rs: Seq[Timing], omitted: Int): String = {

@@ -19,6 +19,9 @@ object PlanAudit {
     "sim_topk_bruteforce", "sim_ivf_ann", "sim_ivf_nprobe2", "sim_ivf_kmeans",
     "sim_lsh_ann", "sim_q8_rerank", "sim_pq_adc",
     "text_bm25_topk", "text_bm25_multi",
+    // bm25 stats row + the 1-row query vector, each crossJoin-broadcast
+    // onto one corpus pass; the fusion join touches <=10-row lists
+    "text_hybrid_rrf",
     "text_vocab_topk", "text_length_outliers", "text_length_outliers_approx",
     // two 1-row corpus-stat frames (rt, tt) cross-joined onto the
     // 1024-row weight table — never onto the document stream
@@ -42,7 +45,9 @@ object PlanAudit {
     "text_length_outliers_approx", "mix_rebalance",
     "mix_temperature", "dedup_keep_canonical", "text_bm25_topk",
     "text_bm25_multi", "text_vocab_topk", "text_dsir_importance",
-    "text_ngram_perplexity", "curate_cluster_balanced")
+    "text_ngram_perplexity", "curate_cluster_balanced",
+    // rank windows + fusion over two TakeOrdered <=10-row lists
+    "text_hybrid_rrf")
 
   /** Big parquet tables: a scan of one of these feeding an INTERPRETED
     * (non-WholeStageCodegen) stretch is a hot path running the row-at-a-

@@ -600,6 +600,61 @@ object TextOps {
         .orderBy(col("bm25_r").desc, col("doc_id")).limit(10)
     }),
 
+    // Hybrid retrieval with reciprocal-rank fusion (the RAG serving
+    // query: lexical BM25 + dense cosine fused as Σ 1/(60+rank), the
+    // Cormack/Clarke RRF constant): text ranks from the BM25 top-10,
+    // vector ranks from the query vector's cosine top-10 (vec_id keys
+    // the same corpus as doc_id — the driver's embeddings are
+    // per-document; docs without embeddings join via the text list
+    // only, the standard full-outer RRF semantics). Contributions are
+    // integer-scaled (round(1e9/(60+r)) — exact in both engines since
+    // the operands are identical), so the fused ordering has no float
+    // channel. Scale shape: both lists are TakeOrderedAndProject top-10s
+    // off one corpus pass each; the rank windows and the fusion join
+    // touch ≤10-row frames — everything data-sized is map-side bounded.
+    "text_hybrid_rrf" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(
+          col("doc_id") +: size(col("toks")).as("dl") +:
+            bm25Terms.zipWithIndex.map { case (t, i) =>
+              (size(col("toks")) - size(array_remove(col("toks"), t))).as(s"tf$i")
+            }: _*)
+      val stats = docs.agg(
+        count(lit(1)).as("n"),
+        avg(col("dl")).as("avgdl") +:
+          bm25Terms.indices.map(i =>
+            sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
+      val t10 = docs.crossJoin(broadcast(stats))
+        .select(col("doc_id"), round(expr(bm25ScoreSql), 6).as("bm25_r"))
+        .orderBy(col("bm25_r").desc, col("doc_id")).limit(10)
+        .withColumn("rt", row_number()
+          .over(Window.orderBy(col("bm25_r").desc, col("doc_id"))).cast("long"))
+      val e = Tables(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe"),
+          expr("sqrt(vec_dot(embedding, embedding))").as("qn"))
+      val v10 = e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id").as("nid"), col("embedding").as("ce"),
+          expr("sqrt(vec_dot(embedding, embedding))").as("cn"))
+        .crossJoin(broadcast(q))
+        .select(col("nid"),
+          round(expr("vec_dot(qe, ce)") / (col("qn") * col("cn")), 6).as("cos_r"))
+        .orderBy(col("cos_r").desc, col("nid")).limit(10)
+        .withColumn("rv", row_number()
+          .over(Window.orderBy(col("cos_r").desc, col("nid"))).cast("long"))
+      t10.select(col("doc_id"), col("rt"))
+        .join(v10.select(col("nid").as("doc_id"), col("rv")), Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          (coalesce(round(lit(1e9) / (lit(60) + col("rt"))).cast("long"), lit(0L)) +
+            coalesce(round(lit(1e9) / (lit(60) + col("rv"))).cast("long"), lit(0L)))
+            .as("rrf9"),
+          col("rt"), col("rv"))
+        .orderBy(col("rrf9").desc, col("doc_id")).limit(10)
+    }),
+
     // Vocabulary building — the tokenizer-training precursor: top-50 words
     // by corpus frequency with each word's token-mass fraction (the number
     // vocab-size decisions read). ONE hash-aggregation shuffle over the
@@ -1084,6 +1139,48 @@ object TextOps {
           FROM f CROSS JOIN stats
           ORDER BY bm25_r DESC, doc_id LIMIT 10"""
     },
+    // the bm25 replay + a single-query cosine replay (the dots pattern),
+    // ranks from ≤10-row windows, integer-scaled RRF contributions
+    "text_hybrid_rrf" -> {
+      val tfs = bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"len(list_filter(toks, x -> x = '$t')) AS tf$i"
+      }.mkString(", ")
+      val dfs = bm25Terms.indices.map(i =>
+        s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          f AS (SELECT doc_id, len(toks) AS dl, $tfs FROM d),
+          stats AS (SELECT count(*) AS n, avg(dl) AS avgdl, $dfs FROM f),
+          t10 AS (SELECT doc_id, round($bm25ScoreSql, 6) AS bm25_r
+                  FROM f CROSS JOIN stats
+                  ORDER BY bm25_r DESC, doc_id LIMIT 10),
+          tr AS (SELECT doc_id,
+                        CAST(row_number() OVER (ORDER BY bm25_r DESC, doc_id)
+                             AS BIGINT) AS rt
+                 FROM t10),
+          qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+          vpairs AS (SELECT vec_id AS nid, qe, embedding AS ce
+                     FROM embeddings CROSS JOIN qv WHERE vec_id <> 0),
+          vdots AS (SELECT nid,
+                           sum(CAST(xq AS DOUBLE) * CAST(xc AS DOUBLE)) AS dot,
+                           sqrt(sum(CAST(xq AS DOUBLE) * CAST(xq AS DOUBLE))) AS nq,
+                           sqrt(sum(CAST(xc AS DOUBLE) * CAST(xc AS DOUBLE))) AS nc
+                    FROM (SELECT nid, unnest(qe) AS xq, unnest(ce) AS xc FROM vpairs)
+                    GROUP BY nid),
+          v10 AS (SELECT nid, round(dot / (nq * nc), 6) AS cos_r FROM vdots
+                  ORDER BY cos_r DESC, nid LIMIT 10),
+          vr AS (SELECT nid AS doc_id,
+                        CAST(row_number() OVER (ORDER BY cos_r DESC, nid)
+                             AS BIGINT) AS rv
+                 FROM v10)
+          SELECT doc_id,
+                 CAST(coalesce(CAST(round(1e9 / (60 + rt)) AS BIGINT), 0)
+                      + coalesce(CAST(round(1e9 / (60 + rv)) AS BIGINT), 0)
+                      AS BIGINT) AS rrf9,
+                 rt, rv
+          FROM tr FULL OUTER JOIN vr USING (doc_id)
+          ORDER BY rrf9 DESC, doc_id LIMIT 10"""
+    },
+
     "text_tokens" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
                 len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)) AS re_tokens,

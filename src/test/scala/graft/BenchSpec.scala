@@ -32,12 +32,14 @@ class BenchSpec extends AnyFunSuite {
     names.take(n).map(nm => (nm, 123.45, 234.56, 345.67))
   }
 
-  test("compact line stays under 1500 bytes beyond the CURRENT list with worst-case timings") {
+  test("compact line stays under 1900 bytes beyond the CURRENT list with worst-case timings") {
     // track the real headline size (+5 headroom) so growing the list keeps
-    // re-tightening this guard instead of silently outgrowing a fixed n
+    // re-tightening this guard instead of silently outgrowing a fixed n;
+    // the assert bound tracks lineCap + rendering slack and must stay
+    // under the driver's ~2 KB end-kept tail capture
     val n = Bench.headline.size + 5
     val line = Bench.compactLine(syntheticResults(n), reps = 3, sf = "0.1")
-    assert(line.getBytes("UTF-8").length < 1500,
+    assert(line.getBytes("UTF-8").length < 1900,
       s"compact bench line is ${line.getBytes("UTF-8").length} bytes at $n queries " +
         "with worst-case timings — would overflow the driver tail")
     assert(!line.contains("\n"), "driver record must be ONE line")

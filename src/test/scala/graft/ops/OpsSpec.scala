@@ -958,6 +958,27 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("hybrid RRF: fused ranking is consistent with its two source lists") {
+    val out = TextOps.queries("text_hybrid_rrf")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(out.nonEmpty && out.length <= 10)
+    // every fused row came from at least one list, scores non-increasing,
+    // and each contribution is exactly round(1e9/(60+rank))
+    assert(out.forall { case (_, _, rt, rv) => rt.nonEmpty || rv.nonEmpty })
+    assert(out.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+    out.foreach { case (doc, rrf9, rt, rv) =>
+      def c(r: Option[Long]) = r.map(x => math.round(1e9 / (60 + x))).getOrElse(0L)
+      assert(rrf9 == c(rt) + c(rv), s"doc $doc")
+    }
+    // a doc on BOTH lists must outrank a doc on one list at the same ranks
+    val both = out.filter(r => r._3.nonEmpty && r._4.nonEmpty)
+    val single = out.filter(r => r._3.isEmpty || r._4.isEmpty)
+    if (both.nonEmpty && single.nonEmpty)
+      assert(both.map(_._2).max > single.map(_._2).min)
+  }
+
   test("winnowing: doc 0's fingerprint count matches a direct replay of the algorithm") {
     val out = TextOps.queries("text_winnowing")(spark, dir).collect()
     assert(out.nonEmpty)
