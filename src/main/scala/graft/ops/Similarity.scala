@@ -95,6 +95,50 @@ object Similarity {
       withB.join(pops, "bucket")
     }
 
+  /** Per-(session, dir) count of cluster-label CC builds this JVM has run
+    * — the spec hook proving repeat invocations (and warm-store sessions)
+    * probe the stored labels instead of re-running the edge build + CC
+    * loop. Incremented only inside the cachedFrame build thunk. */
+  private[graft] val labelBuildCounts =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Int]
+
+  /** kNN-graph cluster labels (node, cluster) as a DURABLE INDEX ARTIFACT
+    * — the same build-once / probe-forever lifecycle every other index
+    * here gets (IVF centroids, q8 vectors, band signatures). The build —
+    * the O(n · pop) capped-bucket edge join + the O(log d) large-star/
+    * small-star CC loop — is the expensive part of every clustering
+    * consumer (balanced sampling, SemDeDup-style pruning, cluster
+    * analytics), and it is pure corpus-derived state: exactly what a
+    * deployment runs as a dedicated index job. Resolving through
+    * Tables.cachedFrame means one build per session (localCheckpoint
+    * memo), and with GRAFT_INDEX_DIR set one build per STORE — later
+    * sessions and JVMs read the stored parquet with zero CC rounds.
+    * At 100 TB that converts ~13 s per invocation (measured at the 100×
+    * probe) into a parquet scan of an (node, cluster) table. */
+  private[ops] def clusterLabels(s: SparkSession, dir: String): DataFrame =
+    Tables.cachedFrame(s, dir, "knn_cluster_labels") {
+      labelBuildCounts.updateWith((s, dir))(c => Some(c.getOrElse(0) + 1))
+      graft.functions.GraftFunctions.register(s)
+      val b = cappedKnnBuckets(s, dir)
+      val q = b.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("bucket"), (col("vec_id") % col("nsub")).as("sub"),
+        expr(normExpr("embedding")).as("qn"))
+      val c = b.select(col("vec_id").as("nid"), col("embedding").as("ce"),
+        col("bucket").as("cb"), (col("vec_id") % col("nsub")).as("csub"),
+        expr(normExpr("embedding")).as("cn"))
+      // cosine ties in the top-3 broken by nid → the edge SET is
+      // deterministic and the labels replay exactly in the oracle's
+      // recursive CTE; starCC = one boolean per round to the driver,
+      // plan size O(1) via per-round localCheckpoint
+      val edges = topK3(
+        q.join(c, col("bucket") === col("cb") && col("sub") === col("csub")
+            && col("qid") =!= col("nid"))
+          .select(col("qid"), col("nid"),
+            round(expr(dotExpr) / (col("qn") * col("cn")), 6).as("cos_r")))
+        .select(col("qid").as("da"), col("nid").as("db"))
+      Dedup.starCC(edges)._1
+    }
+
   /** Shared oracle CTEs replaying cappedKnnBuckets: centered buckets +
     * pop-capped sub-splits + the diagonal-free self-join. Expects `comp`
     * and `params` upstream; yields `pairs` (qid, nid, qe, ce). */
@@ -398,30 +442,9 @@ object Similarity {
     // Embedding-space clustering: the kNN-graph edges above resolved
     // into connected components — every vector gets a cluster label.
     // This is the cluster structure SemDeDup-style pruning and
-    // cluster-balanced sampling consume; at 100 TB it composes the two
-    // bounded pieces this engine already has: the O(n · pop) LSH-bounded
-    // edge build (never all-pairs) and the O(log d) large-star/small-star
-    // CC (Dedup.starCC — one boolean per round to the driver, plan size
-    // O(1) via per-round localCheckpoint). Cosine ties in the top-3 are
-    // broken by nid, so the edge SET is deterministic and the labels
-    // replay exactly in the recursive-CTE oracle.
-    "sim_cluster_knn" -> ((s, dir) => {
-      graft.functions.GraftFunctions.register(s)
-      val b = cappedKnnBuckets(s, dir)
-      val q = b.select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("bucket"), (col("vec_id") % col("nsub")).as("sub"),
-        expr(normExpr("embedding")).as("qn"))
-      val c = b.select(col("vec_id").as("nid"), col("embedding").as("ce"),
-        col("bucket").as("cb"), (col("vec_id") % col("nsub")).as("csub"),
-        expr(normExpr("embedding")).as("cn"))
-      val edges = topK3(
-        q.join(c, col("bucket") === col("cb") && col("sub") === col("csub")
-            && col("qid") =!= col("nid"))
-          .select(col("qid"), col("nid"),
-            round(expr(dotExpr) / (col("qn") * col("cn")), 6).as("cos_r")))
-        .select(col("qid").as("da"), col("nid").as("db"))
-      Dedup.starCC(edges)._1.orderBy("node")
-    }),
+    // cluster-balanced sampling consume. The labels resolve through
+    // clusterLabels — a DURABLE INDEX ARTIFACT, not a per-query plan.
+    "sim_cluster_knn" -> ((s, dir) => clusterLabels(s, dir).orderBy("node")),
 
     // Two-stage retrieval over an int8 SCALAR-QUANTIZED index — the
     // production memory-bandwidth lever: stage 1 scans quantized vectors

@@ -23,9 +23,12 @@ class DurableIndexSpec extends SparkSpec {
   // assignment, the decontamination bloom, and the trained BPE merge
   // table (semdedup_comp is durable=false by design — a build
   // intermediate, not an index)
+  // round-9: the kNN bucket frame + CC cluster labels joined the store —
+  // the clustering family's build-once/probe-forever artifact
   private val keys =
     Seq("dedup_sid_index", "dedup_band_index", "ivf_label_centarr", "q8_index",
-      "semdedup_centarr", "semdedup_blocks", "decontam_bloom", "bpe_merges")
+      "semdedup_centarr", "semdedup_blocks", "decontam_bloom", "bpe_merges",
+      "knn_capped_buckets", "knn_cluster_labels")
 
   test("second session serves index-backed queries from the store with zero rebuilds") {
     val root = Files.createTempDirectory("graft-idx-root").toString
@@ -41,8 +44,11 @@ class DurableIndexSpec extends SparkSpec {
       val semA = q("dedup_semantic")(sA, dir).collect().toSeq
       val bloomA = q("text_decontaminate_bloom")(sA, dir).collect().toSeq
       val bpeA = q("text_bpe_tokens_fused")(sA, dir).collect().toSeq
+      val ccA = q("sim_cluster_knn")(sA, dir).collect().toSeq
+      val cbA = q("curate_cluster_balanced")(sA, dir).collect().toSeq
       assert(incA.nonEmpty && ivfA.nonEmpty && q8A.nonEmpty &&
-        semA.nonEmpty && bloomA.nonEmpty && bpeA.nonEmpty)
+        semA.nonEmpty && bloomA.nonEmpty && bpeA.nonEmpty &&
+        ccA.nonEmpty && cbA.nonEmpty)
       keys.foreach { k =>
         assert(IndexStore.buildCounts.get(paths(k)).contains(1),
           s"$k: expected exactly one cold build")
@@ -84,10 +90,16 @@ class DurableIndexSpec extends SparkSpec {
       assert(q("dedup_semantic")(sB, dir).collect().toSeq == semA)
       assert(q("text_decontaminate_bloom")(sB, dir).collect().toSeq == bloomA)
       assert(q("text_bpe_tokens_fused")(sB, dir).collect().toSeq == bpeA)
+      assert(q("sim_cluster_knn")(sB, dir).collect().toSeq == ccA)
+      assert(q("curate_cluster_balanced")(sB, dir).collect().toSeq == cbA)
       keys.foreach { k =>
         assert(IndexStore.buildCounts.get(paths(k)).contains(1),
           s"$k: probing session must not rebuild")
       }
+      // the probing session never ran a CC round: the label-build thunk
+      // (the only place the edge build + star loop lives) never evaluated
+      assert(!graft.ops.Similarity.labelBuildCounts.contains((sB, dir)),
+        "warm-store session re-ran the cluster-label CC build")
     } finally Tables.indexDirOverride = None
   }
 
