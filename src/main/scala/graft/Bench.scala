@@ -42,7 +42,7 @@ object Bench {
     "shuffle_deterministic", "curate_pipeline_e2e", "win_topk_per_window",
     "sim_knn_graph", "text_quality_classifier", "curate_domain_quality",
     "curate_snapshot_diff", "sim_knn_density", "text_winnowing",
-    "text_hybrid_rrf")
+    "text_hybrid_rrf", "dedup_winnowing_pairs")
   // sim_cluster_knn and curate_cluster_balanced join
   // dedup_cluster_cc/_stars OUTSIDE the headline set: iterative-CC
   // queries are round-latency-dominated at bench SF (each star round is
@@ -73,11 +73,12 @@ object Bench {
   // ~2 KB and the compact line prints last, so 1 800 still fits even if
   // a stray WARN lands after it; the r6 loss was a 3.4 KB line.
   private[graft] val lineCap = 1800
-  private[graft] def compactLine(results: Seq[Timing], reps: Int, sf: String): String = {
+  private[graft] def compactLine(results: Seq[Timing], reps: Int, sf: String,
+      extra: String = ""): String = {
     val total = results.map(_._2).sum
     def render(rs: Seq[Timing], omitted: Int): String = {
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":${jmap(rs)(_._2)}$om,"sf":$sf}"""
+      f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":${jmap(rs)(_._2)}$om$extra,"sf":$sf}"""
     }
     var kept = results
     var line = render(kept, 0)
@@ -87,6 +88,38 @@ object Bench {
       line = render(kept, results.size - kept.size)
     }
     line
+  }
+
+  /** Host-comparability fields (~45 bytes) for the record line: the 1-min
+    * system load average read before and after the timed reps, and the
+    * wall time of a FIXED single-thread CPU loop run right after them.
+    * The r8 official record was load-inflated ~35% and only a full judge
+    * re-run could tell — with these, any reader can normalize a record
+    * against another round's (calib ratio ≈ per-core slowdown; load shows
+    * whether the host was contended) without re-running the bench. */
+  private[graft] def comparability(load0: Double, load1: Double,
+      calib: Double): String =
+    f""","load":[$load0%.2f,$load1%.2f],"calib":$calib%.3f"""
+
+  // sink defeats dead-code elimination of the calibration loop
+  @volatile private var calibSink = 0L
+
+  /** Fixed CPU-bound work (64-bit mix loop, no memory traffic), timed.
+    * The ITERATION COUNT is constant, so the measured seconds vary only
+    * with how much CPU the host actually gives one thread — the
+    * comparability denominator. ~0.1 s on an idle core. */
+  private[graft] def calibSecs(): Double = {
+    var x = 0x9e3779b97f4a7c15L
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < 50000000) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      x ^= x >>> 33
+      i += 1
+    }
+    val dt = (System.nanoTime() - t0) / 1e9
+    calibSink = x
+    dt
   }
 
   /** Full per-query detail — min/med/max maps plus the same headline
@@ -127,6 +160,9 @@ object Bench {
     // and the median is the load-robust middle — a real regression moves
     // the median; a noisy host moves only the max.
     val reps = 3
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    calibSecs() // JIT-warm the calibration loop before anything is timed
+    val load0 = osBean.getSystemLoadAverage
     val results: Seq[Timing] = headline.flatMap { name =>
       all.get(name).map { fn =>
         val times = (1 to reps).map { _ =>
@@ -137,6 +173,8 @@ object Bench {
         (name, times.head, times(reps / 2), times.last)
       }
     }
+    val load1 = osBean.getSystemLoadAverage
+    val extra = comparability(load0, load1, calibSecs())
     val sf = sfOf(sfDir)
     val detailPath = sys.env.getOrElse("GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
     try Files.write(Paths.get(detailPath),
@@ -146,7 +184,7 @@ object Bench {
       System.err.println(s"bench: could not write $detailPath: $e")
     }
     // LAST stdout line = the compact driver record
-    println(compactLine(results, reps, sf))
+    println(compactLine(results, reps, sf, extra))
     spark.stop()
   }
 

@@ -22,6 +22,9 @@ object PlanAudit {
     // bm25 stats row + the 1-row query vector, each crossJoin-broadcast
     // onto one corpus pass; the fusion join touches <=10-row lists
     "text_hybrid_rrf",
+    // same shape, N queries: the tiny query-vector set crossJoin-broadcast
+    // onto one corpus pass; fusion joins two <=8-row-per-query lists
+    "text_hybrid_rrf_multi",
     "text_vocab_topk", "text_length_outliers", "text_length_outliers_approx",
     // two 1-row corpus-stat frames (rt, tt) cross-joined onto the
     // 1024-row weight table — never onto the document stream
@@ -47,7 +50,9 @@ object PlanAudit {
     "text_bm25_multi", "text_vocab_topk", "text_dsir_importance",
     "text_ngram_perplexity", "curate_cluster_balanced",
     // rank windows + fusion over two TakeOrdered <=10-row lists
-    "text_hybrid_rrf")
+    "text_hybrid_rrf",
+    // the bm25 stats global agg + query-count-sized rank lists
+    "text_hybrid_rrf_multi")
 
   /** Big parquet tables: a scan of one of these feeding an INTERPRETED
     * (non-WholeStageCodegen) stretch is a hot path running the row-at-a-

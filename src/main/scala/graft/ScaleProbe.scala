@@ -52,7 +52,8 @@ object ScaleProbe {
     "curate_pipeline_e2e",
     "sim_knn_graph", "text_quality_classifier", "curate_domain_quality",
     "curate_snapshot_diff", "sim_cluster_knn", "sim_knn_density",
-    "text_winnowing", "curate_cluster_balanced", "text_hybrid_rrf")
+    "text_winnowing", "curate_cluster_balanced", "text_hybrid_rrf",
+    "dedup_winnowing_pairs")
 
   def main(args: Array[String]): Unit = {
     val spillMode = args.headOption.contains("spill")

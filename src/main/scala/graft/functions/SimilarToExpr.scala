@@ -237,8 +237,9 @@ object GraftFunctions {
   // Registration is idempotent in effect but the registry logs a WARN per
   // re-registered name — 3 UDAFs × every query invocation floods stderr
   // (and the driver's captured output tail). Register once per live
-  // session; stopped sessions are dropped so a long-lived app cycling
-  // sessions doesn't retain them.
+  // session; the weak keying releases an entry when its session becomes
+  // unreachable (a stopped session still referenced elsewhere stays in
+  // the set — harmless, it's one map entry, not held Spark state).
   private val registered =
     java.util.Collections.newSetFromMap(
       new java.util.WeakHashMap[SparkSession, java.lang.Boolean])

@@ -28,15 +28,17 @@ import graft.engine.Tables
 object Dedup {
   private val P = 2147483647L // 2^31-1, Mersenne prime for minhash perms
 
-  /** documents + near-duplicate copies (every 3rd doc, 2 words appended). */
-  private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
+  /** documents + near-duplicate copies (every 3rd doc, 2 words appended).
+    * private[ops]: TextOps' winnowing pair search runs over the same
+    * planted corpus so its recall is measurable. */
+  private[ops] def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
     d.unionAll(
       d.filter(col("doc_id") % 3 === 0)
         .select((col("doc_id") + 100000).as("doc_id"),
           concat(col("text"), lit(" zz0 zz1")).as("text")))
   }
-  private val nearDupSql =
+  private[ops] val nearDupSql =
     """SELECT doc_id, text FROM documents
        UNION ALL
        SELECT doc_id + 100000 AS doc_id, text || ' zz0 zz1' AS text

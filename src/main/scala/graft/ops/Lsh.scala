@@ -117,14 +117,21 @@ object Lsh {
                  corpus: DataFrame, planes: Int, dim: Int,
                  vecCol: String = "embedding"): Seq[Long] = {
     thrCache.filterInPlace { case ((s, _, _), _) => !s.sparkContext.isStopped }
-    thrCache.getOrElseUpdate((spark, dir, key), {
-      val withD = corpus.select((0 until planes).map(p =>
-        round(planeDot(p, vecCol, dim) * lit(1e6)).cast("long").as(s"d$p")): _*)
-      val aggs = (0 until planes).map(p =>
-        expr(s"CAST(round(2 * percentile(d$p, 0.5D)) AS BIGINT)").as(s"t$p"))
-      val row = withD.agg(aggs.head, aggs.tail: _*).head()
-      (0 until planes).map(row.getLong)
-    })
+    // locked fill, same rationale as Tables.cachedStat: a bare TrieMap
+    // getOrElseUpdate may evaluate racing thunks twice, and this thunk
+    // runs a per-plane percentile Spark job (idempotent result, so the
+    // race only wastes a corpus aggregation — but parallel suites share
+    // the session and would pay it)
+    thrCache.synchronized {
+      thrCache.getOrElseUpdate((spark, dir, key), {
+        val withD = corpus.select((0 until planes).map(p =>
+          round(planeDot(p, vecCol, dim) * lit(1e6)).cast("long").as(s"d$p")): _*)
+        val aggs = (0 until planes).map(p =>
+          expr(s"CAST(round(2 * percentile(d$p, 0.5D)) AS BIGINT)").as(s"t$p"))
+        val row = withD.agg(aggs.head, aggs.tail: _*).head()
+        (0 until planes).map(row.getLong)
+      })
+    }
   }
 
   /** Bucket id from median-thresholded plane bits (balanced splits). */

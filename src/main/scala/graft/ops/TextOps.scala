@@ -205,6 +205,124 @@ object TextOps {
     1L -> Seq("window", "scan", "batch"),
     2L -> Seq("filter", "sort", "merge", "query", "key"))
 
+  /** Winnowing (Schleimer/Wilkerson/Aiken, MOSS) fingerprint relation
+    * (doc_id, fp) over a (doc_id, text) corpus: hash every positional
+    * word 4-gram, slide a w=5 window over the hash sequence, select each
+    * window's minimum (ties → rightmost), keep the distinct selections.
+    * Guarantee: any shared word-run of length ≥ w+k−1 between two docs
+    * shares ≥1 fingerprint, at ~2/(w+1) of the full gram count.
+    * Shape: explode the words (narrow), then ONE doc_id shuffle whose
+    * partition+sort serves EVERYTHING — gram construction via lead()
+    * (no array HOF anywhere, so nothing interpreted touches the corpus
+    * scan — the first transform+posexplode draft tripped PlanAudit's
+    * HOF detector), the full-gram filter, and the sliding min. The
+    * rightmost-tie rule rides INSIDE the min: the compared string is
+    * g || lpad(9999999999 − i, 10), so a plain string min picks the
+    * smallest hash and, among equals, the largest position — no
+    * argmin/min_by, which keeps the window a built-in MIN both engines
+    * order identically (binary collation on hex). The 10-digit pad
+    * supports positions to 10¹⁰−1 (a 40 GB single doc — the r8 6-digit
+    * pad went negative past 10⁶ positions, silently in BOTH engines).
+    * Docs with fewer grams than the window (4–7 tokens) take the min of
+    * ALL their grams at i=0 — the classic winnowing boundary rule; the
+    * r8 draft dropped them entirely, leaving short docs invisible to the
+    * near-dup index. */
+  private def winnowFps(corpus: DataFrame): DataFrame = {
+    val K = 4; val W = 5
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy("doc_id").orderBy("i")
+    val winMin = wOrd.rowsBetween(Window.currentRow, W - 1)
+    corpus
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= K)
+      .select(col("doc_id"), (size(col("w")) - (K - 1)).as("ng"),
+        posexplode(col("w")).as(Seq("i", "tok")))
+      .withColumn("g", md5(concat_ws(" ", col("tok"),
+        lead("tok", 1).over(wOrd), lead("tok", 2).over(wOrd),
+        lead("tok", 3).over(wOrd))))
+      .filter(col("i") < col("ng")) // drop the K-1 tail positions' partial grams
+      .withColumn("sel", min(concat(col("g"),
+        lpad((lit(9999999999L) - col("i")).cast("string"), 10, "0"))).over(winMin))
+      .filter(col("i") <= col("ng") - W || (col("ng") < W && col("i") === 0))
+      .select(col("doc_id"), substring(col("sel"), 1, 32).as("fp"))
+      .distinct()
+  }
+
+  /** Stop-fingerprint cap for the winnowing pair search: a fingerprint in
+    * more than this many docs is boilerplate and generates no pairs. */
+  private val MaxFpDf = 16
+
+  /** Generalized BM25 (q_id, rank, doc_id) top-8 per bm25Queries row via
+    * the inverted-index/posting-join formulation a retrieval deployment
+    * runs — shared by text_bm25_multi and the multi-query hybrid fusion.
+    * Shape: the (term, doc_id, dl, tf) inverted index is ONE map-side-
+    * combined shuffle of the token stream, memoized per session and
+    * durable under GRAFT_INDEX_DIR; probing filters the posting scan to
+    * the query-term set (pushed to the scan), broadcasts the tiny
+    * query/df/stats sides, and the per-(q_id, doc) score is an exact-
+    * integer sum. Top-8 per query is the bounded topk8_ids aggregate —
+    * map-side partials keep ≤8 rows per query, no data-bearing single-
+    * partition exchange. At 100 TB: the index is a bucketed table keyed
+    * by term; a query batch touches only its terms' postings. */
+  private def bm25MultiTopk(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val qdf = bm25Queries
+      .flatMap { case (q, ts) => ts.map(t => (q, t)) }.toDF("q_id", "term")
+    val postings = Tables.cachedFrame(s, dir, "bm25_postings")(
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+          explode(col("toks")).as("term"))
+        .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf")))
+    val allTerms = bm25Queries.flatMap(_._2).distinct
+    // postings touched at all: query terms only (filter pushed to the
+    // memoized/stored index scan)
+    val hit = postings.filter(col("term").isin(allTerms: _*))
+    // per-term document frequency and corpus stats (N, avgdl) are index
+    // METADATA — built once with the index, durable alongside it, so a
+    // probe never re-aggregates the posting list
+    val dfs = Tables.cachedFrame(s, dir, "bm25_dfs")(
+      postings.groupBy("term").agg(count(lit(1)).as("df")))
+      .filter(col("term").isin(allTerms: _*))
+    val stats = Tables.cachedFrame(s, dir, "bm25_stats")(
+      Tables(s, dir, "documents")
+        .select(size(split(col("text"), " ")).cast("long").as("dl"))
+        .agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")))
+    val scored = hit
+      .join(broadcast(qdf), "term")
+      .join(broadcast(dfs), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("q_id"), col("doc_id"),
+        expr(s"CAST(round(($bm25ContribSql) * 1e9) AS BIGINT)").as("c9"))
+      .groupBy("q_id", "doc_id").agg(sum(col("c9")).as("s9"))
+    // s9 ≤ ~1e11 ≪ 2^53: the double cast for the top-k agg is exact
+    scored.groupBy("q_id")
+      .agg(expr("topk8_ids(CAST(s9 AS DOUBLE), doc_id)").as("top"))
+      .select(col("q_id"), posexplode(col("top.ids")).as(Seq("pos", "doc_id")))
+      .select(col("q_id"), (col("pos") + 1).as("rank"), col("doc_id"))
+  }
+
+  /** Shared oracle CTEs replaying winnowFps over a `corpus` CTE: yields
+    * `fp` (doc_id, fp) — identical grams, encoded-tie min, boundary rule. */
+  private val winnowFpSql =
+    """wd AS (
+         SELECT doc_id, string_split(text, ' ') AS w FROM corpus
+         WHERE len(string_split(text, ' ')) >= 4),
+       wg AS (
+         SELECT doc_id, i - 1 AS i, len(w) - 3 AS ng,
+                md5(array_to_string(w[i : i + 3], ' ')) AS g
+         FROM (SELECT doc_id, w, unnest(range(1, len(w) - 2)) AS i FROM wd)),
+       wsel AS (
+         SELECT doc_id, i, ng,
+                min(g || lpad(CAST(9999999999 - i AS VARCHAR), 10, '0'))
+                  OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS s
+         FROM wg),
+       fp AS (
+         SELECT DISTINCT doc_id, substr(s, 1, 32) AS fp
+         FROM wsel WHERE i <= ng - 5 OR (ng < 5 AND i = 0))"""
+
   /** Per-term BM25 contribution over posting columns (tf, df, dl, n,
     * avgdl) — ONE formula string shared verbatim by the Spark expr and the
     * DuckDB oracle (same engine-parity rationale as bm25ScoreSql). Unlike
@@ -217,6 +335,35 @@ object TextOps {
     """ln((n - df + 0.5e0) / (df + 0.5e0) + 1.0e0)
        * (tf * (1.2e0 + 1.0e0))
        / (tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * dl / avgdl))"""
+
+  /** Oracle CTEs replaying bm25MultiTopk's scoring through `scored`
+    * (q_id, doc_id, s9) — shared by the text_bm25_multi and
+    * text_hybrid_rrf_multi oracles. */
+  private def bm25MultiScoredSql: String = {
+    val valuesSql = bm25Queries
+      .flatMap { case (q, ts) => ts.map(t => s"(CAST($q AS BIGINT), '$t')") }
+      .mkString(", ")
+    val termsIn = bm25Queries.flatMap(_._2).distinct
+      .map(t => s"'$t'").mkString(", ")
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+        stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM lens),
+        postings AS (
+          SELECT term, doc_id, count(*) AS tf FROM (
+            SELECT doc_id, unnest(toks) AS term FROM d)
+          GROUP BY 1, 2),
+        q(q_id, term) AS (VALUES $valuesSql),
+        dfs AS (SELECT term, count(*) AS df FROM postings
+                WHERE term IN ($termsIn) GROUP BY 1),
+        scored AS (
+          SELECT q.q_id, p.doc_id,
+                 sum(CAST(round(($bm25ContribSql) * 1e9) AS BIGINT)) AS s9
+          FROM q JOIN postings p USING (term)
+               JOIN dfs f ON p.term = f.term
+               JOIN lens l ON p.doc_id = l.doc_id
+               CROSS JOIN stats
+          GROUP BY 1, 2)"""
+  }
 
   /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): hashed-bigram bucket
@@ -361,28 +508,46 @@ object TextOps {
     // min picks the smallest hash and, among equals, the largest
     // position — no argmin/min_by, which keeps the window a built-in
     // MIN both engines order identically (binary collation on hex).
-    "text_winnowing" -> ((s, dir) => {
-      val K = 4; val W = 5
-      import org.apache.spark.sql.expressions.Window
-      val wOrd = Window.partitionBy("doc_id").orderBy("i")
-      val winMin = wOrd.rowsBetween(Window.currentRow, W - 1)
-      Tables(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .filter(size(col("w")) >= K)
-        .select(col("doc_id"), (size(col("w")) - (K - 1)).as("ng"),
-          posexplode(col("w")).as(Seq("i", "tok")))
-        .withColumn("g", md5(concat_ws(" ", col("tok"),
-          lead("tok", 1).over(wOrd), lead("tok", 2).over(wOrd),
-          lead("tok", 3).over(wOrd))))
-        .filter(col("i") < col("ng")) // drop the K-1 tail positions' partial grams
-        .withColumn("sel", min(concat(col("g"),
-          lpad((lit(999999) - col("i")).cast("string"), 6, "0"))).over(winMin))
-        .filter(col("i") <= col("ng") - W)
-        .select(col("doc_id"), substring(col("sel"), 1, 32).as("fp"))
-        .distinct()
+    "text_winnowing" -> ((s, dir) =>
+      winnowFps(Tables(s, dir, "documents"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_fp"), min("fp").as("fp_min"))
-        .orderBy("doc_id")
+        .orderBy("doc_id")),
+
+    // Winnowing PAIR search — the MOSS use of the fingerprints above:
+    // surface doc pairs sharing fingerprints (≥1 shared fp ⇒ a shared
+    // word-run of length ≥ w+k−1 = 8), ranked by shared count, with an
+    // overlap ratio vs the smaller doc's fingerprint set (containment —
+    // robust when a short doc is embedded in a long one). The index is
+    // the (doc_id, fp) posting table, built once over the planted
+    // near-dup corpus and durable under GRAFT_INDEX_DIR like every other
+    // dedup index. Scale shape: the pair space is bounded by a DF CAP —
+    // a fingerprint appearing in more than MaxFpDf docs is boilerplate
+    // (license headers, common phrases: the standard MOSS "stop
+    // fingerprint" rule) and is dropped BEFORE the self-join, so per-fp
+    // pair counts are ≤ MaxFpDf²/2 and the total join output is
+    // O(#fps · MaxFpDf) — no phrase distribution can blow it up (the
+    // same distribution-proof discipline as the kNN bucket cap). All
+    // counts are integers; the only rounding is the final display ratio.
+    "dedup_winnowing_pairs" -> ((s, dir) => {
+      val postings = Tables.cachedFrame(s, dir, "winnow_pair_index")(
+        winnowFps(Dedup.nearDupCorpus(s, dir)))
+      val dfs = postings.groupBy("fp").agg(count(lit(1)).as("df"))
+      // df-capped postings: one fp-keyed shuffle each; the self-join
+      // reuses the same fp partitioning
+      val keep = postings.join(dfs.filter(col("df") <= MaxFpDf), "fp")
+        .select(col("fp"), col("doc_id"))
+      val cnt = keep.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      keep.as("a").join(keep.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2) // ≥2 shared spans: accidental singletons out
+        .join(cnt.select(col("doc_id").as("da"), col("n").as("na")), "da")
+        .join(cnt.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+        .select(col("da"), col("db"), col("n_shared"),
+          round(col("n_shared") / least(col("na"), col("nb")), 3).as("overlap_r"))
+        .orderBy("da", "db")
     }),
 
     // BPE merge-rule training (Sennrich et al., "Neural Machine
@@ -514,58 +679,53 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
-    // Generalized BM25 retrieval: N queries scored in ONE pass via the
-    // inverted-index/posting-join formulation a retrieval deployment runs
-    // (the single-query variant generates one column per compile-time term
-    // — it cannot express "score these N queries from a table"). Shape:
-    // the (term, doc_id, dl, tf) inverted index is ONE map-side-combined
-    // shuffle of the token stream, memoized per session and durable under
-    // GRAFT_INDEX_DIR (the build-once/probe-forever index lifecycle);
-    // probing filters the posting scan to the query-term set (pushed to
-    // the scan), broadcasts the tiny query/df/stats sides, and the
-    // per-(q_id, doc) score is an exact-integer sum. Top-8 per query is
-    // the bounded topk8_ids aggregate — map-side partials keep ≤8 rows
-    // per query, no data-bearing single-partition exchange. At 100 TB:
-    // the index is a bucketed table keyed by term; a query batch touches
-    // only its terms' postings.
-    "text_bm25_multi" -> ((s, dir) => {
+    // Generalized BM25 retrieval: N queries scored in ONE pass (the
+    // single-query variant generates one column per compile-time term —
+    // it cannot express "score these N queries from a table"). The whole
+    // shape lives in bm25MultiTopk, shared with the hybrid fusion below.
+    "text_bm25_multi" -> ((s, dir) =>
+      bm25MultiTopk(s, dir).orderBy("q_id", "rank")),
+
+    // Multi-query hybrid retrieval with reciprocal-rank fusion — the RAG
+    // serving stack's batch shape: N queries fused in ONE pass, lexical
+    // side from the bm25 posting-join top-8 (the text_bm25_multi
+    // formulation — index probes, not per-term compile-time columns),
+    // dense side from per-query cosine top-8 via the bounded topk8
+    // aggregate (map-side partials keep ≤8 rows per query — never a
+    // window over the full scored corpus). Fusion is a full-outer join
+    // of two ≤8-row-per-query rank lists on (q_id, doc_id) with exact
+    // integer RRF contributions round(1e9/(60+rank)) — no float channel.
+    // Scale shape: postings/stats are durable index artifacts; the dense
+    // scan is one corpus pass with the tiny query set broadcast; both
+    // rank lists and the fusion are query-count-sized. The single-query
+    // text_hybrid_rrf is this with N=1 and TakeOrdered lists.
+    "text_hybrid_rrf_multi" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
-      import s.implicits._
-      val qdf = bm25Queries
-        .flatMap { case (q, ts) => ts.map(t => (q, t)) }.toDF("q_id", "term")
-      val postings = Tables.cachedFrame(s, dir, "bm25_postings")(
-        Tables(s, dir, "documents")
-          .select(col("doc_id"), split(col("text"), " ").as("toks"))
-          .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
-            explode(col("toks")).as("term"))
-          .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf")))
-      val allTerms = bm25Queries.flatMap(_._2).distinct
-      // postings touched at all: query terms only (filter pushed to the
-      // memoized/stored index scan)
-      val hit = postings.filter(col("term").isin(allTerms: _*))
-      // per-term document frequency and corpus stats (N, avgdl) are index
-      // METADATA — built once with the index, durable alongside it, so a
-      // probe never re-aggregates the posting list
-      val dfs = Tables.cachedFrame(s, dir, "bm25_dfs")(
-        postings.groupBy("term").agg(count(lit(1)).as("df")))
-        .filter(col("term").isin(allTerms: _*))
-      val stats = Tables.cachedFrame(s, dir, "bm25_stats")(
-        Tables(s, dir, "documents")
-          .select(size(split(col("text"), " ")).cast("long").as("dl"))
-          .agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")))
-      val scored = hit
-        .join(broadcast(qdf), "term")
-        .join(broadcast(dfs), "term")
-        .crossJoin(broadcast(stats))
+      val t8 = bm25MultiTopk(s, dir)
+        .select(col("q_id"), col("doc_id"), col("rank").cast("long").as("rt"))
+      val e = Tables(s, dir, "embeddings")
+      // query vectors keyed by q_id = vec_id (the bm25Queries ids); the
+      // corpus is the ANN convention's vec_id >= 8 split
+      val qv = e.filter(col("vec_id") < lit(bm25Queries.size))
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          expr("sqrt(vec_dot(embedding, embedding))").as("qn"))
+      val v8 = e.filter(col("vec_id") >= 8)
+        .select(col("vec_id").as("nid"), col("embedding").as("ce"),
+          expr("sqrt(vec_dot(embedding, embedding))").as("cn"))
+        .crossJoin(broadcast(qv))
+        .select(col("q_id"), col("nid"),
+          round(expr("vec_dot(qe, ce)") / (col("qn") * col("cn")), 6).as("cos_r"))
+        .groupBy("q_id").agg(expr("topk8_ids(cos_r, nid)").as("top"))
+        .select(col("q_id"), posexplode(col("top.ids")).as(Seq("pos", "nid")))
+        .select(col("q_id"), col("nid").as("doc_id"),
+          (col("pos") + 1).cast("long").as("rv"))
+      t8.join(v8, Seq("q_id", "doc_id"), "full_outer")
         .select(col("q_id"), col("doc_id"),
-          expr(s"CAST(round(($bm25ContribSql) * 1e9) AS BIGINT)").as("c9"))
-        .groupBy("q_id", "doc_id").agg(sum(col("c9")).as("s9"))
-      // s9 ≤ ~1e11 ≪ 2^53: the double cast for the top-k agg is exact
-      scored.groupBy("q_id")
-        .agg(expr("topk8_ids(CAST(s9 AS DOUBLE), doc_id)").as("top"))
-        .select(col("q_id"), posexplode(col("top.ids")).as(Seq("pos", "doc_id")))
-        .select(col("q_id"), (col("pos") + 1).as("rank"), col("doc_id"))
-        .orderBy("q_id", "rank")
+          (coalesce(round(lit(1e9) / (lit(60) + col("rt"))).cast("long"), lit(0L)) +
+            coalesce(round(lit(1e9) / (lit(60) + col("rv"))).cast("long"), lit(0L)))
+            .as("rrf9"),
+          col("rt"), col("rv"))
+        .orderBy(col("q_id"), col("rrf9").desc, col("doc_id"))
     }),
 
     // BM25 relevance search (Robertson/Sparck-Jones idf with +1 floor,
@@ -627,11 +787,17 @@ object TextOps {
         avg(col("dl")).as("avgdl") +:
           bm25Terms.indices.map(i =>
             sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
+      // the rank windows run over ≤10-row TakeOrdered outputs, so the
+      // single-partition WindowExec is benign — but an EMPTY partition
+      // spec logs a scary "No Partition Defined" warning per run. A
+      // constant-valued key silences it; it must be NON-FOLDABLE (k % 1,
+      // not lit(1)) or the optimizer prunes it back to the empty spec.
+      def one(k: org.apache.spark.sql.Column) = Window.partitionBy(k % 1)
       val t10 = docs.crossJoin(broadcast(stats))
         .select(col("doc_id"), round(expr(bm25ScoreSql), 6).as("bm25_r"))
         .orderBy(col("bm25_r").desc, col("doc_id")).limit(10)
         .withColumn("rt", row_number()
-          .over(Window.orderBy(col("bm25_r").desc, col("doc_id"))).cast("long"))
+          .over(one(col("doc_id")).orderBy(col("bm25_r").desc, col("doc_id"))).cast("long"))
       val e = Tables(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0)
         .select(col("embedding").as("qe"),
@@ -644,7 +810,7 @@ object TextOps {
           round(expr("vec_dot(qe, ce)") / (col("qn") * col("cn")), 6).as("cos_r"))
         .orderBy(col("cos_r").desc, col("nid")).limit(10)
         .withColumn("rv", row_number()
-          .over(Window.orderBy(col("cos_r").desc, col("nid"))).cast("long"))
+          .over(one(col("nid")).orderBy(col("cos_r").desc, col("nid"))).cast("long"))
       t10.select(col("doc_id"), col("rt"))
         .join(v10.select(col("nid").as("doc_id"), col("rv")), Seq("doc_id"), "full_outer")
         .select(col("doc_id"),
@@ -1041,26 +1207,34 @@ object TextOps {
     },
 
     // identical positional 4-gram md5 strings, the same encoded-tie min
-    // over the same 5-wide frame, distinct + per-doc agg
+    // over the same 5-wide frame (winnowFpSql), distinct + per-doc agg
     "text_winnowing" ->
-      """WITH d AS (
-           SELECT doc_id, string_split(text, ' ') AS w FROM documents
-           WHERE len(string_split(text, ' ')) >= 4),
-         g AS (
-           SELECT doc_id, i - 1 AS i, len(w) - 3 AS ng,
-                  md5(array_to_string(w[i : i + 3], ' ')) AS g
-           FROM (SELECT doc_id, w, unnest(range(1, len(w) - 2)) AS i FROM d)),
-         sel AS (
-           SELECT doc_id, i, ng,
-                  min(g || lpad(CAST(999999 - i AS VARCHAR), 6, '0'))
-                    OVER (PARTITION BY doc_id ORDER BY i
-                          ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS s
-           FROM g),
-         fp AS (
-           SELECT DISTINCT doc_id, substr(s, 1, 32) AS fp
-           FROM sel WHERE i <= ng - 5)
-         SELECT doc_id, count(*) AS n_fp, min(fp) AS fp_min
-         FROM fp GROUP BY doc_id ORDER BY doc_id""",
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+          $winnowFpSql
+          SELECT doc_id, count(*) AS n_fp, min(fp) AS fp_min
+          FROM fp GROUP BY doc_id ORDER BY doc_id""",
+
+    // same fingerprint relation over the planted near-dup corpus, the
+    // same integer df cap, the same self-join + integer shared counts —
+    // only the display ratio rounds
+    "dedup_winnowing_pairs" ->
+      s"""WITH corpus AS (${Dedup.nearDupSql}),
+          $winnowFpSql,
+          wdfs AS (SELECT fp, count(*) AS df FROM fp GROUP BY fp),
+          keep AS (SELECT doc_id, f.fp FROM fp f JOIN wdfs USING (fp)
+                   WHERE df <= $MaxFpDf),
+          cnt AS (SELECT doc_id, count(*) AS n FROM keep GROUP BY doc_id),
+          pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_shared
+                    FROM keep a JOIN keep b
+                      ON a.fp = b.fp AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+          SELECT da, db, n_shared,
+                 round(n_shared / least(ca.n, cb.n), 3) AS overlap_r
+          FROM pairs
+          JOIN cnt ca ON pairs.da = ca.doc_id
+          JOIN cnt cb ON pairs.db = cb.doc_id
+          WHERE n_shared >= 2
+          ORDER BY da, db""",
 
     // kernel-contract word ids (p31 mode), the same integer weight map,
     // exact integer sums — the keep bit cannot diverge cross-engine
@@ -1081,38 +1255,52 @@ object TextOps {
     // identical tokenization, the VERBATIM shared bm25ContribSql formula,
     // and exact-integer (×1e9) contribution sums — ranking replays
     // bit-for-bit regardless of either engine's aggregation order
-    "text_bm25_multi" -> {
-      val valuesSql = bm25Queries
-        .flatMap { case (q, ts) => ts.map(t => s"(CAST($q AS BIGINT), '$t')") }
-        .mkString(", ")
-      val termsIn = bm25Queries.flatMap(_._2).distinct
-        .map(t => s"'$t'").mkString(", ")
-      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-          lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
-          stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM lens),
-          postings AS (
-            SELECT term, doc_id, count(*) AS tf FROM (
-              SELECT doc_id, unnest(toks) AS term FROM d)
-            GROUP BY 1, 2),
-          q(q_id, term) AS (VALUES $valuesSql),
-          dfs AS (SELECT term, count(*) AS df FROM postings
-                  WHERE term IN ($termsIn) GROUP BY 1),
-          scored AS (
-            SELECT q.q_id, p.doc_id,
-                   sum(CAST(round(($bm25ContribSql) * 1e9) AS BIGINT)) AS s9
-            FROM q JOIN postings p USING (term)
-                 JOIN dfs f ON p.term = f.term
-                 JOIN lens l ON p.doc_id = l.doc_id
-                 CROSS JOIN stats
-            GROUP BY 1, 2),
+    "text_bm25_multi" ->
+      s"""WITH $bm25MultiScoredSql,
           ranked AS (
             SELECT q_id, doc_id,
                    row_number() OVER (PARTITION BY q_id
                                       ORDER BY s9 DESC, doc_id) AS rank
             FROM scored)
           SELECT q_id, rank, doc_id FROM ranked WHERE rank <= 8
-          ORDER BY q_id, rank"""
-    },
+          ORDER BY q_id, rank""",
+
+    // the same exact-integer lexical ranking, the same unnest+sum dense
+    // cosine as every sim oracle (6dp rounding kills float residue), and
+    // exact-integer RRF contributions — the fusion replays bit-for-bit
+    "text_hybrid_rrf_multi" ->
+      s"""WITH $bm25MultiScoredSql,
+          tr0 AS (
+            SELECT q_id, doc_id,
+                   CAST(row_number() OVER (PARTITION BY q_id
+                                           ORDER BY s9 DESC, doc_id)
+                        AS BIGINT) AS rt
+            FROM scored),
+          tr AS (SELECT * FROM tr0 WHERE rt <= 8),
+          hqv AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+                  WHERE vec_id < ${bm25Queries.size}),
+          vpairs AS (SELECT q_id, vec_id AS nid, qe, embedding AS ce
+                     FROM embeddings CROSS JOIN hqv WHERE vec_id >= 8),
+          vdots AS (SELECT q_id, nid,
+                           sum(CAST(xq AS DOUBLE) * CAST(xc AS DOUBLE)) AS dot,
+                           sqrt(sum(CAST(xq AS DOUBLE) * CAST(xq AS DOUBLE))) AS nq,
+                           sqrt(sum(CAST(xc AS DOUBLE) * CAST(xc AS DOUBLE))) AS nc
+                    FROM (SELECT q_id, nid, unnest(qe) AS xq, unnest(ce) AS xc
+                          FROM vpairs)
+                    GROUP BY q_id, nid),
+          vr0 AS (SELECT q_id, nid AS doc_id,
+                         CAST(row_number() OVER (PARTITION BY q_id
+                             ORDER BY round(dot / (nq * nc), 6) DESC, nid)
+                              AS BIGINT) AS rv
+                  FROM vdots),
+          vr AS (SELECT * FROM vr0 WHERE rv <= 8)
+          SELECT q_id, doc_id,
+                 CAST(coalesce(CAST(round(1e9 / (60 + rt)) AS BIGINT), 0)
+                      + coalesce(CAST(round(1e9 / (60 + rv)) AS BIGINT), 0)
+                      AS BIGINT) AS rrf9,
+                 rt, rv
+          FROM tr FULL OUTER JOIN vr USING (q_id, doc_id)
+          ORDER BY q_id, rrf9 DESC, doc_id""",
 
     // integer counts; n/total is double division of exact integers in both
     // engines, so the 6dp rounding is deterministic

@@ -61,10 +61,27 @@ class BenchSpec extends AnyFunSuite {
   }
 
   test("the REAL headline list at realistic timings omits nothing") {
+    // with the comparability fields riding the line, as the real run emits
     val rs = Bench.headline.map(nm => (nm, 9.99, 9.99, 9.99))
-    val line = Bench.compactLine(rs, reps = 3, sf = "0.1")
+    val line = Bench.compactLine(rs, reps = 3, sf = "0.1",
+      Bench.comparability(31.22, 30.85, 0.187))
     assert(!line.contains("queries_omitted"),
       "the current real list must fit the cap without truncation")
+  }
+
+  test("comparability fields render compactly, parse as JSON, and survive the cap") {
+    val extra = Bench.comparability(1.5, 2.25, 0.125)
+    assert(extra == ""","load":[1.50,2.25],"calib":0.125""")
+    // unavailable load average (-1 per the JDK contract) still renders as
+    // a valid JSON number
+    assert(Bench.comparability(-1.0, -1.0, 0.1).contains("[-1.00,-1.00]"))
+    val line = Bench.compactLine(syntheticResults(Bench.headline.size + 5),
+      reps = 3, sf = "0.1", extra)
+    assert(line.getBytes("UTF-8").length < 1900)
+    assert(line.contains(""","load":[1.50,2.25],"calib":0.125,"sf":0.1}"""))
+    // the calibration loop runs and reports a plausible sub-second time
+    val c = Bench.calibSecs()
+    assert(c > 0.001 && c < 5.0, s"calibration loop time $c")
   }
 
   test("compact line carries the contract fields and only ONE per-query map") {

@@ -1011,6 +1011,29 @@ class OpsSpec extends SparkSpec {
       assert(both.map(_._2).max > single.map(_._2).min)
   }
 
+  test("multi-query hybrid RRF fuses >=3 queries in one pass, consistent with both source lists") {
+    val out = TextOps.queries("text_hybrid_rrf_multi")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    val qids = out.map(_._1).distinct.sorted.toSeq
+    assert(qids.size >= 3, s"expected >=3 fused queries, got $qids")
+    out.foreach { case (q, d, rrf9, rt, rv) =>
+      def c(r: Option[Long]) = r.map(x => math.round(1e9 / (60 + x))).getOrElse(0L)
+      assert(rt.nonEmpty || rv.nonEmpty, s"($q,$d) came from neither list")
+      assert(rrf9 == c(rt) + c(rv), s"($q,$d) rrf9")
+      assert(rt.forall(t => t >= 1 && t <= 8) && rv.forall(v => v >= 1 && v <= 8))
+    }
+    // two <=8 lists fuse to <=16 rows per query
+    qids.foreach(q => assert(out.count(_._1 == q) <= 16, s"query $q list size"))
+    // the lexical ranks are exactly text_bm25_multi's (the shared index path)
+    val bm = TextOps.queries("text_bm25_multi")(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getInt(1).toLong)).toMap
+    out.foreach { case (q, d, _, rt, _) =>
+      rt.foreach(t => assert(bm((q, d)) == t, s"($q,$d) lexical rank")) }
+    assert(bm.keySet == out.filter(_._4.nonEmpty).map(t => (t._1, t._2)).toSet)
+  }
+
   test("winnowing: doc 0's fingerprint count matches a direct replay of the algorithm") {
     val out = TextOps.queries("text_winnowing")(spark, dir).collect()
     assert(out.nonEmpty)
@@ -1029,6 +1052,49 @@ class OpsSpec extends SparkSpec {
     assert(r0.getString(2) == fps.min)
     // reduction: fingerprints are a strict subset of the gram set
     assert(fps.length < grams.distinct.length)
+  }
+
+  test("winnowing boundary rule: short docs (fewer grams than the window) fingerprint once") {
+    val tmp = java.nio.file.Files.createTempDirectory("winshort").toString
+    import spark.implicits._
+    Seq(
+      (0L, "a b c"),                    // 3 tokens: below the gram size, no fp
+      (1L, "a b c d"),                  // 4 tokens: 1 gram  -> 1 fp (min of all)
+      (2L, "a b c d e f g"),            // 7 tokens: 4 grams -> 1 fp
+      (3L, "a b c d e f g h"),          // 8 tokens: 5 grams -> exactly 1 full window
+      (4L, "a b c d e f g h i j k l"))  // 12 tokens: >1 window
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextOps.queries("text_winnowing")(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(!out.contains(0L), "sub-gram doc must not fingerprint")
+    assert(out(1L) == 1L && out(2L) == 1L,
+      "short docs take the min of their available grams — not zero fingerprints")
+    assert(out(3L) == 1L)
+    assert(out(4L) >= 1L)
+  }
+
+  test("winnowing pair search: planted near-dups are recalled with dominant overlap") {
+    val out = TextOps.queries("dedup_winnowing_pairs")(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.nonEmpty)
+    // every planted near-dup pair (d, d+100000) long enough to carry
+    // several interior fingerprints must surface (recall), and the
+    // shared span being the whole doc, its overlap must dominate
+    val planted = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("nw")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).filter(_._2 >= 30).map(_._1)
+    assert(planted.nonEmpty)
+    planted.foreach { d =>
+      val hit = out.get((d, d + 100000L))
+      assert(hit.nonEmpty, s"planted pair ($d, ${d + 100000}) not recalled")
+      assert(hit.get._2 >= 0.5, s"planted pair $d overlap ${hit.get._2}")
+    }
+    // sanity on the ratio: n_shared <= min fingerprint count => overlap <= 1
+    out.foreach { case ((da, db), (n, r)) =>
+      assert(n >= 2 && r > 0.0 && r <= 1.0, s"pair ($da,$db) n=$n r=$r")
+    }
   }
 
   test("cluster-balanced sampling equalizes toward the rarest cluster") {
