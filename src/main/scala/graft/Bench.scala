@@ -42,7 +42,8 @@ object Bench {
     "shuffle_deterministic", "curate_pipeline_e2e", "win_topk_per_window",
     "sim_knn_graph", "text_quality_classifier", "curate_domain_quality",
     "curate_snapshot_diff", "sim_knn_density", "text_winnowing",
-    "text_hybrid_rrf", "dedup_winnowing_pairs")
+    "text_hybrid_rrf", "dedup_winnowing_pairs", "text_hybrid_rrf_multi",
+    "curate_pipeline_v2")
   // sim_cluster_knn and curate_cluster_balanced join
   // dedup_cluster_cc/_stars OUTSIDE the headline set: iterative-CC
   // queries are round-latency-dominated at bench SF (each star round is

@@ -218,6 +218,20 @@ object GraftFunctions {
           "actualNum" -> children.length.toString, "docroot" -> "-"))
     })
 
+  /** quality_score_md5(words) — the fused linear-classifier score. */
+  val qualityScore: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("quality_score_md5"),
+    new ExpressionInfo(classOf[QualityScoreExpr].getName, "quality_score_md5"),
+    {
+      case Seq(arr) => QualityScoreExpr(arr)
+      case children => throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> "quality_score_md5",
+          "expectedNum" -> "1 (array)",
+          "actualNum" -> children.length.toString, "docroot" -> "-"))
+    })
+
   /** word_ids_md5(words, 'p31'|'lo32'|'hi32') — mode must be a literal. */
   val wordIds: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("word_ids_md5"),
@@ -264,6 +278,8 @@ object GraftFunctions {
       shingleXx._1, shingleXx._2, shingleXx._3)
     spark.sessionState.functionRegistry.registerFunction(
       wordIds._1, wordIds._2, wordIds._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      qualityScore._1, qualityScore._2, qualityScore._3)
     spark.sessionState.functionRegistry.registerFunction(
       bloomProbe._1, bloomProbe._2, bloomProbe._3)
     spark.sessionState.functionRegistry.registerFunction(

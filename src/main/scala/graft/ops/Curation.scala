@@ -24,6 +24,37 @@ object Curation {
   private def bucket(c: String) =
     (conv(substring(md5(col(c).cast("string")), 1, 15), 16, 10).cast("long") % 100)
 
+  /** Budget → deterministic shuffle → pack over a (doc_id, source,
+    * n_tokens) stream — the tail every curation pipeline variant shares.
+    * TWO data shuffles total: one on (source, shard4) for the budget
+    * window, one on the training shard for the shuffle+pack windows
+    * (row_number and the lagged running sum share one partition+sort, so
+    * packing rides the shuffle's sort for free). */
+  private def budgetShardPack(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wBudget = Window.partitionBy("source", "shard4")
+      .orderBy(col("q").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val kept = d
+      .withColumn("shard4", bucket("doc_id") % 4)
+      .withColumn("q", least(col("n_tokens"), lit(400L)))
+      .withColumn("cum_tokens", sum("n_tokens").over(wBudget))
+      .where(col("cum_tokens") <= 200)
+      .select(col("doc_id"), col("n_tokens"),
+        md5(concat(col("doc_id").cast("string"), lit("#42"))).as("h"))
+      .withColumn("shard",
+        conv(substring(col("h"), 1, 15), 16, 10).cast("long") % 16)
+    val wShard = Window.partitionBy("shard").orderBy("h", "doc_id")
+    kept
+      .withColumn("pos", row_number().over(wShard).cast("long") - 1)
+      .withColumn("off", coalesce(
+        sum("n_tokens").over(wShard.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("doc_id"), col("shard"), col("pos"), col("n_tokens"),
+        expr("off div 2048").as("bin"), (col("off") % 2048).as("off_in_bin"))
+      .orderBy("shard", "pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Declarative expectations over lineitem, one pass: completeness,
     // range, set-membership, and cross-field consistency violations.
@@ -180,31 +211,37 @@ object Curation {
     // lagged running sum share one partition+sort, so packing rides the
     // shuffle's sort for free). This is the query a training-data job
     // actually runs; the single-stage ops above are its unit tests.
-    "curate_pipeline_e2e" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val wBudget = Window.partitionBy("source", "shard4")
-        .orderBy(col("q").desc, col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val kept = Tables(s, dir, "documents")
+    "curate_pipeline_e2e" -> ((s, dir) =>
+      budgetShardPack(Tables(s, dir, "documents")
         .select(col("doc_id"), col("source"),
-          size(split(col("text"), " ")).cast("long").as("n_tokens"),
-          (bucket("doc_id") % 4).as("shard4"))
-        .withColumn("q", least(col("n_tokens"), lit(400L)))
-        .withColumn("cum_tokens", sum("n_tokens").over(wBudget))
-        .where(col("cum_tokens") <= 200)
-        .select(col("doc_id"), col("n_tokens"),
-          md5(concat(col("doc_id").cast("string"), lit("#42"))).as("h"))
-        .withColumn("shard",
-          conv(substring(col("h"), 1, 15), 16, 10).cast("long") % 16)
-      val wShard = Window.partitionBy("shard").orderBy("h", "doc_id")
-      kept
-        .withColumn("pos", row_number().over(wShard).cast("long") - 1)
-        .withColumn("off", coalesce(
-          sum("n_tokens").over(wShard.rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-        .select(col("doc_id"), col("shard"), col("pos"), col("n_tokens"),
-          expr("off div 2048").as("bin"), (col("off") % 2048).as("off_in_bin"))
-        .orderBy("shard", "pos")
+          size(split(col("text"), " ")).cast("long").as("n_tokens")))),
+
+    // The FULL curation job a production training-data run ships: quality
+    // classifier → domain filter → token budget → deterministic shuffle →
+    // packing, composed. The two model-driven gates ride the front of the
+    // plan at zero shuffle cost: the classifier keep-bit is the fused
+    // quality_score_md5 kernel (pure per-row algebra — narrow), and the
+    // domain decision is a tiny source-keyed integer aggregation
+    // (map-side-combined to ~|domains| rows) broadcast back onto the
+    // stream — so the COMPOSED plan still moves data exactly TWICE, the
+    // same two window shuffles as curate_pipeline_e2e ((source, shard4)
+    // for the budget, training shard for shuffle+pack). Every gate
+    // decision is integer (score > 0; sum_tokens ≥ 54·docs), so the
+    // surviving set replays bit-for-bit cross-engine; PlanSpec pins the
+    // two-exchange shape so a refactor can't silently add a third.
+    "curate_pipeline_v2" -> ((s, dir) => {
+      // the gates are streaming.IngestFilters — ONE code path for this
+      // batch pipeline and the streaming ingest job, so batch and stream
+      // cannot drift on what they admit
+      val d = graft.streaming.IngestFilters.classifierGate(
+          Tables(s, dir, "documents")
+            .select(col("doc_id"), col("source"), col("text")))
+        .select(col("doc_id"), col("source"), col("n_tokens"))
+        .localCheckpoint() // 2 consumers: domain stats + the gated stream
+      val dom = graft.streaming.IngestFilters.domainDecisions(d)
+      budgetShardPack(
+        graft.streaming.IngestFilters.domainGate(d, dom)
+          .select(col("doc_id"), col("source"), col("n_tokens")))
     }),
 
     // Temperature-flattened mixture (the multilingual-LM sampling knob:
@@ -317,6 +354,38 @@ object Curation {
     })
   )
 
+  /** Oracle CTEs + final select replaying budgetShardPack over a CTE
+    * `d`(doc_id, source, n_tokens, shard4) — shared by the e2e and v2
+    * pipeline oracles. */
+  private val pipelineTailSql =
+    """r AS (
+         SELECT *, CAST(sum(n_tokens) OVER (
+                PARTITION BY source, shard4
+                ORDER BY least(n_tokens, 400) DESC, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS cum_tokens
+         FROM d),
+       kept AS (
+         SELECT doc_id, n_tokens,
+                md5(concat(CAST(doc_id AS VARCHAR), '#42')) AS h
+         FROM r WHERE cum_tokens <= 200),
+       a AS (
+         SELECT doc_id, n_tokens, h,
+                CAST(concat('0x', substr(h, 1, 15)) AS BIGINT) % 16 AS shard
+         FROM kept),
+       p AS (
+         SELECT doc_id, n_tokens, shard,
+                CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+                     AS BIGINT) - 1 AS pos,
+                COALESCE(CAST(sum(n_tokens) OVER (
+                  PARTITION BY shard ORDER BY h, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+                  AS off
+         FROM a)
+       SELECT doc_id, shard, pos, n_tokens,
+              off // 2048 AS bin, off % 2048 AS off_in_bin
+       FROM p ORDER BY shard, pos"""
+
   val oracles: Map[String, String] = Map(
     "quality_expectations" ->
       """SELECT count(*) AS rows,
@@ -412,39 +481,36 @@ object Curation {
          FROM s ORDER BY shard, pos""",
 
     "curate_pipeline_e2e" ->
-      """WITH d AS (
-           SELECT doc_id, source,
-                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-                  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-                       AS BIGINT) % 100 % 4 AS shard4
-           FROM documents),
-         r AS (
-           SELECT *, CAST(sum(n_tokens) OVER (
-                  PARTITION BY source, shard4
-                  ORDER BY least(n_tokens, 400) DESC, doc_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-                  AS cum_tokens
-           FROM d),
-         kept AS (
-           SELECT doc_id, n_tokens,
-                  md5(concat(CAST(doc_id AS VARCHAR), '#42')) AS h
-           FROM r WHERE cum_tokens <= 200),
-         a AS (
-           SELECT doc_id, n_tokens, h,
-                  CAST(concat('0x', substr(h, 1, 15)) AS BIGINT) % 16 AS shard
-           FROM kept),
-         p AS (
-           SELECT doc_id, n_tokens, shard,
-                  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
-                       AS BIGINT) - 1 AS pos,
-                  COALESCE(CAST(sum(n_tokens) OVER (
-                    PARTITION BY shard ORDER BY h, doc_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
-                    AS off
-           FROM a)
-         SELECT doc_id, shard, pos, n_tokens,
-                off // 2048 AS bin, off % 2048 AS off_in_bin
-         FROM p ORDER BY shard, pos""",
+      s"""WITH d AS (
+            SELECT doc_id, source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) % 100 % 4 AS shard4
+            FROM documents),
+          $pipelineTailSql""",
+
+    // the classifier score replays TextOps' exact integer formula, the
+    // domain decision is the same integer comparison, and the shared
+    // budget/shuffle/pack tail runs over the gated set
+    "curate_pipeline_v2" ->
+      s"""WITH tok AS (
+            SELECT doc_id, source, unnest(string_split(text, ' ')) AS x
+            FROM documents),
+          sc AS (
+            SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum((CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)
+                             % 2147483647) % 1024
+                            * 2654435761 % 2001 - 1000) AS BIGINT) AS score
+            FROM tok GROUP BY doc_id, source),
+          gated AS (SELECT doc_id, source, n_tokens FROM sc WHERE score > 0),
+          dom AS (SELECT source,
+                         (CAST(sum(n_tokens) AS BIGINT) >= count(*) * 54) AS keep
+                  FROM gated GROUP BY source),
+          d AS (SELECT doc_id, g.source, n_tokens,
+                       CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                            AS BIGINT) % 100 % 4 AS shard4
+                FROM gated g JOIN dom USING (source) WHERE keep),
+          $pipelineTailSql""",
 
     // the keep decision replays as the same integer comparison
     "curate_domain_quality" ->

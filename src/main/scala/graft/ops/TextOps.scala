@@ -464,26 +464,28 @@ object TextOps {
 
     // Model-based quality filtering (the CCNet/GPT-3 "fastText classifier"
     // step): a TRAINED linear model scored at corpus scale. The model here
-    // is a deterministic stand-in — hashed unigram features (1024 buckets
-    // via the word_ids_md5 kernel) with per-bucket integer weights
+    // is a deterministic stand-in — hashed unigram features (1024 buckets,
+    // the word_ids_md5 p31 hash space) with per-bucket integer weights
     // w(b) = (b·2654435761) mod 2001 − 1000 — but the inference topology
     // is the real one: the model rides INSIDE the expression (a fixed
-    // arithmetic map; a real weight vector would be a 1024-row broadcast
-    // like DSIR's), so scoring is one narrow kernel pass + one
-    // map-side-combined per-doc sum — no training aggregations, no second
-    // scan, nothing driver-side. Scores are exact integer sums
-    // (|w| ≤ 1000, ≪ 2⁵³), so the keep/drop decision is order-independent
-    // and replays bit-for-bit — a classifier whose accept bit flips on
-    // summation order would make curation non-reproducible across runs.
+    // arithmetic map; a real weight vector would be a reference object on
+    // the kernel), and since the per-doc score is pure per-row algebra,
+    // inference is ONE NARROW codegen'd pass — quality_score_md5 fuses
+    // hash→bucket→weight→sum per row, so there is NO shuffle at all (the
+    // r8 explode+groupBy spelling paid a doc-keyed exchange just to
+    // re-assemble rows the map side already had together). Scores are
+    // exact integer sums (|w| ≤ 1000, ≪ 2⁵³), so the keep/drop decision
+    // is order-independent and replays bit-for-bit — a classifier whose
+    // accept bit flips on summation order would make curation
+    // non-reproducible across runs. The same kernel drops into streaming
+    // ingest and the composed curation pipeline unchanged.
     "text_quality_classifier" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
       Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
         .select(col("doc_id"),
-          explode(expr("word_ids_md5(split(text, ' '), 'p31')")).as("gid"))
-        .select(col("doc_id"),
-          ((col("gid") % 1024L) * 2654435761L % 2001L - 1000L).as("w"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"), sum("w").as("score"))
+          size(col("w")).cast("long").as("n_tokens"),
+          expr("quality_score_md5(w)").as("score"))
         .withColumn("label",
           when(col("score") > 0, lit("keep")).otherwise(lit("drop")))
         .orderBy("doc_id")

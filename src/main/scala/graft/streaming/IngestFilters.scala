@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Quality gates at INGEST — the classifier and domain filters as one
+  * code path shared by the batch curation pipeline (curate_pipeline_v2)
+  * and the streaming ingest job, the TimeframeRules discipline: a gate
+  * whose batch and streaming spellings could drift would make "what got
+  * into the corpus" depend on which path admitted it.
+  *
+  * Both gates are deliberately STATELESS on the stream:
+  *  - the classifier is the fused quality_score_md5 kernel — pure per-row
+  *    algebra, no state, no watermark interaction, so it rides a
+  *    streaming micro-batch identically to a batch scan;
+  *  - the domain decision is applied from a PRECOMPUTED decision table
+  *    broadcast onto the stream. A stream cannot compute global
+  *    per-domain statistics without unbounded state, and production does
+  *    not want it to: domain keep/drop decisions should be stable,
+  *    versioned artifacts (recomputed by the batch stats job, swapped in
+  *    on redeploy), not values that drift mid-stream as counts accumulate
+  *    — two ingest workers seeing different prefixes must not disagree
+  *    about a domain.
+  */
+object IngestFilters {
+  /** Classifier gate over (.., text) rows: adds integer n_tokens + score
+    * (exact sums — the keep bit is order-independent) and keeps rows with
+    * score > 0. Narrow; works on a batch frame and a streaming frame. */
+  def classifierGate(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("w")).cast("long"))
+      .withColumn("score", expr("quality_score_md5(w)"))
+      .drop("w")
+      .filter(col("score") > 0)
+  }
+
+  /** The per-domain keep decision table (source, keep) from a BATCH frame
+    * with (source, n_tokens): keep when sum(tokens) ≥ 54·docs — an
+    * integer comparison, so a knife-edge domain decides identically on
+    * every engine and every run. Batch-only by design (global stats);
+    * the output is the artifact domainGate broadcasts. */
+  def domainDecisions(docs: DataFrame): DataFrame =
+    docs.groupBy("source")
+      .agg(count(lit(1)).as("docs"), sum("n_tokens").as("toks"))
+      .select(col("source"), (col("toks") >= col("docs") * 54L).as("keep"))
+
+  /** Domain gate: admit rows whose source the decision table keeps. The
+    * tiny decision frame broadcasts; on a stream this is the standard
+    * stream-static broadcast join — zero streaming state. */
+  def domainGate(docs: DataFrame, decisions: DataFrame): DataFrame =
+    docs.join(broadcast(decisions), "source")
+      .filter(col("keep"))
+      .drop("keep")
+}

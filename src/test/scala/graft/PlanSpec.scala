@@ -175,6 +175,23 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
   }
 
+  test("curation v2: classifier + domain gates add no data-bearing shuffle to the pipeline") {
+    val df = ops.Curation.queries("curate_pipeline_v2")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // the domain keep decision must come back as a BROADCAST onto the
+    // gated stream, never a shuffle join on source
+    assert(p.contains("BroadcastHashJoin"), p)
+    // exactly three hash exchanges: the tiny source-keyed stats agg
+    // (map-side-combined to ~|domains| partial rows — key-space-bounded,
+    // not data-bearing) plus the same two window shuffles the e2e
+    // pipeline pays ((source, shard4) budget; training-shard pack). A
+    // fourth exchange means a gate started shuffling document rows.
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 3, p)
+    // the classifier gate is the fused kernel on a narrow (checkpointed)
+    // front — no interpreted lambda anywhere in the composed plan
+    assert(!p.contains("lambdafunction"), p)
+  }
+
   test("AQE splits a skewed join partition when salting is not hand-rolled") {
     // the runtime half of the skew story: join_skew_salted pins the manual
     // mitigation; this pins that AQE's skew-join rewrite engages when a

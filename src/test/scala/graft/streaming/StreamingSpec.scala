@@ -187,6 +187,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingest quality gates: streaming admission is identical to the batch path") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // real corpus rows through both paths — the gates must agree doc-for-doc
+    val rows = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+      .limit(120).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val batchDocs = rows.toDF("doc_id", "source", "text")
+    val gatedBatch = IngestFilters.classifierGate(batchDocs)
+    // the domain decision table is the versioned batch artifact both
+    // paths consume
+    val decisions = IngestFilters.domainDecisions(gatedBatch)
+    val batchOut = IngestFilters.domainGate(gatedBatch, decisions)
+      .select("doc_id", "n_tokens", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the classifier must actually gate something, and the domain table
+    // must carry both decisions, or this proves nothing
+    assert(batchOut.size < rows.size, "classifier+domain gates dropped nothing")
+    assert(decisions.collect().map(_.getBoolean(1)).toSet.size >= 1)
+    val mem = MemoryStream[(Long, String, String)]
+    val streamOut = IngestFilters.domainGate(
+      IngestFilters.classifierGate(mem.toDF().toDF("doc_id", "source", "text")),
+      decisions)
+    val q = streamOut.select("doc_id", "n_tokens", "score").writeStream
+      .format("memory").queryName("ingest_gates_t1").outputMode("append").start()
+    try {
+      val (a, b) = rows.splitAt(rows.size / 2)
+      mem.addData(a: _*)
+      q.processAllAvailable()
+      mem.addData(b: _*) // micro-batch boundaries must not change admission
+      q.processAllAvailable()
+      val got = spark.table("ingest_gates_t1").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == batchOut, s"stream admitted ${got.size}, batch ${batchOut.size}")
+    } finally q.stop()
+  }
+
   test("file-source end-to-end job: JSON-lines dir → rule fan-out → parquet sink") {
     val inDir = java.nio.file.Files.createTempDirectory("graft-in")
     val outDir = java.nio.file.Files.createTempDirectory("graft-out").toString
