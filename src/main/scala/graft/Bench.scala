@@ -43,7 +43,7 @@ object Bench {
     "sim_knn_graph", "text_quality_classifier", "curate_domain_quality",
     "curate_snapshot_diff", "sim_knn_density", "text_winnowing",
     "text_hybrid_rrf", "dedup_winnowing_pairs", "text_hybrid_rrf_multi",
-    "curate_pipeline_v2")
+    "curate_pipeline_v2", "sim_knn_graph_mp")
   // sim_cluster_knn and curate_cluster_balanced join
   // dedup_cluster_cc/_stars OUTSIDE the headline set: iterative-CC
   // queries are round-latency-dominated at bench SF (each star round is

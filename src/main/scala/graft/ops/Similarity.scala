@@ -139,10 +139,11 @@ object Similarity {
       Dedup.starCC(edges)._1
     }
 
-  /** Shared oracle CTEs replaying cappedKnnBuckets: centered buckets +
-    * pop-capped sub-splits + the diagonal-free self-join. Expects `comp`
-    * and `params` upstream; yields `pairs` (qid, nid, qe, ce). */
-  private val knnPairsSql: String =
+  /** Oracle CTEs replaying cappedKnnBuckets' bucketed corpus: centered
+    * buckets + per-bucket sub-split counts. Expects `comp` and `params`
+    * upstream; yields `pops` (bucket, nsub) and `withb`
+    * (vec_id, embedding, bucket, nsub). */
+  private val knnBucketsSql: String =
     s"""${Lsh.centeredBucketsSql},
         pops AS (SELECT bucket,
                         (count(*) + ${Lsh.TargetBucketPop - 1}) // ${Lsh.TargetBucketPop}
@@ -150,7 +151,13 @@ object Similarity {
                  FROM buckets GROUP BY bucket),
         withb AS (SELECT e.vec_id, e.embedding, b.bucket, p.nsub
                   FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id
-                  JOIN pops p USING (bucket)),
+                  JOIN pops p USING (bucket))"""
+
+  /** Shared oracle CTEs replaying the single-probe capped self-join.
+    * Expects `comp` and `params` upstream; yields `pairs`
+    * (qid, nid, qe, ce). */
+  private val knnPairsSql: String =
+    s"""$knnBucketsSql,
         q AS (SELECT vec_id AS qid, embedding AS qe, bucket,
                      vec_id % nsub AS sub FROM withb),
         c AS (SELECT vec_id AS nid, embedding AS ce, bucket AS cb,
@@ -445,6 +452,43 @@ object Similarity {
     // cluster-balanced sampling consume. The labels resolve through
     // clusterLabels — a DURABLE INDEX ARTIFACT, not a per-query plan.
     "sim_cluster_knn" -> ((s, dir) => clusterLabels(s, dir).orderBy("node")),
+
+    // Multi-probe kNN graph — the RECALL knob on the capped graph build:
+    // a node alone in its (sub-)bucket gets no edges from the single-
+    // probe self-join (the standard LSH-graph tradeoff); here every node
+    // ALSO probes each 1-bit-flip neighbor of its own bucket (the
+    // sim_lsh_multiprobe explode, applied to the probe side only), so
+    // near-boundary singletons recover candidates from the adjacent
+    // half-spaces. The capping discipline HOLDS for probes: each probe
+    // picks up the TARGET bucket's nsub (one bucket-keyed join against
+    // the tiny pops table) and lands in sub-bucket qid % nsub, so the
+    // join stays fully equi-keyed on (bucket, sub) and the pair space is
+    // ≤ n · (planes+1) · cap — the multiplier is the probe count, never
+    // a data distribution. Probed buckets are pairwise distinct and a
+    // candidate lives in exactly one (bucket, sub), so each (qid, nid)
+    // pair is emitted at most once — no distinct needed before top-3.
+    "sim_knn_graph_mp" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val b = cappedKnnBuckets(s, dir)
+      val (planes, _) = Lsh.sizing(s, dir, "embeddings", Tables(s, dir, "embeddings"))
+      val pops = b.select(col("bucket").as("pb"), col("nsub").as("pnsub")).distinct()
+      val q = b.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          expr(normExpr("embedding")).as("qn"), col("bucket"))
+        .withColumn("pb", explode(array(
+          col("bucket") +:
+            (0 until planes).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*)))
+        .join(pops, "pb") // only probed buckets that exist have candidates
+        .select(col("qid"), col("qe"), col("qn"), col("pb"),
+          (col("qid") % col("pnsub")).as("psub"))
+      val c = b.select(col("vec_id").as("nid"), col("embedding").as("ce"),
+        col("bucket").as("cb"), (col("vec_id") % col("nsub")).as("csub"),
+        expr(normExpr("embedding")).as("cn"))
+      topK3(
+        q.join(c, col("pb") === col("cb") && col("psub") === col("csub")
+            && col("qid") =!= col("nid"))
+          .select(col("qid"), col("nid"),
+            round(expr(dotExpr) / (col("qn") * col("cn")), 6).as("cos_r")))
+    }),
 
     // Two-stage retrieval over an int8 SCALAR-QUANTIZED index — the
     // production memory-bandwidth lever: stage 1 scans quantized vectors
@@ -788,6 +832,41 @@ object Similarity {
                    generate_subscripts(embedding, 1) - 1 AS d
             FROM embeddings),
           $knnPairsSql,
+          dots AS ($dotsSql),
+          ranked AS (
+            SELECT qid, nid, round(dot / (nq * nc), 6) AS cos_r,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY round(dot / (nq * nc), 6) DESC, nid) AS rank
+            FROM dots)
+          SELECT qid, rank, nid FROM ranked WHERE rank <= 3 ORDER BY qid, rank""",
+
+    // same capped buckets; the probe side unions the own bucket with its
+    // 1-bit flips, picks up each TARGET bucket's nsub from pops, and the
+    // join stays equi-keyed on (bucket, sub) — identical pair set, then
+    // the same 6dp-rounded ranking
+    "sim_knn_graph_mp" ->
+      s"""WITH ${Lsh.paramsSql("embeddings")},
+          comp AS (
+            SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) - 1 AS d
+            FROM embeddings),
+          $knnBucketsSql,
+          q AS (SELECT vec_id AS qid, embedding AS qe, bucket FROM withb),
+          probes0 AS (
+            SELECT qid, qe, bucket AS pb FROM q
+            UNION ALL
+            SELECT qid, qe, xor(bucket, CAST(pow(2, p) AS BIGINT)) AS pb
+            FROM q
+            CROSS JOIN (SELECT CAST(i AS INT) AS p FROM range(${Lsh.MaxPlanes}) t(i))
+            CROSS JOIN params
+            WHERE p < params.np),
+          probes AS (
+            SELECT qid, qe, pb, qid % nsub AS psub
+            FROM probes0 JOIN pops ON probes0.pb = pops.bucket),
+          c AS (SELECT vec_id AS nid, embedding AS ce, bucket AS cb,
+                       vec_id % nsub AS csub FROM withb),
+          pairs AS (SELECT qid, nid, qe, ce FROM probes JOIN c
+                    ON pb = cb AND psub = csub AND qid <> nid),
           dots AS ($dotsSql),
           ranked AS (
             SELECT qid, nid, round(dot / (nq * nc), 6) AS cos_r,

@@ -934,6 +934,39 @@ class OpsSpec extends SparkSpec {
       "capping must not orphan any node")
   }
 
+  test("multi-probe kNN graph recovers lone-bucket nodes the single-probe graph orphans") {
+    // 69 identical vectors (one bucket) + ONE vector constructed to land
+    // exactly 1 plane-bit away: u = -0.5 uniform puts every plane dot
+    // positive (bits all 1, thresholds pin to u's own projections); the
+    // outlier perturbs dim 1 by -0.5, and plane weights w(p, 1) =
+    // (-8, 26, -37, -3) make that lower ONLY plane 1's dot (w > 0) while
+    // raising the rest — so exactly bit 1 flips. Single-probe: the
+    // outlier is alone in its bucket -> zero edges. Multi-probe: its
+    // 1-bit flip reaches the cluster bucket and it gains neighbors.
+    val tmp = java.nio.file.Files.createTempDirectory("knnmp").toString
+    import spark.implicits._
+    val u = Array.fill(64)(-0.5f)
+    val outlier = u.clone(); outlier(1) = -1.0f
+    val rows = (0L until 69L).map(i => (i, u, 0)) :+ ((69L, outlier, 0))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val single = Similarity.queries("sim_knn_graph")(spark, tmp).collect()
+      .map(_.getLong(0)).toSet
+    val mp = Similarity.queries("sim_knn_graph_mp")(spark, tmp).collect()
+      .map(_.getLong(0)).toSet
+    assert(!single.contains(69L), "fixture broken: outlier not alone in its bucket")
+    assert(single.size == 69, s"cluster nodes must all have edges, got ${single.size}")
+    assert(mp.contains(69L), "multi-probe must recover the lone node")
+    assert(single.subsetOf(mp) && mp.size == 70,
+      s"multi-probe coverage ${mp.size}/70 must dominate single-probe ${single.size}/70")
+    // on the real corpus the candidate superset can only widen coverage
+    val covS = Similarity.queries("sim_knn_graph")(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    val covM = Similarity.queries("sim_knn_graph_mp")(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    assert(covS.subsetOf(covM))
+  }
+
   test("kNN clustering: labels are cluster minima and every kNN edge is intra-cluster") {
     val labels = Similarity.queries("sim_cluster_knn")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
