@@ -23,12 +23,15 @@ class DurableIndexSpec extends SparkSpec {
   // assignment, the decontamination bloom, and the trained BPE merge
   // table (semdedup_comp is durable=false by design — a build
   // intermediate, not an index)
-  // round-9: the kNN bucket frame + CC cluster labels joined the store —
-  // the clustering family's build-once/probe-forever artifact
+  // round-9: the kNN bucket frame + CC cluster labels, the winnowing
+  // fingerprint posting index, and the BM25 index trio (postings + df +
+  // corpus stats — index METADATA stored alongside the postings) joined
+  // the store
   private val keys =
     Seq("dedup_sid_index", "dedup_band_index", "ivf_label_centarr", "q8_index",
       "semdedup_centarr", "semdedup_blocks", "decontam_bloom", "bpe_merges",
-      "knn_capped_buckets", "knn_cluster_labels")
+      "knn_capped_buckets", "knn_cluster_labels", "winnow_pair_index",
+      "bm25_postings", "bm25_dfs", "bm25_stats")
 
   test("second session serves index-backed queries from the store with zero rebuilds") {
     val root = Files.createTempDirectory("graft-idx-root").toString
@@ -46,9 +49,11 @@ class DurableIndexSpec extends SparkSpec {
       val bpeA = q("text_bpe_tokens_fused")(sA, dir).collect().toSeq
       val ccA = q("sim_cluster_knn")(sA, dir).collect().toSeq
       val cbA = q("curate_cluster_balanced")(sA, dir).collect().toSeq
+      val wpA = q("dedup_winnowing_pairs")(sA, dir).collect().toSeq
+      val bmA = q("text_bm25_multi")(sA, dir).collect().toSeq
       assert(incA.nonEmpty && ivfA.nonEmpty && q8A.nonEmpty &&
         semA.nonEmpty && bloomA.nonEmpty && bpeA.nonEmpty &&
-        ccA.nonEmpty && cbA.nonEmpty)
+        ccA.nonEmpty && cbA.nonEmpty && wpA.nonEmpty && bmA.nonEmpty)
       keys.foreach { k =>
         assert(IndexStore.buildCounts.get(paths(k)).contains(1),
           s"$k: expected exactly one cold build")
@@ -92,6 +97,8 @@ class DurableIndexSpec extends SparkSpec {
       assert(q("text_bpe_tokens_fused")(sB, dir).collect().toSeq == bpeA)
       assert(q("sim_cluster_knn")(sB, dir).collect().toSeq == ccA)
       assert(q("curate_cluster_balanced")(sB, dir).collect().toSeq == cbA)
+      assert(q("dedup_winnowing_pairs")(sB, dir).collect().toSeq == wpA)
+      assert(q("text_bm25_multi")(sB, dir).collect().toSeq == bmA)
       keys.foreach { k =>
         assert(IndexStore.buildCounts.get(paths(k)).contains(1),
           s"$k: probing session must not rebuild")
