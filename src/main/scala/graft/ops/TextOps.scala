@@ -303,25 +303,29 @@ object TextOps {
       .select(col("q_id"), (col("pos") + 1).as("rank"), col("doc_id"))
   }
 
-  /** Shared oracle CTEs replaying winnowFps over a `corpus` CTE: yields
-    * `fp` (doc_id, fp) — identical grams, encoded-tie min, boundary rule. */
-  private val winnowFpSql =
-    """wd AS (
-         SELECT doc_id, string_split(text, ' ') AS w FROM corpus
-         WHERE len(string_split(text, ' ')) >= 4),
-       wg AS (
-         SELECT doc_id, i - 1 AS i, len(w) - 3 AS ng,
-                md5(array_to_string(w[i : i + 3], ' ')) AS g
-         FROM (SELECT doc_id, w, unnest(range(1, len(w) - 2)) AS i FROM wd)),
-       wsel AS (
-         SELECT doc_id, i, ng,
-                min(g || lpad(CAST(9999999999 - i AS VARCHAR), 10, '0'))
-                  OVER (PARTITION BY doc_id ORDER BY i
-                        ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS s
-         FROM wg),
-       fp AS (
-         SELECT DISTINCT doc_id, substr(s, 1, 32) AS fp
-         FROM wsel WHERE i <= ng - 5 OR (ng < 5 AND i = 0))"""
+  /** Oracle CTEs replaying winnowFps over the `rel` relation: yields
+    * `fp$tag` (doc_id, fp) — identical grams, encoded-tie min, boundary
+    * rule. `tag` disambiguates when one oracle fingerprints two corpora
+    * (the incremental index × batch query). */
+  private def winnowFpSqlFor(rel: String, tag: String = ""): String =
+    s"""wd$tag AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM $rel
+          WHERE len(string_split(text, ' ')) >= 4),
+        wg$tag AS (
+          SELECT doc_id, i - 1 AS i, len(w) - 3 AS ng,
+                 md5(array_to_string(w[i : i + 3], ' ')) AS g
+          FROM (SELECT doc_id, w, unnest(range(1, len(w) - 2)) AS i FROM wd$tag)),
+        wsel$tag AS (
+          SELECT doc_id, i, ng,
+                 min(g || lpad(CAST(9999999999 - i AS VARCHAR), 10, '0'))
+                   OVER (PARTITION BY doc_id ORDER BY i
+                         ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS s
+          FROM wg$tag),
+        fp$tag AS (
+          SELECT DISTINCT doc_id, substr(s, 1, 32) AS fp
+          FROM wsel$tag WHERE i <= ng - 5 OR (ng < 5 AND i = 0))"""
+
+  private val winnowFpSql = winnowFpSqlFor("corpus")
 
   /** Per-term BM25 contribution over posting columns (tf, df, dl, n,
     * avgdl) — ONE formula string shared verbatim by the Spark expr and the
@@ -515,6 +519,43 @@ object TextOps {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_fp"), min("fp").as("fp_min"))
         .orderBy("doc_id")),
+
+    // INCREMENTAL winnowing — the production ingest shape for span-level
+    // near-dup (the dedup_incremental discipline applied to the MOSS
+    // index): a NEW batch is fingerprinted and joined against the STORED
+    // base index only — index × batch, never a full-corpus re-pair per
+    // arrival. The index side is two durable artifacts (the posting
+    // table + its df metadata, built once, GRAFT_INDEX_DIR-backed like
+    // every other index; a deployment appends each admitted batch's
+    // postings via IndexStore.append). Stop fingerprints are a property
+    // of the INDEXED corpus — df metadata rides with the index and the
+    // probe skips them, so batch arrivals can't be blown up by
+    // boilerplate either. Output: per batch doc, the indexed docs it
+    // shares ≥2 fingerprints with, ranked by shared count, plus the
+    // CONTAINMENT ratio vs the batch doc's own fingerprint set (the
+    // admit/reject signal: a new doc mostly contained in the index is a
+    // near-dup arrival).
+    "dedup_winnowing_incr" -> ((s, dir) => {
+      val base = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val batch = base.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" zz0 zz1")).as("text"))
+      val idx = Tables.cachedFrame(s, dir, "winnow_base_index")(winnowFps(base))
+      val dfs = Tables.cachedFrame(s, dir, "winnow_base_dfs")(
+        idx.groupBy("fp").agg(count(lit(1)).as("df")))
+      val keep = idx.join(dfs.filter(col("df") <= MaxFpDf), "fp")
+        .select(col("fp"), col("doc_id"))
+      val bfps = winnowFps(batch).localCheckpoint() // 2 consumers: join + counts
+      val cnt = bfps.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      keep.as("a").join(bfps.as("b"), col("a.fp") === col("b.fp"))
+        .groupBy(col("a.doc_id").as("dup_of"), col("b.doc_id").as("doc_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .join(cnt, "doc_id")
+        .select(col("doc_id"), col("dup_of"), col("n_shared"),
+          round(col("n_shared") / col("n"), 3).as("contain_r"))
+        .orderBy("doc_id", "dup_of")
+    }),
 
     // Winnowing PAIR search — the MOSS use of the fingerprints above:
     // surface doc pairs sharing fingerprints (≥1 shared fp ⇒ a shared
@@ -1215,6 +1256,29 @@ object TextOps {
           $winnowFpSql
           SELECT doc_id, count(*) AS n_fp, min(fp) AS fp_min
           FROM fp GROUP BY doc_id ORDER BY doc_id""",
+
+    // both corpora fingerprinted by the same parameterized CTEs, the
+    // base-df stop cap, the index×batch cross join, integer shared
+    // counts — only the display ratio rounds
+    "dedup_winnowing_incr" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+          $winnowFpSql,
+          bc AS (SELECT doc_id + 100000 AS doc_id, text || ' zz0 zz1' AS text
+                 FROM documents WHERE doc_id % 3 = 0),
+          ${winnowFpSqlFor("bc", "b")},
+          wdfs AS (SELECT fp, count(*) AS df FROM fp GROUP BY fp),
+          keep AS (SELECT doc_id, f.fp FROM fp f JOIN wdfs USING (fp)
+                   WHERE df <= $MaxFpDf),
+          cnt AS (SELECT doc_id, count(*) AS n FROM fpb GROUP BY doc_id),
+          pairs AS (SELECT a.doc_id AS dup_of, b.doc_id AS doc_id,
+                           count(*) AS n_shared
+                    FROM keep a JOIN fpb b ON a.fp = b.fp
+                    GROUP BY 1, 2)
+          SELECT doc_id, dup_of, n_shared,
+                 round(n_shared / cnt.n, 3) AS contain_r
+          FROM pairs JOIN cnt USING (doc_id)
+          WHERE n_shared >= 2
+          ORDER BY doc_id, dup_of""",
 
     // same fingerprint relation over the planted near-dup corpus, the
     // same integer df cap, the same self-join + integer shared counts —

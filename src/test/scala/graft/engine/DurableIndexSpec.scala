@@ -31,7 +31,8 @@ class DurableIndexSpec extends SparkSpec {
     Seq("dedup_sid_index", "dedup_band_index", "ivf_label_centarr", "q8_index",
       "semdedup_centarr", "semdedup_blocks", "decontam_bloom", "bpe_merges",
       "knn_capped_buckets", "knn_cluster_labels", "winnow_pair_index",
-      "bm25_postings", "bm25_dfs", "bm25_stats")
+      "bm25_postings", "bm25_dfs", "bm25_stats",
+      "winnow_base_index", "winnow_base_dfs")
 
   test("second session serves index-backed queries from the store with zero rebuilds") {
     val root = Files.createTempDirectory("graft-idx-root").toString
@@ -50,6 +51,7 @@ class DurableIndexSpec extends SparkSpec {
       val ccA = q("sim_cluster_knn")(sA, dir).collect().toSeq
       val cbA = q("curate_cluster_balanced")(sA, dir).collect().toSeq
       val wpA = q("dedup_winnowing_pairs")(sA, dir).collect().toSeq
+      val wiA = q("dedup_winnowing_incr")(sA, dir).collect().toSeq
       val bmA = q("text_bm25_multi")(sA, dir).collect().toSeq
       assert(incA.nonEmpty && ivfA.nonEmpty && q8A.nonEmpty &&
         semA.nonEmpty && bloomA.nonEmpty && bpeA.nonEmpty &&
@@ -98,6 +100,7 @@ class DurableIndexSpec extends SparkSpec {
       assert(q("sim_cluster_knn")(sB, dir).collect().toSeq == ccA)
       assert(q("curate_cluster_balanced")(sB, dir).collect().toSeq == cbA)
       assert(q("dedup_winnowing_pairs")(sB, dir).collect().toSeq == wpA)
+      assert(q("dedup_winnowing_incr")(sB, dir).collect().toSeq == wiA)
       assert(q("text_bm25_multi")(sB, dir).collect().toSeq == bmA)
       keys.foreach { k =>
         assert(IndexStore.buildCounts.get(paths(k)).contains(1),

@@ -1130,6 +1130,27 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("incremental winnowing: every long-enough batch arrival is flagged against its source") {
+    val out = TextOps.queries("dedup_winnowing_incr")(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.nonEmpty)
+    val planted = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("nw")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).filter(_._2 >= 30).map(_._1)
+    assert(planted.nonEmpty)
+    planted.foreach { d =>
+      val hit = out.get((d + 100000L, d))
+      assert(hit.nonEmpty, s"batch doc ${d + 100000} not flagged against source $d")
+      // the shared span is (almost) the whole doc: containment dominates
+      assert(hit.get._2 >= 0.5, s"batch doc ${d + 100000} contain_r ${hit.get._2}")
+    }
+    out.foreach { case ((db, da), (n, r)) =>
+      assert(db >= 100000L && da < 100000L, s"($db,$da) not an index x batch pair")
+      assert(n >= 2 && r > 0.0 && r <= 1.0, s"($db,$da) n=$n r=$r")
+    }
+  }
+
   test("cluster-balanced sampling equalizes toward the rarest cluster") {
     val out = Curation.queries("curate_cluster_balanced")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
