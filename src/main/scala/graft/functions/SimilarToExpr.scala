@@ -218,6 +218,20 @@ object GraftFunctions {
           "actualNum" -> children.length.toString, "docroot" -> "-"))
     })
 
+  /** winnow_fps(words) — fused winnowing fingerprint set. */
+  val winnowFps: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("winnow_fps"),
+    new ExpressionInfo(classOf[WinnowFpsExpr].getName, "winnow_fps"),
+    {
+      case Seq(arr) => WinnowFpsExpr(arr)
+      case children => throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> "winnow_fps",
+          "expectedNum" -> "1 (array)",
+          "actualNum" -> children.length.toString, "docroot" -> "-"))
+    })
+
   /** quality_score_md5(words) — the fused linear-classifier score. */
   val qualityScore: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("quality_score_md5"),
@@ -280,6 +294,8 @@ object GraftFunctions {
       wordIds._1, wordIds._2, wordIds._3)
     spark.sessionState.functionRegistry.registerFunction(
       qualityScore._1, qualityScore._2, qualityScore._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      winnowFps._1, winnowFps._2, winnowFps._3)
     spark.sessionState.functionRegistry.registerFunction(
       bloomProbe._1, bloomProbe._2, bloomProbe._3)
     spark.sessionState.functionRegistry.registerFunction(

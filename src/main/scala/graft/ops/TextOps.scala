@@ -210,42 +210,29 @@ object TextOps {
     * word 4-gram, slide a w=5 window over the hash sequence, select each
     * window's minimum (ties → rightmost), keep the distinct selections.
     * Guarantee: any shared word-run of length ≥ w+k−1 between two docs
-    * shares ≥1 fingerprint, at ~2/(w+1) of the full gram count.
-    * Shape: explode the words (narrow), then ONE doc_id shuffle whose
-    * partition+sort serves EVERYTHING — gram construction via lead()
-    * (no array HOF anywhere, so nothing interpreted touches the corpus
-    * scan — the first transform+posexplode draft tripped PlanAudit's
-    * HOF detector), the full-gram filter, and the sliding min. The
-    * rightmost-tie rule rides INSIDE the min: the compared string is
-    * g || lpad(9999999999 − i, 10), so a plain string min picks the
-    * smallest hash and, among equals, the largest position — no
-    * argmin/min_by, which keeps the window a built-in MIN both engines
-    * order identically (binary collation on hex). The 10-digit pad
-    * supports positions to 10¹⁰−1 (a 40 GB single doc — the r8 6-digit
-    * pad went negative past 10⁶ positions, silently in BOTH engines).
-    * Docs with fewer grams than the window (4–7 tokens) take the min of
-    * ALL their grams at i=0 — the classic winnowing boundary rule; the
-    * r8 draft dropped them entirely, leaving short docs invisible to the
-    * near-dup index. */
+    * shares ≥1 fingerprint, at ~2/(w+1) of the full gram count. Docs
+    * with fewer grams than the window (4–7 tokens) take the min of ALL
+    * their grams (classic boundary rule); docs under 4 tokens are
+    * un-fingerprintable and emit nothing.
+    *
+    * Shape: the whole selection is the fused `winnow_fps` codegen
+    * kernel (graft.functions.WinnowFpsExpr) — ZERO shuffle, pure
+    * per-row algebra + one narrow explode. History, because this is the
+    * third formulation: the transform+posexplode draft tripped
+    * PlanAudit's interpreted-HOF detector; the r8 lead()+sliding-min
+    * window spelling was declarative but paid a doc_id partition+sort
+    * shuffle for per-row work — and a non-time window cannot run on a
+    * STREAMING frame at all, which the ingest path needs. The kernel
+    * serves batch and streaming identically (StreamingDedup's
+    * bandedSignatures discipline); the DuckDB oracles keep the
+    * declarative window spelling (winnowFpSqlFor) and the hash match
+    * pins the two equivalent. */
   private def winnowFps(corpus: DataFrame): DataFrame = {
-    val K = 4; val W = 5
-    import org.apache.spark.sql.expressions.Window
-    val wOrd = Window.partitionBy("doc_id").orderBy("i")
-    val winMin = wOrd.rowsBetween(Window.currentRow, W - 1)
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     corpus
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= K)
-      .select(col("doc_id"), (size(col("w")) - (K - 1)).as("ng"),
-        posexplode(col("w")).as(Seq("i", "tok")))
-      .withColumn("g", md5(concat_ws(" ", col("tok"),
-        lead("tok", 1).over(wOrd), lead("tok", 2).over(wOrd),
-        lead("tok", 3).over(wOrd))))
-      .filter(col("i") < col("ng")) // drop the K-1 tail positions' partial grams
-      .withColumn("sel", min(concat(col("g"),
-        lpad((lit(9999999999L) - col("i")).cast("string"), 10, "0"))).over(winMin))
-      .filter(col("i") <= col("ng") - W || (col("ng") < W && col("i") === 0))
-      .select(col("doc_id"), substring(col("sel"), 1, 32).as("fp"))
-      .distinct()
+      .select(col("doc_id"), expr("winnow_fps(split(text, ' '))").as("fps"))
+      .filter(size(col("fps")) > 0)
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
   }
 
   /** Stop-fingerprint cap for the winnowing pair search: a fingerprint in
@@ -514,11 +501,18 @@ object TextOps {
     // min picks the smallest hash and, among equals, the largest
     // position — no argmin/min_by, which keeps the window a built-in
     // MIN both engines order identically (binary collation on hex).
-    "text_winnowing" -> ((s, dir) =>
-      winnowFps(Tables(s, dir, "documents"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_fp"), min("fp").as("fp_min"))
-        .orderBy("doc_id")),
+    // fully NARROW with the fused kernel: per-doc count and min read off
+    // the fingerprint array itself — no shuffle anywhere but the display
+    // sort (the r8 window spelling shuffled the gram stream on doc_id)
+    "text_winnowing" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), expr("winnow_fps(split(text, ' '))").as("fps"))
+        .filter(size(col("fps")) > 0)
+        .select(col("doc_id"), size(col("fps")).cast("long").as("n_fp"),
+          array_min(col("fps")).as("fp_min"))
+        .orderBy("doc_id")
+    }),
 
     // INCREMENTAL winnowing — the production ingest shape for span-level
     // near-dup (the dedup_incremental discipline applied to the MOSS

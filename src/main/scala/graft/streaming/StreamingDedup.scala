@@ -53,6 +53,25 @@ object StreamingDedup {
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
   }
 
+  /** Streaming SPAN-LEVEL near-dup candidate hits — winnowing at ingest:
+    * each arriving doc is fingerprinted by the fused `winnow_fps` kernel
+    * (pure per-row algebra + one narrow explode — no shuffle, no
+    * streaming state; the declarative window spelling cannot run on a
+    * stream at all) and probed against the STORED posting index, passed
+    * in as a static (fp, doc_id) frame — the stream-static equi-join,
+    * zero state like IngestFilters' domain gate. Emits one row per
+    * shared fingerprint (doc_id, dup_of, fp); thresholding (the batch
+    * incr rule keeps ≥2 shared) is the consumer's call — the same
+    * candidate discipline as nearDupHits. One code path: a batch frame
+    * through this function is the batch analog, spec-pinned identical. */
+  def winnowHits(docs: DataFrame, postings: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"), explode(expr("winnow_fps(split(text, ' '))")).as("fp"))
+      .join(postings.select(col("fp"), col("doc_id").as("dup_of")), "fp")
+      .select(col("doc_id"), col("dup_of"), col("fp"))
+  }
+
   /** Streaming near-dup candidate hits. Works on a streaming `docs` frame
     * with columns (doc_id: long, text: string). */
   def nearDupHits(docs: DataFrame): Dataset[DupHit] = {

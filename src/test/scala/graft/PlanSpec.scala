@@ -175,6 +175,15 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
   }
 
+  test("winnowing is fully narrow — the fused kernel removed the gram shuffle") {
+    val p = physical("text_winnowing")
+    assert(p.contains("winnow_fps"), p)
+    // zero hash exchanges (the display sort is a range exchange); the r8
+    // spelling shuffled the exploded gram stream on doc_id for its window
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 0, p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("curation v2: classifier + domain gates add no data-bearing shuffle to the pipeline") {
     val df = ops.Curation.queries("curate_pipeline_v2")(spark, dir)
     val p = df.queryExecution.executedPlan.toString

@@ -225,6 +225,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming winnowing: arrivals probe the static fingerprint index, batch ≡ stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(60).localCheckpoint()
+    // the stored index: the base corpus's fingerprint postings (static)
+    val postings = base
+      .select(col("doc_id"), explode(expr("winnow_fps(split(text, ' '))")).as("fp"))
+      .localCheckpoint()
+    // arrivals: near-dup copies of every 3rd base doc
+    val arrivals = base.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat(col("text"), lit(" zz0 zz1")).as("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val batchOut = StreamingDedup.winnowHits(
+        arrivals.toDF("doc_id", "text"), postings)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(batchOut.nonEmpty)
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingDedup.winnowHits(mem.toDF().toDF("doc_id", "text"), postings)
+      .writeStream.format("memory").queryName("winnow_hits_t1")
+      .outputMode("append").start()
+    try {
+      val (a, b) = arrivals.splitAt(arrivals.size / 2)
+      mem.addData(a: _*)
+      q.processAllAvailable()
+      mem.addData(b: _*)
+      q.processAllAvailable()
+      val got = spark.table("winnow_hits_t1").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(got == batchOut, s"stream emitted ${got.size} hits, batch ${batchOut.size}")
+    } finally q.stop()
+    // every long-enough arrival hits its own source doc through the index
+    val byPair = batchOut.groupBy(h => (h._1, h._2)).view.mapValues(_.size).toMap
+    arrivals.filter(_._2.split(" ").length >= 30).foreach { case (id, _) =>
+      assert(byPair.getOrElse((id, id - 100000L), 0) >= 2,
+        s"arrival $id should share >=2 fingerprints with its source")
+    }
+  }
+
   test("file-source end-to-end job: JSON-lines dir → rule fan-out → parquet sink") {
     val inDir = java.nio.file.Files.createTempDirectory("graft-in")
     val outDir = java.nio.file.Files.createTempDirectory("graft-out").toString
