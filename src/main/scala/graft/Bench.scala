@@ -43,7 +43,11 @@ object Bench {
     "sim_knn_graph", "text_quality_classifier", "curate_domain_quality",
     "curate_snapshot_diff", "sim_knn_density", "text_winnowing",
     "text_hybrid_rrf", "dedup_winnowing_pairs", "text_hybrid_rrf_multi",
-    "curate_pipeline_v2", "sim_knn_graph_mp")
+    "curate_pipeline_v2", "sim_knn_graph_mp", "dedup_winnowing_incr")
+  // sim_cluster_assign joins the cluster family OUTSIDE the headline:
+  // its steady-state cost is a broadcast argmin probe (~sim_ivf_ann's
+  // shape, already represented); its build cost is the CC label job the
+  // scale probe measures honestly.
   // sim_cluster_knn and curate_cluster_balanced join
   // dedup_cluster_cc/_stars OUTSIDE the headline set: iterative-CC
   // queries are round-latency-dominated at bench SF (each star round is

@@ -54,7 +54,7 @@ object ScaleProbe {
     "curate_snapshot_diff", "sim_cluster_knn", "sim_knn_density",
     "text_winnowing", "curate_cluster_balanced", "text_hybrid_rrf",
     "dedup_winnowing_pairs", "text_hybrid_rrf_multi", "curate_pipeline_v2",
-    "sim_knn_graph_mp", "dedup_winnowing_incr")
+    "sim_knn_graph_mp", "dedup_winnowing_incr", "sim_cluster_assign")
 
   def main(args: Array[String]): Unit = {
     val spillMode = args.headOption.contains("spill")

@@ -453,6 +453,37 @@ object Similarity {
     // clusterLabels — a DURABLE INDEX ARTIFACT, not a per-query plan.
     "sim_cluster_knn" -> ((s, dir) => clusterLabels(s, dir).orderBy("node")),
 
+    // Cluster ASSIGNMENT — routing vectors into the STORED semantic
+    // clusters without re-clustering: per-cluster centroids are derived
+    // once from the durable label artifact (clusterLabels × embeddings,
+    // the labelCentroids array form — itself durable as
+    // knn_cluster_centarr), and a probe is one codegen'd vec_sqdist per
+    // (vector, centroid) + the bounded min(struct) argmin. This is the
+    // consumer a production pipeline runs between full re-cluster jobs:
+    // new data routes into existing clusters (for balanced sampling,
+    // SemDeDup pruning, cluster analytics) at broadcast-join cost. The
+    // ingest-side twin is IngestFilters.clusterAssign (same centroids,
+    // stateless on a stream); at very large k the centroid table
+    // becomes hierarchical (route via a coarse level first) — the same
+    // swap IVF makes.
+    "sim_cluster_assign" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val e = Tables(s, dir, "embeddings")
+      val cents = Tables.cachedFrame(s, dir, "knn_cluster_centarr")(
+        labelCentroids(clusterLabels(s, dir)
+          .join(e, col("node") === col("vec_id"))
+          .select(col("cluster").as("label"), col("embedding"))))
+      e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        .crossJoin(broadcast(cents))
+        .select(col("qid"), col("label"),
+          round(expr("vec_sqdist(qe, carr)"), 6).as("dist"))
+        .groupBy("qid")
+        .agg(min(struct(col("dist"), col("label"))).as("m"))
+        .select(col("qid"), col("m.label").as("cluster"), col("m.dist").as("dist_r"))
+        .orderBy("qid")
+    }),
+
     // Multi-probe kNN graph — the RECALL knob on the capped graph build:
     // a node alone in its (sub-)bucket gets no edges from the single-
     // probe self-join (the standard LSH-graph tradeoff); here every node
@@ -921,6 +952,50 @@ object Similarity {
             SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node)
           SELECT node, min(lbl) AS cluster FROM reach
           GROUP BY node ORDER BY node""",
+
+    // the label CTEs above verbatim, then per-cluster per-dim centroid
+    // means and the same rounded-sqdist argmin as the IVF oracle
+    "sim_cluster_assign" ->
+      s"""WITH RECURSIVE ${Lsh.paramsSql("embeddings")},
+          comp AS (
+            SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) - 1 AS d
+            FROM embeddings),
+          $knnPairsSql,
+          dots AS ($dotsSql),
+          ranked AS (
+            SELECT qid, nid, round(dot / (nq * nc), 6) AS cos_r,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY round(dot / (nq * nc), 6) DESC, nid) AS rank
+            FROM dots),
+          topk AS (SELECT qid, nid FROM ranked WHERE rank <= 3),
+          edges AS (SELECT qid AS a, nid AS b FROM topk
+                    UNION SELECT nid AS a, qid AS b FROM topk),
+          reach(node, lbl) AS (
+            SELECT DISTINCT a AS node, a AS lbl FROM edges
+            UNION
+            SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node),
+          labels AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node),
+          cent AS (
+            SELECT l.cluster, c.d, avg(CAST(c.x AS DOUBLE)) AS c
+            FROM labels l JOIN comp c ON l.node = c.vec_id
+            GROUP BY l.cluster, c.d),
+          qcomp AS (
+            SELECT vec_id AS qid, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) - 1 AS d
+            FROM embeddings WHERE vec_id < 8),
+          scored AS (
+            SELECT qid, cluster,
+                   round(sum(power(CAST(x AS DOUBLE) - c, 2)), 6) AS dist
+            FROM qcomp JOIN cent USING (d)
+            GROUP BY qid, cluster),
+          best AS (
+            SELECT qid, cluster, dist,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY dist, cluster) AS rk
+            FROM scored)
+          SELECT qid, cluster, dist AS dist_r FROM best WHERE rk = 1
+          ORDER BY qid""",
 
     // replay the symmetric int8 quantization (round(x·127/max|x|)), the
     // integer-exact approx top-8, and the exact top-3 rerank

@@ -53,4 +53,30 @@ object IngestFilters {
     docs.join(broadcast(decisions), "source")
       .filter(col("keep"))
       .drop("keep")
+
+  /** Cluster routing at ingest: assign each arriving embedding to the
+    * nearest STORED cluster centroid (the knn_cluster_centarr artifact,
+    * derived from the durable labels — read driver-side as k rows of
+    * (cluster, centroid) and baked into the plan). The argmin is a
+    * codegen'd least() over k (dist, cluster) structs — identical
+    * tie-break to the batch query's min(struct) — so routing is pure
+    * per-row algebra: no join, no aggregation, no streaming state, and
+    * a stream and a batch frame take the exact same path. At very large
+    * k the artifact goes hierarchical (coarse level first), the IVF
+    * swap. Adds `cluster` and `dist_r` columns. */
+  def clusterAssign(docs: DataFrame, centroids: Seq[(Long, Seq[Double])]): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    require(centroids.nonEmpty, "clusterAssign: empty centroid artifact")
+    val cands = centroids.map { case (lbl, carr) =>
+      struct(
+        round(expr(s"vec_sqdist(embedding, array(${carr.map(v => s"${v}D").mkString(",")}))"), 6)
+          .as("dist"),
+        lit(lbl).as("cluster"))
+    }
+    val m = if (cands.size == 1) cands.head else least(cands: _*)
+    docs.withColumn("m", m)
+      .withColumn("cluster", col("m.cluster"))
+      .withColumn("dist_r", col("m.dist"))
+      .drop("m")
+  }
 }

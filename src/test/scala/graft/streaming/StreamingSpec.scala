@@ -225,6 +225,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming cluster routing: arrivals assign to stored centroids exactly as the batch query") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // the batch query builds (and memoizes) the centroid artifact; its
+    // output is the ground truth the ingest path must reproduce
+    val batchOut = graft.ops.Similarity.queries("sim_cluster_assign")(spark, dir)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(batchOut.nonEmpty)
+    val cents = graft.engine.Tables.cachedFrame(spark, dir, "knn_cluster_centarr")(
+        sys.error("centroid artifact must already be memoized"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    assert(cents.size > 1, "need multiple clusters for routing to mean anything")
+    val probes = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") < 8).select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = IngestFilters.clusterAssign(
+        mem.toDF().toDF("vec_id", "embedding"), cents)
+      .select("vec_id", "cluster", "dist_r")
+      .writeStream.format("memory").queryName("cluster_route_t1")
+      .outputMode("append").start()
+    try {
+      val (a, b) = probes.splitAt(probes.size / 2)
+      mem.addData(a: _*)
+      q.processAllAvailable()
+      mem.addData(b: _*)
+      q.processAllAvailable()
+      val got = spark.table("cluster_route_t1").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+      assert(got == batchOut,
+        s"stream routed ${got.size} vectors, batch ${batchOut.size}; must be identical")
+    } finally q.stop()
+  }
+
   test("streaming winnowing: arrivals probe the static fingerprint index, batch ≡ stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
