@@ -115,6 +115,12 @@ class DurableIndexSpec extends SparkSpec {
     } finally Tables.indexDirOverride = None
   }
 
+  test("IndexBuild's builder list names real queries (the CLI can't drift from the registry)") {
+    graft.jobs.IndexBuild.builders.foreach { b =>
+      assert(graft.SparkEntry.queries.contains(b), s"IndexBuild builder '$b' is not a registered query")
+    }
+  }
+
   test("a crashed partial write (no _SUCCESS marker) is rebuilt, not served") {
     import org.apache.spark.sql.functions._
     val path = Files.createTempDirectory("graft-idx-part").toString + "/idx"
