@@ -18,6 +18,9 @@ object PlanAudit {
   private val bnljAllowed = Set(
     "sim_topk_bruteforce", "sim_ivf_ann", "sim_ivf_nprobe2", "sim_ivf_kmeans",
     "sim_lsh_ann", "sim_q8_rerank", "sim_pq_adc",
+    // the tiny centroid artifact crossJoin-broadcast onto the 8-row
+    // probe set (sim_ivf_ann's exact assignment shape)
+    "sim_cluster_assign",
     "text_bm25_topk", "text_bm25_multi",
     // bm25 stats row + the 1-row query vector, each crossJoin-broadcast
     // onto one corpus pass; the fusion join touches <=10-row lists
