@@ -43,7 +43,8 @@ object Bench {
     "sim_knn_graph", "text_quality_classifier", "curate_domain_quality",
     "curate_snapshot_diff", "sim_knn_density", "text_winnowing",
     "text_hybrid_rrf", "dedup_winnowing_pairs", "text_hybrid_rrf_multi",
-    "curate_pipeline_v2", "sim_knn_graph_mp", "dedup_winnowing_incr")
+    "curate_pipeline_v2", "sim_knn_graph_mp", "dedup_winnowing_incr",
+    "text_topk_ngrams", "dedup_source_overlap")
   // sim_cluster_assign joins the cluster family OUTSIDE the headline:
   // its steady-state cost is a broadcast argmin probe (~sim_ivf_ann's
   // shape, already represented); its build cost is the CC label job the
@@ -53,7 +54,9 @@ object Bench {
   // queries are round-latency-dominated at bench SF (each star round is
   // a fixed handful of jobs; the data term only shows at probe scale),
   // so they'd measure scheduler latency, not the engine — the scale
-  // probe is their honest benchmark.
+  // probe is their honest benchmark. sim_graph_pagerank is outside for
+  // the same reason (5 fixed join+agg rounds; its build cost is a
+  // scale-probe row, its steady state a stored-artifact scan).
 
   /** One timed query: (name, min, median, max) over the reps. */
   type Timing = (String, Double, Double, Double)

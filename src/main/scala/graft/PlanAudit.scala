@@ -28,6 +28,11 @@ object PlanAudit {
     // same shape, N queries: the tiny query-vector set crossJoin-broadcast
     // onto one corpus pass; fusion joins two <=8-row-per-query lists
     "text_hybrid_rrf_multi",
+    // the `<`-ordered self-pairing of the per-SOURCE signature frame:
+    // both sides are aggregated to one row per source before the join,
+    // so the broadcast carries #sources rows and the loop is #sources²
+    // comparisons — index-metadata scale, not data scale
+    "dedup_source_overlap",
     "text_vocab_topk", "text_length_outliers", "text_length_outliers_approx",
     // two 1-row corpus-stat frames (rt, tt) cross-joined onto the
     // 1024-row weight table — never onto the document stream

@@ -180,6 +180,22 @@ object GraftFunctions {
     new ExpressionInfo(classOf[ShingleIdsExpr].getName, "shingle_sids_xx"),
     shingle("shingle_sids_xx", useXx = true))
 
+  /** ngrams_ws(words, width) — fused distinct n-gram STRING array; width
+    * must be a literal (baked into the kernel at plan-build time). */
+  val ngramsWs: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("ngrams_ws"),
+    new ExpressionInfo(classOf[NgramsExpr].getName, "ngrams_ws"),
+    {
+      case Seq(arr, w) =>
+        NgramsExpr(arr,
+          foldableArg("ngrams_ws", "width", "INT", w).asInstanceOf[Number].intValue())
+      case children => throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> "ngrams_ws", "expectedNum" -> "2 (array, literal width)",
+          "actualNum" -> children.length.toString, "docroot" -> "-"))
+    })
+
   /** bloom_might_contain(key, bytes) — the filter bytes must be a literal
     * (deserialized once at plan build, attached to codegen as a reference
     * object). */
@@ -290,6 +306,8 @@ object GraftFunctions {
       shingleMd5._1, shingleMd5._2, shingleMd5._3)
     spark.sessionState.functionRegistry.registerFunction(
       shingleXx._1, shingleXx._2, shingleXx._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      ngramsWs._1, ngramsWs._2, ngramsWs._3)
     spark.sessionState.functionRegistry.registerFunction(
       wordIds._1, wordIds._2, wordIds._3)
     spark.sessionState.functionRegistry.registerFunction(

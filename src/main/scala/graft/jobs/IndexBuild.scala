@@ -42,7 +42,8 @@ object IndexBuild {
     "text_bm25_multi",          // bm25_postings + bm25_dfs + bm25_stats
     "dedup_winnowing_pairs",    // winnow_pair_index
     "dedup_winnowing_incr",     // winnow_base_index + winnow_base_dfs
-    "sim_cluster_assign")       // knn_capped_buckets + knn_cluster_labels + knn_cluster_centarr
+    "sim_cluster_assign",       // knn_capped_buckets + knn_cluster_labels + knn_cluster_centarr
+    "sim_graph_pagerank")       // knn_pagerank
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(

@@ -442,6 +442,45 @@ object Dedup {
       candidatePairs(sidArrays(nearDupCorpus(s, dir), xxSids)).orderBy("da", "db")
     }),
 
+    // CORPUS-LEVEL source overlap: the data-mixing diagnostic — how much
+    // shingle vocabulary do two ingest sources share? Each source gets a
+    // 16-permutation MinHash signature of its UNION of shingles, and each
+    // source pair an estimated Jaccard = matching permutations / 16. The
+    // signature trick makes this free at scale: min is idempotent over
+    // duplicates, so per-source minima need NO per-doc distinct and no
+    // posting-list join — per-doc minhash16 arrays come from the same
+    // fused kernel the pair search uses (one narrow pass), the per-source
+    // elementwise min is a map-side-combined aggregate whose shuffle
+    // carries tasks × sources × 16 longs, and the pairwise compare runs
+    // on a #sources-row frame. Compare dedup_minhash_lsh, which answers
+    // the per-DOCUMENT version of this question; a cross-source
+    // contamination AUDIT at 100 TB starts here, then drills into the
+    // high-overlap pair with the document-level machinery.
+    "dedup_source_overlap" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val perDoc = Tables(s, dir, "documents")
+        .select(col("source"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("source"), expr(s"$md5Sids(w, 3)").as("sids"))
+        .select(col("source"), expr("minhash16(sids)").as("mh"))
+      val mins = (0 until 16).map(i => min(col("mh")(i)).as(s"m$i"))
+      val sigs = perDoc.groupBy("source").agg(mins.head, mins.tail: _*)
+      val x = sigs.select(col("source").as("src_a") +:
+        (0 until 16).map(i => col(s"m$i").as(s"a$i")): _*)
+      val y = sigs.select(col("source").as("src_b") +:
+        (0 until 16).map(i => col(s"m$i").as(s"b$i")): _*)
+      // non-equi self-pairing over the #sources-row signature frame —
+      // broadcast by construction (aggregated to one row per source); the
+      // match count is 16 codegen'd comparisons, no lambda in the plan
+      val matches = (0 until 16)
+        .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      x.join(broadcast(y), col("src_a") < col("src_b"))
+        .select(col("src_a"), col("src_b"), matches.as("matches"))
+        .withColumn("jaccard_est", round(col("matches") / 16.0, 6))
+        .orderBy("src_a", "src_b")
+    }),
+
     // INCREMENTAL dedup: a NEW batch against the EXISTING corpus — the
     // shape a production ingest actually runs (a full-corpus re-pair per
     // arriving shard would be O(corpus) work per batch). The base corpus's
@@ -951,6 +990,25 @@ object Dedup {
           FROM com JOIN cnt ca ON com.da = ca.doc_id JOIN cnt cb ON com.db = cb.doc_id
           WHERE round(common / (ca.c + cb.c - common * 1.0), 3) >= 0.5
           ORDER BY da, db""",
+
+    // per-source signature = min over the source's (doc, shingle) stream
+    // per permutation (the per-doc minhash16 elementwise-min composes to
+    // exactly this, min being associative), then the pairwise match count
+    "dedup_source_overlap" ->
+      s"""WITH ${docShSqlFor("SELECT doc_id, text FROM documents")},
+          perms AS (SELECT i, 12345 * i + 1103515245 AS a, 987654 * i + 67867967 AS b
+                    FROM range(16) t(i)),
+          sig AS (SELECT dd.source, p.i, min((p.a * ds.sid + p.b) % $P) AS mh
+                  FROM doc_sh ds JOIN documents dd USING (doc_id)
+                  CROSS JOIN perms p
+                  GROUP BY dd.source, p.i),
+          pw AS (SELECT x.source AS src_a, y.source AS src_b,
+                        sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS matches
+                 FROM sig x JOIN sig y ON x.i = y.i AND x.source < y.source
+                 GROUP BY 1, 2)
+          SELECT src_a, src_b, CAST(matches AS BIGINT) AS matches,
+                 round(matches / 16.0, 6) AS jaccard_est
+          FROM pw ORDER BY src_a, src_b""",
 
     // same band/verification replay restricted to the cross (base, batch)
     // candidate pairs: base ids < 100000 ≤ batch ids, so cand's da<db

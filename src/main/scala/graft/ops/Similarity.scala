@@ -139,6 +139,80 @@ object Similarity {
       Dedup.starCC(edges)._1
     }
 
+  /** Build counter for the PageRank artifact — same spec hook as
+    * labelBuildCounts: proves repeat invocations probe the stored ranks
+    * instead of re-running the edge build + iteration loop. */
+  private[graft] val prBuildCounts =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Int]
+
+  /** PageRank over the kNN similarity graph, as a DURABLE INDEX ARTIFACT
+    * (`knn_pagerank`) — the graph-centrality quality signal web-corpus
+    * curation ranks by, applied to the semantic graph: a document whose
+    * neighborhood keeps choosing it as a nearest neighbor is prototypical
+    * of a dense region; isolated or peripheral vectors rank at the
+    * teleport floor. Consumers: centrality-weighted sampling, "keep the
+    * most central exemplar" dedup policies, outlier triage.
+    *
+    * Determinism: the whole computation is INTEGER arithmetic, so both
+    * engines replay it bit-for-bit with no float-summation-order channel.
+    * Total mass S = 1e12; rank_0 = S div n; five unrolled iterations of
+    *   rank'(v) = (15·S) div (100·n)  +  Σ_{u→v} (85·rank(u)) div (100·deg(u))
+    * (floor division everywhere; Spark `div` ≡ DuckDB `//` on
+    * non-negatives). Mass lost to floor rounding and to dangling nodes
+    * (top-3 graphs have none, but sub-3 out-degrees floor harder) LEAKS
+    * rather than being redistributed — a deliberate, documented variant:
+    * ranks are consumed as a relative ordering, and the leak keeps every
+    * term exact-integer in both engines.
+    *
+    * Scale (100 TB): edges are the capped kNN build (≤ 3n rows, pair
+    * space ≤ n·cap for any distribution — see cappedKnnBuckets); each
+    * iteration is ONE shuffle join (edge frame × rank frame on src) plus
+    * ONE keyed aggregation (contributions by dst) plus a left join back
+    * to the node frame — all linear in n, lineage truncated every other
+    * round (the starCC localCheckpoint discipline). The iteration count
+    * is fixed (5), not convergence-tested: no driver-side loop decision
+    * depends on data, so the plan is static and the oracle unrollable. */
+  private[ops] def pagerankRanks(s: SparkSession, dir: String): DataFrame =
+    Tables.cachedFrame(s, dir, "knn_pagerank") {
+      prBuildCounts.updateWith((s, dir))(c => Some(c.getOrElse(0) + 1))
+      graft.functions.GraftFunctions.register(s)
+      val b = cappedKnnBuckets(s, dir)
+      val q = b.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("bucket"), (col("vec_id") % col("nsub")).as("sub"),
+        expr(normExpr("embedding")).as("qn"))
+      val c = b.select(col("vec_id").as("nid"), col("embedding").as("ce"),
+        col("bucket").as("cb"), (col("vec_id") % col("nsub")).as("csub"),
+        expr(normExpr("embedding")).as("cn"))
+      val edges = topK3(
+        q.join(c, col("bucket") === col("cb") && col("sub") === col("csub")
+            && col("qid") =!= col("nid"))
+          .select(col("qid"), col("nid"),
+            round(expr(dotExpr) / (col("qn") * col("cn")), 6).as("cos_r")))
+        .select(col("qid").as("src"), col("nid").as("dst"))
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      // (src, dst, deg) checkpointed once — five iterations scan it, not
+      // the bucket join
+      val ed = edges.join(deg, "src").localCheckpoint()
+      val e = Tables(s, dir, "embeddings")
+      val n = Tables.cachedStat(s, dir, "count:embeddings")(e.count())
+      val S = 1000000000000L
+      val base = (15L * S) / (100L * n)
+      val nodes = e.select(col("vec_id").as("node"))
+      var rank = nodes.select(col("node"), lit(S / n).as("rank"))
+      for (i <- 1 to 5) {
+        val contrib = ed
+          .join(rank.withColumnRenamed("node", "src"), "src")
+          .select(col("dst"), expr("(85 * rank) div (100 * deg)").as("c"))
+          .groupBy("dst").agg(sum(col("c")).as("cs"))
+        rank = nodes
+          .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+          .select(col("node"),
+            (lit(base) + coalesce(col("cs"), lit(0L))).as("rank"))
+        if (i % 2 == 0) rank = rank.localCheckpoint()
+      }
+      rank
+    }
+
   /** Oracle CTEs replaying cappedKnnBuckets' bucketed corpus: centered
     * buckets + per-bucket sub-split counts. Expects `comp` and `params`
     * upstream; yields `pops` (bucket, nsub) and `withb`
@@ -520,6 +594,11 @@ object Similarity {
           .select(col("qid"), col("nid"),
             round(expr(dotExpr) / (col("qn") * col("cn")), 6).as("cos_r")))
     }),
+
+    // Graph centrality over the kNN graph — see pagerankRanks. The query
+    // itself is a probe of the durable artifact (build once per session /
+    // per store, like every other index here).
+    "sim_graph_pagerank" -> ((s, dir) => pagerankRanks(s, dir).orderBy("node")),
 
     // Two-stage retrieval over an int8 SCALAR-QUANTIZED index — the
     // production memory-bandwidth lever: stage 1 scans quantized vectors
@@ -905,6 +984,41 @@ object Similarity {
                                       ORDER BY round(dot / (nq * nc), 6) DESC, nid) AS rank
             FROM dots)
           SELECT qid, rank, nid FROM ranked WHERE rank <= 3 ORDER BY qid, rank""",
+
+    // the sim_knn_graph edge replay, then five UNROLLED integer PageRank
+    // iterations (Spark `div` ≡ DuckDB `//` on non-negatives; contribution
+    // sums are integer, so order-independent) — the same chain the Spark
+    // build runs, with the fixed iteration count making unrolling exact
+    "sim_graph_pagerank" ->
+      s"""WITH ${Lsh.paramsSql("embeddings")},
+          comp AS (
+            SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) - 1 AS d
+            FROM embeddings),
+          $knnPairsSql,
+          dots AS ($dotsSql),
+          ranked AS (
+            SELECT qid, nid, round(dot / (nq * nc), 6) AS cos_r,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY round(dot / (nq * nc), 6) DESC, nid) AS rank
+            FROM dots),
+          topk AS (SELECT qid, nid FROM ranked WHERE rank <= 3),
+          deg AS (SELECT qid AS src, count(*) AS deg FROM topk GROUP BY 1),
+          ed AS (SELECT t.qid AS src, t.nid AS dst, d.deg
+                 FROM topk t JOIN deg d ON t.qid = d.src),
+          nn AS (SELECT count(*) AS n FROM embeddings),
+          r0 AS (SELECT vec_id AS node, CAST(1000000000000 // n AS BIGINT) AS rank
+                 FROM embeddings CROSS JOIN nn),
+          ${(1 to 5).map(i =>
+            s"""c$i AS (SELECT dst, sum((85 * rank) // (100 * deg)) AS cs
+                       FROM ed JOIN r${i - 1} ON ed.src = r${i - 1}.node
+                       GROUP BY dst),
+               r$i AS (SELECT e.vec_id AS node,
+                              CAST((15 * 1000000000000) // (100 * n)
+                                   + coalesce(cs, 0) AS BIGINT) AS rank
+                       FROM embeddings e CROSS JOIN nn
+                       LEFT JOIN c$i ON e.vec_id = c$i.dst)""").mkString(",\n")}
+          SELECT node, rank FROM r5 ORDER BY node""",
 
     // the sim_knn_graph ranking replay; the mean is integer-scaled sums
     // with one final division, so no summation-order channel

@@ -1133,6 +1133,28 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Corpus-level top-k frequent n-grams by DOCUMENT frequency — the
+    // memorization/boilerplate profile: the 5-grams that recur across the
+    // most documents are exactly the templated spans (headers, footers,
+    // licence blocks) line-dedup and decontamination should be pointed
+    // at, and the spans most likely to be regurgitated verbatim by a
+    // model trained on the corpus. Ranked by doc frequency (not term
+    // frequency) so one pathological repetitive document can't dominate.
+    // Scale: per-doc dedup happens in array-land inside the fused
+    // ngrams_ws kernel (graft.functions.NgramsExpr — the interpreted
+    // transform/slice/concat_ws draft made the scan GC-bound at the 100×
+    // probe, 4× marginal); the ONE shuffle is the gram groupBy with
+    // map-side combine, and the top-20 is a TakeOrdered (no global sort).
+    "text_topk_ngrams" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables(s, dir, "documents")
+        .select(split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 5)
+        .select(explode(expr("ngrams_ws(w, 5)")).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("gram")).limit(20)
+    }),
+
     // Length-outlier filter: drop docs outside the exact [p05, p95]
     // token-length quantiles — the distribution-trimming step before
     // training. The two quantiles are ONE tiny aggregate broadcast back
@@ -1628,6 +1650,19 @@ object TextOps {
                       sum(c * log2(c)) AS sclc
                FROM wc GROUP BY doc_id)
          ORDER BY doc_id""",
+
+    // per-doc distinct replayed via SELECT DISTINCT (doc_ids are unique
+    // per corpus row, so per-array distinct ≡ per-(doc, gram) distinct);
+    // the df-desc/gram-asc order makes the top-20 boundary deterministic
+    "text_topk_ngrams" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents
+           WHERE len(string_split(text, ' ')) >= 5),
+         g AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i : i + 4], ' ') AS gram
+           FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i FROM d)),
+         dfs AS (SELECT gram, count(*) AS df FROM g GROUP BY gram)
+         SELECT gram, df FROM dfs ORDER BY df DESC, gram LIMIT 20""",
 
     "text_length_outliers" ->
       """WITH lens AS (

@@ -32,7 +32,8 @@ class DurableIndexSpec extends SparkSpec {
       "semdedup_centarr", "semdedup_blocks", "decontam_bloom", "bpe_merges",
       "knn_capped_buckets", "knn_cluster_labels", "winnow_pair_index",
       "bm25_postings", "bm25_dfs", "bm25_stats",
-      "winnow_base_index", "winnow_base_dfs", "knn_cluster_centarr")
+      "winnow_base_index", "winnow_base_dfs", "knn_cluster_centarr",
+      "knn_pagerank")
 
   test("second session serves index-backed queries from the store with zero rebuilds") {
     val root = Files.createTempDirectory("graft-idx-root").toString
@@ -54,6 +55,7 @@ class DurableIndexSpec extends SparkSpec {
       val wiA = q("dedup_winnowing_incr")(sA, dir).collect().toSeq
       val bmA = q("text_bm25_multi")(sA, dir).collect().toSeq
       val caA = q("sim_cluster_assign")(sA, dir).collect().toSeq
+      val prA = q("sim_graph_pagerank")(sA, dir).collect().toSeq
       assert(incA.nonEmpty && ivfA.nonEmpty && q8A.nonEmpty &&
         semA.nonEmpty && bloomA.nonEmpty && bpeA.nonEmpty &&
         ccA.nonEmpty && cbA.nonEmpty && wpA.nonEmpty && bmA.nonEmpty)
@@ -104,6 +106,7 @@ class DurableIndexSpec extends SparkSpec {
       assert(q("dedup_winnowing_incr")(sB, dir).collect().toSeq == wiA)
       assert(q("text_bm25_multi")(sB, dir).collect().toSeq == bmA)
       assert(q("sim_cluster_assign")(sB, dir).collect().toSeq == caA)
+      assert(q("sim_graph_pagerank")(sB, dir).collect().toSeq == prA)
       keys.foreach { k =>
         assert(IndexStore.buildCounts.get(paths(k)).contains(1),
           s"$k: probing session must not rebuild")

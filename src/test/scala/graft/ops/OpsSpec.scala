@@ -1023,6 +1023,77 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("top-ngram profile: document-frequency ranked, deterministic boundary, honest counts") {
+    val out = TextOps.queries("text_topk_ngrams")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.length == 20)
+    out.sliding(2).foreach {
+      case Array((g1, d1), (g2, d2)) =>
+        assert(d1 > d2 || (d1 == d2 && g1 < g2),
+          s"order broken at ($g1,$d1) -> ($g2,$d2)")
+      case _ =>
+    }
+    assert(out.forall(_._1.split(" ").length == 5), "every gram is a 5-gram")
+    // df is a DOCUMENT count: the top gram's df can't exceed the number of
+    // docs containing it as a substring (word-aligned occurrences are a
+    // subset of substring occurrences on space-joined text)
+    val (topGram, topDf) = out.head
+    val nDocs = graft.engine.Tables(spark, dir, "documents").count()
+    val containing = graft.engine.Tables(spark, dir, "documents")
+      .filter(col("text").contains(topGram)).count()
+    assert(topDf <= containing && containing <= nDocs,
+      s"top gram df=$topDf exceeds substring-containing doc count $containing")
+    assert(topDf > 1, "a boilerplate profile with no recurring gram is vacuous")
+  }
+
+  test("source overlap: complete pair coverage, bounded estimates, exact match arithmetic") {
+    val out = Dedup.queries("dedup_source_overlap")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val k = graft.engine.Tables(spark, dir, "documents")
+      .select("source").distinct().count().toInt
+    assert(out.length == k * (k - 1) / 2, s"expected all C($k,2) source pairs")
+    out.foreach { case (a, b, m, j) =>
+      assert(a < b, s"pair ($a,$b) not canonically ordered")
+      assert(m >= 0 && m <= 16, s"($a,$b) matches=$m outside [0,16]")
+      assert(math.abs(j - m / 16.0) < 1e-9, s"($a,$b) jaccard_est $j != $m/16")
+    }
+    // the synthetic sources draw from one shared vocabulary: at least one
+    // pair must show nonzero estimated overlap, or the signature
+    // construction is broken (e.g. per-source salt leaking into the hash)
+    assert(out.exists(_._3 > 0), "every source pair estimated disjoint")
+  }
+
+  test("graph PageRank: floor-bounded, leak-only mass, in-degree-sensitive, and an index artifact") {
+    val ranks = Similarity.queries("sim_graph_pagerank")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n = graft.engine.Tables(spark, dir, "embeddings").count()
+    assert(ranks.length == n, "every vector gets a rank")
+    val S = 1000000000000L
+    val base = 15L * S / (100L * n)
+    // every node keeps at least the teleport floor; total mass only LEAKS
+    // (floor rounding + sub-3 out-degrees), never grows
+    assert(ranks.forall(_._2 >= base), "rank below the teleport floor")
+    assert(ranks.map(_._2).sum <= S, "mass grew — the iteration is wrong")
+    assert(ranks.map(_._2).distinct.length > 10, "rank distribution collapsed")
+    // centrality is in-degree-sensitive: the most-chosen neighbor must
+    // outrank the floor, and nodes nobody points at must sit exactly on it
+    val edges = Similarity.queries("sim_knn_graph")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val rmap = ranks.toMap
+    val indeg = edges.groupBy(_._2).view.mapValues(_.length).toMap
+    val popular = indeg.maxBy(_._2)._1
+    assert(rmap(popular) > base, s"max-in-degree node $popular sits on the floor")
+    rmap.keys.filterNot(indeg.contains).foreach { lonely =>
+      assert(rmap(lonely) == base, s"no-in-edge node $lonely must rank exactly base")
+    }
+    // index artifact: repeat invocations probe the memo, never rebuild
+    val builds = Similarity.prBuildCounts.getOrElse((spark, dir), 0)
+    assert(builds == 1, s"one live session must build the ranks exactly once, saw $builds")
+    assert(Similarity.queries("sim_graph_pagerank")(spark, dir).collect().nonEmpty)
+    assert(Similarity.prBuildCounts((spark, dir)) == builds,
+      "a repeat invocation re-ran the PageRank build")
+  }
+
   test("hybrid RRF: fused ranking is consistent with its two source lists") {
     val out = TextOps.queries("text_hybrid_rrf")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1),
