@@ -600,6 +600,25 @@ object Similarity {
     // per store, like every other index here).
     "sim_graph_pagerank" -> ((s, dir) => pagerankRanks(s, dir).orderBy("node")),
 
+    // Cluster EXEMPLARS: the most-central member of each semantic
+    // cluster — the "keep the prototypical copy" selection SemDeDup-style
+    // pruning and cluster summarization want (min-id canonicals are
+    // arbitrary; the max-PageRank member is the one its cluster keeps
+    // choosing as a neighbor). Pure composition of two DURABLE artifacts
+    // (labels × ranks): one node-keyed join, one bounded argmax per
+    // cluster (max over (rank, -node) structs — rank desc, ties to the
+    // smaller node, matching the oracle's window), no corpus-sized
+    // rebuild anywhere on the probe path.
+    "sim_cluster_exemplars" -> ((s, dir) => {
+      clusterLabels(s, dir)
+        .join(pagerankRanks(s, dir), "node")
+        .groupBy("cluster")
+        .agg(max(struct(col("rank"), (-col("node")).as("nn"))).as("m"))
+        .select(col("cluster"), (-col("m.nn")).as("exemplar"),
+          col("m.rank").as("rank"))
+        .orderBy("cluster")
+    }),
+
     // Two-stage retrieval over an int8 SCALAR-QUANTIZED index — the
     // production memory-bandwidth lever: stage 1 scans quantized vectors
     // (4× smaller than float32, so a 100 TB corpus scans as ~25 TB) and
@@ -747,6 +766,26 @@ object Similarity {
               sqrt(sum(CAST(xc AS DOUBLE) * CAST(xc AS DOUBLE))) AS nc
        FROM (SELECT qid, nid, unnest(qe) AS xq, unnest(ce) AS xc FROM pairs)
        GROUP BY qid, nid"""
+
+  /** Shared oracle CTE suffix replaying pagerankRanks off an upstream
+    * `topk` (qid, nid) edge set: out-degrees, the degree-attached edge
+    * list, and five unrolled integer iterations. Yields `r5` (node, rank). */
+  private val pagerankCtesSql: String =
+    s"""deg AS (SELECT qid AS src, count(*) AS deg FROM topk GROUP BY 1),
+        ed AS (SELECT t.qid AS src, t.nid AS dst, d.deg
+               FROM topk t JOIN deg d ON t.qid = d.src),
+        nn AS (SELECT count(*) AS n FROM embeddings),
+        r0 AS (SELECT vec_id AS node, CAST(1000000000000 // n AS BIGINT) AS rank
+               FROM embeddings CROSS JOIN nn),
+        ${(1 to 5).map(i =>
+          s"""c$i AS (SELECT dst, sum((85 * rank) // (100 * deg)) AS cs
+                     FROM ed JOIN r${i - 1} ON ed.src = r${i - 1}.node
+                     GROUP BY dst),
+             r$i AS (SELECT e.vec_id AS node,
+                            CAST((15 * 1000000000000) // (100 * n)
+                                 + coalesce(cs, 0) AS BIGINT) AS rank
+                     FROM embeddings e CROSS JOIN nn
+                     LEFT JOIN c$i ON e.vec_id = c$i.dst)""").mkString(",\n")}"""
 
   val oracles: Map[String, String] = Map(
     "sim_topk_bruteforce" ->
@@ -1003,22 +1042,41 @@ object Similarity {
                                       ORDER BY round(dot / (nq * nc), 6) DESC, nid) AS rank
             FROM dots),
           topk AS (SELECT qid, nid FROM ranked WHERE rank <= 3),
-          deg AS (SELECT qid AS src, count(*) AS deg FROM topk GROUP BY 1),
-          ed AS (SELECT t.qid AS src, t.nid AS dst, d.deg
-                 FROM topk t JOIN deg d ON t.qid = d.src),
-          nn AS (SELECT count(*) AS n FROM embeddings),
-          r0 AS (SELECT vec_id AS node, CAST(1000000000000 // n AS BIGINT) AS rank
-                 FROM embeddings CROSS JOIN nn),
-          ${(1 to 5).map(i =>
-            s"""c$i AS (SELECT dst, sum((85 * rank) // (100 * deg)) AS cs
-                       FROM ed JOIN r${i - 1} ON ed.src = r${i - 1}.node
-                       GROUP BY dst),
-               r$i AS (SELECT e.vec_id AS node,
-                              CAST((15 * 1000000000000) // (100 * n)
-                                   + coalesce(cs, 0) AS BIGINT) AS rank
-                       FROM embeddings e CROSS JOIN nn
-                       LEFT JOIN c$i ON e.vec_id = c$i.dst)""").mkString(",\n")}
+          $pagerankCtesSql
           SELECT node, rank FROM r5 ORDER BY node""",
+
+    // the label CTEs (edges → recursive min-label reachability) and the
+    // PageRank CTEs off the SAME topk edge set, then the per-cluster
+    // argmax window (rank desc, node asc — the max(struct(rank, -node))
+    // spelling on the Spark side)
+    "sim_cluster_exemplars" ->
+      s"""WITH RECURSIVE ${Lsh.paramsSql("embeddings")},
+          comp AS (
+            SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) - 1 AS d
+            FROM embeddings),
+          $knnPairsSql,
+          dots AS ($dotsSql),
+          ranked AS (
+            SELECT qid, nid, round(dot / (nq * nc), 6) AS cos_r,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY round(dot / (nq * nc), 6) DESC, nid) AS rank
+            FROM dots),
+          topk AS (SELECT qid, nid FROM ranked WHERE rank <= 3),
+          edges AS (SELECT qid AS a, nid AS b FROM topk
+                    UNION SELECT nid AS a, qid AS b FROM topk),
+          reach(node, lbl) AS (
+            SELECT DISTINCT a AS node, a AS lbl FROM edges
+            UNION
+            SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node),
+          labels AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node),
+          $pagerankCtesSql
+          SELECT cluster, node AS exemplar, rank FROM (
+            SELECT l.cluster, r.node, r.rank,
+                   row_number() OVER (PARTITION BY l.cluster
+                                      ORDER BY r.rank DESC, r.node) AS rk
+            FROM labels l JOIN r5 r ON l.node = r.node)
+          WHERE rk = 1 ORDER BY cluster""",
 
     // the sim_knn_graph ranking replay; the mean is integer-scaled sums
     // with one final division, so no summation-order channel

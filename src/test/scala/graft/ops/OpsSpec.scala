@@ -1094,6 +1094,24 @@ class OpsSpec extends SparkSpec {
       "a repeat invocation re-ran the PageRank build")
   }
 
+  test("cluster exemplars: one per cluster, a member of it, the (rank desc, node asc) argmax") {
+    val ex = Similarity.queries("sim_cluster_exemplars")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val labels = Similarity.queries("sim_cluster_knn")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ranks = Similarity.queries("sim_graph_pagerank")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val byCluster = labels.groupBy(_._2)
+    assert(ex.length == byCluster.size, "exactly one exemplar per cluster")
+    ex.foreach { case (c, e, rk) =>
+      val members = byCluster(c).map(_._1)
+      assert(members.contains(e), s"cluster $c exemplar $e is not a member")
+      assert(rk == ranks(e), s"cluster $c reports a stale rank for $e")
+      assert(members.map(n => (ranks(n), -n)).max == ((ranks(e), -e)),
+        s"cluster $c exemplar $e is not the centrality argmax")
+    }
+  }
+
   test("hybrid RRF: fused ranking is consistent with its two source lists") {
     val out = TextOps.queries("text_hybrid_rrf")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1),
