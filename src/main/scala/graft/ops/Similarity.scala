@@ -119,23 +119,14 @@ object Similarity {
     Tables.cachedFrame(s, dir, "knn_cluster_labels") {
       labelBuildCounts.updateWith((s, dir))(c => Some(c.getOrElse(0) + 1))
       graft.functions.GraftFunctions.register(s)
-      val b = cappedKnnBuckets(s, dir)
-      val q = b.select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("bucket"), (col("vec_id") % col("nsub")).as("sub"),
-        expr(normExpr("embedding")).as("qn"))
-      val c = b.select(col("vec_id").as("nid"), col("embedding").as("ce"),
-        col("bucket").as("cb"), (col("vec_id") % col("nsub")).as("csub"),
-        expr(normExpr("embedding")).as("cn"))
       // cosine ties in the top-3 broken by nid → the edge SET is
       // deterministic and the labels replay exactly in the oracle's
-      // recursive CTE; starCC = one boolean per round to the driver,
+      // recursive CTE; edges resolve through the shared durable edge
+      // artifact (one corpus-sized build serves labels, PageRank, and
+      // seeded diffusion); starCC = one boolean per round to the driver,
       // plan size O(1) via per-round localCheckpoint
-      val edges = topK3(
-        q.join(c, col("bucket") === col("cb") && col("sub") === col("csub")
-            && col("qid") =!= col("nid"))
-          .select(col("qid"), col("nid"),
-            round(expr(dotExpr) / (col("qn") * col("cn")), 6).as("cos_r")))
-        .select(col("qid").as("da"), col("nid").as("db"))
+      val edges = knnEdgesDeg(s, dir)
+        .select(col("src").as("da"), col("dst").as("db"))
       Dedup.starCC(edges)._1
     }
 
@@ -144,6 +135,31 @@ object Similarity {
     * instead of re-running the edge build + iteration loop. */
   private[graft] val prBuildCounts =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Int]
+
+  /** The kNN graph's degree-attached edge list (src, dst, deg) as a
+    * DURABLE artifact — the substrate every graph-diffusion consumer
+    * iterates over (global PageRank, seeded expansion). Factored out of
+    * the PageRank build so a second diffusion query doesn't pay the
+    * capped-bucket join + top-3 aggregation again: the edge build is the
+    * corpus-sized part; each diffusion is a few joins over this frame. */
+  private[ops] def knnEdgesDeg(s: SparkSession, dir: String): DataFrame =
+    Tables.cachedFrame(s, dir, "knn_edges_deg") {
+      graft.functions.GraftFunctions.register(s)
+      val b = cappedKnnBuckets(s, dir)
+      val q = b.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("bucket"), (col("vec_id") % col("nsub")).as("sub"),
+        expr(normExpr("embedding")).as("qn"))
+      val c = b.select(col("vec_id").as("nid"), col("embedding").as("ce"),
+        col("bucket").as("cb"), (col("vec_id") % col("nsub")).as("csub"),
+        expr(normExpr("embedding")).as("cn"))
+      val edges = topK3(
+        q.join(c, col("bucket") === col("cb") && col("sub") === col("csub")
+            && col("qid") =!= col("nid"))
+          .select(col("qid"), col("nid"),
+            round(expr(dotExpr) / (col("qn") * col("cn")), 6).as("cos_r")))
+        .select(col("qid").as("src"), col("nid").as("dst"))
+      edges.join(edges.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+    }
 
   /** PageRank over the kNN similarity graph, as a DURABLE INDEX ARTIFACT
     * (`knn_pagerank`) — the graph-centrality quality signal web-corpus
@@ -176,23 +192,9 @@ object Similarity {
     Tables.cachedFrame(s, dir, "knn_pagerank") {
       prBuildCounts.updateWith((s, dir))(c => Some(c.getOrElse(0) + 1))
       graft.functions.GraftFunctions.register(s)
-      val b = cappedKnnBuckets(s, dir)
-      val q = b.select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("bucket"), (col("vec_id") % col("nsub")).as("sub"),
-        expr(normExpr("embedding")).as("qn"))
-      val c = b.select(col("vec_id").as("nid"), col("embedding").as("ce"),
-        col("bucket").as("cb"), (col("vec_id") % col("nsub")).as("csub"),
-        expr(normExpr("embedding")).as("cn"))
-      val edges = topK3(
-        q.join(c, col("bucket") === col("cb") && col("sub") === col("csub")
-            && col("qid") =!= col("nid"))
-          .select(col("qid"), col("nid"),
-            round(expr(dotExpr) / (col("qn") * col("cn")), 6).as("cos_r")))
-        .select(col("qid").as("src"), col("nid").as("dst"))
-      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      // (src, dst, deg) checkpointed once — five iterations scan it, not
-      // the bucket join
-      val ed = edges.join(deg, "src").localCheckpoint()
+      // the durable edge artifact — five iterations scan it, not the
+      // bucket join
+      val ed = knnEdgesDeg(s, dir)
       val e = Tables(s, dir, "embeddings")
       val n = Tables.cachedStat(s, dir, "count:embeddings")(e.count())
       val S = 1000000000000L
@@ -600,6 +602,45 @@ object Similarity {
     // per store, like every other index here).
     "sim_graph_pagerank" -> ((s, dir) => pagerankRanks(s, dir).orderBy("node")),
 
+    // SEED EXPANSION by graph diffusion — personalized PageRank from a
+    // seed set: teleport mass goes ONLY to the seeds (the 8 probe
+    // vectors, the ANN queries' convention), three diffusion rounds push
+    // it along kNN edges, and the top-50 non-seed nodes by accumulated
+    // score are the expansion. This is the graph-based way to grow a
+    // small curated seed set into a training subset ("find more like
+    // these") — the diffusion respects the similarity graph's structure
+    // where a plain cosine threshold treats every seed independently.
+    // Same integer-exact floor-division arithmetic as the global
+    // PageRank (bit-replayable; score 0 = unreached, excluded), over the
+    // SAME durable edge artifact — per-invocation cost is three joins
+    // over (src, dst, deg), so changing the seed set is cheap, which is
+    // the point: seed sets are per-task, edges are per-corpus.
+    "sim_seed_expand" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val ed = knnEdgesDeg(s, dir)
+      val e = Tables(s, dir, "embeddings")
+      val S = 1000000000000L
+      val k = Tables.cachedStat(s, dir, "count:seeds")(
+        e.filter(col("vec_id") < 8).count())
+      val nodes = e.select(col("vec_id").as("node"))
+      def seedBase(amount: Long) =
+        when(col("node") < 8, lit(amount)).otherwise(lit(0L))
+      var score = nodes.select(col("node"), seedBase(S / k).as("score"))
+      for (_ <- 1 to 3) {
+        val contrib = ed
+          .join(score.withColumnRenamed("node", "src"), "src")
+          .select(col("dst"), expr("(85 * score) div (100 * deg)").as("c"))
+          .groupBy("dst").agg(sum(col("c")).as("cs"))
+        score = nodes
+          .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+          .select(col("node"),
+            (seedBase(15L * S / (100L * k)) + coalesce(col("cs"), lit(0L)))
+              .as("score"))
+      }
+      score.filter(col("node") >= 8 && col("score") > 0)
+        .orderBy(col("score").desc, col("node")).limit(50)
+    }),
+
     // Cluster EXEMPLARS: the most-central member of each semantic
     // cluster — the "keep the prototypical copy" selection SemDeDup-style
     // pruning and cluster summarization want (min-id canonicals are
@@ -767,13 +808,18 @@ object Similarity {
        FROM (SELECT qid, nid, unnest(qe) AS xq, unnest(ce) AS xc FROM pairs)
        GROUP BY qid, nid"""
 
-  /** Shared oracle CTE suffix replaying pagerankRanks off an upstream
-    * `topk` (qid, nid) edge set: out-degrees, the degree-attached edge
-    * list, and five unrolled integer iterations. Yields `r5` (node, rank). */
-  private val pagerankCtesSql: String =
+  /** Oracle CTEs replaying knnEdgesDeg off an upstream `topk` (qid, nid)
+    * edge set: out-degrees + the degree-attached edge list `ed`. */
+  private val edgeCtesSql: String =
     s"""deg AS (SELECT qid AS src, count(*) AS deg FROM topk GROUP BY 1),
         ed AS (SELECT t.qid AS src, t.nid AS dst, d.deg
-               FROM topk t JOIN deg d ON t.qid = d.src),
+               FROM topk t JOIN deg d ON t.qid = d.src)"""
+
+  /** Shared oracle CTE suffix replaying pagerankRanks off an upstream
+    * `topk` (qid, nid) edge set: the edge CTEs plus five unrolled integer
+    * iterations. Yields `r5` (node, rank). */
+  private val pagerankCtesSql: String =
+    s"""$edgeCtesSql,
         nn AS (SELECT count(*) AS n FROM embeddings),
         r0 AS (SELECT vec_id AS node, CAST(1000000000000 // n AS BIGINT) AS rank
                FROM embeddings CROSS JOIN nn),
@@ -1044,6 +1090,44 @@ object Similarity {
           topk AS (SELECT qid, nid FROM ranked WHERE rank <= 3),
           $pagerankCtesSql
           SELECT node, rank FROM r5 ORDER BY node""",
+
+    // the same edge replay, then three unrolled SEEDED iterations:
+    // teleport mass lands only on vec_id < 8, everything else starts (and
+    // teleports) at zero — identical floor-division arithmetic
+    "sim_seed_expand" ->
+      s"""WITH ${Lsh.paramsSql("embeddings")},
+          comp AS (
+            SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) - 1 AS d
+            FROM embeddings),
+          $knnPairsSql,
+          dots AS ($dotsSql),
+          ranked AS (
+            SELECT qid, nid, round(dot / (nq * nc), 6) AS cos_r,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY round(dot / (nq * nc), 6) DESC, nid) AS rank
+            FROM dots),
+          topk AS (SELECT qid, nid FROM ranked WHERE rank <= 3),
+          $edgeCtesSql,
+          sk AS (SELECT count(*) AS k FROM embeddings WHERE vec_id < 8),
+          p0 AS (SELECT vec_id AS node,
+                        CAST(CASE WHEN vec_id < 8 THEN 1000000000000 // k
+                             ELSE 0 END AS BIGINT) AS score
+                 FROM embeddings CROSS JOIN sk),
+          ${(1 to 3).map(i =>
+            s"""s$i AS (SELECT dst, sum((85 * score) // (100 * deg)) AS cs
+                       FROM ed JOIN p${i - 1} ON ed.src = p${i - 1}.node
+                       GROUP BY dst),
+               p$i AS (SELECT e.vec_id AS node,
+                              CAST(CASE WHEN e.vec_id < 8
+                                   THEN (15 * 1000000000000) // (100 * k)
+                                   ELSE 0 END
+                                   + coalesce(cs, 0) AS BIGINT) AS score
+                       FROM embeddings e CROSS JOIN sk
+                       LEFT JOIN s$i ON e.vec_id = s$i.dst)""").mkString(",\n")}
+          SELECT node, score FROM p3
+          WHERE node >= 8 AND score > 0
+          ORDER BY score DESC, node LIMIT 50""",
 
     // the label CTEs (edges → recursive min-label reachability) and the
     // PageRank CTEs off the SAME topk edge set, then the per-cluster

@@ -33,7 +33,7 @@ class DurableIndexSpec extends SparkSpec {
       "knn_capped_buckets", "knn_cluster_labels", "winnow_pair_index",
       "bm25_postings", "bm25_dfs", "bm25_stats",
       "winnow_base_index", "winnow_base_dfs", "knn_cluster_centarr",
-      "knn_pagerank")
+      "knn_pagerank", "knn_edges_deg")
 
   test("second session serves index-backed queries from the store with zero rebuilds") {
     val root = Files.createTempDirectory("graft-idx-root").toString

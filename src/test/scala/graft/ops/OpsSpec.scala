@@ -1094,6 +1094,28 @@ class OpsSpec extends SparkSpec {
       "a repeat invocation re-ran the PageRank build")
   }
 
+  test("seed expansion: non-seed top-50, positive scores, nothing beyond 3 hops of a seed") {
+    val out = Similarity.queries("sim_seed_expand")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.nonEmpty && out.length <= 50)
+    assert(out.forall(_._1 >= 8), "a seed leaked into its own expansion")
+    assert(out.forall(_._2 > 0), "unreached nodes must be excluded")
+    out.sliding(2).foreach {
+      case Array((n1, s1), (n2, s2)) =>
+        assert(s1 > s2 || (s1 == s2 && n1 < n2), "expansion order broken")
+      case _ =>
+    }
+    // three diffusion rounds cannot score a node more than 3 edge-hops
+    // from a seed — recompute reachability over the kNN edge list
+    val adj = Similarity.queries("sim_knn_graph")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    var reach = (0L until 8L).toSet
+    for (_ <- 1 to 3) reach = reach ++ reach.flatMap(n => adj.getOrElse(n, Set.empty[Long]))
+    assert(out.forall(o => reach.contains(o._1)),
+      "a scored node is not 3-hop reachable from any seed")
+  }
+
   test("cluster exemplars: one per cluster, a member of it, the (rank desc, node asc) argmax") {
     val ex = Similarity.queries("sim_cluster_exemplars")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
