@@ -44,7 +44,8 @@ object Bench {
     "curate_snapshot_diff", "sim_knn_density", "text_winnowing",
     "text_hybrid_rrf", "dedup_winnowing_pairs", "text_hybrid_rrf_multi",
     "curate_pipeline_v2", "sim_knn_graph_mp", "dedup_winnowing_incr",
-    "text_topk_ngrams", "dedup_source_overlap")
+    "text_topk_ngrams", "dedup_source_overlap", "curate_length_buckets",
+    "text_bpe_fertility")
   // sim_cluster_assign joins the cluster family OUTSIDE the headline:
   // its steady-state cost is a broadcast argmin probe (~sim_ivf_ann's
   // shape, already represented); its build cost is the CC label job the

@@ -57,6 +57,8 @@ object PlanAudit {
     "mix_temperature", "dedup_keep_canonical", "text_bm25_topk",
     "text_bm25_multi", "text_vocab_topk", "text_dsir_importance",
     "text_ngram_perplexity", "curate_cluster_balanced",
+    // one single-row agg of per-task (words, tokens) partials
+    "text_bpe_fertility",
     // rank windows + fusion over two TakeOrdered <=10-row lists
     "text_hybrid_rrf",
     // the bm25 stats global agg + query-count-sized rank lists

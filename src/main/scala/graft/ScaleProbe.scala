@@ -56,7 +56,8 @@ object ScaleProbe {
     "dedup_winnowing_pairs", "text_hybrid_rrf_multi", "curate_pipeline_v2",
     "sim_knn_graph_mp", "dedup_winnowing_incr", "sim_cluster_assign",
     "sim_graph_pagerank", "text_topk_ngrams", "dedup_source_overlap",
-    "sim_cluster_exemplars", "sim_seed_expand")
+    "sim_cluster_exemplars", "sim_seed_expand", "curate_length_buckets",
+    "text_bpe_fertility")
 
   def main(args: Array[String]): Unit = {
     val spillMode = args.headOption.contains("spill")

@@ -24,6 +24,18 @@ object Curation {
   private def bucket(c: String) =
     (conv(substring(md5(col(c).cast("string")), 1, 15), 16, 10).cast("long") % 100)
 
+  /** Smallest power-of-2 token bucket holding `len` — ONE formula string
+    * shared verbatim by the Spark expr and the DuckDB oracle (the
+    * engine-parity convention): a CASE ladder, not pow/log2 floats,
+    * because a doc sitting exactly on a power of 2 must bucket
+    * identically in both engines. */
+  private val lenBucketSql =
+    """CASE WHEN len <= 16 THEN 16 WHEN len <= 32 THEN 32
+            WHEN len <= 64 THEN 64 WHEN len <= 128 THEN 128
+            WHEN len <= 256 THEN 256 WHEN len <= 512 THEN 512
+            WHEN len <= 1024 THEN 1024 WHEN len <= 2048 THEN 2048
+            ELSE 4096 END"""
+
   /** Budget → deterministic shuffle → pack over a (doc_id, source,
     * n_tokens) stream — the tail every curation pipeline variant shares.
     * TWO data shuffles total: one on (source, shard4) for the budget
@@ -280,6 +292,29 @@ object Curation {
         .orderBy("lang")
     }),
 
+    // Length-bucketed batching profile: assign every document to the
+    // smallest power-of-2 token bucket that holds it and report the
+    // padding economics per bucket — the pre-training efficiency
+    // question ("how much compute do we burn padding?") that decides
+    // between plain batching, length bucketing, and sequence packing
+    // (pack_sequences is the zero-pad answer; this op quantifies what
+    // it saves). The bucket ladder is ONE CASE formula string shared
+    // verbatim by both engines; waste is integer basis points
+    // ((pad·10000) div capacity — no float channel). Topology: narrow
+    // per-row bucket assignment, one ~9-key map-side-combined agg.
+    "curate_length_buckets" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(size(split(col("text"), " ")).cast("long").as("len"))
+        .select(col("len"), expr(lenBucketSql).cast("long").as("bucket"))
+      d.groupBy("bucket")
+        .agg(count(lit(1)).as("docs"), sum("len").as("toks"))
+        .select(col("bucket"), col("docs"), col("toks"),
+          (col("bucket") * col("docs") - col("toks")).as("pad"),
+          expr("((bucket * docs - toks) * 10000) div (bucket * docs)")
+            .as("waste_bp"))
+        .orderBy("bucket")
+    }),
+
     // Corpus snapshot diff (the data-versioning step an incremental
     // pipeline runs between crawls: what was added, what disappeared,
     // what changed in place — the changed set is what gets re-processed
@@ -527,6 +562,20 @@ object Curation {
                   AS kept_frac
          FROM d JOIN dom USING (source)
          GROUP BY lang ORDER BY lang""",
+
+    "curate_length_buckets" ->
+      s"""WITH lens AS (
+            SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+            FROM documents),
+          b AS (SELECT len, CAST(($lenBucketSql) AS BIGINT) AS bucket FROM lens),
+          agg AS (SELECT bucket, count(*) AS docs,
+                         CAST(sum(len) AS BIGINT) AS toks
+                  FROM b GROUP BY bucket)
+          SELECT bucket, docs, toks,
+                 CAST(bucket * docs - toks AS BIGINT) AS pad,
+                 CAST((bucket * docs - toks) * 10000 // (bucket * docs) AS BIGINT)
+                   AS waste_bp
+          FROM agg ORDER BY bucket""",
 
     "curate_snapshot_diff" ->
       """WITH a AS (

@@ -662,6 +662,28 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Tokenizer FERTILITY under the trained BPE — corpus tokens-per-word,
+    // the standard metric for judging a tokenizer against a corpus (and
+    // for sizing compute: token budget = word count × fertility). Pure
+    // aggregation over the fused apply (one narrow kernel pass, one
+    // single-row agg of per-task partials); integer basis points
+    // ((toks·10000) div words), no float channel. A per-source breakdown
+    // is the same plan with `source` in the groupBy.
+    "text_bpe_fertility" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val ms = bpeMergesFrame(s, dir).orderBy("r").head(bpeRounds)
+        .map(_.getString(1))
+      Tables(s, dir, "documents")
+        .select(size(split(col("text"), " ")).cast("long").as("n_words"),
+          call_function("bpe_apply", col("text"), lit(ms)).as("sp"))
+        .select(col("n_words"),
+          (size(split(trim(col("sp")), "  ")) - (col("n_words") - 1)).cast("long")
+            .as("n_tokens"))
+        .agg(sum("n_words").as("words"), sum("n_tokens").as("toks"))
+        .select(col("words"), col("toks"),
+          expr("(toks * 10000) div words").as("fertility_bp"))
+    }),
+
     // CCNet-style LM perplexity scoring — the curation stage that ranks
     // raw docs by how "natural" they look under a language model trained
     // on a clean target corpus (CCNet/RefinedWeb filter on KenLM 5-gram
@@ -1512,6 +1534,18 @@ object TextOps {
     // char-spelling with '|' word markers and 6 scalar-subquery literal
     // replaces, token count = spelled tokens minus the n_words−1 markers
     "text_bpe_tokens" -> bpeTokensSql,
+
+    // the full training+apply replay as a derived table, then one
+    // corpus-level sum — per-row parity is already pinned by the
+    // text_bpe_tokens oracles, so the sums can only agree
+    "text_bpe_fertility" ->
+      s"""SELECT CAST(sum(w.words) AS BIGINT) AS words,
+                 CAST(sum(t.n_tokens) AS BIGINT) AS toks,
+                 CAST((sum(t.n_tokens) * 10000) // sum(w.words) AS BIGINT)
+                   AS fertility_bp
+          FROM ($bpeTokensSql) t
+          JOIN (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS words
+                FROM documents) w USING (doc_id)""",
 
     // the fused kernel's contract IS the chained path's output (pad/gap
     // encoding equivalence, OpsSpec-pinned) — one oracle, two plans

@@ -1094,6 +1094,38 @@ class OpsSpec extends SparkSpec {
       "a repeat invocation re-ran the PageRank build")
   }
 
+  test("BPE fertility: agrees with the per-doc fused apply; at least one token per word") {
+    val r = TextOps.queries("text_bpe_fertility")(spark, dir).collect()(0)
+    val (words, toks, bp) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val sumToks = TextOps.queries("text_bpe_tokens_fused")(spark, dir).collect()
+      .map(_.getLong(1)).sum
+    assert(toks == sumToks, "corpus token sum disagrees with the per-doc apply")
+    assert(bp == toks * 10000 / words, "basis-point arithmetic broken")
+    assert(toks >= words, "a word can never tokenize to zero tokens")
+    val sumWords = graft.engine.Tables(spark, dir, "documents")
+      .select(size(split(col("text"), " ")).cast("long").as("n")).collect()
+      .map(_.getLong(0)).sum
+    assert(words == sumWords, "word denominator disagrees with the corpus")
+  }
+
+  test("length buckets: power-of-2 ladder, exhaustive coverage, exact padding arithmetic") {
+    val out = Curation.queries("curate_length_buckets")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val ladder = Set(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L, 4096L)
+    assert(out.nonEmpty && out.forall(b => ladder.contains(b._1)))
+    val nDocs = graft.engine.Tables(spark, dir, "documents").count()
+    assert(out.map(_._2).sum == nDocs, "every doc lands in exactly one bucket")
+    out.foreach { case (bucket, docs, toks, pad, bp) =>
+      assert(pad == bucket * docs - toks && pad >= 0,
+        s"bucket $bucket padding arithmetic broken")
+      assert(bp == pad * 10000 / (bucket * docs), s"bucket $bucket basis points")
+      // smallest-holding-bucket: every member is longer than the next
+      // bucket down, so the bucket can never be less than half full
+      assert(bucket == 16 || toks > bucket / 2 * docs,
+        s"bucket $bucket holds docs that belong in a smaller bucket")
+    }
+  }
+
   test("seed expansion: non-seed top-50, positive scores, nothing beyond 3 hops of a seed") {
     val out = Similarity.queries("sim_seed_expand")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
