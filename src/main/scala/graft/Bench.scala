@@ -46,6 +46,10 @@ object Bench {
     "curate_pipeline_v2", "sim_knn_graph_mp", "dedup_winnowing_incr",
     "text_topk_ngrams", "dedup_source_overlap", "curate_length_buckets",
     "text_bpe_fertility")
+  // sim_recall_eval stays OUTSIDE the headline: it is the 7 ANN probes
+  // (every one already a headline row) re-run in one DAG plus a 168-row
+  // join — timing it would double-count the probes without adding a new
+  // perf signal. Correctness is oracle-checked like everything else.
   // sim_cluster_assign joins the cluster family OUTSIDE the headline:
   // its steady-state cost is a broadcast argmin probe (~sim_ivf_ann's
   // shape, already represented); its build cost is the CC label job the

@@ -44,7 +44,11 @@ object PlanAudit {
     "mix_rebalance", "mix_temperature",
     // the 1-row min-cluster-count frame cross-joined onto the per-cluster
     // count table (mix_rebalance's exact shape, cluster-keyed)
-    "curate_cluster_balanced")
+    "curate_cluster_balanced",
+    // composes the allowlisted ANN probes above (their broadcast query
+    // sets), plus one 1-row truth-count frame cross-joined onto the
+    // 7-row per-method summary
+    "sim_recall_eval")
 
   // A one-row global summary ends in an Exchange SinglePartition that
   // receives only per-task PARTIAL aggregates (map-side combined) — the
@@ -62,7 +66,19 @@ object PlanAudit {
     // rank windows + fusion over two TakeOrdered <=10-row lists
     "text_hybrid_rrf",
     // the bm25 stats global agg + query-count-sized rank lists
-    "text_hybrid_rrf_multi")
+    "text_hybrid_rrf_multi",
+    // the 1-row truth-count agg (24 rows in) joined onto the 7-row
+    // per-method recall summary
+    "sim_recall_eval")
+
+  /** The shuffle-count ceiling catches one QUERY accreting shuffles; a
+    * deliberate UNION of many independent pipelines legitimately sums
+    * theirs. Each entry must be a composition whose arms are individually
+    * audited under their own names. */
+  private val shuffleCountAllowed = Set(
+    // 7 ANN probe pipelines (each 1–3 shuffles, each audited standalone)
+    // + one 168-row summary agg
+    "sim_recall_eval")
 
   /** Big parquet tables: a scan of one of these feeding an INTERPRETED
     * (non-WholeStageCodegen) stretch is a hot path running the row-at-a-
@@ -108,7 +124,10 @@ object PlanAudit {
     "dedup_embedding_lsh", "dedup_embedding_cosine",
     // pq: the ADC-table collect/transform runs over the 8-row query side;
     // the encoded index and codebook build inside the session memo
-    "sim_q8_rerank", "sim_pq_adc", "mm_frame_sample", "mm_decode_features")
+    "sim_q8_rerank", "sim_pq_adc", "mm_frame_sample", "mm_decode_features",
+    // composes sim_q8_rerank / sim_pq_adc, inheriting their allowlisted
+    // index-build / 8-row-query-side transforms
+    "sim_recall_eval")
 
   /** Names of big tables scanned OUTSIDE any WholeStageCodegen span.
     * (The scan node lives inside the WSCG subtree via InputAdapter /
@@ -172,7 +191,8 @@ object PlanAudit {
           "SinglePartition" ->
             (dataBearingSinglePartition && !globalSummaryAllowed(name)),
           "10+ shuffles" ->
-            (p.linesIterator.count(_.contains("Exchange hashpartitioning")) >= 10),
+            (p.linesIterator.count(_.contains("Exchange hashpartitioning")) >= 10
+              && !shuffleCountAllowed(name)),
           s"interpreted big-table scan (${interpreted.mkString(",")})" ->
             interpreted.nonEmpty,
           "interpreted HOF over a big-table scan" ->

@@ -797,6 +797,43 @@ object Similarity {
         .join(broadcast(q), col("cqid") === col("qid"))
         .select(col("qid"), col("nid"),
           round(expr(dotExpr) / (col("qn") * col("cn")), 6).as("cos_r")))
+    }),
+
+    // ANN RECALL EVALUATION — measure the recall/cost trade instead of
+    // asserting it: every approximate index above (IVF probe narrowing,
+    // LSH bucketing, int8 scan, PQ codes) can silently lose true
+    // neighbors, and THIS query is the number that says how many. Each
+    // method's top-3 is joined against the exact brute-force top-3
+    // (ground truth) and summarized as integer hits / basis-point
+    // recall@3 per method — the evaluation loop a production vector
+    // deployment runs after every index rebuild or knob change (nprobe,
+    // plane count, codebook size). Cost at scale: ground truth is 8
+    // queries × corpus (the one exact pass), every probe side reuses the
+    // session/durable index frames, and the comparison itself moves ≤
+    // 3·|queries| rows per method — evaluation is FREE relative to one
+    // brute-force scan, which is why there is no excuse not to run it.
+    "sim_recall_eval" -> ((s, dir) => {
+      val truth = queries("sim_topk_bruteforce")(s, dir)
+        .select(col("qid"), col("nid"), lit(1L).as("hit"))
+      val methods = Seq(
+        "ivf_kmeans" -> "sim_ivf_kmeans",
+        "ivf_nprobe1" -> "sim_ivf_ann",
+        "ivf_nprobe2" -> "sim_ivf_nprobe2",
+        "lsh_multiprobe" -> "sim_lsh_multiprobe",
+        "lsh_single" -> "sim_lsh_ann",
+        "pq_adc" -> "sim_pq_adc",
+        "q8_rerank" -> "sim_q8_rerank")
+      methods.map { case (label, qn) =>
+        queries(qn)(s, dir).select(lit(label).as("method"), col("qid"), col("nid"))
+      }.reduce(_ union _)
+        .join(truth, Seq("qid", "nid"), "left")
+        .groupBy("method")
+        .agg(count(lit(1)).as("retrieved"),
+          sum(coalesce(col("hit"), lit(0L))).as("hits"))
+        .crossJoin(broadcast(truth.agg(count(lit(1)).as("truth_n"))))
+        .select(col("method"), col("retrieved"), col("hits"), col("truth_n"),
+          expr("(hits * 10000) div truth_n").as("recall_bp"))
+        .orderBy("method")
     })
   )
 
@@ -833,7 +870,7 @@ object Similarity {
                      FROM embeddings e CROSS JOIN nn
                      LEFT JOIN c$i ON e.vec_id = c$i.dst)""").mkString(",\n")}"""
 
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
     "sim_topk_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
           c AS (SELECT vec_id AS nid, embedding AS ce FROM embeddings WHERE vec_id >= 8),
@@ -1358,4 +1395,38 @@ object Similarity {
           SELECT qid, rank, nid FROM ranked WHERE rank <= 3 ORDER BY qid, rank"""
     }
   )
+
+  /** Recall oracle = the per-method oracle statements composed verbatim as
+    * subqueries (DuckDB allows a full WITH inside a derived table), so the
+    * ground truth and every method's top-3 replay EXACTLY the SQL already
+    * hash-pinned by their own queries — the eval adds only the join and
+    * integer arithmetic on top. */
+  private def recallEvalSql: String = {
+    val methods = Seq(
+      "ivf_kmeans" -> "sim_ivf_kmeans",
+      "ivf_nprobe1" -> "sim_ivf_ann",
+      "ivf_nprobe2" -> "sim_ivf_nprobe2",
+      "lsh_multiprobe" -> "sim_lsh_multiprobe",
+      "lsh_single" -> "sim_lsh_ann",
+      "pq_adc" -> "sim_pq_adc",
+      "q8_rerank" -> "sim_q8_rerank")
+    val arms = methods.map { case (label, qn) =>
+      s"SELECT '$label' AS method, qid, nid FROM (${baseOracles(qn)}) t"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH truth AS (SELECT qid, nid, 1 AS hit
+                       FROM (${baseOracles("sim_topk_bruteforce")}) t),
+        allm AS ($arms),
+        j AS (SELECT method,
+                     CAST(count(*) AS BIGINT) AS retrieved,
+                     CAST(sum(coalesce(hit, 0)) AS BIGINT) AS hits
+              FROM allm LEFT JOIN truth USING (qid, nid)
+              GROUP BY method),
+        tn AS (SELECT CAST(count(*) AS BIGINT) AS truth_n FROM truth)
+        SELECT method, retrieved, hits, truth_n,
+               CAST((hits * 10000) // truth_n AS BIGINT) AS recall_bp
+        FROM j CROSS JOIN tn ORDER BY method"""
+  }
+
+  val oracles: Map[String, String] =
+    baseOracles + ("sim_recall_eval" -> recallEvalSql)
 }

@@ -1369,4 +1369,28 @@ class OpsSpec extends SparkSpec {
     assert(r0.getLong(2) == score0)
     assert(r0.getLong(1) == text.split(" ").length.toLong)
   }
+
+  test("ANN recall eval: bounded counts, and candidate-superset knobs never lose recall") {
+    val rows = Similarity.queries("sim_recall_eval")(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.keySet == Set("ivf_kmeans", "ivf_nprobe1", "ivf_nprobe2",
+      "lsh_multiprobe", "lsh_single", "pq_adc", "q8_rerank"))
+    val truthN = rows.values.head._3
+    rows.foreach { case (m, (retrieved, hits, tn, bp)) =>
+      assert(tn == truthN, s"$m truth_n")
+      assert(retrieved <= truthN, s"$m retrieved $retrieved > truth $truthN")
+      assert(hits >= 0 && hits <= retrieved, s"$m hits $hits")
+      assert(bp == hits * 10000 / truthN, s"$m recall_bp")
+    }
+    // candidate-set inclusion ⇒ recall monotonicity (a truth member can
+    // only be displaced from an exact-cosine top-3 by other truth members,
+    // so a superset candidate pool never lowers hits): nprobe2 probes a
+    // superset of nprobe1's block, multiprobe a superset of the single
+    // bucket. These MUST hold at every sf — they are the knobs' contract.
+    assert(rows("ivf_nprobe2")._2 >= rows("ivf_nprobe1")._2,
+      "nprobe=2 lost recall vs nprobe=1")
+    assert(rows("lsh_multiprobe")._2 >= rows("lsh_single")._2,
+      "multi-probe lost recall vs single-probe")
+  }
 }
