@@ -34,6 +34,9 @@ object PlanAudit {
     // comparisons — index-metadata scale, not data scale
     "dedup_source_overlap",
     "text_vocab_topk", "text_length_outliers", "text_length_outliers_approx",
+    // the 1-row doc-count frame cross-joined onto the VOCAB-sized df
+    // table (idf scaling) — never onto the token stream
+    "text_tfidf_topk",
     // two 1-row corpus-stat frames (rt, tt) cross-joined onto the
     // 1024-row weight table — never onto the document stream
     "text_dsir_importance",
@@ -69,7 +72,9 @@ object PlanAudit {
     "text_hybrid_rrf_multi",
     // the 1-row truth-count agg (24 rows in) joined onto the 7-row
     // per-method recall summary
-    "sim_recall_eval")
+    "sim_recall_eval",
+    // the 1-row doc-count agg feeding the vocab-level idf scaling
+    "text_tfidf_topk")
 
   /** The shuffle-count ceiling catches one QUERY accreting shuffles; a
     * deliberate UNION of many independent pipelines legitimately sums

@@ -20,6 +20,13 @@ import graft.engine.Tables
 object TextOps {
   private val stopList = Seq("the", "a", "of", "and", "to", "is")
   private def stopSql = stopList.map(w => s"'$w'").mkString(", ")
+
+  /** Integer-scaled inverse document frequency — ONE formula string shared
+    * verbatim by the Spark plan and the DuckDB oracle (the engine-parity
+    * convention): ln evaluates per WORD (vocab-sized), scaled ×1e6 and
+    * floored into an exact integer before any per-document arithmetic. */
+  private val idf6Sql =
+    "CAST(round(ln(CAST(n_docs AS DOUBLE) / df) * 1e6) AS BIGINT)"
   private val P = 2147483647L // 2^31-1, same id space as Dedup's shingle ids
 
   private val emailRe = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
@@ -1177,6 +1184,37 @@ object TextOps {
         .orderBy(col("df").desc, col("gram")).limit(20)
     }),
 
+    // Per-document top-3 TF-IDF terms — the classic keyword/topic signal
+    // (what is this document ABOUT), consumed by topic-balanced sampling
+    // and dataset cards. Numeric discipline: the ONLY float is the
+    // per-WORD idf, integer-scaled once at the vocab level (idf6 =
+    // round(ln(N/df)·1e6)); per-document scores are then the exact
+    // integer tf·idf6, so ranking has no float-summation channel and
+    // ties break on the word. Scale shape: tf agg on (doc_id, word) and
+    // df agg on word are both map-side combined; the idf table is
+    // VOCAB-sized (corpus-independent ≪ corpus), so the 1-row doc-count
+    // frame cross-joins onto it — never onto the token stream — and the
+    // tf×idf join is a plain hash join on word. The per-doc top-3 is a
+    // rank window partitioned by doc_id (the tf frame is already keyed
+    // by doc_id, so the window rides one hash shuffle).
+    "text_tfidf_topk" -> ((s, dir) => {
+      val tf = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val nd = Tables(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+      val idf = tf.groupBy("word").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nd))
+        .select(col("word"), expr(idf6Sql).as("idf6"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("s6").desc, col("word"))
+      tf.join(idf, "word")
+        .select(col("doc_id"), col("word"), (col("tf") * col("idf6")).as("s6"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("word"), col("s6"))
+        .orderBy("doc_id", "rank")
+    }),
+
     // Length-outlier filter: drop docs outside the exact [p05, p95]
     // token-length quantiles — the distribution-trimming step before
     // training. The two quantiles are ONE tiny aggregate broadcast back
@@ -1697,6 +1735,28 @@ object TextOps {
            FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i FROM d)),
          dfs AS (SELECT gram, count(*) AS df FROM g GROUP BY gram)
          SELECT gram, df FROM dfs ORDER BY df DESC, gram LIMIT 20""",
+
+    // idf6Sql shared verbatim; tf·idf6 is exact integer arithmetic so
+    // the per-doc ranking has no float channel (ties break on word)
+    "text_tfidf_topk" ->
+      s"""WITH tf AS (
+            SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                  FROM documents)
+            GROUP BY doc_id, word),
+          nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+          idf AS (SELECT word, $idf6Sql AS idf6
+                  FROM (SELECT word, CAST(count(*) AS BIGINT) AS df
+                        FROM tf GROUP BY word) CROSS JOIN nd),
+          scored AS (SELECT doc_id, tf.word AS word,
+                            CAST(tf * idf6 AS BIGINT) AS s6
+                     FROM tf JOIN idf ON tf.word = idf.word),
+          ranked AS (SELECT doc_id, word, s6,
+                            CAST(row_number() OVER (PARTITION BY doc_id
+                              ORDER BY s6 DESC, word) AS BIGINT) AS rank
+                     FROM scored)
+          SELECT doc_id, rank, word, s6 FROM ranked
+          WHERE rank <= 3 ORDER BY doc_id, rank""",
 
     "text_length_outliers" ->
       """WITH lens AS (

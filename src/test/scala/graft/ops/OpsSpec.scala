@@ -1370,6 +1370,30 @@ class OpsSpec extends SparkSpec {
     assert(r0.getLong(1) == text.split(" ").length.toLong)
   }
 
+  test("tf-idf top-3 replays off-Spark: scores, ranks, and tie order") {
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val nDocs = texts.size
+    val tfByDoc = texts.map { case (id, t) =>
+      id -> t.split(" ").groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    }
+    val df = tfByDoc.values.flatMap(_.keys).groupBy(identity).map { case (w, ws) => w -> ws.size }
+    def idf6(w: String): Long = math.round(math.log(nDocs.toDouble / df(w)) * 1e6)
+    val out = TextOps.queries("text_tfidf_topk")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc.keySet == texts.keySet.filter(id => tfByDoc(id).size >= 3)
+      ++ texts.keySet.filter(id => tfByDoc(id).size < 3), "every doc represented")
+    byDoc.foreach { case (id, rows) =>
+      val expected = tfByDoc(id).toSeq
+        .map { case (w, tf) => (w, tf * idf6(w)) }
+        .sortBy { case (w, s) => (-s, w) }.take(3)
+      val got = rows.sortBy(_._2).map(r => (r._3, r._4)).toSeq
+      assert(got == expected, s"doc $id: got $got expected $expected")
+    }
+  }
+
   test("ANN recall eval: bounded counts, and candidate-superset knobs never lose recall") {
     val rows = Similarity.queries("sim_recall_eval")(spark, dir).collect()
       .map(r => r.getString(0) ->
