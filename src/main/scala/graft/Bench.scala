@@ -45,7 +45,7 @@ object Bench {
     "text_hybrid_rrf", "dedup_winnowing_pairs", "text_hybrid_rrf_multi",
     "curate_pipeline_v2", "sim_knn_graph_mp", "dedup_winnowing_incr",
     "text_topk_ngrams", "dedup_source_overlap", "curate_length_buckets",
-    "text_bpe_fertility", "text_tfidf_topk")
+    "text_bpe_fertility", "text_tfidf_topk", "curate_curriculum")
   // sim_recall_eval stays OUTSIDE the headline: it is the 7 ANN probes
   // (every one already a headline row) re-run in one DAG plus a 168-row
   // join — timing it would double-count the probes without adding a new

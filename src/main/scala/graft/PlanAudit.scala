@@ -48,6 +48,9 @@ object PlanAudit {
     // the 1-row min-cluster-count frame cross-joined onto the per-cluster
     // count table (mix_rebalance's exact shape, cluster-keyed)
     "curate_cluster_balanced",
+    // the 1-row quantile-threshold frame cross-joined onto the scan
+    // (text_length_outliers' exact shape)
+    "curate_curriculum",
     // composes the allowlisted ANN probes above (their broadcast query
     // sets), plus one 1-row truth-count frame cross-joined onto the
     // 7-row per-method summary
@@ -63,7 +66,7 @@ object PlanAudit {
     "text_length_outliers_approx", "mix_rebalance",
     "mix_temperature", "dedup_keep_canonical", "text_bm25_topk",
     "text_bm25_multi", "text_vocab_topk", "text_dsir_importance",
-    "text_ngram_perplexity", "curate_cluster_balanced",
+    "text_ngram_perplexity", "curate_cluster_balanced", "curate_curriculum",
     // one single-row agg of per-task (words, tokens) partials
     "text_bpe_fertility",
     // rank windows + fusion over two TakeOrdered <=10-row lists
@@ -125,7 +128,7 @@ object PlanAudit {
     // the word-count shuffle (per-word arrays ≤ word length); the corpus
     // scan below the shuffle never evaluates a lambda
     "text_bpe_train",
-    "pack_sequences", "quality_expectations",
+    "pack_sequences", "quality_expectations", "curate_curriculum",
     "dedup_embedding_lsh", "dedup_embedding_cosine",
     // pq: the ADC-table collect/transform runs over the 8-row query side;
     // the encoded index and codebook build inside the session memo

@@ -36,6 +36,19 @@ object Curation {
             WHEN len <= 1024 THEN 1024 WHEN len <= 2048 THEN 2048
             ELSE 4096 END"""
 
+  /** Integer quality score in basis points — the text_quality composite
+    * ×10000 into a BIGINT; ONE formula string shared verbatim by the
+    * Spark plan and the DuckDB oracle. Expects n_words / n_stop columns. */
+  private val scoreBpSql =
+    "CAST(round(least(n_words, 400) / 400.0 * (1.0 - n_stop / (n_words * 1.0)) * 10000) AS BIGINT)"
+
+  /** Curriculum phase from the score-quantile thresholds (p25/p50/p75
+    * columns): phase 1 = cleanest quartile trains first. Shared verbatim
+    * by both engines so interpolated-threshold comparisons can't diverge. */
+  private val phaseSql =
+    """CAST(CASE WHEN score_bp >= p75 THEN 1 WHEN score_bp >= p50 THEN 2
+                 WHEN score_bp >= p25 THEN 3 ELSE 4 END AS BIGINT)"""
+
   /** Budget → deterministic shuffle → pack over a (doc_id, source,
     * n_tokens) stream — the tail every curation pipeline variant shares.
     * TWO data shuffles total: one on (source, shard4) for the budget
@@ -386,6 +399,36 @@ object Curation {
           round(col("w") / col("tw"), 6).as("q"),
           round((col("w") / col("tw")) / (col("n") / col("tn")), 4).as("epochs"))
         .orderBy("lang")
+    }),
+
+    // Quality CURRICULUM: partition the corpus into four training phases
+    // by score quartile (phase 1 = cleanest quartile first — the
+    // quality-ordered schedule curriculum-training recipes use), and
+    // report each phase's doc/token mass and score range. Scale shape:
+    // phase boundaries are GLOBAL SCORE QUANTILES, not a global sort —
+    // one tiny exact-percentile aggregate broadcast back over the scan
+    // (at 100 TB swap `percentile` for `percentile_approx`, the
+    // text_length_outliers discipline), so phase assignment is narrow
+    // per-row arithmetic and the only data shuffle is the 4-key phase
+    // rollup. A row_number curriculum would funnel the corpus through
+    // one partition; quantile phases scale with the scan.
+    "curate_curriculum" -> ((s, dir) => {
+      val scored = Tables(s, dir, "documents")
+        .withColumn("n_words", size(split(col("text"), " ")))
+        .withColumn("n_stop",
+          expr(s"size(filter(split(text, ' '), w -> w IN (${TextOps.stopSql})))"))
+        .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
+          expr(scoreBpSql).as("score_bp"))
+      val bounds = scored.agg(
+        expr("percentile(score_bp, 0.25)").as("p25"),
+        expr("percentile(score_bp, 0.50)").as("p50"),
+        expr("percentile(score_bp, 0.75)").as("p75"))
+      scored.crossJoin(broadcast(bounds))
+        .withColumn("phase", expr(phaseSql))
+        .groupBy("phase")
+        .agg(count(lit(1)).as("docs"), sum("n_words").as("tokens"),
+          min("score_bp").as("min_bp"), max("score_bp").as("max_bp"))
+        .orderBy("phase")
     })
   )
 
@@ -622,6 +665,27 @@ object Curation {
                 round(n / (1.0 * tn), 6) AS p,
                 round(w / tw, 6) AS q,
                 round((w / tw) / (n / (1.0 * tn)), 4) AS epochs
-         FROM c CROSS JOIN t ORDER BY lang"""
+         FROM c CROSS JOIN t ORDER BY lang""",
+
+    // scoreBpSql / phaseSql shared verbatim; quantile_cont ≡ Spark's
+    // exact `percentile` (the text_length_outliers equivalence)
+    "curate_curriculum" ->
+      s"""WITH scored AS (
+            SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+                   $scoreBpSql AS score_bp
+            FROM (SELECT doc_id,
+                         len(string_split(text, ' ')) AS n_words,
+                         len(list_filter(string_split(text, ' '),
+                             w -> w IN (${TextOps.stopSql}))) AS n_stop
+                  FROM documents)),
+          b AS (SELECT quantile_cont(score_bp, 0.25) AS p25,
+                       quantile_cont(score_bp, 0.50) AS p50,
+                       quantile_cont(score_bp, 0.75) AS p75 FROM scored)
+          SELECT $phaseSql AS phase,
+                 CAST(count(*) AS BIGINT) AS docs,
+                 CAST(sum(n_words) AS BIGINT) AS tokens,
+                 CAST(min(score_bp) AS BIGINT) AS min_bp,
+                 CAST(max(score_bp) AS BIGINT) AS max_bp
+          FROM scored CROSS JOIN b GROUP BY 1 ORDER BY phase"""
   )
 }

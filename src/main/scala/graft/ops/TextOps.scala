@@ -19,7 +19,7 @@ import graft.engine.Tables
   */
 object TextOps {
   private val stopList = Seq("the", "a", "of", "and", "to", "is")
-  private def stopSql = stopList.map(w => s"'$w'").mkString(", ")
+  private[ops] def stopSql = stopList.map(w => s"'$w'").mkString(", ")
 
   /** Integer-scaled inverse document frequency — ONE formula string shared
     * verbatim by the Spark plan and the DuckDB oracle (the engine-parity

@@ -1394,6 +1394,24 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("curriculum phases: complete partition, disjoint descending score ranges") {
+    val rows = Curation.queries("curate_curriculum")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == rows.map(_._1).toSeq.sorted, "phase order")
+    assert(rows.forall(r => r._2 > 0 && r._3 > 0), "no empty phase at this sf")
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.map(_._2).sum == total, "every doc lands in exactly one phase")
+    // quartile thresholds make the per-phase score ranges disjoint and
+    // strictly descending (equal scores always share a phase)
+    rows.sliding(2).foreach {
+      case Array(hi, lo) =>
+        assert(lo._5 < hi._4,
+          s"phase ${lo._1} range [${lo._4},${lo._5}] overlaps phase ${hi._1} [${hi._4},${hi._5}]")
+      case _ =>
+    }
+    rows.foreach { case (p, _, _, mn, mx) => assert(mn <= mx, s"phase $p range") }
+  }
+
   test("ANN recall eval: bounded counts, and candidate-superset knobs never lose recall") {
     val rows = Similarity.queries("sim_recall_eval")(spark, dir).collect()
       .map(r => r.getString(0) ->
