@@ -57,7 +57,8 @@ object ScaleProbe {
     "sim_knn_graph_mp", "dedup_winnowing_incr", "sim_cluster_assign",
     "sim_graph_pagerank", "text_topk_ngrams", "dedup_source_overlap",
     "sim_cluster_exemplars", "sim_seed_expand", "curate_length_buckets",
-    "text_bpe_fertility", "text_tfidf_topk", "curate_curriculum")
+    "text_bpe_fertility", "text_tfidf_topk", "curate_curriculum",
+    "sim_cluster_profile")
 
   def main(args: Array[String]): Unit = {
     val spillMode = args.headOption.contains("spill")

@@ -799,6 +799,27 @@ object Similarity {
           round(expr(dotExpr) / (col("qn") * col("cn")), 6).as("cos_r")))
     }),
 
+    // Cluster COMPOSITION profile — what each semantic cluster actually
+    // CONTAINS: the stored kNN cluster labels joined to document
+    // metadata (vec_id ≡ doc_id, the corpus convention the hybrid
+    // retrieval queries pin), rolled up to per-(cluster, lang) doc and
+    // token mass. This is the analytics consumer of the durable label
+    // artifact: mixture audits ("is cluster 7 all French boilerplate?"),
+    // per-cluster sampling weights, and dataset cards all read this
+    // table. Scale: labels are an (n × 2) artifact probed from the
+    // store (zero CC rounds on the probe path — the OpsSpec job-count
+    // pin), the join is one hash join on the id, and the rollup is a
+    // map-side-combined agg on a cluster×lang key space.
+    "sim_cluster_profile" -> ((s, dir) => {
+      clusterLabels(s, dir)
+        .join(Tables(s, dir, "documents")
+          .select(col("doc_id").as("node"), col("lang"),
+            size(split(col("text"), " ")).cast("long").as("n_words")), "node")
+        .groupBy("cluster", "lang")
+        .agg(count(lit(1)).as("docs"), sum("n_words").as("tokens"))
+        .orderBy("cluster", "lang")
+    }),
+
     // ANN RECALL EVALUATION — measure the recall/cost trade instead of
     // asserting it: every approximate index above (IVF probe narrowing,
     // LSH bucketing, int8 scan, PQ codes) can silently lose true
@@ -1428,5 +1449,17 @@ object Similarity {
   }
 
   val oracles: Map[String, String] =
-    baseOracles + ("sim_recall_eval" -> recallEvalSql)
+    baseOracles ++ Map(
+      "sim_recall_eval" -> recallEvalSql,
+      // the full label replay as a derived table + one metadata join
+      "sim_cluster_profile" ->
+        s"""WITH labels AS (SELECT * FROM (${baseOracles("sim_cluster_knn")}) t),
+            d AS (SELECT doc_id, lang,
+                         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+                  FROM documents)
+            SELECT cluster, lang,
+                   CAST(count(*) AS BIGINT) AS docs,
+                   CAST(sum(n_words) AS BIGINT) AS tokens
+            FROM labels l JOIN d ON l.node = d.doc_id
+            GROUP BY cluster, lang ORDER BY cluster, lang""")
 }

@@ -1412,6 +1412,20 @@ class OpsSpec extends SparkSpec {
     rows.foreach { case (p, _, _, mn, mx) => assert(mn <= mx, s"phase $p range") }
   }
 
+  test("cluster profile: exact partition of the labeled nodes by (cluster, lang)") {
+    val labels = Similarity.queries("sim_cluster_knn")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val prof = Similarity.queries("sim_cluster_profile")(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+    assert(prof.map(_._1).distinct.length == prof.length, "one row per (cluster, lang)")
+    assert(prof.map(_._2._1).sum == labels.length,
+      "every labeled node counted exactly once")
+    assert(prof.map(_._1._1).toSet == labels.map(_._2).toSet,
+      "profile covers exactly the label clusters")
+    assert(prof.forall { case (_, (docs, tokens)) => docs > 0 && tokens >= docs },
+      "positive masses (every doc has >= 1 word)")
+  }
+
   test("ANN recall eval: bounded counts, and candidate-superset knobs never lose recall") {
     val rows = Similarity.queries("sim_recall_eval")(spark, dir).collect()
       .map(r => r.getString(0) ->
