@@ -45,7 +45,8 @@ object Bench {
     "text_hybrid_rrf", "dedup_winnowing_pairs", "text_hybrid_rrf_multi",
     "curate_pipeline_v2", "sim_knn_graph_mp", "dedup_winnowing_incr",
     "text_topk_ngrams", "dedup_source_overlap", "curate_length_buckets",
-    "text_bpe_fertility", "text_tfidf_topk", "curate_curriculum")
+    "text_bpe_fertility", "text_tfidf_topk", "curate_curriculum",
+    "mm_dedup_phash")
   // sim_recall_eval stays OUTSIDE the headline: it is the 7 ANN probes
   // (every one already a headline row) re-run in one DAG plus a 168-row
   // join — timing it would double-count the probes without adding a new
@@ -82,10 +83,12 @@ object Bench {
     * the current headline size + 5 with worst-case timings. */
   // Raised 1450 → 1800 in round 8 when the headline hit 57 queries and
   // the growth guard tripped (by design — growth must raise this
-  // CONSCIOUSLY). Margin math: the driver's tail capture keeps the LAST
-  // ~2 KB and the compact line prints last, so 1 800 still fits even if
-  // a stray WARN lands after it; the r6 loss was a 3.4 KB line.
-  private[graft] val lineCap = 1800
+  // CONSCIOUSLY); raised 1800 → 1880 in round 9 at 69 queries (the
+  // realistic line measures 1810 bytes). Margin math: the driver's tail
+  // capture keeps the LAST ~2 KB and the compact line prints last, so
+  // 1 880 leaves 168 bytes for sbt's trailing "[success] …" line; the
+  // r6 loss was a 3.4 KB line.
+  private[graft] val lineCap = 1880
   private[graft] def compactLine(results: Seq[Timing], reps: Int, sf: String,
       extra: String = ""): String = {
     val total = results.map(_._2).sum

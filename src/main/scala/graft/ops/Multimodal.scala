@@ -25,8 +25,21 @@ object Multimodal {
   final case class MediaFeatures(
       doc_id: Long, format: String, n_bytes: Int, chunk_means: Array[Double])
   final case class FrameSample(doc_id: Long, frame: Int, fmean: Double)
+  final case class MediaSig(doc_id: Long, lo: Long, hi: Long)
 
   private val formats = Seq("png", "jpg", "wav", "mp4")
+
+  /** Band-bucket population cap for the perceptual-hash pair search. A
+    * 16-bit band value shared by more than this many assets is a STOP
+    * BAND — byte-profile boilerplate (the all-white thumbnail / silence
+    * clip problem): listing its internal pairs is both quadratic and
+    * useless, exactly the winnowing MaxFpDf / ngram stop-gram rationale.
+    * Measured before the cap at the 100× probe: replicated prose is
+    * byte-similar across copies, so band buckets went mega and the pair
+    * OUTPUT exploded 720 → 26.8M rows (8.1× time marginal — workload
+    * density, not engine shape). With the cap, pair space is
+    * ≤ 4·n·MaxBandPop for any corpus. */
+  private[ops] val MaxBandPop = 64
 
   /** documents → media table: payload = utf8 bytes of `text` (a stand-in
     * for real image/audio bytes), metadata derived deterministically. */
@@ -82,6 +95,45 @@ object Multimodal {
     }
   }
 
+  /** Average-hash (aHash) perceptual signature, computed INSIDE the typed
+    * mapPartitions decode boundary — the real multimodal-dedup shape: the
+    * signature falls out of the single decode pass over the payload bytes
+    * (on real images this is exactly aHash on the 8×8 grayscale
+    * downsample; here the stub "pixels" are the payload bytes). Bit b of
+    * 64 = 1 iff mean(block b) > mean(payload), decided by the INTEGER
+    * cross-multiplication sum_b·cnt_total > sum_total·cnt_b (no float
+    * division anywhere, so the oracle replays it exactly). Byte i of an
+    * n-byte payload belongs to block (i·64) div n — the decodeFeatures
+    * chunk convention at 64 blocks. */
+  def aHash64(media: Dataset[MediaRecord]): Dataset[MediaSig] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.media
+        val n = bytes.length
+        val sums = Array.fill(64)(0L); val cnts = Array.fill(64)(0L)
+        var st = 0L
+        var i = 0
+        while (i < n) {
+          val b = ((i.toLong * 64) / n).toInt
+          val v = bytes(i) & 0xff
+          sums(b) += v; cnts(b) += 1; st += v
+          i += 1
+        }
+        var lo = 0L; var hi = 0L
+        var b = 0
+        while (b < 64) {
+          // empty blocks (n < 64) stay bit 0
+          if (cnts(b) > 0 && sums(b) * n > st * cnts(b)) {
+            if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+          }
+          b += 1
+        }
+        MediaSig(r.doc_id, lo, hi)
+      }
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Metadata-only query: the planner prunes every unused document column
     // out of the scan (verified in PlanSpec via the physical plan).
@@ -113,8 +165,55 @@ object Multimodal {
       frameSample(ds, 4)
         .select(col("doc_id"), col("frame"), round(col("fmean"), 3).as("fmean"))
         .orderBy("doc_id", "frame")
+    }),
+
+    // Perceptual-hash near-dup over the media payloads — the image-dedup
+    // stage of a multimodal pipeline (re-encoded / slightly-edited copies
+    // of the same picture): aHash signatures from the decode pass, then
+    // the dedup_simhash64 banded pair search (4×16-bit chunks — Hamming
+    // ≤ 3 guarantees one chunk matches exactly, so candidates come from
+    // an EQUI-join, never a signature cross-join). Planted near-dups:
+    // payload byte 0 replaced (the minor-edit copy). At 100 TB the
+    // signature build rides the one decode pass (64-bit sig per asset —
+    // index bytes are 8/asset), and the pair space is HARD-bounded at
+    // ≤ 4·n·MaxBandPop by the stop-band drop (see MaxBandPop — the 100×
+    // probe exposed mega-buckets on byte-similar corpora).
+    "mm_dedup_phash" -> ((s, dir) => {
+      import s.implicits._
+      val pert = mediaTable(s, dir).filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000)
+        .withColumn("media",
+          concat(lit("Z").cast("binary"), expr("substring(media, 2, 2147483647)")))
+      phashPairs(aHash64(mediaTable(s, dir).unionByName(pert).as[MediaRecord])
+        .toDF().localCheckpoint())
     })
   )
+
+  /** Banded Hamming-≤3 pair search over (doc_id, lo, hi) signatures with
+    * the MaxBandPop stop-band drop. Factored so the cap's firing is
+    * negative-control-testable on a synthetic signature frame. */
+  private[ops] def phashPairs(sigs: DataFrame): DataFrame = {
+    val allChunks = sigs.select(col("doc_id"), col("lo"), col("hi"),
+      explode(array(
+        struct(lit(0).as("ci"), expr("lo % 65536").as("cv")),
+        struct(lit(1).as("ci"), expr("lo div 65536").as("cv")),
+        struct(lit(2).as("ci"), expr("hi % 65536").as("cv")),
+        struct(lit(3).as("ci"), expr("hi div 65536").as("cv")))).as("c"))
+      .select(col("doc_id"), col("lo"), col("hi"),
+        col("c.ci").as("ci"), col("c.cv").as("cv"))
+    // stop-band drop (MaxBandPop): the pops agg and the filter join
+    // reuse the (ci, cv) key the self-join shuffles on
+    val pops = allChunks.groupBy("ci", "cv").agg(count(lit(1)).as("pop"))
+    val chunks = allChunks.join(pops.filter(col("pop") <= MaxBandPop), Seq("ci", "cv"))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+        expr("CAST(bit_count(x.lo ^ y.lo) + bit_count(x.hi ^ y.hi) AS BIGINT)").as("ham"))
+      .distinct()
+      .filter(col("ham") <= 3)
+      .orderBy("da", "db")
+  }
 
   val oracles: Map[String, String] = Map(
     "mm_meta" ->
@@ -166,6 +265,49 @@ object Multimodal {
            FROM (SELECT doc_id, fr, w, text, unnest(range(0, w)) AS i FROM sf))
          SELECT doc_id, CAST(fr AS INT) AS frame,
                 round(round(avg(v) * 1000) / 1000.0, 3) AS fmean
-         FROM b GROUP BY doc_id, fr ORDER BY doc_id, frame"""
+         FROM b GROUP BY doc_id, fr ORDER BY doc_id, frame""",
+
+    // full aHash replay: byte i → block (i·64)//n, bit = integer
+    // cross-multiplied mean comparison, 2×32-bit signature halves, the
+    // simhash64 4×16-bit band join, Hamming ≤ 3 (text is ascii, so
+    // payload bytes == char codes)
+    "mm_dedup_phash" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000 AS doc_id, 'Z' || substr(text, 2) AS text
+           FROM documents WHERE doc_id % 7 = 0),
+         b AS (SELECT doc_id, length(text) AS n, text,
+                      unnest(range(0, length(text))) AS i
+               FROM corpus),
+         bytes AS (SELECT doc_id, n, i * 64 // n AS blk,
+                          ascii(substring(text, CAST(i AS INT) + 1, 1)) AS v
+                   FROM b),
+         blocks AS (SELECT doc_id, n, blk, sum(v) AS sb, count(*) AS cb
+                    FROM bytes GROUP BY doc_id, n, blk),
+         tot AS (SELECT doc_id, sum(sb) AS st FROM blocks GROUP BY doc_id),
+         bits AS (SELECT blocks.doc_id AS doc_id, blk,
+                         CASE WHEN sb * n > st * cb THEN 1 ELSE 0 END AS bit
+                  FROM blocks JOIN tot ON blocks.doc_id = tot.doc_id),
+         sig AS (SELECT doc_id,
+                        CAST(sum(CASE WHEN blk < 32 AND bit = 1
+                                 THEN CAST(pow(2, blk) AS BIGINT) ELSE 0 END) AS BIGINT) AS lo,
+                        CAST(sum(CASE WHEN blk >= 32 AND bit = 1
+                                 THEN CAST(pow(2, blk - 32) AS BIGINT) ELSE 0 END) AS BIGINT) AS hi
+                 FROM bits GROUP BY doc_id),
+         allchunks AS (
+           SELECT doc_id, lo, hi, 0 AS ci, lo % 65536 AS cv FROM sig
+           UNION ALL SELECT doc_id, lo, hi, 1, lo // 65536 FROM sig
+           UNION ALL SELECT doc_id, lo, hi, 2, hi % 65536 FROM sig
+           UNION ALL SELECT doc_id, lo, hi, 3, hi // 65536 FROM sig),
+         pops AS (SELECT ci, cv, count(*) AS pop FROM allchunks GROUP BY ci, cv),
+         chunks AS (SELECT a.* FROM allchunks a JOIN pops p
+                    ON a.ci = p.ci AND a.cv = p.cv AND p.pop <= 64)
+         SELECT DISTINCT x.doc_id AS da, y.doc_id AS db,
+                CAST(bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi)) AS BIGINT) AS ham
+         FROM chunks x JOIN chunks y
+           ON x.ci = y.ci AND x.cv = y.cv AND x.doc_id < y.doc_id
+         WHERE bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi)) <= 3
+         ORDER BY da, db"""
   )
 }

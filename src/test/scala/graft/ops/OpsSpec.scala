@@ -1412,6 +1412,48 @@ class OpsSpec extends SparkSpec {
     rows.foreach { case (p, _, _, mn, mx) => assert(mn <= mx, s"phase $p range") }
   }
 
+  test("perceptual-hash media dedup: planted minor-edit copies all recovered") {
+    val pairs = Multimodal.queries("mm_dedup_phash")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.forall(_._3 <= 3), "every reported pair within the Hamming gate")
+    val planted = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 7 === 0).select("doc_id").collect().map(_.getLong(0))
+    planted.foreach { id =>
+      assert(pairs.exists(p => p._1 == id && p._2 == id + 100000),
+        s"planted near-dup pair ($id, ${id + 100000}) not recovered")
+    }
+  }
+
+  test("phash stop-band cap fires on a degenerate identical-signature corpus") {
+    import spark.implicits._
+    // 70 identical signatures: every band bucket pops 70 > MaxBandPop=64
+    // → all dropped → ZERO pairs (the 100×-probe mega-bucket pathology,
+    // constructed); 5 identical signatures stay under the cap → C(5,2)
+    val mega = (0 until 70).map(i => (i.toLong, 0x12345678L, 0x0abcdef0L))
+      .toDF("doc_id", "lo", "hi")
+    assert(Multimodal.phashPairs(mega).count() == 0, "cap did not fire")
+    val small = (0 until 5).map(i => (i.toLong, 0x12345678L, 0x0abcdef0L))
+      .toDF("doc_id", "lo", "hi")
+    assert(Multimodal.phashPairs(small).count() == 10, "under-cap pairs kept")
+  }
+
+  test("aHash64 is order-stable and zeroes empty blocks on sub-64-byte payloads") {
+    import spark.implicits._
+    val tiny = Seq(
+      Multimodal.MediaRecord(1L, "png", 8, 8, "abcd".getBytes("UTF-8")),
+      Multimodal.MediaRecord(2L, "png", 8, 8, "abcd".getBytes("UTF-8")),
+      Multimodal.MediaRecord(3L, "png", 8, 8, "abce".getBytes("UTF-8"))).toDS()
+    val sigs = Multimodal.aHash64(tiny).collect().map(s => s.doc_id -> (s.lo, s.hi)).toMap
+    assert(sigs(1L) == sigs(2L), "identical payloads hash identically")
+    assert(sigs(1L) != sigs(3L), "different payloads differ")
+    // 4 bytes → only blocks 0,16,32,48 are populated; every other bit
+    // must be 0, so lo/hi can each have at most 2 bits set
+    sigs.values.foreach { case (lo, hi) =>
+      assert((lo & ~((1L << 0) | (1L << 16))) == 0, s"unexpected lo bits: $lo")
+      assert((hi & ~((1L << 0) | (1L << 16))) == 0, s"unexpected hi bits: $hi")
+    }
+  }
+
   test("cluster profile: exact partition of the labeled nodes by (cluster, lang)") {
     val labels = Similarity.queries("sim_cluster_knn")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
