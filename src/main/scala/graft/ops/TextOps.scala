@@ -1207,7 +1207,13 @@ object TextOps {
         .select(col("word"), expr(idf6Sql).as("idf6"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy(col("s6").desc, col("word"))
-      tf.join(idf, "word")
+      // the idf side is VOCAB-sized and grows with the corpus — Spark's
+      // post-agg size estimate under-guesses it and picked a broadcast at
+      // the 30× probe (a multi-million-entry driver broadcast: measured
+      // 13.0 s at 30× vs 7.0 s at 100× where the estimate overflowed into
+      // sort-merge). shuffle_hash pins the scale-correct shape: hash join
+      // on word, vocab side built per partition, corpus side never sorted
+      tf.join(idf.hint("shuffle_hash"), "word")
         .select(col("doc_id"), col("word"), (col("tf") * col("idf6")).as("s6"))
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 3)
