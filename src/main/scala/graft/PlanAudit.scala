@@ -67,6 +67,8 @@ object PlanAudit {
     "mix_temperature", "dedup_keep_canonical", "text_bm25_topk",
     "text_bm25_multi", "text_vocab_topk", "text_dsir_importance",
     "text_ngram_perplexity", "curate_cluster_balanced", "curate_curriculum",
+    // 1-row card summary of per-task partials (multi-distinct expand)
+    "curate_dataset_card",
     // one single-row agg of per-task (words, tokens) partials
     "text_bpe_fertility",
     // rank windows + fusion over two TakeOrdered <=10-row lists
@@ -129,6 +131,7 @@ object PlanAudit {
     // scan below the shuffle never evaluates a lambda
     "text_bpe_train",
     "pack_sequences", "quality_expectations", "curate_curriculum",
+    "curate_dataset_card",
     "dedup_embedding_lsh", "dedup_embedding_cosine",
     // pq: the ADC-table collect/transform runs over the 8-row query side;
     // the encoded index and codebook build inside the session memo

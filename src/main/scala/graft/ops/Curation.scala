@@ -429,6 +429,41 @@ object Curation {
         .agg(count(lit(1)).as("docs"), sum("n_words").as("tokens"),
           min("score_bp").as("min_bp"), max("score_bp").as("max_bp"))
         .orderBy("phase")
+    }),
+
+    // DATASET CARD: the one-table corpus summary a curation pipeline
+    // publishes with every release — size (docs/tokens/chars), diversity
+    // (distinct langs/sources), exact-dup mass (docs − distinct texts),
+    // the short-doc tail, mean quality, and the median length. ONE scan:
+    // every metric rides a single aggregate (the count-distincts expand
+    // the pass ~3×, the standard multi-distinct plan — still one scan,
+    // map-side partials, a 1-row result), then a 9-row unpivot. All
+    // values integer (means floor-divided, median rounded) so the card
+    // hashes bit-for-bit cross-engine.
+    "curate_dataset_card" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .withColumn("n_words", size(split(col("text"), " ")).cast("long"))
+        .withColumn("n_stop",
+          expr(s"size(filter(split(text, ' '), w -> w IN (${TextOps.stopSql})))"))
+        .withColumn("score_bp", expr(scoreBpSql))
+      d.agg(
+        count(lit(1)).as("docs"),
+        sum("n_words").as("tokens"),
+        sum(length(col("text")).cast("long")).as("chars"),
+        countDistinct(col("lang")).as("distinct_langs"),
+        countDistinct(col("source")).as("distinct_sources"),
+        countDistinct(md5(col("text"))).as("distinct_texts"),
+        sum(when(col("n_words") < 20, 1L).otherwise(0L)).as("short_docs"),
+        expr("sum(score_bp) div count(1)").as("mean_quality_bp"),
+        expr("CAST(round(percentile(n_words, 0.5)) AS BIGINT)").as("p50_tokens"))
+        .select(expr(
+          """stack(9,
+               'chars', chars, 'distinct_langs', distinct_langs,
+               'distinct_sources', distinct_sources,
+               'distinct_texts', distinct_texts, 'docs', docs,
+               'mean_quality_bp', mean_quality_bp, 'p50_tokens', p50_tokens,
+               'short_docs', short_docs, 'tokens', tokens) AS (metric, value)"""))
+        .orderBy("metric")
     })
   )
 
@@ -686,6 +721,39 @@ object Curation {
                  CAST(sum(n_words) AS BIGINT) AS tokens,
                  CAST(min(score_bp) AS BIGINT) AS min_bp,
                  CAST(max(score_bp) AS BIGINT) AS max_bp
-          FROM scored CROSS JOIN b GROUP BY 1 ORDER BY phase"""
+          FROM scored CROSS JOIN b GROUP BY 1 ORDER BY phase""",
+
+    // one-row summary unpivoted as 9 UNION ALL arms (DuckDB's stack);
+    // scoreBpSql shared; quantile_cont ≡ percentile
+    "curate_dataset_card" ->
+      s"""WITH d AS (
+            SELECT doc_id, text, lang, source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                   len(list_filter(string_split(text, ' '),
+                       w -> w IN (${TextOps.stopSql}))) AS n_stop
+            FROM documents),
+          sc AS (SELECT *, $scoreBpSql AS score_bp FROM d),
+          s AS (SELECT
+                  CAST(count(*) AS BIGINT) AS docs,
+                  CAST(sum(n_words) AS BIGINT) AS tokens,
+                  CAST(sum(length(text)) AS BIGINT) AS chars,
+                  CAST(count(DISTINCT lang) AS BIGINT) AS distinct_langs,
+                  CAST(count(DISTINCT source) AS BIGINT) AS distinct_sources,
+                  CAST(count(DISTINCT md5(text)) AS BIGINT) AS distinct_texts,
+                  CAST(count(CASE WHEN n_words < 20 THEN 1 END) AS BIGINT) AS short_docs,
+                  CAST(sum(score_bp) // count(*) AS BIGINT) AS mean_quality_bp,
+                  CAST(round(quantile_cont(n_words, 0.5)) AS BIGINT) AS p50_tokens
+                FROM sc)
+          SELECT metric, value FROM (
+            SELECT 'chars' AS metric, chars AS value FROM s
+            UNION ALL SELECT 'distinct_langs', distinct_langs FROM s
+            UNION ALL SELECT 'distinct_sources', distinct_sources FROM s
+            UNION ALL SELECT 'distinct_texts', distinct_texts FROM s
+            UNION ALL SELECT 'docs', docs FROM s
+            UNION ALL SELECT 'mean_quality_bp', mean_quality_bp FROM s
+            UNION ALL SELECT 'p50_tokens', p50_tokens FROM s
+            UNION ALL SELECT 'short_docs', short_docs FROM s
+            UNION ALL SELECT 'tokens', tokens FROM s)
+          ORDER BY metric"""
   )
 }

@@ -1412,6 +1412,23 @@ class OpsSpec extends SparkSpec {
     rows.foreach { case (p, _, _, mn, mx) => assert(mn <= mx, s"phase $p range") }
   }
 
+  test("dataset card: every metric replays off-Spark from the raw corpus") {
+    val rows = Curation.queries("curate_dataset_card")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("text", "lang", "source").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows("docs") == docs.length)
+    assert(rows("tokens") == docs.map(_._1.split(" ").length.toLong).sum)
+    assert(rows("chars") == docs.map(_._1.length.toLong).sum)
+    assert(rows("distinct_langs") == docs.map(_._2).distinct.length)
+    assert(rows("distinct_sources") == docs.map(_._3).distinct.length)
+    assert(rows("distinct_texts") == docs.map(_._1).distinct.length)
+    assert(rows("short_docs") == docs.count(_._1.split(" ").length < 20))
+    assert(rows("p50_tokens") > 0 && rows("mean_quality_bp") > 0)
+    assert(rows("mean_quality_bp") <= 10000, "basis points")
+  }
+
   test("perceptual-hash media dedup: planted minor-edit copies all recovered") {
     val pairs = Multimodal.queries("mm_dedup_phash")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
