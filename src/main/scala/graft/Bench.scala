@@ -46,7 +46,7 @@ object Bench {
     "curate_pipeline_v2", "sim_knn_graph_mp", "dedup_winnowing_incr",
     "text_topk_ngrams", "dedup_source_overlap", "curate_length_buckets",
     "text_bpe_fertility", "text_tfidf_topk", "curate_curriculum",
-    "mm_dedup_phash", "curate_dataset_card")
+    "mm_dedup_phash", "curate_dataset_card", "text_blocklist_filter")
   // sim_recall_eval stays OUTSIDE the headline: it is the 7 ANN probes
   // (every one already a headline row) re-run in one DAG plus a 168-row
   // join — timing it would double-count the probes without adding a new

@@ -112,6 +112,7 @@ object PlanAudit {
   private val lambdaAllowed = Set(
     "p13_higher_order",
     "text_quality", "text_langid", "text_fingerprint", "text_repetition",
+    "text_blocklist_filter",
     "text_entropy", "text_length_outliers", "text_length_outliers_approx",
     "text_pipeline_e2e",
     "text_decontaminate", "text_pii_redact", "text_tokens",

@@ -58,7 +58,8 @@ object ScaleProbe {
     "sim_graph_pagerank", "text_topk_ngrams", "dedup_source_overlap",
     "sim_cluster_exemplars", "sim_seed_expand", "curate_length_buckets",
     "text_bpe_fertility", "text_tfidf_topk", "curate_curriculum",
-    "sim_cluster_profile", "mm_dedup_phash", "curate_dataset_card")
+    "sim_cluster_profile", "mm_dedup_phash", "curate_dataset_card",
+    "text_blocklist_filter")
 
   def main(args: Array[String]): Unit = {
     val spillMode = args.headOption.contains("spill")

@@ -21,6 +21,13 @@ object TextOps {
   private val stopList = Seq("the", "a", "of", "and", "to", "is")
   private[ops] def stopSql = stopList.map(w => s"'$w'").mkString(", ")
 
+  /** Blocklist gates (the C4 badwords discipline, corpus-appropriate
+    * stand-ins): exact-token words and substring phrases. Config in a
+    * deployment; literal here so both engines share one list. */
+  private val blockWords = Seq("dup", "deadlock")
+  private def blockWordsSql = blockWords.map(w => s"'$w'").mkString(", ")
+  private[ops] val blockPhrases = Seq("slow query", "lorem ipsum")
+
   /** Integer-scaled inverse document frequency — ONE formula string shared
     * verbatim by the Spark plan and the DuckDB oracle (the engine-parity
     * convention): ln evaluates per WORD (vocab-sized), scaled ×1e6 and
@@ -918,6 +925,29 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // C4-style HARD-GATE filter — the blocklist stage every web-corpus
+    // recipe runs before any scoring: a document containing ANY
+    // blocklisted WORD (exact token match) or any blocklisted PHRASE
+    // (substring match — boilerplate markers like "lorem ipsum" that
+    // word-tokenization misses) is dropped outright, no score, no
+    // threshold. Distinct from text_quality's soft scoring: gates
+    // compose by AND and their decisions must be explainable, so the
+    // output carries the per-gate hit counts, not just the bit. Fully
+    // narrow per-row algebra — at 100 TB this fuses into the ingest
+    // scan with zero shuffles (the IngestFilters discipline).
+    "text_blocklist_filter" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .withColumn("word_hits",
+          expr(s"size(filter(split(text, ' '), w -> w IN ($blockWordsSql)))").cast("long"))
+        .withColumn("phrase_hits",
+          blockPhrases.map(p => when(col("text").contains(p), 1L).otherwise(0L))
+            .reduce(_ + _))
+        .select(col("doc_id"), col("word_hits"), col("phrase_hits"),
+          when(col("word_hits") === 0 && col("phrase_hits") === 0, "keep")
+            .otherwise("drop").as("verdict"))
+        .orderBy("doc_id")
+    }),
+
     // Quality scoring: word count, stopword ratio, mean word length, and a
     // composite score — the usual cheap pre-filters before LLM training.
     "text_quality" -> ((s, dir) => {
@@ -1741,6 +1771,21 @@ object TextOps {
            FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i FROM d)),
          dfs AS (SELECT gram, count(*) AS df FROM g GROUP BY gram)
          SELECT gram, df FROM dfs ORDER BY df DESC, gram LIMIT 20""",
+
+    // word gate = exact token membership, phrase gate = substring
+    // contains — both engines evaluate the same literal lists
+    "text_blocklist_filter" ->
+      s"""SELECT doc_id,
+                 CAST(len(list_filter(string_split(text, ' '),
+                      w -> w IN (${blockWords.map(w => s"'$w'").mkString(", ")}))) AS BIGINT)
+                   AS word_hits,
+                 CAST(${blockPhrases.map(p => s"(CASE WHEN contains(text, '$p') THEN 1 ELSE 0 END)").mkString(" + ")} AS BIGINT)
+                   AS phrase_hits,
+                 CASE WHEN len(list_filter(string_split(text, ' '),
+                        w -> w IN (${blockWords.map(w => s"'$w'").mkString(", ")}))) = 0
+                       AND ${blockPhrases.map(p => s"NOT contains(text, '$p')").mkString(" AND ")}
+                      THEN 'keep' ELSE 'drop' END AS verdict
+          FROM documents ORDER BY doc_id""",
 
     // idf6Sql shared verbatim; tf·idf6 is exact integer arithmetic so
     // the per-doc ranking has no float channel (ties break on word)

@@ -1412,6 +1412,24 @@ class OpsSpec extends SparkSpec {
     rows.foreach { case (p, _, _, mn, mx) => assert(mn <= mx, s"phase $p range") }
   }
 
+  test("blocklist gate: verdicts replay off-Spark and gates compose by AND") {
+    val rows = TextOps.queries("text_blocklist_filter")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == texts.size)
+    rows.foreach { case (id, wh, ph, v) =>
+      val t = texts(id)
+      assert(wh == t.split(" ").count(Set("dup", "deadlock")), s"doc $id word_hits")
+      assert(ph == Seq("slow query", "lorem ipsum").count(t.contains), s"doc $id phrase_hits")
+      assert(v == (if (wh == 0 && ph == 0) "keep" else "drop"), s"doc $id verdict")
+    }
+    // both gates must actually fire on this corpus, or the test is vacuous
+    assert(rows.exists(r => r._2 > 0 && r._4 == "drop"), "word gate fired")
+    assert(rows.exists(r => r._3 > 0 && r._4 == "drop"), "phrase gate fired")
+  }
+
   test("dataset card: every metric replays off-Spark from the raw corpus") {
     val rows = Curation.queries("curate_dataset_card")(spark, dir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
