@@ -139,7 +139,10 @@ object PlanAudit {
     "sim_q8_rerank", "sim_pq_adc", "mm_frame_sample", "mm_decode_features",
     // composes sim_q8_rerank / sim_pq_adc, inheriting their allowlisted
     // index-build / 8-row-query-side transforms
-    "sim_recall_eval")
+    "sim_recall_eval",
+    // centroid array collect + the ×1.01 batch transform: both run once
+    // per monitoring invocation over k×dim / batch-sized frames
+    "sim_index_staleness")
 
   /** Names of big tables scanned OUTSIDE any WholeStageCodegen span.
     * (The scan node lives inside the WSCG subtree via InputAdapter /

@@ -29,6 +29,11 @@ object Similarity {
   private val dotExpr = "vec_dot(qe, ce)"
   private def normExpr(c: String) = s"sqrt(vec_dot($c, $c))"
 
+  /** Rebuild threshold for sim_index_staleness, in 1e-6 squared-distance
+    * units (drift6 > this ⇒ stale). Config in a deployment; a literal
+    * here so both engines share one constant. */
+  private[ops] val StaleDrift6 = 1000L
+
   /** Per-query top-3 over (qid, nid, cos_r) via the bounded-state
     * `topk3_ids` aggregate (graft.functions.TopKAgg): map-side partials
     * keep ≤3 rows per qid, so the shuffle is O(tasks × queries × 3) — the
@@ -820,6 +825,36 @@ object Similarity {
         .orderBy("cluster", "lang")
     }),
 
+    // INDEX STALENESS check — "has ingest drifted the data enough to
+    // rebuild?": recompute the per-label centroids over the corpus PLUS
+    // an arrived batch (the dedup_embedding batch convention: every 5th
+    // vector rescaled, ids +100000) and compare against the STORED
+    // centroid artifact serving live IVF probes. Per label: the squared
+    // drift distance, integer-scaled, and a rebuild verdict at a fixed
+    // threshold. This closes the index lifecycle loop: build
+    // (IndexBuild) → probe (sim_ivf_*) → MONITOR (here) → rebuild. At
+    // 100 TB both centroid sets are k×dim tiny; the only corpus-sized
+    // work is the one per-(label, dim) mean pass over the new snapshot —
+    // exactly the incremental-ingest monitoring job's cost.
+    "sim_index_staleness" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val e = Tables(s, dir, "embeddings")
+      val stored = Tables.cachedFrame(s, dir, "ivf_label_centarr")(labelCentroids(e))
+      val batch = e.filter(col("vec_id") % 5 === 0).select(
+        (col("vec_id") + 100000).as("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS FLOAT) * CAST(1.01 AS FLOAT))").as("embedding"),
+        col("label"))
+      val current = labelCentroids(
+        e.select(col("vec_id"), col("embedding"), col("label")).unionAll(batch))
+      stored.select(col("label"), col("carr").as("ca"))
+        .join(current.select(col("label"), col("carr").as("cb")), "label")
+        .select(col("label"),
+          expr("CAST(round(round(vec_sqdist(ca, cb), 6) * 1e6) AS BIGINT)").as("drift6"))
+        .withColumn("verdict",
+          when(col("drift6") > StaleDrift6, "stale").otherwise("fresh"))
+        .orderBy("label")
+    }),
+
     // ANN RECALL EVALUATION — measure the recall/cost trade instead of
     // asserting it: every approximate index above (IVF probe narrowing,
     // LSH bucketing, int8 scan, PQ codes) can silently lose true
@@ -1451,6 +1486,37 @@ object Similarity {
   val oracles: Map[String, String] =
     baseOracles ++ Map(
       "sim_recall_eval" -> recallEvalSql,
+      // both centroid sets replay the labelCentroids SQL (the sim_ivf_ann
+      // cent CTE); drift rounds at 6dp before the integer scale, the same
+      // float-summation discipline every centroid consumer here uses
+      "sim_index_staleness" ->
+        s"""WITH all_e AS (
+              SELECT vec_id, embedding, label FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000 AS vec_id,
+                     list_transform(embedding,
+                       x -> CAST(CAST(x AS FLOAT) * CAST(1.01 AS FLOAT) AS FLOAT)) AS embedding,
+                     label
+              FROM embeddings WHERE vec_id % 5 = 0),
+            comp0 AS (SELECT label, unnest(embedding) AS x,
+                             generate_subscripts(embedding, 1) - 1 AS d
+                      FROM embeddings),
+            cent0 AS (SELECT label, d, avg(CAST(x AS DOUBLE)) AS c
+                      FROM comp0 GROUP BY label, d),
+            comp1 AS (SELECT label, unnest(embedding) AS x,
+                             generate_subscripts(embedding, 1) - 1 AS d
+                      FROM all_e),
+            cent1 AS (SELECT label, d, avg(CAST(x AS DOUBLE)) AS c
+                      FROM comp1 GROUP BY label, d),
+            drift AS (SELECT cent0.label AS label,
+                             CAST(round(round(sum(power(cent0.c - cent1.c, 2)), 6) * 1e6)
+                                  AS BIGINT) AS drift6
+                      FROM cent0 JOIN cent1
+                        ON cent0.label = cent1.label AND cent0.d = cent1.d
+                      GROUP BY cent0.label)
+            SELECT label, drift6,
+                   CASE WHEN drift6 > $StaleDrift6 THEN 'stale' ELSE 'fresh' END AS verdict
+            FROM drift ORDER BY label""",
       // the full label replay as a derived table + one metadata join
       "sim_cluster_profile" ->
         s"""WITH labels AS (SELECT * FROM (${baseOracles("sim_cluster_knn")}) t),

@@ -1412,6 +1412,29 @@ class OpsSpec extends SparkSpec {
     rows.foreach { case (p, _, _, mn, mx) => assert(mn <= mx, s"phase $p range") }
   }
 
+  test("index staleness: drift replays off-Spark per label; verdicts match the threshold") {
+    val rows = Similarity.queries("sim_index_staleness")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2)))
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    assert(rows.map(_._1).toSet == emb.map(_._3).toSet, "every label present")
+    def cents(vs: Seq[(Long, Array[Float], Int)]): Map[Int, Array[Double]] =
+      vs.groupBy(_._3).map { case (l, g) =>
+        l -> Array.tabulate(g.head._2.length)(d => g.map(_._2(d).toDouble).sum / g.size)
+      }
+    val c0 = cents(emb.toSeq)
+    val batch = emb.filter(_._1 % 5 == 0)
+      .map { case (id, v, l) => (id + 100000, v.map(x => (x * 1.01f)), l) }
+    val c1 = cents(emb.toSeq ++ batch)
+    rows.foreach { case (l, d6, v) =>
+      val sq = c0(l).zip(c1(l)).map { case (a, b) => (a - b) * (a - b) }.sum
+      val expect6 = math.round(BigDecimal(sq).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble * 1e6)
+      assert(math.abs(d6 - expect6) <= 1, s"label $l drift $d6 vs replay $expect6")
+      assert(v == (if (d6 > Similarity.StaleDrift6) "stale" else "fresh"), s"label $l verdict")
+      assert(d6 >= 0)
+    }
+  }
+
   test("blocklist gate: verdicts replay off-Spark and gates compose by AND") {
     val rows = TextOps.queries("text_blocklist_filter")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
