@@ -47,6 +47,11 @@ object Bench {
     "text_topk_ngrams", "dedup_source_overlap", "curate_length_buckets",
     "text_bpe_fertility", "text_tfidf_topk", "curate_curriculum",
     "mm_dedup_phash", "curate_dataset_card", "text_blocklist_filter")
+  // text_ngram_novelty stays OUTSIDE the headline: its plan shape (fused
+  // gram kernel explode + gram-keyed df agg + shuffle_hash join) is the
+  // text_topk_ngrams + text_tfidf_topk machinery, both already headline
+  // rows, and the compact line sits 14 bytes under its cap at 71 queries
+  // — growth must stay conscious. It is in the scale probe.
   // sim_recall_eval stays OUTSIDE the headline: it is the 7 ANN probes
   // (every one already a headline row) re-run in one DAG plus a 168-row
   // join — timing it would double-count the probes without adding a new

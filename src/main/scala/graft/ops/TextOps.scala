@@ -1214,6 +1214,48 @@ object TextOps {
         .orderBy(col("df").desc, col("gram")).limit(20)
     }),
 
+    // Per-document n-gram NOVELTY — the inverse of the memorization
+    // profile: the fraction (basis points) of a document's distinct
+    // 5-grams that appear NOWHERE else in the corpus. Low-novelty
+    // documents are template instantiations of spans the corpus already
+    // has (candidates for dedup or down-weighting); high-novelty
+    // documents carry unique content worth keeping. Complements
+    // text_topk_ngrams (which profiles the corpus's most-shared spans)
+    // with the per-document consumer view. Shape: per-doc distinct grams
+    // from the fused ngrams_ws kernel (array-land dedup, no HOF on the
+    // scan), then — the load-bearing trick — NO gram-keyed join back: a
+    // df=1 gram has exactly ONE owner document, so carrying min(doc_id)
+    // through the df aggregate yields each doc's unique-gram count from
+    // a second small aggregate, and the only join is doc-keyed (one row
+    // per doc on both sides). Two measured drafts died at the 100×
+    // probe before this shape: joining the gram-vocab df table back
+    // onto the gram stream OOM'd (23.5M-entry per-partition hash maps),
+    // and shuffling gram STRINGS cost a 4.07× marginal — so grams move
+    // as 8-byte md5 shingle ids from the fused shingle_sids_md5 kernel
+    // (the dedup-pipeline id convention: per-doc string-level dedup
+    // inside the kernel, id collisions kept as separate entries, DuckDB-
+    // replayable). df=1 is then "unique gram, no id collision" — sid
+    // collisions only ever LOWER novelty, never raise it. Sub-5-word
+    // docs have no 5-grams and are deliberately absent.
+    "text_ngram_novelty" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val grams = Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 5)
+        .select(col("doc_id"), explode(expr("shingle_sids_md5(w, 5)")).as("gid"))
+        .localCheckpoint()
+      val dfs = grams.groupBy("gid")
+        .agg(count(lit(1)).as("df"), min(col("doc_id")).as("owner"))
+      val uniq = dfs.filter(col("df") === 1)
+        .groupBy(col("owner").as("doc_id")).agg(count(lit(1)).as("uniq"))
+      grams.groupBy("doc_id").agg(count(lit(1)).as("ng"))
+        .join(uniq, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("ng"),
+          coalesce(col("uniq"), lit(0L)).as("uniq"),
+          expr("(coalesce(uniq, 0L) * 10000) div ng").as("novelty_bp"))
+        .orderBy("doc_id")
+    }),
+
     // Per-document top-3 TF-IDF terms — the classic keyword/topic signal
     // (what is this document ABOUT), consumed by topic-balanced sampling
     // and dataset cards. Numeric discipline: the ONLY float is the
@@ -1771,6 +1813,34 @@ object TextOps {
            FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i FROM d)),
          dfs AS (SELECT gram, count(*) AS df FROM g GROUP BY gram)
          SELECT gram, df FROM dfs ORDER BY df DESC, gram LIMIT 20""",
+
+    // the text_topk_ngrams distinct-gram CTE mapped to md5 shingle ids
+    // (the shingle_sids_md5 replay — string-level DISTINCT first, id
+    // collisions kept); unique grams route to their single owner
+    // through min(doc_id) — no gram-keyed join back
+    "text_ngram_novelty" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents
+           WHERE len(string_split(text, ' ')) >= 5),
+         gs AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i : i + 4], ' ') AS gram
+           FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i FROM d)),
+         g AS (
+           SELECT doc_id,
+                  CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT)
+                    % 2147483647 AS gid
+           FROM gs),
+         dfs AS (SELECT gid, count(*) AS df, min(doc_id) AS owner
+                 FROM g GROUP BY gid),
+         us AS (SELECT owner AS doc_id, CAST(count(*) AS BIGINT) AS uniq
+                FROM dfs WHERE df = 1 GROUP BY owner),
+         ngs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ng
+                 FROM g GROUP BY doc_id)
+         SELECT doc_id, ng,
+                CAST(coalesce(uniq, 0) AS BIGINT) AS uniq,
+                CAST((coalesce(uniq, 0) * 10000) // ng AS BIGINT) AS novelty_bp
+         FROM ngs LEFT JOIN us USING (doc_id)
+         ORDER BY doc_id""",
 
     // word gate = exact token membership, phrase gate = substring
     // contains — both engines evaluate the same literal lists

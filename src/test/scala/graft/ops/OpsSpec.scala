@@ -1412,6 +1412,27 @@ class OpsSpec extends SparkSpec {
     rows.foreach { case (p, _, _, mn, mx) => assert(mn <= mx, s"phase $p range") }
   }
 
+  test("ngram novelty replays off-Spark: distinct grams, df counts, basis points") {
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def gramsOf(t: String): Set[String] =
+      t.split(" ").sliding(5).filter(_.length == 5).map(_.mkString(" ")).toSet
+    val byDoc = texts.collect { case (id, t) if t.split(" ").length >= 5 =>
+      id -> gramsOf(t)
+    }
+    val df = byDoc.values.flatten.groupBy(identity).map { case (g, gs) => g -> gs.size }
+    val rows = TextOps.queries("text_ngram_novelty")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSet == byDoc.keySet, "exactly the >=5-word docs")
+    rows.foreach { case (id, ng, uniq, bp) =>
+      val expect = byDoc(id)
+      assert(ng == expect.size, s"doc $id gram count")
+      assert(uniq == expect.count(g => df(g) == 1), s"doc $id unique grams")
+      assert(bp == uniq * 10000 / ng, s"doc $id novelty")
+    }
+  }
+
   test("index staleness: drift replays off-Spark per label; verdicts match the threshold") {
     val rows = Similarity.queries("sim_index_staleness")(spark, dir).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getString(2)))
@@ -1497,13 +1518,20 @@ class OpsSpec extends SparkSpec {
 
   test("aHash64 is order-stable and zeroes empty blocks on sub-64-byte payloads") {
     import spark.implicits._
+    // "abcd" vs "dcba": byte order reverses which blocks sit above the
+    // (identical) global mean, so the signatures MUST differ; a one-byte
+    // tweak that keeps block means on the same side of the global mean
+    // ("abce") must NOT flip bits — collision on near-identical payloads
+    // is aHash working, not a bug
     val tiny = Seq(
       Multimodal.MediaRecord(1L, "png", 8, 8, "abcd".getBytes("UTF-8")),
       Multimodal.MediaRecord(2L, "png", 8, 8, "abcd".getBytes("UTF-8")),
-      Multimodal.MediaRecord(3L, "png", 8, 8, "abce".getBytes("UTF-8"))).toDS()
+      Multimodal.MediaRecord(3L, "png", 8, 8, "dcba".getBytes("UTF-8")),
+      Multimodal.MediaRecord(4L, "png", 8, 8, "abce".getBytes("UTF-8"))).toDS()
     val sigs = Multimodal.aHash64(tiny).collect().map(s => s.doc_id -> (s.lo, s.hi)).toMap
     assert(sigs(1L) == sigs(2L), "identical payloads hash identically")
-    assert(sigs(1L) != sigs(3L), "different payloads differ")
+    assert(sigs(1L) != sigs(3L), "reversed payload flips blocks across the mean")
+    assert(sigs(1L) == sigs(4L), "near-identical payload collides — the aHash contract")
     // 4 bytes → only blocks 0,16,32,48 are populated; every other bit
     // must be 0, so lo/hi can each have at most 2 bits set
     sigs.values.foreach { case (lo, hi) =>
