@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ingest DRIFT monitoring — the data-quality alarm a production corpus
+  * pipeline runs on every arriving micro-batch: compute the batch's card
+  * metrics (the curate_dataset_card per-doc rates, statelessly computable
+  * per batch) and compare them against a REFERENCE card, alerting when a
+  * rate moves beyond tolerance. Catches upstream regressions the gates
+  * can't: a crawler that starts emitting truncated pages passes every
+  * per-row filter, but the batch's short-doc rate leaps.
+  *
+  * The reference is a PRECOMPUTED versioned artifact (the dataset-card
+  * batch job's output, the IngestFilters.domainDecisions discipline): a
+  * stream must not learn its own baseline — a poisoned batch would drag
+  * the baseline toward itself, and two workers seeing different prefixes
+  * would disagree about normal.
+  *
+  * Stateless by construction: each micro-batch's card is ONE aggregate of
+  * that batch (driven via foreachBatch), the comparison is per-batch
+  * integer arithmetic against broadcast-scale constants, and batch vs
+  * streaming share the one code path below (the TimeframeRules
+  * discipline) — StreamingSpec proves card-for-card equality.
+  */
+object DriftMonitor {
+  /** The reference card rates + tolerances (basis points). A deployment
+    * loads this from the versioned card artifact; integer fields only so
+    * verdicts are exact on every engine. */
+  final case class Reference(
+      shortBp: Long, meanTokens: Long, tolShortBp: Long, tolMeanPct: Long)
+
+  /** Compute a Reference from a batch corpus frame (the batch card job).
+    * Driver-side collect of ONE summary row — artifact-build cost. */
+  def referenceFrom(docs: DataFrame, tolShortBp: Long = 500L,
+      tolMeanPct: Long = 20L): Reference = {
+    val r = card(docs).collect()(0)
+    Reference(r.getAs[Long]("short_bp"), r.getAs[Long]("mean_tokens"),
+      tolShortBp, tolMeanPct)
+  }
+
+  /** One-row card for a (micro-)batch of (.., text) rows: docs, tokens,
+    * short-doc rate (bp), floor-divided mean tokens. Pure aggregate —
+    * identical on a batch frame and inside foreachBatch. */
+  def card(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum("n_tokens").as("tokens"),
+        sum(when(col("n_tokens") < 20, 1L).otherwise(0L)).as("short_docs"))
+      .select(col("docs"), col("tokens"),
+        expr("(short_docs * 10000) div docs").as("short_bp"),
+        expr("tokens div docs").as("mean_tokens"))
+
+  /** Drift verdicts for a card row against the reference: absolute
+    * basis-point drift of the short-doc rate, relative percent drift of
+    * mean tokens, and an 'ok' / 'drift' verdict — all integer. */
+  def drift(cardRow: DataFrame, ref: Reference): DataFrame =
+    cardRow.select(
+      col("docs"), col("tokens"), col("short_bp"), col("mean_tokens"),
+      abs(col("short_bp") - lit(ref.shortBp)).as("short_drift_bp"),
+      (abs(col("mean_tokens") - lit(ref.meanTokens)) * 100L /
+        lit(math.max(ref.meanTokens, 1L))).cast("long").as("mean_drift_pct"))
+      .withColumn("verdict",
+        when(col("short_drift_bp") > ref.tolShortBp ||
+          col("mean_drift_pct") > ref.tolMeanPct, "drift").otherwise("ok"))
+}

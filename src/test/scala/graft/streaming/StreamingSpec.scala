@@ -557,4 +557,48 @@ class StreamingSpec extends SparkSpec {
         Seq((w0, 1, 2L), (w0, 2, 1L), (w0, 3, 4L)), out.toSeq)
     } finally q.stop()
   }
+
+  test("drift monitor: per-micro-batch cards equal batch cards; a skewed batch trips the alarm") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(80).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    // reference = the versioned batch-card artifact over the healthy corpus
+    val ref = DriftMonitor.referenceFrom(rows.toDF("doc_id", "text"))
+    val (a, b) = rows.splitAt(rows.size / 2)
+    // batch 3 simulates an upstream regression: every page truncated
+    val broken = (0 until 40).map(i => (9000L + i, "short doc only"))
+    // drive the SAME code path per micro-batch via foreachBatch
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, String)]
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!df.isEmpty) {
+          val r = DriftMonitor.drift(DriftMonitor.card(df), ref).collect()(0)
+          seen += ((r.getAs[Long]("docs"), r.getAs[Long]("tokens"),
+            r.getAs[Long]("short_bp"), r.getAs[Long]("mean_tokens"),
+            r.getAs[String]("verdict")))
+        }
+        ()
+      }.start()
+    try {
+      Seq(a, b, broken).foreach { batch =>
+        mem.addData(batch: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(seen.size == 3, s"expected 3 micro-batch cards, got ${seen.size}")
+    // stream cards must equal the batch computation over the same slices
+    Seq(a, b, broken).zip(seen).foreach { case (batch, got) =>
+      val e = DriftMonitor.drift(
+        DriftMonitor.card(batch.toDF("doc_id", "text")), ref).collect()(0)
+      assert(got == ((e.getAs[Long]("docs"), e.getAs[Long]("tokens"),
+        e.getAs[Long]("short_bp"), e.getAs[Long]("mean_tokens"),
+        e.getAs[String]("verdict"))), s"stream/batch card mismatch: $got")
+    }
+    // healthy slices stay ok; the truncated batch must alarm
+    assert(seen(0)._5 == "ok" && seen(1)._5 == "ok",
+      s"healthy batches flagged: $seen")
+    assert(seen(2)._5 == "drift", s"skewed batch not flagged: ${seen(2)}")
+  }
 }
