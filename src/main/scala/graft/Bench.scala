@@ -88,12 +88,14 @@ object Bench {
     * the current headline size + 5 with worst-case timings. */
   // Raised 1450 → 1800 in round 8 when the headline hit 57 queries and
   // the growth guard tripped (by design — growth must raise this
-  // CONSCIOUSLY); raised 1800 → 1880 in round 9 at 69 queries (the
-  // realistic line measures 1810 bytes). Margin math: the driver's tail
-  // capture keeps the LAST ~2 KB and the compact line prints last, so
-  // 1 880 leaves 168 bytes for sbt's trailing "[success] …" line; the
-  // r6 loss was a 3.4 KB line.
-  private[graft] val lineCap = 1880
+  // CONSCIOUSLY); raised 1800 → 1880 in round 9 at 69 queries, then
+  // 1880 → 1920 at 71 queries + the calib_mt field (realistic line:
+  // ~1881 bytes). Margin math: the driver's tail capture keeps the LAST
+  // ~2 KB and the compact line prints last, so 1 920 leaves 128 bytes
+  // for sbt's trailing "[success] …" line (~75 bytes); the r6 loss was
+  // a 3.4 KB line. The headline list is effectively FULL at this cap —
+  // the next operator family goes to the scale probe, not the headline.
+  private[graft] val lineCap = 1920
   private[graft] def compactLine(results: Seq[Timing], reps: Int, sf: String,
       extra: String = ""): String = {
     val total = results.map(_._2).sum
@@ -111,16 +113,21 @@ object Bench {
     line
   }
 
-  /** Host-comparability fields (~45 bytes) for the record line: the 1-min
-    * system load average read before and after the timed reps, and the
-    * wall time of a FIXED single-thread CPU loop run right after them.
-    * The r8 official record was load-inflated ~35% and only a full judge
-    * re-run could tell — with these, any reader can normalize a record
-    * against another round's (calib ratio ≈ per-core slowdown; load shows
-    * whether the host was contended) without re-running the bench. */
+  /** Host-comparability fields (~60 bytes) for the record line: the 1-min
+    * system load average read before and after the timed reps, the wall
+    * time of a FIXED single-thread CPU loop, and the wall time of the
+    * SAME loop run on every core at once (calib_mt). The r8 official
+    * record was load-inflated ~35% and only a full judge re-run could
+    * tell; round 9 then hit the OTHER failure mode — single-thread calib
+    * normal (0.11 s) while a multi-process probe measured only ~19.5 of
+    * 32 effective cores (co-tenant contention), inflating every 32-thread
+    * query ~1.5-2× uniformly. calib_mt sees exactly that: on a healthy
+    * host it ≈ calib; under core contention it stretches by the
+    * oversubscription factor. With all three, any reader can normalize a
+    * record against another round's without re-running the bench. */
   private[graft] def comparability(load0: Double, load1: Double,
-      calib: Double): String =
-    f""","load":[$load0%.2f,$load1%.2f],"calib":$calib%.3f"""
+      calib: Double, calibMt: Double): String =
+    f""","load":[$load0%.2f,$load1%.2f],"calib":$calib%.3f,"calib_mt":$calibMt%.3f"""
 
   // sink defeats dead-code elimination of the calibration loop
   @volatile private var calibSink = 0L
@@ -141,6 +148,23 @@ object Bench {
     val dt = (System.nanoTime() - t0) / 1e9
     calibSink = x
     dt
+  }
+
+  /** The calibSecs loop on EVERY available core simultaneously, timed as
+    * one wall interval. Healthy host: ≈ calibSecs (each thread gets its
+    * own core). Core-contended host (co-tenants, throttling): stretches
+    * by the oversubscription factor even when the single-thread number
+    * looks normal — the round-9 failure mode a single-thread calibration
+    * cannot see. */
+  private[graft] def calibMtSecs(): Double = {
+    val n = Runtime.getRuntime.availableProcessors()
+    val t0 = System.nanoTime()
+    val threads = (0 until n).map { _ =>
+      val t = new Thread(() => calibSecs(): Unit)
+      t.start(); t
+    }
+    threads.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
   }
 
   /** Full per-query detail — min/med/max maps plus the same headline
@@ -195,7 +219,7 @@ object Bench {
       }
     }
     val load1 = osBean.getSystemLoadAverage
-    val extra = comparability(load0, load1, calibSecs())
+    val extra = comparability(load0, load1, calibSecs(), calibMtSecs())
     val sf = sfOf(sfDir)
     val detailPath = sys.env.getOrElse("GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
     try Files.write(Paths.get(detailPath),

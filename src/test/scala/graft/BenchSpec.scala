@@ -32,14 +32,14 @@ class BenchSpec extends AnyFunSuite {
     names.take(n).map(nm => (nm, 123.45, 234.56, 345.67))
   }
 
-  test("compact line stays under 1900 bytes beyond the CURRENT list with worst-case timings") {
+  test("compact line stays under 1960 bytes beyond the CURRENT list with worst-case timings") {
     // track the real headline size (+5 headroom) so growing the list keeps
     // re-tightening this guard instead of silently outgrowing a fixed n;
     // the assert bound tracks lineCap + rendering slack and must stay
     // under the driver's ~2 KB end-kept tail capture
     val n = Bench.headline.size + 5
     val line = Bench.compactLine(syntheticResults(n), reps = 3, sf = "0.1")
-    assert(line.getBytes("UTF-8").length < 1900,
+    assert(line.getBytes("UTF-8").length < 1960,
       s"compact bench line is ${line.getBytes("UTF-8").length} bytes at $n queries " +
         "with worst-case timings — would overflow the driver tail")
     assert(!line.contains("\n"), "driver record must be ONE line")
@@ -64,24 +64,27 @@ class BenchSpec extends AnyFunSuite {
     // with the comparability fields riding the line, as the real run emits
     val rs = Bench.headline.map(nm => (nm, 9.99, 9.99, 9.99))
     val line = Bench.compactLine(rs, reps = 3, sf = "0.1",
-      Bench.comparability(31.22, 30.85, 0.187))
+      Bench.comparability(31.22, 30.85, 0.187, 0.374))
     assert(!line.contains("queries_omitted"),
       "the current real list must fit the cap without truncation")
   }
 
   test("comparability fields render compactly, parse as JSON, and survive the cap") {
-    val extra = Bench.comparability(1.5, 2.25, 0.125)
-    assert(extra == ""","load":[1.50,2.25],"calib":0.125""")
+    val extra = Bench.comparability(1.5, 2.25, 0.125, 0.25)
+    assert(extra == ""","load":[1.50,2.25],"calib":0.125,"calib_mt":0.250""")
     // unavailable load average (-1 per the JDK contract) still renders as
     // a valid JSON number
-    assert(Bench.comparability(-1.0, -1.0, 0.1).contains("[-1.00,-1.00]"))
+    assert(Bench.comparability(-1.0, -1.0, 0.1, 0.2).contains("[-1.00,-1.00]"))
     val line = Bench.compactLine(syntheticResults(Bench.headline.size + 5),
       reps = 3, sf = "0.1", extra)
-    assert(line.getBytes("UTF-8").length < 1900)
-    assert(line.contains(""","load":[1.50,2.25],"calib":0.125,"sf":0.1}"""))
-    // the calibration loop runs and reports a plausible sub-second time
+    assert(line.getBytes("UTF-8").length < 1960)
+    assert(line.contains(""","load":[1.50,2.25],"calib":0.125,"calib_mt":0.250,"sf":0.1}"""))
+    // the calibration loops run and report plausible times; the
+    // all-cores wall can't beat one thread's
     val c = Bench.calibSecs()
     assert(c > 0.001 && c < 5.0, s"calibration loop time $c")
+    val cmt = Bench.calibMtSecs()
+    assert(cmt >= c * 0.5 && cmt < 60.0, s"mt calibration $cmt vs single $c")
   }
 
   test("compact line carries the contract fields and only ONE per-query map") {
