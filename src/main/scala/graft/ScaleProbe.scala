@@ -59,7 +59,8 @@ object ScaleProbe {
     "sim_cluster_exemplars", "sim_seed_expand", "curate_length_buckets",
     "text_bpe_fertility", "text_tfidf_topk", "curate_curriculum",
     "sim_cluster_profile", "mm_dedup_phash", "curate_dataset_card",
-    "text_blocklist_filter", "sim_index_staleness", "text_ngram_novelty")
+    "text_blocklist_filter", "sim_index_staleness", "text_ngram_novelty",
+    "sample_reservoir")
 
   def main(args: Array[String]): Unit = {
     val spillMode = args.headOption.contains("spill")

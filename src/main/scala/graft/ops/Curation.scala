@@ -431,6 +431,24 @@ object Curation {
         .orderBy("phase")
     }),
 
+    // EXACT-size uniform sample — the companion to sample_weighted's
+    // Bernoulli sampling (expected size, binomial variance): rank every
+    // doc by a seeded md5 of its id and keep the K smallest — a uniform
+    // K-sample that is deterministic, reproducible, and EXACTLY K rows.
+    // Scale shape: TakeOrdered(K) — bounded top-K state per partition
+    // (each task keeps ≤ K rows), partials merged on the driver-side
+    // reduce, NO global sort and no single-partition shuffle; this is
+    // how you cut an exact 10k-doc eval set from a 100 TB corpus in one
+    // pass. Hash ranking ≡ reservoir sampling with a fixed seed, minus
+    // the sequential-state dependence (any worker can rank any row).
+    "sample_reservoir" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          md5(concat(col("doc_id").cast("string"), lit("#seed7"))).as("rk"))
+        .orderBy("rk", "doc_id").limit(25)
+        .select(col("doc_id"), col("lang"), col("rk"))
+    }),
+
     // DATASET CARD: the one-table corpus summary a curation pipeline
     // publishes with every release — size (docs/tokens/chars), diversity
     // (distinct langs/sources), exact-dup mass (docs − distinct texts),
@@ -722,6 +740,11 @@ object Curation {
                  CAST(min(score_bp) AS BIGINT) AS min_bp,
                  CAST(max(score_bp) AS BIGINT) AS max_bp
           FROM scored CROSS JOIN b GROUP BY 1 ORDER BY phase""",
+
+    "sample_reservoir" ->
+      """SELECT doc_id, lang,
+                md5(concat(CAST(doc_id AS VARCHAR), '#seed7')) AS rk
+         FROM documents ORDER BY rk, doc_id LIMIT 25""",
 
     // one-row summary unpivoted as 9 UNION ALL arms (DuckDB's stack);
     // scoreBpSql shared; quantile_cont ≡ percentile

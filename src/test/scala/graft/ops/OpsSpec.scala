@@ -1474,6 +1474,22 @@ class OpsSpec extends SparkSpec {
     assert(rows.exists(r => r._3 > 0 && r._4 == "drop"), "phrase gate fired")
   }
 
+  test("reservoir sample: exactly K, the md5-rank prefix, via bounded TakeOrdered") {
+    val df = Curation.queries("sample_reservoir")(spark, dir)
+    val got = df.collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(got.length == 25, "exact sample size")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+      .map { id =>
+        (id, md.digest(s"$id#seed7".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+      }.sortBy { case (id, rk) => (rk, id) }.take(25)
+    assert(got.toSeq == expect.toSeq, "the K smallest hash ranks, in order")
+    // bounded top-K, not a global sort: the plan must be TakeOrdered
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrdered plan:\n$plan")
+  }
+
   test("dataset card: every metric replays off-Spark from the raw corpus") {
     val rows = Curation.queries("curate_dataset_card")(spark, dir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
