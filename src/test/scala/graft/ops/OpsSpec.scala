@@ -1474,6 +1474,28 @@ class OpsSpec extends SparkSpec {
     assert(rows.exists(r => r._3 > 0 && r._4 == "drop"), "phrase gate fired")
   }
 
+  test("incremental card: merge equals recompute-over-union; base card builds once") {
+    val run1 = Curation.queries("curate_card_incremental")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val builds = Curation.cardBuildCounts((spark, dir))
+    // off-Spark recompute over base ∪ batch — proves exact mergeability
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val union = docs ++ docs.filter(_._1 % 9 == 0)
+    val expect = union.groupBy(_._2).map { case (lang, g) =>
+      val nw = g.map(_._3.split(" ").length.toLong)
+      (lang, g.length.toLong, nw.sum, g.map(_._3.length.toLong).sum,
+        nw.count(_ < 20).toLong)
+    }.toSeq.sortBy(_._1)
+    assert(run1.toSeq == expect, "merged card != recomputed union card")
+    // a second invocation must probe the stored base card, not rescan
+    val run2 = Curation.queries("curate_card_incremental")(spark, dir).collect()
+    assert(run2.length == run1.length)
+    assert(Curation.cardBuildCounts((spark, dir)) == builds,
+      "repeat invocation re-built the base card artifact")
+  }
+
   test("reservoir sample: exactly K, the md5-rank prefix, via bounded TakeOrdered") {
     val df = Curation.queries("sample_reservoir")(spark, dir)
     val got = df.collect().map(r => (r.getLong(0), r.getString(2)))
