@@ -241,4 +241,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin"), p)
     assert(!p.contains("BroadcastHashJoin"), p)
   }
+
+  test("tf-idf joins tf to the vocab-sized idf side by SHUFFLED HASH — never broadcast") {
+    // Spark's post-agg size estimate under-guessed the idf frame at the
+    // 30× probe and broadcast a multi-million-entry table from the driver
+    // (13.0 s vs 7.0 s at 100× where the estimate overflowed into
+    // sort-merge). The shuffle_hash hint pins the scale-correct shape; a
+    // planner change silently reverting it must fail here, not at 100 TB.
+    val p = physical("text_tfidf_topk")
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+  }
 }
