@@ -43,7 +43,9 @@ object IndexBuild {
     "dedup_winnowing_pairs",    // winnow_pair_index
     "dedup_winnowing_incr",     // winnow_base_index + winnow_base_dfs
     "sim_cluster_assign",       // knn_capped_buckets + knn_cluster_labels + knn_cluster_centarr
-    "sim_graph_pagerank")       // knn_pagerank
+    "sim_graph_pagerank",       // knn_pagerank (via knn_edges_deg)
+    "mm_dedup_phash_incr",      // phash_sig_index (media aHash signatures)
+    "curate_card_incremental")  // card_by_lang (mergeable base card)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(

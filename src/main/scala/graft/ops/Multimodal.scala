@@ -134,6 +134,30 @@ object Multimodal {
     }
   }
 
+  /** Spec hook proving repeat incremental invocations probe the stored
+    * signature index instead of re-hashing the base corpus. */
+  private[graft] val phashBuildCounts =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Int]
+
+  /** The base corpus's aHash signatures as a DURABLE index artifact —
+    * 8 bytes per asset, the media analog of the winnowing/minhash base
+    * indexes: built once by the index job, probed by the full pair
+    * search AND by every arriving batch. */
+  private[ops] def baseSigIndex(s: SparkSession, dir: String): DataFrame =
+    Tables.cachedFrame(s, dir, "phash_sig_index") {
+      import s.implicits._
+      phashBuildCounts.updateWith((s, dir))(c => Some(c.getOrElse(0) + 1))
+      aHash64(mediaTable(s, dir).as[MediaRecord]).toDF()
+    }
+
+  /** The arriving batch of the incremental scenario: minor-edit copies
+    * (payload byte 0 replaced) of every 7th asset, ids +100000. */
+  private def mediaBatch(s: SparkSession, dir: String): DataFrame =
+    mediaTable(s, dir).filter(col("doc_id") % 7 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000)
+      .withColumn("media",
+        concat(lit("Z").cast("binary"), expr("substring(media, 2, 2147483647)")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Metadata-only query: the planner prunes every unused document column
     // out of the scan (verified in PlanSpec via the physical plan).
@@ -180,12 +204,45 @@ object Multimodal {
     // probe exposed mega-buckets on byte-similar corpora).
     "mm_dedup_phash" -> ((s, dir) => {
       import s.implicits._
-      val pert = mediaTable(s, dir).filter(col("doc_id") % 7 === 0)
-        .withColumn("doc_id", col("doc_id") + 100000)
-        .withColumn("media",
-          concat(lit("Z").cast("binary"), expr("substring(media, 2, 2147483647)")))
-      phashPairs(aHash64(mediaTable(s, dir).unionByName(pert).as[MediaRecord])
-        .toDF().localCheckpoint())
+      // base signatures resolve through the stored index; only the
+      // planted batch hashes fresh
+      phashPairs(baseSigIndex(s, dir)
+        .unionByName(aHash64(mediaBatch(s, dir).as[MediaRecord]).toDF())
+        .localCheckpoint())
+    }),
+
+    // INCREMENTAL media dedup — the ingest shape: an arriving batch is
+    // hashed (batch-sized work), banded, and probed against the STORED
+    // signature index's bands; only batch×index cross pairs are
+    // checked. The base corpus is never re-hashed (the
+    // dedup_incremental / winnowing_incr discipline applied to media).
+    // Stop bands come from the INDEX side's bucket populations — at
+    // deployment that is precomputed index metadata, and an arriving
+    // batch must not change which bands are considered boilerplate
+    // mid-stream (the DriftMonitor reference-artifact argument).
+    "mm_dedup_phash_incr" -> ((s, dir) => {
+      import s.implicits._
+      val idx = baseSigIndex(s, dir)
+      val batch = aHash64(mediaBatch(s, dir).as[MediaRecord]).toDF()
+      def chunksOf(sigs: DataFrame): DataFrame =
+        sigs.select(col("doc_id"), col("lo"), col("hi"),
+          explode(array(
+            struct(lit(0).as("ci"), expr("lo % 65536").as("cv")),
+            struct(lit(1).as("ci"), expr("lo div 65536").as("cv")),
+            struct(lit(2).as("ci"), expr("hi % 65536").as("cv")),
+            struct(lit(3).as("ci"), expr("hi div 65536").as("cv")))).as("c"))
+          .select(col("doc_id"), col("lo"), col("hi"),
+            col("c.ci").as("ci"), col("c.cv").as("cv"))
+      val idxChunks = chunksOf(idx)
+      val pops = idxChunks.groupBy("ci", "cv").agg(count(lit(1)).as("pop"))
+      val keptIdx = idxChunks.join(pops.filter(col("pop") <= MaxBandPop), Seq("ci", "cv"))
+      chunksOf(batch).as("b").join(keptIdx.as("x"),
+          col("b.ci") === col("x.ci") && col("b.cv") === col("x.cv"))
+        .select(col("b.doc_id").as("doc_id"), col("x.doc_id").as("dup_of"),
+          expr("CAST(bit_count(b.lo ^ x.lo) + bit_count(b.hi ^ x.hi) AS BIGINT)").as("ham"))
+        .distinct()
+        .filter(col("ham") <= 3)
+        .orderBy("doc_id", "dup_of")
     })
   )
 
@@ -272,7 +329,53 @@ object Multimodal {
     // simhash64 4×16-bit band join, Hamming ≤ 3 (text is ascii, so
     // payload bytes == char codes)
     "mm_dedup_phash" ->
-      """WITH corpus AS (
+      s"""WITH $phashSigSql,
+         allchunks AS (
+           SELECT doc_id, lo, hi, 0 AS ci, lo % 65536 AS cv FROM sig
+           UNION ALL SELECT doc_id, lo, hi, 1, lo // 65536 FROM sig
+           UNION ALL SELECT doc_id, lo, hi, 2, hi % 65536 FROM sig
+           UNION ALL SELECT doc_id, lo, hi, 3, hi // 65536 FROM sig),
+         pops AS (SELECT ci, cv, count(*) AS pop FROM allchunks GROUP BY ci, cv),
+         chunks AS (SELECT a.* FROM allchunks a JOIN pops p
+                    ON a.ci = p.ci AND a.cv = p.cv AND p.pop <= 64)
+         SELECT DISTINCT x.doc_id AS da, y.doc_id AS db,
+                CAST(bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi)) AS BIGINT) AS ham
+         FROM chunks x JOIN chunks y
+           ON x.ci = y.ci AND x.cv = y.cv AND x.doc_id < y.doc_id
+         WHERE bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi)) <= 3
+         ORDER BY da, db""",
+
+    // same signature chain; the index side is ids < 100000 (the stored
+    // artifact), the batch ids >= 100000; stop bands from INDEX pops
+    "mm_dedup_phash_incr" ->
+      s"""WITH $phashSigSql,
+         idx AS (SELECT * FROM sig WHERE doc_id < 100000),
+         bat AS (SELECT * FROM sig WHERE doc_id >= 100000),
+         ichunks AS (
+           SELECT doc_id, lo, hi, 0 AS ci, lo % 65536 AS cv FROM idx
+           UNION ALL SELECT doc_id, lo, hi, 1, lo // 65536 FROM idx
+           UNION ALL SELECT doc_id, lo, hi, 2, hi % 65536 FROM idx
+           UNION ALL SELECT doc_id, lo, hi, 3, hi // 65536 FROM idx),
+         pops AS (SELECT ci, cv, count(*) AS pop FROM ichunks GROUP BY ci, cv),
+         kept AS (SELECT a.* FROM ichunks a JOIN pops p
+                  ON a.ci = p.ci AND a.cv = p.cv AND p.pop <= 64),
+         bchunks AS (
+           SELECT doc_id, lo, hi, 0 AS ci, lo % 65536 AS cv FROM bat
+           UNION ALL SELECT doc_id, lo, hi, 1, lo // 65536 FROM bat
+           UNION ALL SELECT doc_id, lo, hi, 2, hi % 65536 FROM bat
+           UNION ALL SELECT doc_id, lo, hi, 3, hi // 65536 FROM bat)
+         SELECT DISTINCT b.doc_id AS doc_id, x.doc_id AS dup_of,
+                CAST(bit_count(xor(b.lo, x.lo)) + bit_count(xor(b.hi, x.hi)) AS BIGINT) AS ham
+         FROM bchunks b JOIN kept x ON b.ci = x.ci AND b.cv = x.cv
+         WHERE bit_count(xor(b.lo, x.lo)) + bit_count(xor(b.hi, x.hi)) <= 3
+         ORDER BY doc_id, dup_of"""
+  )
+
+  /** Oracle CTE chain: planted corpus (base + byte-0-edited copies) →
+    * aHash signatures `sig` (doc_id, lo, hi) — shared by the full pair
+    * search and the incremental probe. */
+  private def phashSigSql: String =
+    """corpus AS (
            SELECT doc_id, text FROM documents
            UNION ALL
            SELECT doc_id + 100000 AS doc_id, 'Z' || substr(text, 2) AS text
@@ -294,20 +397,5 @@ object Multimodal {
                                  THEN CAST(pow(2, blk) AS BIGINT) ELSE 0 END) AS BIGINT) AS lo,
                         CAST(sum(CASE WHEN blk >= 32 AND bit = 1
                                  THEN CAST(pow(2, blk - 32) AS BIGINT) ELSE 0 END) AS BIGINT) AS hi
-                 FROM bits GROUP BY doc_id),
-         allchunks AS (
-           SELECT doc_id, lo, hi, 0 AS ci, lo % 65536 AS cv FROM sig
-           UNION ALL SELECT doc_id, lo, hi, 1, lo // 65536 FROM sig
-           UNION ALL SELECT doc_id, lo, hi, 2, hi % 65536 FROM sig
-           UNION ALL SELECT doc_id, lo, hi, 3, hi // 65536 FROM sig),
-         pops AS (SELECT ci, cv, count(*) AS pop FROM allchunks GROUP BY ci, cv),
-         chunks AS (SELECT a.* FROM allchunks a JOIN pops p
-                    ON a.ci = p.ci AND a.cv = p.cv AND p.pop <= 64)
-         SELECT DISTINCT x.doc_id AS da, y.doc_id AS db,
-                CAST(bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi)) AS BIGINT) AS ham
-         FROM chunks x JOIN chunks y
-           ON x.ci = y.ci AND x.cv = y.cv AND x.doc_id < y.doc_id
-         WHERE bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi)) <= 3
-         ORDER BY da, db"""
-  )
+                 FROM bits GROUP BY doc_id)"""
 }

@@ -27,13 +27,15 @@ class DurableIndexSpec extends SparkSpec {
   // fingerprint posting index, and the BM25 index trio (postings + df +
   // corpus stats — index METADATA stored alongside the postings) joined
   // the store
+  // round-9 continuation 2: the media aHash signature index and the
+  // mergeable per-lang base card joined the store
   private val keys =
     Seq("dedup_sid_index", "dedup_band_index", "ivf_label_centarr", "q8_index",
       "semdedup_centarr", "semdedup_blocks", "decontam_bloom", "bpe_merges",
       "knn_capped_buckets", "knn_cluster_labels", "winnow_pair_index",
       "bm25_postings", "bm25_dfs", "bm25_stats",
       "winnow_base_index", "winnow_base_dfs", "knn_cluster_centarr",
-      "knn_pagerank", "knn_edges_deg")
+      "knn_pagerank", "knn_edges_deg", "phash_sig_index", "card_by_lang")
 
   test("second session serves index-backed queries from the store with zero rebuilds") {
     val root = Files.createTempDirectory("graft-idx-root").toString
@@ -56,6 +58,8 @@ class DurableIndexSpec extends SparkSpec {
       val bmA = q("text_bm25_multi")(sA, dir).collect().toSeq
       val caA = q("sim_cluster_assign")(sA, dir).collect().toSeq
       val prA = q("sim_graph_pagerank")(sA, dir).collect().toSeq
+      val phA = q("mm_dedup_phash_incr")(sA, dir).collect().toSeq
+      val cdA = q("curate_card_incremental")(sA, dir).collect().toSeq
       assert(incA.nonEmpty && ivfA.nonEmpty && q8A.nonEmpty &&
         semA.nonEmpty && bloomA.nonEmpty && bpeA.nonEmpty &&
         ccA.nonEmpty && cbA.nonEmpty && wpA.nonEmpty && bmA.nonEmpty)
@@ -107,6 +111,8 @@ class DurableIndexSpec extends SparkSpec {
       assert(q("text_bm25_multi")(sB, dir).collect().toSeq == bmA)
       assert(q("sim_cluster_assign")(sB, dir).collect().toSeq == caA)
       assert(q("sim_graph_pagerank")(sB, dir).collect().toSeq == prA)
+      assert(q("mm_dedup_phash_incr")(sB, dir).collect().toSeq == phA)
+      assert(q("curate_card_incremental")(sB, dir).collect().toSeq == cdA)
       keys.foreach { k =>
         assert(IndexStore.buildCounts.get(paths(k)).contains(1),
           s"$k: probing session must not rebuild")

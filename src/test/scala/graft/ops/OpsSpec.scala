@@ -1541,6 +1541,26 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("incremental media dedup: batch probes the stored signature index, zero re-hash") {
+    val pairs = Multimodal.queries("mm_dedup_phash_incr")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val builds = Multimodal.phashBuildCounts((spark, dir))
+    assert(pairs.forall(p => p._1 >= 100000 && p._2 < 100000),
+      "every pair is batch × index — never index-internal")
+    assert(pairs.forall(_._3 <= 3), "Hamming gate")
+    val planted = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 7 === 0).select("doc_id").collect().map(_.getLong(0))
+    planted.foreach { id =>
+      assert(pairs.exists(p => p._1 == id + 100000 && p._2 == id),
+        s"planted arrival ${id + 100000} did not match its original $id")
+    }
+    // a repeat invocation must probe the stored signatures, not re-hash
+    assert(Multimodal.queries("mm_dedup_phash_incr")(spark, dir).collect()
+      .length == pairs.length)
+    assert(Multimodal.phashBuildCounts((spark, dir)) == builds,
+      "repeat invocation re-built the signature index")
+  }
+
   test("phash stop-band cap fires on a degenerate identical-signature corpus") {
     import spark.implicits._
     // 70 identical signatures: every band bucket pops 70 > MaxBandPop=64
