@@ -28,13 +28,20 @@ object Curation {
     * shared verbatim by the Spark expr and the DuckDB oracle (the
     * engine-parity convention): a CASE ladder, not pow/log2 floats,
     * because a doc sitting exactly on a power of 2 must bucket
-    * identically in both engines. */
+    * identically in both engines. Beyond the 4096 max-sequence rung the
+    * bucket is len rounded UP to the next 4096 multiple (pure +/% —
+    * div spells differently across engines): an over-long doc is chunked
+    * into max-length windows before batching, so its padding is what
+    * the last partial window wastes. The original ELSE 4096 dumped an
+    * 8000-token doc into the 4096 bucket and made pad/waste NEGATIVE —
+    * silently wrong exactly on the long-doc corpora the metric is for. */
   private val lenBucketSql =
     """CASE WHEN len <= 16 THEN 16 WHEN len <= 32 THEN 32
             WHEN len <= 64 THEN 64 WHEN len <= 128 THEN 128
             WHEN len <= 256 THEN 256 WHEN len <= 512 THEN 512
             WHEN len <= 1024 THEN 1024 WHEN len <= 2048 THEN 2048
-            ELSE 4096 END"""
+            WHEN len <= 4096 THEN 4096
+            ELSE (len + 4095) - ((len + 4095) % 4096) END"""
 
   /** Integer quality score in basis points — the text_quality composite
     * ×10000 into a BIGINT; ONE formula string shared verbatim by the

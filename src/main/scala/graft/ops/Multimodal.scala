@@ -104,7 +104,14 @@ object Multimodal {
     * cross-multiplication sum_b·cnt_total > sum_total·cnt_b (no float
     * division anywhere, so the oracle replays it exactly). Byte i of an
     * n-byte payload belongs to block (i·64) div n — the decodeFeatures
-    * chunk convention at 64 blocks. */
+    * chunk convention at 64 blocks.
+    *
+    * Exactness bound: the cross-multiply peaks at sum_b·n ≤ 255·n², so
+    * 64-bit arithmetic is exact for payloads up to ~190 MB
+    * (sqrt(2⁶³/255)); larger assets would need a 128-bit compare in BOTH
+    * engines (Math.multiplyHigh / HUGEINT) — flagged here rather than
+    * silently wrong, since real image/audio assets sit well under it and
+    * video would be frame-sampled before hashing anyway. */
   def aHash64(media: Dataset[MediaRecord]): Dataset[MediaSig] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
@@ -224,19 +231,10 @@ object Multimodal {
       import s.implicits._
       val idx = baseSigIndex(s, dir)
       val batch = aHash64(mediaBatch(s, dir).as[MediaRecord]).toDF()
-      def chunksOf(sigs: DataFrame): DataFrame =
-        sigs.select(col("doc_id"), col("lo"), col("hi"),
-          explode(array(
-            struct(lit(0).as("ci"), expr("lo % 65536").as("cv")),
-            struct(lit(1).as("ci"), expr("lo div 65536").as("cv")),
-            struct(lit(2).as("ci"), expr("hi % 65536").as("cv")),
-            struct(lit(3).as("ci"), expr("hi div 65536").as("cv")))).as("c"))
-          .select(col("doc_id"), col("lo"), col("hi"),
-            col("c.ci").as("ci"), col("c.cv").as("cv"))
-      val idxChunks = chunksOf(idx)
+      val idxChunks = phashChunks(idx)
       val pops = idxChunks.groupBy("ci", "cv").agg(count(lit(1)).as("pop"))
       val keptIdx = idxChunks.join(pops.filter(col("pop") <= MaxBandPop), Seq("ci", "cv"))
-      chunksOf(batch).as("b").join(keptIdx.as("x"),
+      phashChunks(batch).as("b").join(keptIdx.as("x"),
           col("b.ci") === col("x.ci") && col("b.cv") === col("x.cv"))
         .select(col("b.doc_id").as("doc_id"), col("x.doc_id").as("dup_of"),
           expr("CAST(bit_count(b.lo ^ x.lo) + bit_count(b.hi ^ x.hi) AS BIGINT)").as("ham"))
@@ -246,11 +244,13 @@ object Multimodal {
     })
   )
 
-  /** Banded Hamming-≤3 pair search over (doc_id, lo, hi) signatures with
-    * the MaxBandPop stop-band drop. Factored so the cap's firing is
-    * negative-control-testable on a synthetic signature frame. */
-  private[ops] def phashPairs(sigs: DataFrame): DataFrame = {
-    val allChunks = sigs.select(col("doc_id"), col("lo"), col("hi"),
+  /** The 4×16-bit band explode of a (doc_id, lo, hi) signature frame —
+    * the ONE chunk/band layout shared by the full pair search, the
+    * incremental batch probe, and (implicitly) the stored
+    * phash_sig_index convention: a layout change must reach every
+    * consumer or arriving batches silently probe mismatched bands. */
+  private def phashChunks(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), col("lo"), col("hi"),
       explode(array(
         struct(lit(0).as("ci"), expr("lo % 65536").as("cv")),
         struct(lit(1).as("ci"), expr("lo div 65536").as("cv")),
@@ -258,6 +258,12 @@ object Multimodal {
         struct(lit(3).as("ci"), expr("hi div 65536").as("cv")))).as("c"))
       .select(col("doc_id"), col("lo"), col("hi"),
         col("c.ci").as("ci"), col("c.cv").as("cv"))
+
+  /** Banded Hamming-≤3 pair search over (doc_id, lo, hi) signatures with
+    * the MaxBandPop stop-band drop. Factored so the cap's firing is
+    * negative-control-testable on a synthetic signature frame. */
+  private[ops] def phashPairs(sigs: DataFrame): DataFrame = {
+    val allChunks = phashChunks(sigs)
     // stop-band drop (MaxBandPop): the pops agg and the filter join
     // reuse the (ci, cv) key the self-join shuffles on
     val pops = allChunks.groupBy("ci", "cv").agg(count(lit(1)).as("pop"))

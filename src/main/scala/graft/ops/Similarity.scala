@@ -141,6 +141,30 @@ object Similarity {
   private[graft] val prBuildCounts =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Int]
 
+  /** Per-node top-3 cosine neighbors (qid, rank, nid) over the capped
+    * buckets — the ONE edge definition shared by the live sim_knn_graph
+    * query and the durable knn_edges_deg artifact that labels, PageRank,
+    * and seeded diffusion iterate over. The recursive-CTE oracles and
+    * the intra-cluster/reachability specs all assume query and artifact
+    * are edge-identical, so a tweak to the tie-break, the rounding, or
+    * the cap must flow through HERE and reach both — the two bodies
+    * were copy-pasted until round 9's review pass. */
+  private def knnTop3(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val b = cappedKnnBuckets(s, dir)
+    val q = b.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+      col("bucket"), (col("vec_id") % col("nsub")).as("sub"),
+      expr(normExpr("embedding")).as("qn"))
+    val c = b.select(col("vec_id").as("nid"), col("embedding").as("ce"),
+      col("bucket").as("cb"), (col("vec_id") % col("nsub")).as("csub"),
+      expr(normExpr("embedding")).as("cn"))
+    topK3(
+      q.join(c, col("bucket") === col("cb") && col("sub") === col("csub")
+          && col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"),
+          round(expr(dotExpr) / (col("qn") * col("cn")), 6).as("cos_r")))
+  }
+
   /** The kNN graph's degree-attached edge list (src, dst, deg) as a
     * DURABLE artifact — the substrate every graph-diffusion consumer
     * iterates over (global PageRank, seeded expansion). Factored out of
@@ -149,20 +173,7 @@ object Similarity {
     * corpus-sized part; each diffusion is a few joins over this frame. */
   private[ops] def knnEdgesDeg(s: SparkSession, dir: String): DataFrame =
     Tables.cachedFrame(s, dir, "knn_edges_deg") {
-      graft.functions.GraftFunctions.register(s)
-      val b = cappedKnnBuckets(s, dir)
-      val q = b.select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("bucket"), (col("vec_id") % col("nsub")).as("sub"),
-        expr(normExpr("embedding")).as("qn"))
-      val c = b.select(col("vec_id").as("nid"), col("embedding").as("ce"),
-        col("bucket").as("cb"), (col("vec_id") % col("nsub")).as("csub"),
-        expr(normExpr("embedding")).as("cn"))
-      val edges = topK3(
-        q.join(c, col("bucket") === col("cb") && col("sub") === col("csub")
-            && col("qid") =!= col("nid"))
-          .select(col("qid"), col("nid"),
-            round(expr(dotExpr) / (col("qn") * col("cn")), 6).as("cos_r")))
-        .select(col("qid").as("src"), col("nid").as("dst"))
+      val edges = knnTop3(s, dir).select(col("qid").as("src"), col("nid").as("dst"))
       edges.join(edges.groupBy("src").agg(count(lit(1)).as("deg")), "src")
     }
 
@@ -479,21 +490,7 @@ object Similarity {
     // their bucket get no edges — the standard LSH-graph tradeoff;
     // multi-probe (sim_lsh_multiprobe's explode) is the recall knob and
     // would multiply only the probe side here too.
-    "sim_knn_graph" -> ((s, dir) => {
-      graft.functions.GraftFunctions.register(s)
-      val b = cappedKnnBuckets(s, dir)
-      val q = b.select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("bucket"), (col("vec_id") % col("nsub")).as("sub"),
-        expr(normExpr("embedding")).as("qn"))
-      val c = b.select(col("vec_id").as("nid"), col("embedding").as("ce"),
-        col("bucket").as("cb"), (col("vec_id") % col("nsub")).as("csub"),
-        expr(normExpr("embedding")).as("cn"))
-      topK3(
-        q.join(c, col("bucket") === col("cb") && col("sub") === col("csub")
-            && col("qid") =!= col("nid"))
-          .select(col("qid"), col("nid"),
-            round(expr(dotExpr) / (col("qn") * col("cn")), 6).as("cos_r")))
-    }),
+    "sim_knn_graph" -> ((s, dir) => knnTop3(s, dir)),
 
     // kNN density / prototypicality scoring: each node's mean cosine to
     // its top-3 neighbors — the per-item quality signal cluster-pruning

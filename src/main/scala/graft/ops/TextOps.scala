@@ -161,6 +161,24 @@ object TextOps {
     * each match consumes one space of the following gap and leaves the
     * next occurrence its leading space (" a  b  a  b " → " ab  ab "),
     * preserving the greedy left-to-right semantics BPE specifies. */
+  /** Per-doc fused BPE tokenization (doc_id, n_words, sp, n_tokens) —
+    * the merges fetch + fused bpe_apply pass + the pad/gap token-count
+    * formula, shared by text_bpe_tokens_fused and text_bpe_fertility so
+    * the count spelling lives in ONE place (the declarative
+    * text_bpe_tokens keeps its own spelling deliberately — it IS the
+    * equivalence pin for the fused kernel). */
+  private def bpeApplied(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val ms = bpeMergesFrame(s, dir).orderBy("r").head(bpeRounds)
+      .map(_.getString(1))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        call_function("bpe_apply", col("text"), lit(ms)).as("sp"))
+      .withColumn("n_tokens",
+        (size(split(trim(col("sp")), "  ")) - (col("n_words") - 1)).cast("long"))
+  }
+
   private def bpeMergesFrame(s: SparkSession, dir: String): DataFrame =
     Tables.cachedFrame(s, dir, "bpe_merges") {
       import s.implicits._
@@ -661,20 +679,10 @@ object TextOps {
     // text_bpe_tokens (the pad/gap encoding contract pins the
     // equivalence; OpsSpec pins row identity), so the oracle is shared —
     // one contract, two plans, like text_decontaminate_bloom.
-    "text_bpe_tokens_fused" -> ((s, dir) => {
-      graft.functions.GraftFunctions.register(s)
-      val ms = bpeMergesFrame(s, dir).orderBy("r").head(bpeRounds)
-        .map(_.getString(1))
-      Tables(s, dir, "documents")
-        .select(col("doc_id"),
-          size(split(col("text"), " ")).as("n_words"),
-          call_function("bpe_apply", col("text"), lit(ms)).as("sp"))
-        .select(col("doc_id"),
-          (size(split(trim(col("sp")), "  ")) - (col("n_words") - 1)).cast("long")
-            .as("n_tokens"),
-          md5(col("sp")).as("tok_md5"))
-        .orderBy("doc_id")
-    }),
+    "text_bpe_tokens_fused" -> ((s, dir) =>
+      bpeApplied(s, dir)
+        .select(col("doc_id"), col("n_tokens"), md5(col("sp")).as("tok_md5"))
+        .orderBy("doc_id")),
 
     // Tokenizer FERTILITY under the trained BPE — corpus tokens-per-word,
     // the standard metric for judging a tokenizer against a corpus (and
@@ -683,20 +691,11 @@ object TextOps {
     // single-row agg of per-task partials); integer basis points
     // ((toks·10000) div words), no float channel. A per-source breakdown
     // is the same plan with `source` in the groupBy.
-    "text_bpe_fertility" -> ((s, dir) => {
-      graft.functions.GraftFunctions.register(s)
-      val ms = bpeMergesFrame(s, dir).orderBy("r").head(bpeRounds)
-        .map(_.getString(1))
-      Tables(s, dir, "documents")
-        .select(size(split(col("text"), " ")).cast("long").as("n_words"),
-          call_function("bpe_apply", col("text"), lit(ms)).as("sp"))
-        .select(col("n_words"),
-          (size(split(trim(col("sp")), "  ")) - (col("n_words") - 1)).cast("long")
-            .as("n_tokens"))
+    "text_bpe_fertility" -> ((s, dir) =>
+      bpeApplied(s, dir)
         .agg(sum("n_words").as("words"), sum("n_tokens").as("toks"))
         .select(col("words"), col("toks"),
-          expr("(toks * 10000) div words").as("fertility_bp"))
-    }),
+          expr("(toks * 10000) div words").as("fertility_bp"))),
 
     // CCNet-style LM perplexity scoring — the curation stage that ranks
     // raw docs by how "natural" they look under a language model trained

@@ -41,21 +41,34 @@ object DriftMonitor {
 
   /** One-row card for a (micro-)batch of (.., text) rows: docs, tokens,
     * short-doc rate (bp), floor-divided mean tokens. Pure aggregate —
-    * identical on a batch frame and inside foreachBatch. */
+    * identical on a batch frame and inside foreachBatch. NULL-safe by
+    * construction: a null text counts as a 0-token (short) doc rather
+    * than poisoning the sums, and the rate divisions guard docs = 0 —
+    * a dead feed must surface as a LOUD verdict, not a NULL that
+    * comparison semantics would silently wave through (see drift). */
   def card(docs: DataFrame): DataFrame =
     docs
-      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("n_tokens",
+        coalesce(size(split(col("text"), " ")).cast("long"), lit(0L)))
       .agg(
         count(lit(1)).as("docs"),
-        sum("n_tokens").as("tokens"),
-        sum(when(col("n_tokens") < 20, 1L).otherwise(0L)).as("short_docs"))
+        coalesce(sum("n_tokens"), lit(0L)).as("tokens"),
+        coalesce(sum(when(col("n_tokens") < 20, 1L).otherwise(0L)), lit(0L))
+          .as("short_docs"))
       .select(col("docs"), col("tokens"),
-        expr("(short_docs * 10000) div docs").as("short_bp"),
-        expr("tokens div docs").as("mean_tokens"))
+        expr("CASE WHEN docs = 0 THEN 0 ELSE (short_docs * 10000) div docs END")
+          .as("short_bp"),
+        expr("CASE WHEN docs = 0 THEN 0 ELSE tokens div docs END")
+          .as("mean_tokens"))
 
   /** Drift verdicts for a card row against the reference: absolute
     * basis-point drift of the short-doc rate, relative percent drift of
-    * mean tokens, and an 'ok' / 'drift' verdict — all integer. */
+    * mean tokens, and an 'ok' / 'drift' verdict — all integer. An EMPTY
+    * batch is unconditionally 'drift': zero arrivals is the most drifted
+    * a feed gets, and without the explicit branch a NULL-valued metric
+    * comparison would fall through when(...).otherwise into 'ok' —
+    * reporting healthy during exactly the outage the alarm exists to
+    * catch. */
   def drift(cardRow: DataFrame, ref: Reference): DataFrame =
     cardRow.select(
       col("docs"), col("tokens"), col("short_bp"), col("mean_tokens"),
@@ -63,6 +76,8 @@ object DriftMonitor {
       (abs(col("mean_tokens") - lit(ref.meanTokens)) * 100L /
         lit(math.max(ref.meanTokens, 1L))).cast("long").as("mean_drift_pct"))
       .withColumn("verdict",
-        when(col("short_drift_bp") > ref.tolShortBp ||
-          col("mean_drift_pct") > ref.tolMeanPct, "drift").otherwise("ok"))
+        when(col("docs") === 0, "drift")
+          .when(col("short_drift_bp") > ref.tolShortBp ||
+            col("mean_drift_pct") > ref.tolMeanPct, "drift")
+          .otherwise("ok"))
 }

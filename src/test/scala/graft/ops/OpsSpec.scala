@@ -1124,6 +1124,21 @@ class OpsSpec extends SparkSpec {
       assert(bucket == 16 || toks > bucket / 2 * docs,
         s"bucket $bucket holds docs that belong in a smaller bucket")
     }
+    // over-4096 docs round UP to the next 4096 multiple (chunked-window
+    // padding) — the original ELSE 4096 made pad NEGATIVE there. This
+    // corpus has no such docs, so pin the formula on constructed lengths.
+    import spark.implicits._
+    val longDocs = Seq(4096L, 4097L, 8000L, 8192L, 8193L, 100000L).toDF("len")
+      .selectExpr("len", """CASE WHEN len <= 16 THEN 16 WHEN len <= 32 THEN 32
+            WHEN len <= 64 THEN 64 WHEN len <= 128 THEN 128
+            WHEN len <= 256 THEN 256 WHEN len <= 512 THEN 512
+            WHEN len <= 1024 THEN 1024 WHEN len <= 2048 THEN 2048
+            WHEN len <= 4096 THEN 4096
+            ELSE (len + 4095) - ((len + 4095) % 4096) END AS bucket""")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(longDocs.toSeq == Seq(4096L -> 4096L, 4097L -> 8192L, 8000L -> 8192L,
+      8192L -> 8192L, 8193L -> 12288L, 100000L -> 102400L))
+    longDocs.foreach { case (len, b) => assert(b >= len, s"negative pad at $len") }
   }
 
   test("seed expansion: non-seed top-50, positive scores, nothing beyond 3 hops of a seed") {

@@ -600,5 +600,19 @@ class StreamingSpec extends SparkSpec {
     assert(seen(0)._5 == "ok" && seen(1)._5 == "ok",
       s"healthy batches flagged: $seen")
     assert(seen(2)._5 == "drift", s"skewed batch not flagged: ${seen(2)}")
+    // a DEAD feed must alarm, not null-propagate into 'ok': the empty
+    // batch and the all-null-text batch are the outage shapes
+    val empty = DriftMonitor.drift(
+      DriftMonitor.card(Seq.empty[(Long, String)].toDF("doc_id", "text")), ref)
+      .collect()(0)
+    assert(empty.getAs[String]("verdict") == "drift",
+      s"empty batch reported ${empty.getAs[String]("verdict")}")
+    assert(empty.getAs[Long]("docs") == 0 && empty.getAs[Long]("short_bp") == 0)
+    val nulls = DriftMonitor.drift(
+      DriftMonitor.card(Seq((1L, null: String), (2L, null: String))
+        .toDF("doc_id", "text")), ref).collect()(0)
+    assert(nulls.getAs[String]("verdict") == "drift",
+      "all-null-text batch (0-token docs) must read as fully short → drift")
+    assert(nulls.getAs[Long]("short_bp") == 10000)
   }
 }
