@@ -1,0 +1,78 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.engine.Tables
+import graft.streaming.{DriftMonitor, IngestFilters}
+
+/** The production INGEST topology as one runnable job — the streaming
+  * counterpart of curate_pipeline_v2, binding the pieces the library
+  * ships: arriving document batches are (1) card-monitored RAW (drift
+  * verdicts against the versioned reference card — monitoring must see
+  * what the gates would hide), (2) gated by the classifier and the
+  * domain decision table, and (3) appended to the admitted corpus sink.
+  *
+  * Reference artifacts (the domain decision table, the drift reference
+  * card) are computed from the BASE corpus once at job start — versioned
+  * batch artifacts, not stream-learned state (the IngestFilters /
+  * DriftMonitor discipline): two workers or two restarts must agree on
+  * what normal is and which domains are kept.
+  *
+  * Scale: everything per-batch is stateless (one aggregate for the
+  * card, narrow gates, a broadcast decision join), so the job's state
+  * is ONLY the file-source offset log in the checkpoint — restart-safe,
+  * no growing state store. Sinks are append-mode parquet.
+  */
+object IngestJob {
+  val arrivalSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("source", StringType),
+    StructField("text", StringType)))
+
+  /** Batch-side reference artifacts from the base corpus. */
+  def references(spark: SparkSession, baseDir: String):
+      (DataFrame, DriftMonitor.Reference) = {
+    val base = IngestFilters.classifierGate(
+      Tables(spark, baseDir, "documents")
+        .select(col("doc_id"), col("source"), col("text")))
+    (IngestFilters.domainDecisions(base),
+      DriftMonitor.referenceFrom(Tables(spark, baseDir, "documents")))
+  }
+
+  /** Start the ingest stream over a JSON-lines arrival directory. */
+  def run(spark: SparkSession, baseDir: String, inDir: String,
+      outDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val (decisions, ref) = references(spark, baseDir)
+    val arrivals = spark.readStream.schema(arrivalSchema)
+      .option("maxFilesPerTrigger", 1).json(inDir)
+    arrivals.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        // monitor the RAW batch — a gated view would hide the outage
+        DriftMonitor.drift(DriftMonitor.card(df), ref)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(s"$outDir/drift")
+        IngestFilters.domainGate(IngestFilters.classifierGate(df), decisions)
+          .write.mode("append").parquet(s"$outDir/admitted")
+        ()
+      }
+      .start()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(baseDir, inDir, outDir) = args.take(3)
+    val checkpoint = args.lift(3).getOrElse(s"$outDir/_checkpoint")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark, baseDir, inDir, outDir, checkpoint).awaitTermination()
+    spark.stop()
+  }
+}

@@ -1,0 +1,65 @@
+package graft.jobs
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.streaming.IngestFilters
+
+/** Drives the full ingest job over a real file source: a healthy
+  * arrival file and a truncated-pages file, one micro-batch each
+  * (maxFilesPerTrigger=1 + AvailableNow). Pins that (1) admission is
+  * doc-identical to the batch gate path, (2) the drift log carries one
+  * verdict per batch, and (3) the truncated batch — which passes no
+  * per-row gate differently — is the one the card monitor flags. */
+class IngestJobSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("ingest job: batch-identical admission, per-batch drift log, outage flagged") {
+    val in = Files.createTempDirectory("graft-ingest-in").toString
+    val out = Files.createTempDirectory("graft-ingest-out").toString
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source", "text").limit(60).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def jsonLine(t: (Long, String, String)): String = {
+      val esc = t._3.replace("\\", "\\\\").replace("\"", "\\\"")
+      s"""{"doc_id":${t._1},"source":"${t._2}","text":"$esc"}"""
+    }
+    // file 1: healthy arrivals; file 2 (later mtime): the dead-crawler
+    // batch — every page truncated
+    Files.write(Paths.get(s"$in/batch1.json"),
+      rows.map(jsonLine).mkString("\n").getBytes("UTF-8"))
+    val broken = (0 until 40)
+      .map(i => (9000L + i, "src_broken", "short page only"))
+    val f2 = Paths.get(s"$in/batch2.json")
+    Files.write(f2, broken.map(jsonLine).mkString("\n").getBytes("UTF-8"))
+    f2.toFile.setLastModified(System.currentTimeMillis() + 60000)
+
+    val q = IngestJob.run(spark, dir, in, out, s"$out/_checkpoint")
+    try q.awaitTermination(120000) finally q.stop()
+
+    // drift log: one verdict per micro-batch; the broken batch flagged
+    val drift = spark.read.parquet(s"$out/drift")
+      .select("batch_id", "docs", "verdict").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    assert(drift.length == 2, s"expected 2 micro-batches, got ${drift.toSeq}")
+    assert(drift(0) == ((0L, 60L, "ok")), s"healthy batch: ${drift(0)}")
+    assert(drift(1) == ((1L, 40L, "drift")), s"broken batch: ${drift(1)}")
+
+    // admission must be doc-identical to the batch gate path over the
+    // same arrivals (gates share one code path — this pins the JOB wiring)
+    import spark.implicits._
+    val all = (rows ++ broken).toSeq.toDF("doc_id", "source", "text")
+    val (decisions, _) = IngestJob.references(spark, dir)
+    val expected = IngestFilters.domainGate(
+        IngestFilters.classifierGate(all), decisions)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val admitted = spark.read.parquet(s"$out/admitted")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == expected,
+      s"job admitted ${admitted.size}, batch path ${expected.size}")
+    assert(admitted.nonEmpty && admitted.size < rows.length + broken.size,
+      "gates must admit some and drop some for this to prove anything")
+  }
+}
