@@ -60,7 +60,8 @@ object ScaleProbe {
     "text_bpe_fertility", "text_tfidf_topk", "curate_curriculum",
     "sim_cluster_profile", "mm_dedup_phash", "curate_dataset_card",
     "text_blocklist_filter", "sim_index_staleness", "text_ngram_novelty",
-    "sample_reservoir", "curate_card_incremental", "mm_dedup_phash_incr")
+    "sample_reservoir", "curate_card_incremental", "mm_dedup_phash_incr",
+    "text_decontaminate_spans")
 
   def main(args: Array[String]): Unit = {
     val spillMode = args.headOption.contains("spill")

@@ -924,6 +924,54 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // SPAN-LEVEL decontamination — the redaction-grade upgrade of
+    // text_decontaminate: instead of a per-doc shared-gram count (drop
+    // the doc), report the exact WORD RANGES that overlap the benchmark
+    // so the pipeline can excise the quoted span and keep the rest.
+    // Two-phase, the production shape: phase 1 detects contaminated
+    // docs corpus-wide with the FUSED dedup kernel (cheap, position-
+    // free); phase 2 re-derives positional gram ids ONLY on that small
+    // subset (the declarative md5 chain is fine off the hot path — the
+    // subset is benchmark-overlap-sized, not corpus-sized), marks the
+    // matching 8-gram start positions, and merges overlapping [i, i+8)
+    // hits into maximal spans with a per-doc gaps-and-islands window.
+    // All integer; the kernel's (hi>>>4)%P ids and the declarative
+    // conv(substr(md5,1,15)) ids are the SAME 60-bit value by
+    // construction, so the two phases agree on what matched.
+    "text_decontaminate_spans" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = gram8(docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          expr("concat_ws(' ', slice(split(text, ' '), 3, size(split(text, ' '))))")
+            .as("text")))
+        .select(col("gid")).distinct()
+      val contaminated = gram8(docs).join(broadcast(bench), "gid")
+        .select(col("doc_id")).distinct()
+      val starts = docs.join(contaminated, "doc_id")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 8)
+        .select(col("doc_id"),
+          explode(expr("sequence(0, size(w) - 8)")).as("i"), col("w"))
+        .select(col("doc_id"), col("i"),
+          expr("""CAST(conv(substring(md5(concat_ws(' ',
+                    slice(w, i + 1, 8))), 1, 15), 16, 10) AS BIGINT)
+                  % 2147483647""").as("gid"))
+        .join(broadcast(bench), "gid")
+        .select(col("doc_id"), col("i").cast("long").as("i"))
+      val w1 = Window.partitionBy("doc_id").orderBy("i")
+      starts
+        .withColumn("prev_max_end",
+          max(col("i") + 8).over(w1.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("island",
+          sum(when(col("prev_max_end").isNull || col("i") > col("prev_max_end"), 1L)
+            .otherwise(0L)).over(w1))
+        .groupBy("doc_id", "island")
+        .agg(min("i").as("span_start"), (max("i") + 8).as("span_end"))
+        .select(col("doc_id"), col("span_start"), col("span_end"))
+        .orderBy("doc_id", "span_start")
+    }),
+
     // C4-style HARD-GATE filter — the blocklist stage every web-corpus
     // recipe runs before any scoring: a document containing ANY
     // blocklisted WORD (exact token match) or any blocklisted PHRASE
@@ -1740,6 +1788,44 @@ object TextOps {
           GROUP BY doc_id ORDER BY doc_id""",
 
     "text_decontaminate" -> decontaminateSql,
+
+    // positional gram ids over the corpus (the oracle needs no
+    // two-phase split — docs without matches emit no rows either way),
+    // then the same gaps-and-islands merge
+    "text_decontaminate_spans" ->
+      s"""WITH bench AS (
+            SELECT DISTINCT
+              CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) % $P AS gid
+            FROM (
+              SELECT unnest(list_transform(range(1, len(w) - 6),
+                       i -> array_to_string(w[i:i+7], ' '))) AS gram
+              FROM (SELECT string_split(text, ' ')[3:] AS w
+                    FROM documents
+                    WHERE doc_id % 10 = 0
+                      AND len(string_split(text, ' ')[3:]) >= 8))),
+          d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                WHERE len(string_split(text, ' ')) >= 8),
+          posg AS (
+            SELECT doc_id, i,
+              CAST(concat('0x', substr(md5(array_to_string(w[i:i+7], ' ')), 1, 15))
+                   AS BIGINT) % $P AS gid
+            FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i FROM d)),
+          starts AS (
+            SELECT doc_id, CAST(i - 1 AS BIGINT) AS i
+            FROM posg JOIN bench USING (gid)),
+          m AS (SELECT doc_id, i,
+                  max(i + 8) OVER (PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end
+                FROM starts),
+          isl AS (SELECT doc_id, i,
+                    sum(CASE WHEN prev_max_end IS NULL OR i > prev_max_end
+                        THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+                  FROM m)
+          SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start,
+                 CAST(max(i) + 8 AS BIGINT) AS span_end
+          FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""",
 
     // the bloom prefilter never false-negatives and the survivors go
     // through the same exact verification join, so the bloom variant's

@@ -1471,6 +1471,37 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("decontamination spans: planted quotes located exactly, spans disjoint, doc set consistent") {
+    val spans = TextOps.queries("text_decontaminate_spans")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val lens = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").length.toLong).toMap
+    spans.groupBy(_._1).foreach { case (id, ss) =>
+      val sorted = ss.sortBy(_._2)
+      sorted.foreach { case (_, a, b) =>
+        assert(a >= 0 && a < b && b <= lens(id), s"doc $id span [$a,$b) out of bounds")
+      }
+      sorted.sliding(2).foreach {
+        case Array((_, _, e1), (_, s2, _)) =>
+          assert(s2 > e1, s"doc $id spans overlap — islands not merged")
+        case _ =>
+      }
+    }
+    // the planted contamination: every 10th doc quotes ITSELF minus its
+    // first two words, so its own span must start at word 2 and run to
+    // the end of the doc
+    lens.keys.filter(id => id % 10 == 0 && lens(id) >= 10).foreach { id =>
+      assert(spans.contains((id, 2L, lens(id))),
+        s"planted doc $id: expected span [2, ${lens(id)}), got ${spans.filter(_._1 == id).toSeq}")
+    }
+    // phase-1 detect and span output must agree on WHICH docs are dirty
+    val flagged = TextOps.queries("text_decontaminate")(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    assert(spans.map(_._1).toSet == flagged,
+      "span docs differ from the gram-count detector's docs")
+  }
+
   test("blocklist gate: verdicts replay off-Spark and gates compose by AND") {
     val rows = TextOps.queries("text_blocklist_filter")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
