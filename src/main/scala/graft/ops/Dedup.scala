@@ -153,6 +153,33 @@ object Dedup {
     * checkpointed before the self-join so the signature build runs once,
     * not twice. Takes the (doc_id, sids) array form — candidate
     * generation is shuffle-free up to the band-bucket join itself. */
+  /** Band candidates with exact Jaccard attached (NO threshold) — the
+    * one banding + verification pass shared by the ≥0.5 near-dup query
+    * and the threshold-calibration histogram. Verification is entirely
+    * per-pair array intersection: two joins attach the candidate docs'
+    * sid arrays, then one narrow size(array_intersect(...)) per pair —
+    * the round-2 version exploded the posting list through two shuffled
+    * joins and a pair-count groupBy (the full token stream on the
+    * wire); here only the candidate pairs (banding keeps them ~2% FP)
+    * move, with their two arrays. */
+  private def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s) // IntersectCountRule
+    // one shingle pass; sid arrays deduped at build so set arithmetic
+    // below is exact (two shingles CAN hash to one sid)
+    val docSids = sidArrays(nearDupCorpus(s, dir), md5Sids)
+      .select(col("doc_id"), expr("array_distinct(sids)").as("sids"))
+      .localCheckpoint()
+    val cand = candidatePairs(docSids)
+    val a = docSids.select(col("doc_id").as("da"), col("sids").as("sa"))
+    val b = docSids.select(col("doc_id").as("db"), col("sids").as("sb"))
+    cand.join(a, "da").join(b, "db")
+      .select(col("da"), col("db"),
+        expr("size(array_intersect(sa, sb))").as("common"),
+        size(col("sa")).as("ca"), size(col("sb")).as("cb"))
+      .withColumn("jaccard",
+        round(col("common") / (col("ca") + col("cb") - col("common")), 3))
+  }
+
   private def candidatePairs(docSids: DataFrame): DataFrame = {
     val bands = bandSigs(docSids).localCheckpoint()
     bands.as("x").join(bands.as("y"),
@@ -406,32 +433,35 @@ object Dedup {
     // MinHash + LSH: shingle → dictionary id → 8 permutations → minhash
     // signature → 8 bands → band-bucket self-join → exact-Jaccard
     // verification of candidates only.
-    "dedup_minhash_lsh" -> ((s, dir) => {
-      graft.functions.GraftFunctions.register(s) // IntersectCountRule
-      // one shingle pass; sid arrays deduped at build so set arithmetic
-      // below is exact (two shingles CAN hash to one sid)
-      val docSids = sidArrays(nearDupCorpus(s, dir), md5Sids)
-        .select(col("doc_id"), expr("array_distinct(sids)").as("sids"))
-        .localCheckpoint()
-      val cand = candidatePairs(docSids)
-      // verification entirely via per-pair array intersection: two joins
-      // attach the candidate docs' sid arrays, then one narrow
-      // size(array_intersect(...)) per pair — the round-2 version exploded
-      // the posting list through two shuffled joins and a pair-count
-      // groupBy (the full token stream on the wire); here only the
-      // candidate pairs (banding keeps them ~2% FP) move, with their two
-      // arrays
-      val a = docSids.select(col("doc_id").as("da"), col("sids").as("sa"))
-      val b = docSids.select(col("doc_id").as("db"), col("sids").as("sb"))
-      cand.join(a, "da").join(b, "db")
-        .select(col("da"), col("db"),
-          expr("size(array_intersect(sa, sb))").as("common"),
-          size(col("sa")).as("ca"), size(col("sb")).as("cb"))
-        .withColumn("jaccard",
-          round(col("common") / (col("ca") + col("cb") - col("common")), 3))
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      verifiedPairs(s, dir)
         .filter(col("jaccard") >= 0.5)
         .select(col("da"), col("db"), col("jaccard"))
-        .orderBy("da", "db")
+        .orderBy("da", "db")),
+
+    // THRESHOLD CALIBRATION for the near-dup knob: the per-decile
+    // Jaccard histogram of the verified candidate pairs, with the
+    // cumulative "pairs you would merge at threshold ≥ d/10" column —
+    // the table a data engineer reads before picking 0.5 vs 0.8 (too
+    // low merges topical cousins; too high misses paraphrases). Reuses
+    // the ONE banding + verification pass; the rollup is an ≤11-row
+    // aggregate, and the cumulative window runs over those ≤11 rows
+    // (partitioned by a constant non-foldable key — the text_hybrid_rrf
+    // trick — so no warning and no real single-partition data risk).
+    "dedup_threshold_calibration" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // common >= 1 mirrors the oracle's inner verification join: a
+      // band-signature collision with ZERO shared shingles is an LSH
+      // false positive, not a similarity datum — it has no decile
+      val d = verifiedPairs(s, dir)
+        .filter(col("common") >= 1)
+        .select(expr("CAST(floor(jaccard * 10) AS BIGINT)").as("decile"))
+        .groupBy("decile").agg(count(lit(1)).as("pairs"))
+      val w = Window.partitionBy(col("decile") % 1)
+        .orderBy(col("decile").desc)
+      d.withColumn("cum_pairs_ge", sum("pairs").over(w))
+        .select(col("decile"), col("pairs"), col("cum_pairs_ge"))
+        .orderBy("decile")
     }),
 
     // Production-path MinHash (no dictionary): shingle ids via xxhash64 —
@@ -990,6 +1020,27 @@ object Dedup {
           FROM com JOIN cnt ca ON com.da = ca.doc_id JOIN cnt cb ON com.db = cb.doc_id
           WHERE round(common / (ca.c + cb.c - common * 1.0), 3) >= 0.5
           ORDER BY da, db""",
+
+    // same banding + verification replay WITHOUT the threshold, rolled
+    // into the per-decile histogram + cumulative merge counts
+    "dedup_threshold_calibration" ->
+      s"""WITH $candSql,
+          cnt AS (SELECT doc_id, count(DISTINCT sid) AS c FROM doc_sh GROUP BY doc_id),
+          com AS (SELECT da, db, count(DISTINCT sa.sid) AS common
+                  FROM cand
+                  JOIN doc_sh sa ON cand.da = sa.doc_id
+                  JOIN doc_sh sb ON cand.db = sb.doc_id AND sa.sid = sb.sid
+                  GROUP BY da, db),
+          j AS (SELECT round(common / (ca.c + cb.c - common * 1.0), 3) AS jaccard
+                FROM com JOIN cnt ca ON com.da = ca.doc_id
+                JOIN cnt cb ON com.db = cb.doc_id),
+          d AS (SELECT CAST(floor(jaccard * 10) AS BIGINT) AS decile,
+                       CAST(count(*) AS BIGINT) AS pairs
+                FROM j GROUP BY 1)
+          SELECT decile, pairs,
+                 CAST(sum(pairs) OVER (ORDER BY decile DESC) AS BIGINT)
+                   AS cum_pairs_ge
+          FROM d ORDER BY decile""",
 
     // per-source signature = min over the source's (doc, shingle) stream
     // per permutation (the per-doc minhash16 elementwise-min composes to

@@ -1520,6 +1520,24 @@ class OpsSpec extends SparkSpec {
     assert(rows.exists(r => r._3 > 0 && r._4 == "drop"), "phrase gate fired")
   }
 
+  test("threshold calibration: exact cumulative algebra, consistent with the near-dup query") {
+    val rows = Dedup.queries("dedup_threshold_calibration")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (d, p, _) =>
+      assert(d >= 0 && d <= 10 && p > 0, s"decile $d pairs $p")
+    }
+    // cum(d) = pairs(d) + cum(next decile up); the top decile's cum is itself
+    rows.foreach { case (d, p, cum) =>
+      val higher = rows.filter(_._1 > d)
+      assert(cum == p + higher.map(_._2).sum, s"decile $d cumulative")
+    }
+    // the ≥0.5 near-dup query is exactly the deciles-≥5 slice
+    val lsh = Dedup.queries("dedup_minhash_lsh")(spark, dir).count()
+    assert(rows.filter(_._1 >= 5).map(_._2).sum == lsh,
+      "calibration disagrees with the near-dup query at threshold 0.5")
+  }
+
   test("incremental card: merge equals recompute-over-union; base card builds once") {
     val run1 = Curation.queries("curate_card_incremental")(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
