@@ -23,8 +23,11 @@ import graft.streaming.{DriftMonitor, IngestFilters}
   *
   * Scale: everything per-batch is stateless (one aggregate for the
   * card, narrow gates, a broadcast decision join), so the job's state
-  * is ONLY the file-source offset log in the checkpoint — restart-safe,
-  * no growing state store. Sinks are append-mode parquet.
+  * is ONLY the file-source offset log in the checkpoint. Restart-safe
+  * end to end: foreachBatch is at-least-once, so each sink write is
+  * made IDEMPOTENT by landing in (and overwriting) its own batch_id
+  * partition — a replayed batch rewrites the same partitions instead
+  * of appending duplicates (see processBatch).
   */
 object IngestJob {
   val arrivalSchema: StructType = StructType(Seq(
@@ -41,6 +44,22 @@ object IngestJob {
       DriftMonitor.referenceFrom(Tables(spark, baseDir, "documents")))
   }
 
+  /** One micro-batch through the topology — IDEMPOTENT by batch id:
+    * each sink write lands in (and overwrites) that batch's own
+    * `batch_id=N` partition directory, so a crash between the two
+    * writes and the offset-log commit replays the batch into the SAME
+    * partitions instead of appending duplicates. foreachBatch is
+    * at-least-once; idempotent writes are what upgrade the pipeline to
+    * effectively-once (partition discovery supplies batch_id on read). */
+  private[jobs] def processBatch(df: DataFrame, batchId: Long,
+      outDir: String, decisions: DataFrame, ref: DriftMonitor.Reference): Unit = {
+    // monitor the RAW batch — a gated view would hide the outage
+    DriftMonitor.drift(DriftMonitor.card(df), ref)
+      .write.mode("overwrite").parquet(s"$outDir/drift/batch_id=$batchId")
+    IngestFilters.domainGate(IngestFilters.classifierGate(df), decisions)
+      .write.mode("overwrite").parquet(s"$outDir/admitted/batch_id=$batchId")
+  }
+
   /** Start the ingest stream over a JSON-lines arrival directory. */
   def run(spark: SparkSession, baseDir: String, inDir: String,
       outDir: String, checkpointDir: String,
@@ -52,18 +71,14 @@ object IngestJob {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (df: DataFrame, batchId: Long) =>
-        // monitor the RAW batch — a gated view would hide the outage
-        DriftMonitor.drift(DriftMonitor.card(df), ref)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(s"$outDir/drift")
-        IngestFilters.domainGate(IngestFilters.classifierGate(df), decisions)
-          .write.mode("append").parquet(s"$outDir/admitted")
-        ()
+        processBatch(df, batchId, outDir, decisions, ref)
       }
       .start()
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.length < 3)
+      sys.error("usage: IngestJob <baseDir> <inDir> <outDir> [checkpointDir]")
     val Array(baseDir, inDir, outDir) = args.take(3)
     val checkpoint = args.lift(3).getOrElse(s"$outDir/_checkpoint")
     val spark = SparkSession.builder()

@@ -148,11 +148,6 @@ object Dedup {
   // checkpointed array base where verification needs it, so the corpus is
   // shingled exactly once per query.)
 
-  /** LSH candidate pairs (da < db): 8 bands × 2 rows — ~0.9997 recall at
-    * J ≥ 0.8, FPs filtered by downstream verification. Band signatures are
-    * checkpointed before the self-join so the signature build runs once,
-    * not twice. Takes the (doc_id, sids) array form — candidate
-    * generation is shuffle-free up to the band-bucket join itself. */
   /** Band candidates with exact Jaccard attached (NO threshold) — the
     * one banding + verification pass shared by the ≥0.5 near-dup query
     * and the threshold-calibration histogram. Verification is entirely
@@ -180,6 +175,11 @@ object Dedup {
         round(col("common") / (col("ca") + col("cb") - col("common")), 3))
   }
 
+  /** LSH candidate pairs (da < db): 8 bands × 2 rows — ~0.9997 recall at
+    * J ≥ 0.8, FPs filtered by downstream verification. Band signatures are
+    * checkpointed before the self-join so the signature build runs once,
+    * not twice. Takes the (doc_id, sids) array form — candidate
+    * generation is shuffle-free up to the band-bucket join itself. */
   private def candidatePairs(docSids: DataFrame): DataFrame = {
     val bands = bandSigs(docSids).localCheckpoint()
     bands.as("x").join(bands.as("y"),

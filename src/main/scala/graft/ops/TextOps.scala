@@ -954,9 +954,11 @@ object TextOps {
         .select(col("doc_id"),
           explode(expr("sequence(0, size(w) - 8)")).as("i"), col("w"))
         .select(col("doc_id"), col("i"),
-          expr("""CAST(conv(substring(md5(concat_ws(' ',
+          // % $P interpolated, not a literal: the whole two-phase design
+          // hinges on this matching the fused kernel's id space
+          expr(s"""CAST(conv(substring(md5(concat_ws(' ',
                     slice(w, i + 1, 8))), 1, 15), 16, 10) AS BIGINT)
-                  % 2147483647""").as("gid"))
+                  % $P""").as("gid"))
         .join(broadcast(bench), "gid")
         .select(col("doc_id"), col("i").cast("long").as("i"))
       val w1 = Window.partitionBy("doc_id").orderBy("i")

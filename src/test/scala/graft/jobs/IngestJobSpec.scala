@@ -23,7 +23,17 @@ class IngestJobSpec extends SparkSpec {
       .select("doc_id", "source", "text").limit(60).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
     def jsonLine(t: (Long, String, String)): String = {
-      val esc = t._3.replace("\\", "\\\\").replace("\"", "\\\"")
+      // escape control chars too: a corpus text with a newline/tab must
+      // not split the fixture into invalid JSON lines
+      val esc = t._3.flatMap {
+        case '\\' => "\\\\"
+        case '"' => "\\\""
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
       s"""{"doc_id":${t._1},"source":"${t._2}","text":"$esc"}"""
     }
     // file 1: healthy arrivals; file 2 (later mtime): the dead-crawler
@@ -40,8 +50,9 @@ class IngestJobSpec extends SparkSpec {
     try q.awaitTermination(120000) finally q.stop()
 
     // drift log: one verdict per micro-batch; the broken batch flagged
+    // (batch_id arrives via partition discovery → inferred int, cast up)
     val drift = spark.read.parquet(s"$out/drift")
-      .select("batch_id", "docs", "verdict").collect()
+      .select(col("batch_id").cast("long"), col("docs"), col("verdict")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1)
     assert(drift.length == 2, s"expected 2 micro-batches, got ${drift.toSeq}")
     assert(drift(0) == ((0L, 60L, "ok")), s"healthy batch: ${drift(0)}")
@@ -61,5 +72,18 @@ class IngestJobSpec extends SparkSpec {
       s"job admitted ${admitted.size}, batch path ${expected.size}")
     assert(admitted.nonEmpty && admitted.size < rows.length + broken.size,
       "gates must admit some and drop some for this to prove anything")
+
+    // at-least-once replay safety: re-processing a batch (the crash-
+    // between-write-and-offset-commit case) must leave the sinks
+    // IDENTICAL, not duplicated — the idempotent batch_id-partition
+    // overwrite is what earns the restart-safe claim
+    val (dec2, ref2) = IngestJob.references(spark, dir)
+    IngestJob.processBatch(
+      rows.toSeq.toDF("doc_id", "source", "text"), 0L, out, dec2, ref2)
+    val driftReplay = spark.read.parquet(s"$out/drift").count()
+    val admittedReplay = spark.read.parquet(s"$out/admitted").count()
+    assert(driftReplay == 2, s"replay duplicated drift rows: $driftReplay")
+    assert(admittedReplay == admitted.size,
+      s"replay duplicated admitted rows: $admittedReplay vs ${admitted.size}")
   }
 }

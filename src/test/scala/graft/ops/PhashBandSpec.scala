@@ -4,16 +4,22 @@ import scala.util.Random
 
 import graft.SparkSpec
 
-/** Property test for the perceptual-hash band join's RECALL GUARANTEE:
-  * with 4 disjoint 16-bit bands over a 64-bit signature, any two
-  * signatures within Hamming distance 3 share at least one band
-  * unchanged (pigeonhole: 3 flipped bits cannot touch 4 bands), so the
-  * banded equi-join plus the ham ≤ 3 gate reports EVERY such pair —
-  * LSH-style banding with zero recall loss inside the gate, evaluated
-  * through the production phashPairs code, not a re-derivation.
-  * Negative control: 4 flips spread across all four bands leave no band
-  * intact AND fail the gate — the pair must be absent. Deterministic
-  * seed; one Spark job evaluates all cases. */
+/** Property test for the perceptual-hash band join's RECALL GUARANTEE,
+  * scoped to its real precondition: with 4 disjoint 16-bit bands over a
+  * 64-bit signature, any two signatures within Hamming distance 3 share
+  * at least one band unchanged (pigeonhole: 3 flipped bits cannot touch
+  * 4 bands), so — AS LONG AS no shared band is a stop band — the banded
+  * equi-join plus the ham ≤ 3 gate reports every such pair. The stop-
+  * band cap (MaxBandPop) is the one DELIBERATE recall exception: pairs
+  * whose every intact shared band is boilerplate-hot are dropped by
+  * design, and the "cap fires on a degenerate identical-signature
+  * corpus" OpsSpec test pins that side. Here the 400 random 32-bit
+  * halves give band populations ≈ 1, so the cap never engages and the
+  * pigeonhole property is tested in isolation — through the production
+  * phashPairs code, not a re-derivation. Negative control: 4 flips
+  * spread across all four bands leave no band intact AND fail the gate
+  * — the pair must be absent. Deterministic seed; one Spark job
+  * evaluates all cases. */
 class PhashBandSpec extends SparkSpec {
 
   test("every Hamming<=3 pair is recovered; all-band flips are not (200 seeded cases)") {
