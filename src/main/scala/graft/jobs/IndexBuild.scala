@@ -45,7 +45,8 @@ object IndexBuild {
     "sim_cluster_assign",       // knn_capped_buckets + knn_cluster_labels + knn_cluster_centarr
     "sim_graph_pagerank",       // knn_pagerank (via knn_edges_deg)
     "mm_dedup_phash_incr",      // phash_sig_index (media aHash signatures)
-    "curate_card_incremental")  // card_by_lang (mergeable base card)
+    "curate_card_incremental",  // card_by_lang (mergeable base card)
+    "curate_domain_decisions")  // domain_decisions (the ingest admission table)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(

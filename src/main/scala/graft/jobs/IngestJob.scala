@@ -34,15 +34,20 @@ object IngestJob {
     StructField("doc_id", LongType), StructField("source", StringType),
     StructField("text", StringType)))
 
-  /** Batch-side reference artifacts from the base corpus. */
+  /** Batch-side reference artifacts from the base corpus. Both are
+    * MATERIALIZED here, not lazy plans: the domain decision table
+    * resolves through the durable `domain_decisions` artifact
+    * (IngestFilters.domainDecisionsArtifact — localCheckpointed per
+    * session, or served from the store under GRAFT_INDEX_DIR where
+    * IndexBuild wrote it), and the drift reference is one collected
+    * summary row. So processBatch's plans contain ZERO base-corpus
+    * scans — the r9 defect was exactly this frame being lazy, which
+    * re-ran the full base scan + classifier + aggregate inside every
+    * micro-batch's broadcast join. */
   def references(spark: SparkSession, baseDir: String):
-      (DataFrame, DriftMonitor.Reference) = {
-    val base = IngestFilters.classifierGate(
-      Tables(spark, baseDir, "documents")
-        .select(col("doc_id"), col("source"), col("text")))
-    (IngestFilters.domainDecisions(base),
+      (DataFrame, DriftMonitor.Reference) =
+    (IngestFilters.domainDecisionsArtifact(spark, baseDir),
       DriftMonitor.referenceFrom(Tables(spark, baseDir, "documents")))
-  }
 
   /** One micro-batch through the topology — IDEMPOTENT by batch id:
     * each sink write lands in (and overwrites) that batch's own
@@ -50,7 +55,17 @@ object IngestJob {
     * writes and the offset-log commit replays the batch into the SAME
     * partitions instead of appending duplicates. foreachBatch is
     * at-least-once; idempotent writes are what upgrade the pipeline to
-    * effectively-once (partition discovery supplies batch_id on read). */
+    * effectively-once (partition discovery supplies batch_id on read).
+    *
+    * READ-SIDE CAVEAT: effectively-once here describes the QUIESCENT
+    * post-replay state. mode("overwrite") of a partition is
+    * delete-then-write, so a reader racing a replay can observe a
+    * partially rewritten batch_id partition, and a crash between the
+    * drift write and the admitted write leaves the two sinks one batch
+    * out of step until the replay completes. Readers must either
+    * tolerate in-flight batch partitions (filter to batch_ids below the
+    * committed watermark) or the sinks get the IndexStore.save
+    * temp-path + rename treatment for atomic per-partition visibility. */
   private[jobs] def processBatch(df: DataFrame, batchId: Long,
       outDir: String, decisions: DataFrame, ref: DriftMonitor.Reference): Unit = {
     // monitor the RAW batch — a gated view would hide the outage

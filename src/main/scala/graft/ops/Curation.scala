@@ -329,9 +329,11 @@ object Curation {
       val d = Tables(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("source"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      val dom = d.groupBy("source")
-        .agg(count(lit(1)).as("docs"), sum("n_tokens").as("toks"))
-        .select(col("source"), (col("toks") >= col("docs") * 54L).as("keep"))
+      // the keep rule is IngestFilters.domainDecisions — the ONE
+      // definition site shared with the streaming ingest gate, so this
+      // batch analytics view and what ingest actually admits cannot
+      // diverge on the threshold
+      val dom = graft.streaming.IngestFilters.domainDecisions(d)
       d.join(broadcast(dom), "source")
         .groupBy("lang")
         .agg(count(lit(1)).as("total"),
@@ -339,6 +341,21 @@ object Curation {
         .withColumn("kept_frac", round(col("kept") / (col("total") * lit(1.0)), 4))
         .orderBy("lang")
     }),
+
+    // The domain-decision table ITSELF as a first-class, oracle-checked
+    // artifact build: classifier-gated corpus → per-domain keep bits,
+    // resolved through the durable store (IngestFilters
+    // .domainDecisionsArtifact — the `domain_decisions` key IndexBuild
+    // persists and the streaming ingest job broadcasts every batch).
+    // Exposing the build as a query does three jobs: hash-pins the
+    // artifact's content cross-engine, gives IndexBuild a builder entry
+    // for it, and makes "what does ingest currently admit, and why"
+    // auditable by running one query. keep is cast to 0/1 for the
+    // comparator; the stored artifact keeps the boolean.
+    "curate_domain_decisions" -> ((s, dir) =>
+      graft.streaming.IngestFilters.domainDecisionsArtifact(s, dir)
+        .select(col("source"), col("keep").cast("long").as("keep"))
+        .orderBy("source")),
 
     // Length-bucketed batching profile: assign every document to the
     // smallest power-of-2 token bucket that holds it and report the
@@ -575,6 +592,27 @@ object Curation {
               off // 2048 AS bin, off % 2048 AS off_in_bin
        FROM p ORDER BY shard, pos"""
 
+  /** Shared oracle CTE chain replaying IngestFilters.classifierGate +
+    * domainDecisions: tokenized classifier score (TextOps' exact integer
+    * formula), the gated survivor set, and the per-domain keep bits at
+    * the ONE shared threshold. Yields `gated` (doc_id, source, n_tokens)
+    * and `dom` (source, keep). */
+  private val gatedDomSql =
+    s"""tok AS (
+          SELECT doc_id, source, unnest(string_split(text, ' ')) AS x
+          FROM documents),
+        sc AS (
+          SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum((CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)
+                           % 2147483647) % 1024
+                          * 2654435761 % 2001 - 1000) AS BIGINT) AS score
+          FROM tok GROUP BY doc_id, source),
+        gated AS (SELECT doc_id, source, n_tokens FROM sc WHERE score > 0),
+        dom AS (SELECT source,
+                       (CAST(sum(n_tokens) AS BIGINT)
+                        >= count(*) * ${graft.streaming.IngestFilters.MinTokensPerDoc}) AS keep
+                FROM gated GROUP BY source)"""
+
   val oracles: Map[String, String] = Map(
     "quality_expectations" ->
       """SELECT count(*) AS rows,
@@ -682,33 +720,30 @@ object Curation {
     // domain decision is the same integer comparison, and the shared
     // budget/shuffle/pack tail runs over the gated set
     "curate_pipeline_v2" ->
-      s"""WITH tok AS (
-            SELECT doc_id, source, unnest(string_split(text, ' ')) AS x
-            FROM documents),
-          sc AS (
-            SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_tokens,
-                   CAST(sum((CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)
-                             % 2147483647) % 1024
-                            * 2654435761 % 2001 - 1000) AS BIGINT) AS score
-            FROM tok GROUP BY doc_id, source),
-          gated AS (SELECT doc_id, source, n_tokens FROM sc WHERE score > 0),
-          dom AS (SELECT source,
-                         (CAST(sum(n_tokens) AS BIGINT) >= count(*) * 54) AS keep
-                  FROM gated GROUP BY source),
+      s"""WITH $gatedDomSql,
           d AS (SELECT doc_id, g.source, n_tokens,
                        CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
                             AS BIGINT) % 100 % 4 AS shard4
                 FROM gated g JOIN dom USING (source) WHERE keep),
           $pipelineTailSql""",
 
+    // the decision table replay: the shared classifier-gate + keep-bit
+    // CTEs, keep cast to 0/1 for the comparator
+    "curate_domain_decisions" ->
+      s"""WITH $gatedDomSql
+          SELECT source, CAST(keep AS BIGINT) AS keep
+          FROM dom ORDER BY source""",
+
     // the keep decision replays as the same integer comparison
     "curate_domain_quality" ->
-      """WITH d AS (
+      s"""WITH d AS (
            SELECT doc_id, lang, source,
                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
            FROM documents),
          dom AS (
-           SELECT source, (CAST(sum(n_tokens) AS BIGINT) >= count(*) * 54) AS keep
+           SELECT source,
+                  (CAST(sum(n_tokens) AS BIGINT)
+                   >= count(*) * ${graft.streaming.IngestFilters.MinTokensPerDoc}) AS keep
            FROM d GROUP BY source)
          SELECT lang, count(*) AS total,
                 CAST(count(CASE WHEN keep THEN 1 END) AS BIGINT) AS kept,

@@ -1,7 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
 
 /** Quality gates at INGEST — the classifier and domain filters as one
   * code path shared by the batch curation pipeline (curate_pipeline_v2)
@@ -44,7 +46,30 @@ object IngestFilters {
   def domainDecisions(docs: DataFrame): DataFrame =
     docs.groupBy("source")
       .agg(count(lit(1)).as("docs"), sum("n_tokens").as("toks"))
-      .select(col("source"), (col("toks") >= col("docs") * 54L).as("keep"))
+      .select(col("source"), (col("toks") >= col("docs") * MinTokensPerDoc).as("keep"))
+
+  /** The domain keep threshold: a domain survives when its total tokens
+    * clear `MinTokensPerDoc · docs` (the integer spelling of "mean ≥ 54
+    * tokens/doc"). ONE definition site — curate_domain_quality and the
+    * ingest gate both read it, so batch analytics and the ingest
+    * admission rule cannot drift. */
+  val MinTokensPerDoc = 54L
+
+  /** The domain-decision table as a DURABLE VERSIONED ARTIFACT
+    * (`domain_decisions`): classifier-gated base corpus → per-domain
+    * keep bits, resolved through Tables.cachedFrame so it is computed at
+    * most once per session (localCheckpoint memo) and, with
+    * GRAFT_INDEX_DIR set, once per STORE — IndexBuild builds it, the
+    * ingest job and any probing session read the stored table. This is
+    * what makes the decision a stable artifact rather than a lazy plan:
+    * without materialization every broadcast of the frame re-executes
+    * the full base scan + classifier kernel + per-source aggregate —
+    * at 100 TB, a corpus pass per micro-batch. */
+  def domainDecisionsArtifact(s: SparkSession, dir: String): DataFrame =
+    Tables.cachedFrame(s, dir, "domain_decisions")(
+      domainDecisions(classifierGate(
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text")))))
 
   /** Domain gate: admit rows whose source the decision table keeps. The
     * tiny decision frame broadcasts; on a stream this is the standard

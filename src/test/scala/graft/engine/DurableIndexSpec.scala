@@ -29,13 +29,16 @@ class DurableIndexSpec extends SparkSpec {
   // the store
   // round-9 continuation 2: the media aHash signature index and the
   // mergeable per-lang base card joined the store
+  // round-10: the ingest admission table (domain_decisions) joined the
+  // store — the r9 verdict's IngestJob fix makes it a real artifact
   private val keys =
     Seq("dedup_sid_index", "dedup_band_index", "ivf_label_centarr", "q8_index",
       "semdedup_centarr", "semdedup_blocks", "decontam_bloom", "bpe_merges",
       "knn_capped_buckets", "knn_cluster_labels", "winnow_pair_index",
       "bm25_postings", "bm25_dfs", "bm25_stats",
       "winnow_base_index", "winnow_base_dfs", "knn_cluster_centarr",
-      "knn_pagerank", "knn_edges_deg", "phash_sig_index", "card_by_lang")
+      "knn_pagerank", "knn_edges_deg", "phash_sig_index", "card_by_lang",
+      "domain_decisions")
 
   test("second session serves index-backed queries from the store with zero rebuilds") {
     val root = Files.createTempDirectory("graft-idx-root").toString
@@ -60,6 +63,7 @@ class DurableIndexSpec extends SparkSpec {
       val prA = q("sim_graph_pagerank")(sA, dir).collect().toSeq
       val phA = q("mm_dedup_phash_incr")(sA, dir).collect().toSeq
       val cdA = q("curate_card_incremental")(sA, dir).collect().toSeq
+      val ddA = q("curate_domain_decisions")(sA, dir).collect().toSeq
       assert(incA.nonEmpty && ivfA.nonEmpty && q8A.nonEmpty &&
         semA.nonEmpty && bloomA.nonEmpty && bpeA.nonEmpty &&
         ccA.nonEmpty && cbA.nonEmpty && wpA.nonEmpty && bmA.nonEmpty)
@@ -113,6 +117,7 @@ class DurableIndexSpec extends SparkSpec {
       assert(q("sim_graph_pagerank")(sB, dir).collect().toSeq == prA)
       assert(q("mm_dedup_phash_incr")(sB, dir).collect().toSeq == phA)
       assert(q("curate_card_incremental")(sB, dir).collect().toSeq == cdA)
+      assert(q("curate_domain_decisions")(sB, dir).collect().toSeq == ddA)
       keys.foreach { k =>
         assert(IndexStore.buildCounts.get(paths(k)).contains(1),
           s"$k: probing session must not rebuild")

@@ -78,8 +78,37 @@ class IngestJobSpec extends SparkSpec {
     // IDENTICAL, not duplicated — the idempotent batch_id-partition
     // overwrite is what earns the restart-safe claim
     val (dec2, ref2) = IngestJob.references(spark, dir)
-    IngestJob.processBatch(
-      rows.toSeq.toDF("doc_id", "source", "text"), 0L, out, dec2, ref2)
+
+    // the r9 scale defect, pinned: the decision table must be a
+    // MATERIALIZED artifact, not a lazy plan over the base corpus — a
+    // lazy frame re-runs the full base scan + classifier + aggregate
+    // inside EVERY micro-batch's broadcast join (at 100 TB, a corpus
+    // pass per batch). (1) plan-shape: the frame's optimized plan must
+    // contain no file-source relation at all (localCheckpoint memo →
+    // LogicalRDD; store mode → a scan of the tiny stored table, which
+    // this spec exercises without a store root so the stricter bound
+    // applies); (2) runtime: during processBatch over an in-memory
+    // batch, total task input records must stay at decision-table
+    // scale — a base rescan would read all 500 corpus docs.
+    assert(!dec2.queryExecution.optimizedPlan.collectLeaves().exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.datasources.LogicalRelation]),
+      "domain decisions must be materialized, not a lazy plan over base files")
+    val recordsRead = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        recordsRead.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      IngestJob.processBatch(
+        rows.toSeq.toDF("doc_id", "source", "text"), 0L, out, dec2, ref2)
+      Thread.sleep(500) // listener bus is async
+      assert(recordsRead.get() <= 100,
+        s"processBatch read ${recordsRead.get()} input records — a " +
+          "materialized 20-row decision table costs ~20; hundreds means " +
+          "the base corpus was rescanned inside the batch")
+    } finally spark.sparkContext.removeSparkListener(listener)
+
     val driftReplay = spark.read.parquet(s"$out/drift").count()
     val admittedReplay = spark.read.parquet(s"$out/admitted").count()
     assert(driftReplay == 2, s"replay duplicated drift rows: $driftReplay")
