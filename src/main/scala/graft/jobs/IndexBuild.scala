@@ -67,6 +67,10 @@ object IndexBuild {
       val rows = SparkEntry.queries(name)(spark, sfDir).count()
       println(f"index-build $name%-28s ${(System.nanoTime() - q0) / 1e9}%6.2f s ($rows rows)")
     }
+    // record each artifact's input fingerprint so IndexRefresh can later
+    // PROVE freshness (unchanged source files ⇒ serve with zero jobs)
+    sys.env.get("GRAFT_INDEX_DIR").orElse(Tables.indexDirOverride)
+      .foreach(root => IndexRefresh.stampFingerprints(spark, sfDir, root))
     val built = IndexStore.buildCounts.snapshot().keys.toSeq.sorted
     println(f"index-build complete: ${built.size} artifacts built this run " +
       f"in ${(System.nanoTime() - t0) / 1e9}%.1f s")

@@ -1,0 +1,243 @@
+package graft.jobs
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+import graft.SparkEntry
+import graft.engine.{IndexStore, Tables}
+
+/** The INDEX REFRESH job — the maintenance half the r9 verdict found
+  * missing: sim_index_staleness detects drift and IndexBuild rebuilds
+  * everything, but nothing consumed the verdicts. This job does: it
+  * evaluates, per durable artifact, whether the artifact is still
+  * serving the corpus it was built from, rebuilds ONLY the stale ones,
+  * and leaves warm ones served.
+  *
+  * Two staleness signals, matched to what each artifact IS:
+  *
+  *  - **Input fingerprint** (all artifacts): a digest of the source
+  *    table's file listing (name, length, mtime — table metadata, zero
+  *    data read), recorded in a `<artifact>.fp` sidecar at build time.
+  *    Unchanged fingerprint ⇒ the artifact is provably current — served
+  *    with zero jobs. Changed fingerprint ⇒ per-row artifacts (postings,
+  *    signatures, quantized vectors, labels) must rebuild: their content
+  *    is row-for-row input-derived, and serving them would silently drop
+  *    the new rows from every probe.
+  *  - **Semantic centroid canary** (the centroid-MEAN artifacts only):
+  *    a changed input does not necessarily invalidate a k×dim table of
+  *    per-label means — means are aggregate summaries, robust to
+  *    arrivals that look like the data they summarize; that robustness
+  *    is exactly why the drift monitor exists. For these the job
+  *    recomputes the cheap per-label means over the current corpus (ONE
+  *    aggregate pass — the monitoring cost) and applies the SAME
+  *    integer drift verdict as sim_index_staleness
+  *    (Similarity.centroidDrift, shared code): below threshold, the
+  *    stored centroids keep serving (new data keeps routing into the
+  *    existing clusters/cells — the sim_cluster_labels_incr ingest
+  *    path) and only the fingerprint is re-recorded; above it, they
+  *    rebuild.
+  *
+  * Rebuild mechanics: the stale paths are deleted, then each distinct
+  * builder query runs once — Tables.cachedFrame → IndexStore.loadOrBuild
+  * finds the path missing and rebuilds exactly those artifacts,
+  * publishing atomically (temp + rename). Between the delete and the
+  * publish the path is absent, so a concurrent probing session would
+  * trigger its own build rather than read a torn index — safe, but
+  * wasteful; a deployment doing hot refresh under live traffic would
+  * build to a versioned path and flip a pointer instead.
+  *
+  * Scale: deciding costs table metadata (fingerprints) plus at most one
+  * per-label mean pass (canary, only when the embeddings input changed);
+  * the corpus-sized work is confined to exactly the artifacts that need
+  * it. Run this instead of IndexBuild on every corpus refresh.
+  */
+object IndexRefresh {
+  /** One durable artifact's refresh plan: store key, the source table
+    * whose files fingerprint it, the query whose evaluation rebuilds it,
+    * and whether the semantic centroid canary gates its rebuild. */
+  final case class Plan(key: String, source: String, builder: String,
+      centroidGated: Boolean = false)
+
+  /** The registry: every durable artifact the store serves (the
+    * DurableIndexSpec key list, with provenance). Centroid-gated rows
+    * are the k×dim mean tables; everything else is per-row. */
+  private[jobs] val artifacts: Seq[Plan] = Seq(
+    Plan("dedup_sid_index", "documents", "dedup_incremental"),
+    Plan("dedup_band_index", "documents", "dedup_incremental"),
+    Plan("ngram_posting_index", "documents", "dedup_ngram_jaccard"),
+    Plan("decontam_bloom", "documents", "text_decontaminate_bloom"),
+    Plan("bpe_merges", "documents", "text_bpe_tokens_fused"),
+    Plan("bm25_postings", "documents", "text_bm25_multi"),
+    Plan("bm25_dfs", "documents", "text_bm25_multi"),
+    Plan("bm25_stats", "documents", "text_bm25_multi"),
+    Plan("winnow_pair_index", "documents", "dedup_winnowing_pairs"),
+    Plan("winnow_base_index", "documents", "dedup_winnowing_incr"),
+    Plan("winnow_base_dfs", "documents", "dedup_winnowing_incr"),
+    Plan("phash_sig_index", "documents", "mm_dedup_phash_incr"),
+    Plan("card_by_lang", "documents", "curate_card_incremental"),
+    Plan("domain_decisions", "documents", "curate_domain_decisions"),
+    Plan("q8_index", "embeddings", "sim_q8_rerank"),
+    Plan("pq_codebook", "embeddings", "sim_pq_adc"),
+    Plan("pq_codes", "embeddings", "sim_pq_adc"),
+    Plan("semdedup_blocks", "embeddings", "dedup_semantic"),
+    // the knn family resolves transitively (centarr → labels → edges →
+    // buckets), so each artifact's builder must PROBE IT DIRECTLY: a
+    // builder that only consumes it through a warm downstream artifact
+    // would serve the stored downstream frame and never re-evaluate the
+    // deleted upstream (the lazy-resolution hazard this job exists to
+    // avoid — caught by IndexRefreshSpec's phase-4 rebuild counts)
+    Plan("knn_capped_buckets", "embeddings", "sim_knn_graph"),
+    Plan("knn_cluster_labels", "embeddings", "sim_cluster_knn"),
+    Plan("knn_edges_deg", "embeddings", "sim_seed_expand"),
+    Plan("knn_pagerank", "embeddings", "sim_graph_pagerank"),
+    Plan("ivf_label_centarr", "embeddings", "sim_ivf_ann", centroidGated = true),
+    Plan("ivf_kmeans_centarr", "embeddings", "sim_ivf_kmeans", centroidGated = true),
+    Plan("ivf_kmeans_blocks", "embeddings", "sim_ivf_kmeans"),
+    Plan("semdedup_centarr", "embeddings", "dedup_semantic", centroidGated = true),
+    Plan("knn_cluster_centarr", "embeddings", "sim_cluster_assign", centroidGated = true))
+
+  private def fsOf(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Digest of a source table's file listing — name, length, mtime per
+    * file (recursive for a directory-shaped table). Pure metadata: no
+    * data is read, so fingerprinting a 100 TB table costs a namenode
+    * listing. */
+  private[jobs] def fingerprint(spark: SparkSession, path: String): String = {
+    val p = new Path(path)
+    val fs = fsOf(spark, p)
+    def describe(q: Path): Seq[String] = {
+      val st = fs.getFileStatus(q)
+      if (st.isDirectory)
+        fs.listStatus(q).toSeq.sortBy(_.getPath.getName).flatMap(c => describe(c.getPath))
+      else Seq(s"${q.getName}:${st.getLen}:${st.getModificationTime}")
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(describe(p).mkString("\n").getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+  }
+
+  private def fpPath(artifactPath: String) = new Path(artifactPath + ".fp")
+
+  private def readFp(spark: SparkSession, artifactPath: String): Option[String] = {
+    val p = fpPath(artifactPath)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        Some(buf.toString(StandardCharsets.UTF_8).trim)
+      } finally in.close()
+    }
+  }
+
+  private def writeFp(spark: SparkSession, artifactPath: String, fp: String): Unit = {
+    val p = fpPath(artifactPath)
+    val out = fsOf(spark, p).create(p, true)
+    try out.write(fp.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  /** Record current input fingerprints for every artifact that exists in
+    * the store — IndexBuild calls this after its build loop so a
+    * subsequent refresh can prove freshness instead of assuming it. */
+  private[jobs] def stampFingerprints(spark: SparkSession, dir: String, root: String): Unit =
+    artifacts.foreach { a =>
+      val path = Tables.storePath(root, dir, a.key)
+      if (IndexStore.exists(spark, path))
+        writeFp(spark, path, fingerprint(spark, s"$dir/${a.source}.parquet"))
+    }
+
+  /** True when the stored ivf_label_centarr has drifted from the current
+    * corpus beyond the shared threshold — the one cheap semantic canary
+    * for the centroid-mean family. A missing stored centroid table is
+    * conservatively stale. */
+  private[jobs] def canaryStale(spark: SparkSession, dir: String, root: String): Boolean = {
+    val p = Tables.storePath(root, dir, "ivf_label_centarr")
+    if (!IndexStore.exists(spark, p)) true
+    else graft.ops.Similarity.centroidDrift(
+        IndexStore.load(spark, p),
+        graft.ops.Similarity.currentLabelCentroids(spark, dir))
+      .filter(col("verdict") === "stale").limit(1).count() > 0
+  }
+
+  /** One refresh pass. Returns (artifact key, action) per artifact:
+    *  - `built`    — absent from the store; cold-built
+    *  - `fresh`    — input fingerprint unchanged; served as-is, 0 jobs
+    *  - `rebuilt`  — input changed (and, for gated rows, the canary
+    *                 confirmed drift); rebuilt via its builder query
+    *  - `adopted`  — gated row whose input changed but whose canary is
+    *                 below threshold (or an artifact with no recorded
+    *                 fingerprint, e.g. written before stamping existed):
+    *                 kept serving, fingerprint (re)recorded
+    *
+    * Run in a session that has not yet resolved the artifacts (its own
+    * JVM in production; a fresh newSession in specs) — a session memo
+    * from before the refresh would keep serving the pre-refresh frame.
+    */
+  def refresh(spark: SparkSession, dir: String): Seq[(String, String)] = {
+    val root = Tables.indexDirOverride.orElse(sys.env.get("GRAFT_INDEX_DIR"))
+      .getOrElse(sys.error("IndexRefresh: set GRAFT_INDEX_DIR — nothing durable to refresh"))
+    val fps = artifacts.map(_.source).distinct
+      .map(src => src -> fingerprint(spark, s"$dir/$src.parquet")).toMap
+    // the canary is evaluated at most once per pass, and only if some
+    // gated artifact's input actually changed
+    lazy val canary = canaryStale(spark, dir, root)
+    val decisions = artifacts.map { a =>
+      val path = Tables.storePath(root, dir, a.key)
+      val action =
+        if (!IndexStore.exists(spark, path)) "built"
+        else readFp(spark, path) match {
+          case Some(rec) if rec == fps(a.source) => "fresh"
+          case Some(_) if a.centroidGated && !canary => "adopted"
+          case Some(_) => "rebuilt"
+          case None => "adopted"
+        }
+      (a, path, action)
+    }
+    // delete every stale path first (a builder may rebuild several keys
+    // in one evaluation), then run each distinct builder once
+    decisions.foreach { case (_, path, action) =>
+      if (action == "rebuilt") {
+        val p = new Path(path)
+        fsOf(spark, p).delete(p, true)
+      }
+    }
+    decisions.collect { case (a, _, act) if act == "built" || act == "rebuilt" => a.builder }
+      .distinct
+      .foreach(b => SparkEntry.queries(b)(spark, dir).count())
+    decisions.map { case (a, path, action) =>
+      if (action != "fresh") {
+        if (!IndexStore.exists(spark, path))
+          sys.error(s"IndexRefresh: ${a.key} not published after ${a.builder}")
+        writeFp(spark, path, fps(a.source))
+      }
+      (a.key, action)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    val master = args.drop(1).headOption.getOrElse("local[32]")
+    val spark = SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
+    val report = refresh(spark, sfDir)
+    report.foreach { case (k, act) => println(f"index-refresh $k%-24s $act") }
+    val counts = report.groupBy(_._2).view.mapValues(_.size).toMap
+    println(f"index-refresh complete in ${(System.nanoTime() - t0) / 1e9}%.1f s: " +
+      Seq("fresh", "adopted", "rebuilt", "built")
+        .map(k => s"$k=${counts.getOrElse(k, 0)}").mkString(" "))
+    spark.stop()
+  }
+}

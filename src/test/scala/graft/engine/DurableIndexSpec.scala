@@ -64,6 +64,7 @@ class DurableIndexSpec extends SparkSpec {
       val phA = q("mm_dedup_phash_incr")(sA, dir).collect().toSeq
       val cdA = q("curate_card_incremental")(sA, dir).collect().toSeq
       val ddA = q("curate_domain_decisions")(sA, dir).collect().toSeq
+      val liA = q("sim_cluster_labels_incr")(sA, dir).collect().toSeq
       assert(incA.nonEmpty && ivfA.nonEmpty && q8A.nonEmpty &&
         semA.nonEmpty && bloomA.nonEmpty && bpeA.nonEmpty &&
         ccA.nonEmpty && cbA.nonEmpty && wpA.nonEmpty && bmA.nonEmpty)
@@ -118,6 +119,10 @@ class DurableIndexSpec extends SparkSpec {
       assert(q("mm_dedup_phash_incr")(sB, dir).collect().toSeq == phA)
       assert(q("curate_card_incremental")(sB, dir).collect().toSeq == cdA)
       assert(q("curate_domain_decisions")(sB, dir).collect().toSeq == ddA)
+      // label maintenance in the probing session: appends against the
+      // STORED labels + centroids — identical merge, zero CC rounds
+      // (covered by the labelBuildCounts assertion below)
+      assert(q("sim_cluster_labels_incr")(sB, dir).collect().toSeq == liA)
       keys.foreach { k =>
         assert(IndexStore.buildCounts.get(paths(k)).contains(1),
           s"$k: probing session must not rebuild")

@@ -1,0 +1,131 @@
+package graft.jobs
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.engine.{IndexStore, Tables}
+
+/** Drives the staleness-consuming refresh job through the full corpus
+  * lifecycle on a mutable copy of the testdata:
+  *
+  *   cold build → no-op refresh (all fresh, ZERO jobs) → documents
+  *   append (exactly the documents-sourced artifacts rebuild) → a
+  *   drift-below-threshold embeddings append (per-row artifacts rebuild,
+  *   centroid-mean artifacts ADOPTED — the semantic canary gates them) →
+  *   a corpus-wide rescale (canary fires; the centroid artifacts rebuild
+  *   too).
+  *
+  * Build-count hooks (IndexStore.buildCounts, per stored path) prove the
+  * "exactly the stale artifacts rebuilt, fresh ones at 0 builds"
+  * contract the r9 verdict asked for. Measured margins for the two
+  * canary scenarios at this SF: one duplicated vector drifts its label
+  * centroid by drift6 ≈ 390 (< the 1000 threshold); the ×1.5 rescale
+  * drifts every label by ≈ 4000–7700 (all stale). */
+class IndexRefreshSpec extends SparkSpec {
+  private val src = "/root/testdata/sf0.001"
+
+  private def buildCount(root: String, data: String, key: String): Int =
+    IndexStore.buildCounts.getOrElse(Tables.storePath(root, data, key), 0)
+
+  test("refresh rebuilds exactly the stale artifacts across the corpus lifecycle") {
+    val data = Files.createTempDirectory("graft-refresh-data").toString
+    Seq("documents", "embeddings").foreach { t =>
+      Files.copy(Paths.get(s"$src/$t.parquet"), Paths.get(s"$data/$t.parquet"),
+        StandardCopyOption.COPY_ATTRIBUTES)
+    }
+    val root = Files.createTempDirectory("graft-refresh-root").toString
+    Tables.indexDirOverride = Some(root)
+    try {
+      val keys = IndexRefresh.artifacts
+      val docKeys = keys.filter(_.source == "documents").map(_.key).toSet
+      val embKeys = keys.filter(_.source == "embeddings").map(_.key).toSet
+      val gated = keys.filter(_.centroidGated).map(_.key).toSet
+
+      // replace a table file with a mutated parquet DIRECTORY of the same
+      // name (spark reads both shapes; the fingerprint walks both). The
+      // mutation frames read from the immutable ORIGINAL testdata, never
+      // from `data`, so the overwrite cannot race its own input.
+      def rewrite(table: String)(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
+        val df = f(spark.read.parquet(s"$src/$table.parquet"))
+        val p = Paths.get(s"$data/$table.parquet")
+        if (Files.isRegularFile(p)) Files.delete(p)
+        df.coalesce(1).write.mode("overwrite").parquet(p.toString)
+      }
+
+      // ---- phase 1: cold store — every artifact built ----
+      val r1 = IndexRefresh.refresh(spark.newSession(), data).toMap
+      assert(r1.keySet == keys.map(_.key).toSet)
+      assert(r1.values.forall(_ == "built"), s"cold pass must build all: $r1")
+      keys.foreach(a => assert(buildCount(root, data, a.key) == 1,
+        s"${a.key}: expected one cold build"))
+
+      // ---- phase 2: nothing changed — all fresh, ZERO Spark jobs ----
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val r2 = try {
+        val r = IndexRefresh.refresh(spark.newSession(), data).toMap
+        Thread.sleep(500) // listener bus is async
+        r
+      } finally spark.sparkContext.removeSparkListener(listener)
+      assert(r2.values.forall(_ == "fresh"), s"no-op pass must serve all: $r2")
+      assert(jobs.get() == 0,
+        s"a fully-fresh refresh decides on file metadata alone, saw ${jobs.get()} jobs")
+
+      // ---- phase 3: a document arrives — only documents-sourced rebuild ----
+      rewrite("documents")(d =>
+        d.unionAll(d.limit(1).withColumn("doc_id", lit(99999L))))
+      val r3 = IndexRefresh.refresh(spark.newSession(), data).toMap
+      docKeys.foreach(k => assert(r3(k) == "rebuilt", s"$k: ${r3(k)}"))
+      embKeys.foreach(k => assert(r3(k) == "fresh", s"$k: ${r3(k)}"))
+      docKeys.foreach(k => assert(buildCount(root, data, k) == 2, s"$k not rebuilt"))
+      embKeys.foreach(k => assert(buildCount(root, data, k) == 1, s"$k rebuilt needlessly"))
+
+      // ---- phase 4: one duplicated vector — input changed, but the
+      // centroid canary stays below threshold: per-row embedding
+      // artifacts rebuild, the centroid-mean ones are ADOPTED (served,
+      // fingerprint re-recorded); documents-side untouched ----
+      rewrite("embeddings")(e =>
+        e.unionAll(e.limit(1).withColumn("vec_id", lit(999999L))))
+      val r4 = IndexRefresh.refresh(spark.newSession(), data).toMap
+      docKeys.foreach(k => assert(r4(k) == "fresh", s"$k: ${r4(k)}"))
+      gated.foreach(k => assert(r4(k) == "adopted", s"$k: ${r4(k)}"))
+      (embKeys -- gated).foreach(k => assert(r4(k) == "rebuilt", s"$k: ${r4(k)}"))
+      gated.foreach(k => assert(buildCount(root, data, k) == 1,
+        s"$k rebuilt despite a below-threshold canary"))
+      (embKeys -- gated).foreach(k => assert(buildCount(root, data, k) == 2,
+        s"$k must rebuild on any input change"))
+
+      // ---- phase 5: corpus-wide rescale — the canary fires and the
+      // centroid artifacts rebuild too ----
+      rewrite("embeddings")(e =>
+        e.withColumn("embedding",
+          expr("transform(embedding, x -> CAST(x AS FLOAT) * CAST(1.5 AS FLOAT))")))
+      val r5 = IndexRefresh.refresh(spark.newSession(), data).toMap
+      docKeys.foreach(k => assert(r5(k) == "fresh", s"$k: ${r5(k)}"))
+      embKeys.foreach(k => assert(r5(k) == "rebuilt", s"$k: ${r5(k)}"))
+      gated.foreach(k => assert(buildCount(root, data, k) == 2,
+        s"$k must rebuild once the canary fires"))
+    } finally Tables.indexDirOverride = None
+  }
+
+  test("IndexRefresh's registry names real queries and covers the durable store") {
+    IndexRefresh.artifacts.foreach { a =>
+      assert(graft.SparkEntry.queries.contains(a.builder),
+        s"refresh builder '${a.builder}' is not a registered query")
+      assert(Seq("documents", "embeddings").contains(a.source))
+    }
+    // every builder IndexBuild runs is refresh-tracked (artifact keys the
+    // build job creates must not silently fall outside refresh coverage)
+    val tracked = IndexRefresh.artifacts.map(_.builder).toSet
+    IndexBuild.builders.foreach { b =>
+      assert(tracked.contains(b),
+        s"IndexBuild builder '$b' has no refresh-tracked artifact")
+    }
+  }
+}

@@ -1011,6 +1011,45 @@ class OpsSpec extends SparkSpec {
       "a repeat invocation re-ran the label build")
   }
 
+  test("incremental label maintenance: zero CC rounds, base rows preserved, stream-routing parity") {
+    // warm the durable artifacts (labels + centroids) and snapshot the
+    // CC build counter — the maintenance invocation must never bump it
+    val base = Similarity.queries("sim_cluster_knn")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val ccBuilds = Similarity.labelBuildCounts.getOrElse((spark, dir), 0)
+    val merged = Similarity.queries("sim_cluster_labels_incr")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // zero CC rounds AND zero base-rehash: the label build thunk (the
+    // only place the capped-bucket edge join + star loop lives) never
+    // re-evaluated — arrivals route against stored centroids only
+    assert(Similarity.labelBuildCounts.getOrElse((spark, dir), 0) == ccBuilds,
+      "incremental maintenance re-ran the CC label build")
+    // the merge appends, never mutates: base labels pass through
+    // row-identical, arrivals land above the id offset in existing clusters
+    val (batchRows, baseRows) = merged.partition(_._1 >= 100000)
+    assert(baseRows.toMap == base, "maintenance mutated base labels")
+    assert(batchRows.nonEmpty, "no arrivals were appended")
+    val validClusters = base.values.toSet
+    batchRows.foreach { case (n, c) =>
+      assert(validClusters.contains(c), s"arrival $n routed to unknown cluster $c") }
+    // batch ≡ stream: the same stored centroids drive the ingest-side
+    // router (IngestFilters.clusterAssign), so routing the arrival batch
+    // on the stream must agree arrival-for-arrival with what maintenance
+    // appended — one decision rule, two execution paths
+    val cents = Similarity.clusterCentArtifact(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val batchDf = graft.engine.Tables(spark, dir, "embeddings")
+      .filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS FLOAT) * CAST(1.01 AS FLOAT))")
+          .as("embedding"))
+    val routed = graft.streaming.IngestFilters.clusterAssign(batchDf, cents)
+      .select(col("vec_id"), col("cluster")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(batchRows.toMap == routed,
+      "stream routing and batch maintenance disagree on arrival clusters")
+  }
+
   test("kNN density agrees with the graph's neighbor sets; densities are valid cosine means") {
     val edges = Similarity.queries("sim_knn_graph")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
