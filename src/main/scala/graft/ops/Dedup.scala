@@ -233,9 +233,32 @@ object Dedup {
       .select(col("db").as("doc_id"), col("da").as("dup_of"), col("jaccard"))
   }
 
+  /** The base corpus's deduped sid-array index and band-signature index
+    * as DURABLE artifacts — shared by the incremental dedup queries and
+    * the ingest job's dup-gate (ONE build, every consumer probes). */
+  private[graft] def baseSidIndex(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables.cachedFrame(s, dir, "dedup_sid_index")(
+      sidArrays(Tables(s, dir, "documents").select(col("doc_id"), col("text")), md5Sids)
+        .select(col("doc_id"), expr("array_distinct(sids)").as("sids")))
+  }
+  private[graft] def baseBandIndex(s: SparkSession, dir: String): DataFrame =
+    Tables.cachedFrame(s, dir, "dedup_band_index")(bandSigs(baseSidIndex(s, dir)))
+
+  /** Band signatures for an ARRIVING batch, in the md5 id space of the
+    * stored index — the probe side of the ingest dup-gate. Narrow
+    * per-row algebra + the band explode; no state, no corpus access. */
+  private[graft] def arrivalBandSigs(batch: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(batch.sparkSession)
+    bandSigs(sidArrays(batch, md5Sids)
+      .select(col("doc_id"), expr("array_distinct(sids)").as("sids")))
+  }
+
   /** Cross candidates from a band-signature INDEX × a batch's bands —
-    * never index×index or batch×batch. */
-  private def crossCandidates(indexBands: DataFrame, batchBands: DataFrame): DataFrame =
+    * never index×index or batch×batch. Widened for the ingest job's
+    * dup-gate (jobs.IngestJob), which probes the stored index with
+    * arrivalBandSigs. */
+  private[graft] def crossCandidates(indexBands: DataFrame, batchBands: DataFrame): DataFrame =
     indexBands.as("x").join(batchBands.as("y"),
         col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
@@ -452,10 +475,16 @@ object Dedup {
       import org.apache.spark.sql.expressions.Window
       // common >= 1 mirrors the oracle's inner verification join: a
       // band-signature collision with ZERO shared shingles is an LSH
-      // false positive, not a similarity datum — it has no decile
+      // false positive, not a similarity datum — it has no decile.
+      // The decile comes from EXACT integer arithmetic on the set
+      // counts ((10·common) div union), never from the 3dp-rounded
+      // float: floor(jaccard·10) puts non-representable values (true
+      // jaccard 0.7 → 6.999…96) one decile low, so cum_pairs_ge at
+      // decile d would undercount what an actual j ≥ d/10 filter
+      // merges — exactly at the boundaries this table exists to read.
       val d = verifiedPairs(s, dir)
         .filter(col("common") >= 1)
-        .select(expr("CAST(floor(jaccard * 10) AS BIGINT)").as("decile"))
+        .select(expr("(common * 10) div (ca + cb - common)").as("decile"))
         .groupBy("decile").agg(count(lit(1)).as("pairs"))
       val w = Window.partitionBy(col("decile") % 1)
         .orderBy(col("decile").desc)
@@ -528,11 +557,8 @@ object Dedup {
       val batch = base.filter(col("doc_id") % 3 === 0)
         .select((col("doc_id") + 100000).as("doc_id"),
           concat(col("text"), lit(" zz0 zz1")).as("text"))
-      val baseSids = Tables.cachedFrame(s, dir, "dedup_sid_index")(
-        sidArrays(base, md5Sids)
-          .select(col("doc_id"), expr("array_distinct(sids)").as("sids")))
-      val baseBands = Tables.cachedFrame(s, dir, "dedup_band_index")(
-        bandSigs(baseSids))
+      val baseSids = baseSidIndex(s, dir)
+      val baseBands = baseBandIndex(s, dir)
       val batchSids = sidArrays(batch, md5Sids)
         .select(col("doc_id"), expr("array_distinct(sids)").as("sids"))
         .localCheckpoint() // 2 consumers: bands + verification
@@ -555,11 +581,8 @@ object Dedup {
       graft.functions.GraftFunctions.register(s)
       val base = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
       // base index frames shared with dedup_incremental's session memo
-      val baseSids = Tables.cachedFrame(s, dir, "dedup_sid_index")(
-        sidArrays(base, md5Sids)
-          .select(col("doc_id"), expr("array_distinct(sids)").as("sids")))
-      val baseBands = Tables.cachedFrame(s, dir, "dedup_band_index")(
-        bandSigs(baseSids))
+      val baseSids = baseSidIndex(s, dir)
+      val baseBands = baseBandIndex(s, dir)
       val root = java.nio.file.Files
         .createTempDirectory("graft-dedup-ingest").toString
       val sidPath = s"$root/sids"
@@ -1031,10 +1054,10 @@ object Dedup {
                   JOIN doc_sh sa ON cand.da = sa.doc_id
                   JOIN doc_sh sb ON cand.db = sb.doc_id AND sa.sid = sb.sid
                   GROUP BY da, db),
-          j AS (SELECT round(common / (ca.c + cb.c - common * 1.0), 3) AS jaccard
+          j AS (SELECT (common * 10) // (ca.c + cb.c - common) AS decile
                 FROM com JOIN cnt ca ON com.da = ca.doc_id
                 JOIN cnt cb ON com.db = cb.doc_id),
-          d AS (SELECT CAST(floor(jaccard * 10) AS BIGINT) AS decile,
+          d AS (SELECT CAST(decile AS BIGINT) AS decile,
                        CAST(count(*) AS BIGINT) AS pairs
                 FROM j GROUP BY 1)
           SELECT decile, pairs,

@@ -237,6 +237,31 @@ object TextOps {
     1L -> Seq("window", "scan", "batch"),
     2L -> Seq("filter", "sort", "merge", "query", "key"))
 
+  /** Decontamination benchmark-set workload: (set name, doc-id modulus,
+    * words dropped from the head) — each eval suite is a deterministic
+    * slice of `documents` with offset quoting. Declared ONCE and
+    * rendered into BOTH engines (the bm25Queries discipline) so the
+    * workloads cannot drift; a deployment swaps this table for its real
+    * eval suites without touching the operator. */
+  private val decontamSets: Seq[(String, Long, Int)] = Seq(
+    ("evalA", 10L, 2), // the text_decontaminate_spans suite
+    ("evalB", 7L, 4))
+
+  /** The per-set benchmark gram ids as DuckDB SQL (bench_set, gid) —
+    * rendered from decontamSets, one arm per suite. */
+  private def decontamBenchSql: String = decontamSets.map { case (nm, mod, drop) =>
+    s"""SELECT '$nm' AS bench_set, gid FROM (
+          SELECT DISTINCT
+            CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) % $P AS gid
+          FROM (
+            SELECT unnest(list_transform(range(1, len(w) - 6),
+                     i -> array_to_string(w[i:i+7], ' '))) AS gram
+            FROM (SELECT string_split(text, ' ')[${drop + 1}:] AS w
+                  FROM documents
+                  WHERE doc_id % $mod = 0
+                    AND len(string_split(text, ' ')[${drop + 1}:]) >= 8)))"""
+  }.mkString("\nUNION ALL\n")
+
   /** Winnowing (Schleimer/Wilkerson/Aiken, MOSS) fingerprint relation
     * (doc_id, fp) over a (doc_id, text) corpus: hash every positional
     * word 4-gram, slide a w=5 window over the hash sequence, select each
@@ -270,6 +295,26 @@ object TextOps {
   /** Stop-fingerprint cap for the winnowing pair search: a fingerprint in
     * more than this many docs is boilerplate and generates no pairs. */
   private val MaxFpDf = 16
+
+  /** Minimum shared fingerprints before a (batch doc, indexed doc) pair
+    * counts as a span-level near-dup hit — accidental singleton
+    * collisions out. ONE definition site for the batch incremental
+    * query and the ingest job's gate. */
+  private[graft] val MinSharedFps = 2
+
+  /** The base corpus's DF-CAPPED winnowing postings (fp, doc_id) — the
+    * probe side shared by dedup_winnowing_incr and the ingest job's
+    * span-level dup-gate: posting index + df metadata are the two
+    * durable artifacts, stop fingerprints (df > MaxFpDf) dropped before
+    * any join so no boilerplate phrase can blow up a probe. */
+  private[graft] def winnowCappedPostings(s: SparkSession, dir: String): DataFrame = {
+    val idx = Tables.cachedFrame(s, dir, "winnow_base_index")(
+      winnowFps(Tables(s, dir, "documents").select(col("doc_id"), col("text"))))
+    val dfs = Tables.cachedFrame(s, dir, "winnow_base_dfs")(
+      idx.groupBy("fp").agg(count(lit(1)).as("df")))
+    idx.join(dfs.filter(col("df") <= MaxFpDf), "fp")
+      .select(col("fp"), col("doc_id"))
+  }
 
   /** Generalized BM25 (q_id, rank, doc_id) top-8 per bm25Queries row via
     * the inverted-index/posting-join formulation a retrieval deployment
@@ -566,17 +611,13 @@ object TextOps {
       val batch = base.filter(col("doc_id") % 3 === 0)
         .select((col("doc_id") + 100000).as("doc_id"),
           concat(col("text"), lit(" zz0 zz1")).as("text"))
-      val idx = Tables.cachedFrame(s, dir, "winnow_base_index")(winnowFps(base))
-      val dfs = Tables.cachedFrame(s, dir, "winnow_base_dfs")(
-        idx.groupBy("fp").agg(count(lit(1)).as("df")))
-      val keep = idx.join(dfs.filter(col("df") <= MaxFpDf), "fp")
-        .select(col("fp"), col("doc_id"))
+      val keep = winnowCappedPostings(s, dir)
       val bfps = winnowFps(batch).localCheckpoint() // 2 consumers: join + counts
       val cnt = bfps.groupBy("doc_id").agg(count(lit(1)).as("n"))
       keep.as("a").join(bfps.as("b"), col("a.fp") === col("b.fp"))
         .groupBy(col("a.doc_id").as("dup_of"), col("b.doc_id").as("doc_id"))
         .agg(count(lit(1)).as("n_shared"))
-        .filter(col("n_shared") >= 2)
+        .filter(col("n_shared") >= MinSharedFps)
         .join(cnt, "doc_id")
         .select(col("doc_id"), col("dup_of"), col("n_shared"),
           round(col("n_shared") / col("n"), 3).as("contain_r"))
@@ -611,7 +652,7 @@ object TextOps {
           col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
         .agg(count(lit(1)).as("n_shared"))
-        .filter(col("n_shared") >= 2) // ≥2 shared spans: accidental singletons out
+        .filter(col("n_shared") >= MinSharedFps) // accidental singletons out
         .join(cnt.select(col("doc_id").as("da"), col("n").as("na")), "da")
         .join(cnt.select(col("doc_id").as("db"), col("n").as("nb")), "db")
         .select(col("da"), col("db"), col("n_shared"),
@@ -972,6 +1013,55 @@ object TextOps {
         .agg(min("i").as("span_start"), (max("i") + 8).as("span_end"))
         .select(col("doc_id"), col("span_start"), col("span_end"))
         .orderBy("doc_id", "span_start")
+    }),
+
+    // QUERY-TABLE span decontamination — text_decontaminate_spans
+    // generalized over a PARAMETER TABLE of eval suites (decontamSets,
+    // the bm25Queries discipline): a deployment decontaminating against
+    // MMLU + GSM8K + its private held-out set must not recompile per
+    // suite or re-scan the corpus per suite. Both phases run ONCE for
+    // all suites: phase 1 detects contaminated docs with one corpus-wide
+    // fused-kernel pass against the unioned (bench_set, gid) table;
+    // phase 2 re-derives positional grams over the UNION of contaminated
+    // docs and attributes matches per suite at the join, so spans come
+    // out labeled (a doc quoting two benchmarks gets spans under each).
+    // Cost vs the single-set operator: the bench table grows by the
+    // suites' gram mass; the corpus-sized work is unchanged.
+    "text_decontam_spans_multi" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = decontamSets.map { case (nm, mod, drop) =>
+        gram8(docs.filter(col("doc_id") % mod === 0)
+          .select(col("doc_id"),
+            expr(s"concat_ws(' ', slice(split(text, ' '), ${drop + 1}, size(split(text, ' '))))")
+              .as("text")))
+          .select(lit(nm).as("bench_set"), col("gid")).distinct()
+      }.reduce(_ unionAll _)
+        .localCheckpoint() // 2 consumers: corpus-wide detect + positional join
+      val contaminated = gram8(docs).join(broadcast(bench.select("gid").distinct()), "gid")
+        .select(col("doc_id")).distinct()
+      val starts = docs.join(contaminated, "doc_id")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 8)
+        .select(col("doc_id"),
+          explode(expr("sequence(0, size(w) - 8)")).as("i"), col("w"))
+        .select(col("doc_id"), col("i"),
+          expr(s"""CAST(conv(substring(md5(concat_ws(' ',
+                    slice(w, i + 1, 8))), 1, 15), 16, 10) AS BIGINT)
+                  % $P""").as("gid"))
+        .join(broadcast(bench), "gid")
+        .select(col("bench_set"), col("doc_id"), col("i").cast("long").as("i"))
+      val w1 = Window.partitionBy("bench_set", "doc_id").orderBy("i")
+      starts
+        .withColumn("prev_max_end",
+          max(col("i") + 8).over(w1.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("island",
+          sum(when(col("prev_max_end").isNull || col("i") > col("prev_max_end"), 1L)
+            .otherwise(0L)).over(w1))
+        .groupBy("bench_set", "doc_id", "island")
+        .agg(min("i").as("span_start"), (max("i") + 8).as("span_end"))
+        .select(col("bench_set"), col("doc_id"), col("span_start"), col("span_end"))
+        .orderBy("bench_set", "doc_id", "span_start")
     }),
 
     // C4-style HARD-GATE filter — the blocklist stage every web-corpus
@@ -1828,6 +1918,35 @@ object TextOps {
           SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start,
                  CAST(max(i) + 8 AS BIGINT) AS span_end
           FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""",
+
+    // the same positional replay with the per-suite bench table rendered
+    // from decontamSets; windows partition by (bench_set, doc_id)
+    "text_decontam_spans_multi" ->
+      s"""WITH bench AS ($decontamBenchSql),
+          d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                WHERE len(string_split(text, ' ')) >= 8),
+          posg AS (
+            SELECT doc_id, i,
+              CAST(concat('0x', substr(md5(array_to_string(w[i:i+7], ' ')), 1, 15))
+                   AS BIGINT) % $P AS gid
+            FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i FROM d)),
+          starts AS (
+            SELECT bench_set, doc_id, CAST(i - 1 AS BIGINT) AS i
+            FROM posg JOIN bench USING (gid)),
+          m AS (SELECT bench_set, doc_id, i,
+                  max(i + 8) OVER (PARTITION BY bench_set, doc_id ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end
+                FROM starts),
+          isl AS (SELECT bench_set, doc_id, i,
+                    sum(CASE WHEN prev_max_end IS NULL OR i > prev_max_end
+                        THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY bench_set, doc_id ORDER BY i
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+                  FROM m)
+          SELECT bench_set, doc_id, CAST(min(i) AS BIGINT) AS span_start,
+                 CAST(max(i) + 8 AS BIGINT) AS span_end
+          FROM isl GROUP BY bench_set, doc_id, island
+          ORDER BY bench_set, doc_id, span_start""",
 
     // the bloom prefilter never false-negatives and the survivors go
     // through the same exact verification join, so the bloom variant's

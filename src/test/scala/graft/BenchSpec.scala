@@ -79,12 +79,19 @@ class BenchSpec extends AnyFunSuite {
       reps = 3, sf = "0.1", extra)
     assert(line.getBytes("UTF-8").length < 1960)
     assert(line.contains(""","load":[1.50,2.25],"calib":0.125,"calib_mt":0.250,"sf":0.1}"""))
-    // the calibration loops run and report plausible times; the
-    // all-cores wall can't beat one thread's
+    // the calibration loops run and report plausible times. The MT run
+    // here is CAPPED at 4 threads (the full-core loop belongs to the
+    // real bench path only — in-test it adds cores × loop-time of wall
+    // clock) and the lower bound is deliberately loose: each thread does
+    // the same fixed work, so the wall should be ≥ one thread's, but on
+    // a contended CI host the single-thread measurement can land on a
+    // slow slice while the MT one does not — this asserts "same order of
+    // magnitude", not a scheduling theorem.
     val c = Bench.calibSecs()
     assert(c > 0.001 && c < 5.0, s"calibration loop time $c")
-    val cmt = Bench.calibMtSecs()
-    assert(cmt >= c * 0.5 && cmt < 60.0, s"mt calibration $cmt vs single $c")
+    val cmt = Bench.calibMtSecs(
+      math.min(4, Runtime.getRuntime.availableProcessors()))
+    assert(cmt >= c * 0.25 && cmt < 60.0, s"mt calibration $cmt vs single $c")
   }
 
   test("compact line carries the contract fields and only ONE per-query map") {
@@ -95,6 +102,61 @@ class BenchSpec extends AnyFunSuite {
     // exactly one map: qmed/qmax belong to the detail FILE, not stdout
     assert(!line.contains("\"qmed\"") && !line.contains("\"qmax\""))
     assert(line.count(_ == '{') == 2)
+  }
+
+  test("parseRecord reads both record shapes: raw compact line and driver wrapper") {
+    val line = """{"metric":"headline_total","value":2.5,"unit":"sec","reps":3,""" +
+      """"queries":{"agg_q1_pricing":0.14,"sim_pq_adc":0.37},""" +
+      """"load":[1.91,1.82],"calib":0.098,"calib_mt":0.104,"sf":0.1}"""
+    val (q1, c1, cm1, sf1) = Bench.parseRecord(line)
+    assert(q1 == Map("agg_q1_pricing" -> 0.14, "sim_pq_adc" -> 0.37))
+    assert(c1.contains(0.098) && cm1.contains(0.104) && sf1.contains("0.1"))
+    // the driver wrapper embeds the line ESCAPED inside "tail" (and a
+    // parsed copy with spaced separators) — the real BENCH_r9 shape
+    val wrapper = s"""{"n": 9, "rc": 0, "sf": 0.1,
+      "tail": "noise before ${line.replace("\"", "\\\"")}",
+      "parsed": {"queries": {"agg_q1_pricing": 0.14, "sim_pq_adc": 0.37}}}"""
+    val (q2, c2, _, sf2) = Bench.parseRecord(wrapper)
+    assert(q2 == q1 && c2 == c1 && sf2.contains("0.1"))
+  }
+
+  test("vs_prior: calib-normalized ratios flag real regressions, not host slowdown") {
+    val prior = Map("fast_q" -> 0.05, "real_q" -> 1.0, "host_q" -> 1.0, "gone_q" -> 0.3)
+    // current host is 2x slower (calib_mt 0.2 vs prior 0.1): host_q at
+    // 2.0s is exactly the host factor (normalized 1.0x — NOT flagged),
+    // real_q at 4.0s is a genuine 2x normalized regression (flagged),
+    // fast_q doubling from 0.05 to 0.2 normalizes to 2x but moves under
+    // the 0.1s absolute floor (jitter — not flagged), new_q has no prior
+    val results: Seq[Bench.Timing] = Seq(
+      ("fast_q", 0.2, 0.2, 0.2), ("real_q", 4.0, 4.0, 4.0),
+      ("host_q", 2.0, 2.0, 2.0), ("new_q", 1.0, 1.0, 1.0))
+    val vs = Bench.vsPrior(results, calib = 0.2, calibMt = 0.2,
+      "BENCH_r09.json", prior, Some(0.1), Some(0.1))
+    assert(vs.contains(""""record":"BENCH_r09.json""""))
+    assert(vs.contains(""""calib_ratio":2.000"""))
+    assert(vs.contains(""""shared":3"""), s"only queries present in both: $vs")
+    assert(vs.contains(""""real_q":2.00"""), s"real regression must be flagged: $vs")
+    assert(!vs.contains("host_q"), "uniform host slowdown must normalize away")
+    assert(!vs.contains("fast_q"), "sub-floor jitter on cheap queries must not flag")
+    assert(!vs.contains("new_q"), "unshared queries have no baseline")
+    // identical host, genuine improvement counted
+    val better = Bench.vsPrior(Seq(("real_q", 0.5, 0.5, 0.5)), 0.1, 0.1,
+      "BENCH_r09.json", prior, Some(0.1), Some(0.1))
+    assert(better.contains(""""improved":1""") && better.contains(""""regressed":{}"""))
+  }
+
+  test("detail json carries the vs_prior block when a prior record parses") {
+    val detail = Bench.detailJson(syntheticResults(35), reps = 3, sf = "0.1",
+      Bench.vsPrior(Seq(("agg_q1_pricing", 0.2, 0.2, 0.2)), 0.1, 0.1,
+        "BENCH_r09.json", Map("agg_q1_pricing" -> 0.1), Some(0.1), Some(0.1)))
+    assert(detail.contains("\"vs_prior\":{\"record\":\"BENCH_r09.json\""))
+    // and the repo's real prior record parses with a usable query map
+    val f = Bench.priorRecordFile("/root/repo")
+    assert(f.nonEmpty, "no BENCH_r*.json found in the repo")
+    val (pq, _, _, psf) = Bench.parseRecord(new String(
+      java.nio.file.Files.readAllBytes(f.get.toPath), "UTF-8"))
+    assert(pq.size > 50, s"prior record parsed only ${pq.size} queries")
+    assert(psf.nonEmpty)
   }
 
   test("detail json carries min/med/max maps for every query") {

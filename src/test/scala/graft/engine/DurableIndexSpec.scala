@@ -30,7 +30,9 @@ class DurableIndexSpec extends SparkSpec {
   // round-9 continuation 2: the media aHash signature index and the
   // mergeable per-lang base card joined the store
   // round-10: the ingest admission table (domain_decisions) joined the
-  // store — the r9 verdict's IngestJob fix makes it a real artifact
+  // store — the r9 verdict's IngestJob fix makes it a real artifact —
+  // and ngram_posting_index (durable since round 6 but never round-
+  // tripped here; IndexRefresh's registry audit surfaced the gap)
   private val keys =
     Seq("dedup_sid_index", "dedup_band_index", "ivf_label_centarr", "q8_index",
       "semdedup_centarr", "semdedup_blocks", "decontam_bloom", "bpe_merges",
@@ -38,7 +40,7 @@ class DurableIndexSpec extends SparkSpec {
       "bm25_postings", "bm25_dfs", "bm25_stats",
       "winnow_base_index", "winnow_base_dfs", "knn_cluster_centarr",
       "knn_pagerank", "knn_edges_deg", "phash_sig_index", "card_by_lang",
-      "domain_decisions")
+      "domain_decisions", "ngram_posting_index")
 
   test("second session serves index-backed queries from the store with zero rebuilds") {
     val root = Files.createTempDirectory("graft-idx-root").toString
@@ -65,6 +67,7 @@ class DurableIndexSpec extends SparkSpec {
       val cdA = q("curate_card_incremental")(sA, dir).collect().toSeq
       val ddA = q("curate_domain_decisions")(sA, dir).collect().toSeq
       val liA = q("sim_cluster_labels_incr")(sA, dir).collect().toSeq
+      val njA = q("dedup_ngram_jaccard")(sA, dir).collect().toSeq
       assert(incA.nonEmpty && ivfA.nonEmpty && q8A.nonEmpty &&
         semA.nonEmpty && bloomA.nonEmpty && bpeA.nonEmpty &&
         ccA.nonEmpty && cbA.nonEmpty && wpA.nonEmpty && bmA.nonEmpty)
@@ -123,6 +126,7 @@ class DurableIndexSpec extends SparkSpec {
       // STORED labels + centroids — identical merge, zero CC rounds
       // (covered by the labelBuildCounts assertion below)
       assert(q("sim_cluster_labels_incr")(sB, dir).collect().toSeq == liA)
+      assert(q("dedup_ngram_jaccard")(sB, dir).collect().toSeq == njA)
       keys.foreach { k =>
         assert(IndexStore.buildCounts.get(paths(k)).contains(1),
           s"$k: probing session must not rebuild")

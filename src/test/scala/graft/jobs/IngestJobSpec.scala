@@ -62,9 +62,9 @@ class IngestJobSpec extends SparkSpec {
     // same arrivals (gates share one code path — this pins the JOB wiring)
     import spark.implicits._
     val all = (rows ++ broken).toSeq.toDF("doc_id", "source", "text")
-    val (decisions, _) = IngestJob.references(spark, dir)
+    val refs0 = IngestJob.references(spark, dir)
     val expected = IngestFilters.domainGate(
-        IngestFilters.classifierGate(all), decisions)
+        IngestFilters.classifierGate(all), refs0.decisions)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     val admitted = spark.read.parquet(s"$out/admitted")
       .select("doc_id").collect().map(_.getLong(0)).toSet
@@ -77,42 +77,102 @@ class IngestJobSpec extends SparkSpec {
     // between-write-and-offset-commit case) must leave the sinks
     // IDENTICAL, not duplicated — the idempotent batch_id-partition
     // overwrite is what earns the restart-safe claim
-    val (dec2, ref2) = IngestJob.references(spark, dir)
+    val refs = IngestJob.references(spark, dir)
 
-    // the r9 scale defect, pinned: the decision table must be a
+    // the r9 scale defect, pinned: every reference frame must be a
     // MATERIALIZED artifact, not a lazy plan over the base corpus — a
-    // lazy frame re-runs the full base scan + classifier + aggregate
-    // inside EVERY micro-batch's broadcast join (at 100 TB, a corpus
-    // pass per batch). (1) plan-shape: the frame's optimized plan must
-    // contain no file-source relation at all (localCheckpoint memo →
-    // LogicalRDD; store mode → a scan of the tiny stored table, which
-    // this spec exercises without a store root so the stricter bound
-    // applies); (2) runtime: during processBatch over an in-memory
-    // batch, total task input records must stay at decision-table
-    // scale — a base rescan would read all 500 corpus docs.
-    assert(!dec2.queryExecution.optimizedPlan.collectLeaves().exists(
-        _.isInstanceOf[org.apache.spark.sql.execution.datasources.LogicalRelation]),
-      "domain decisions must be materialized, not a lazy plan over base files")
-    val recordsRead = new java.util.concurrent.atomic.AtomicLong(0)
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        recordsRead.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+    // lazy frame re-runs base-corpus work inside EVERY micro-batch.
+    // (1) plan-shape: no reference frame's optimized plan may contain a
+    // file-source relation (localCheckpoint memo → LogicalRDD; store
+    // mode would scan only the tiny stored table); (2) runtime: during
+    // processBatch no executed plan may scan base-corpus FILES — caught
+    // via QueryExecutionListener over the batch's actions (writes
+    // included), which a rescan cannot evade.
+    Seq("decisions" -> refs.decisions, "bandIndex" -> refs.bandIndex,
+        "winnowPostings" -> refs.winnowPostings).foreach { case (nm, f) =>
+      assert(!f.queryExecution.optimizedPlan.collectLeaves().exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.datasources.LogicalRelation]),
+        s"$nm must be materialized, not a lazy plan over base files")
     }
-    spark.sparkContext.addSparkListener(listener)
+    val scanned = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit =
+        qe.executedPlan.foreach {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            scanned.add(f.relation.location.rootPaths.mkString(","))
+          case _ => ()
+        }
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(ql)
     try {
       IngestJob.processBatch(
-        rows.toSeq.toDF("doc_id", "source", "text"), 0L, out, dec2, ref2)
+        rows.toSeq.toDF("doc_id", "source", "text"), 0L, out, refs)
       Thread.sleep(500) // listener bus is async
-      assert(recordsRead.get() <= 100,
-        s"processBatch read ${recordsRead.get()} input records — a " +
-          "materialized 20-row decision table costs ~20; hundreds means " +
-          "the base corpus was rescanned inside the batch")
-    } finally spark.sparkContext.removeSparkListener(listener)
+      import scala.jdk.CollectionConverters._
+      val baseScans = scanned.asScala.filter(_.contains(dir))
+      assert(baseScans.isEmpty,
+        s"processBatch re-scanned base corpus files: $baseScans")
+    } finally spark.listenerManager.unregister(ql)
 
     val driftReplay = spark.read.parquet(s"$out/drift").count()
     val admittedReplay = spark.read.parquet(s"$out/admitted").count()
     assert(driftReplay == 2, s"replay duplicated drift rows: $driftReplay")
     assert(admittedReplay == admitted.size,
       s"replay duplicated admitted rows: $admittedReplay vs ${admitted.size}")
+  }
+
+  test("ingest dup-gate: a planted near-dup arrival is flagged by both probes, batch ≡ stream") {
+    val in = Files.createTempDirectory("graft-dupgate-in").toString
+    val out = Files.createTempDirectory("graft-dupgate-out").toString
+    // arrivals: two genuinely novel docs + one near-dup of base doc 0
+    // (the nearDupCorpus mutation convention: same text, two appended
+    // tokens — passes every per-row gate, only the dedup probes see it)
+    val base0 = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") === 0L).select("text").collect()(0).getString(0)
+    val novel = "totally novel arrival text " +
+      (0 until 60).map(i => s"nv$i").mkString(" ")
+    val lines = Seq(
+      s"""{"doc_id":500000,"source":"src_new","text":"${base0.replace("\\", "\\\\").replace("\"", "\\\"")} zz0 zz1"}""",
+      s"""{"doc_id":500001,"source":"src_new","text":"$novel"}""")
+    Files.write(Paths.get(s"$in/batch1.json"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val q = IngestJob.run(spark, dir, in, out, s"$out/_checkpoint")
+    try q.awaitTermination(120000) finally q.stop()
+
+    // whole-doc probe: the planted arrival hits its base original
+    val bandHits = spark.read.parquet(s"$out/dup_hits")
+      .select("doc_id", "dup_of").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(bandHits.contains((500000L, 0L)),
+      s"planted near-dup not flagged by the band probe: ${bandHits.toSeq}")
+    // span-level probe: same arrival shares >= MinSharedFps fingerprints
+    val winnowHits = spark.read.parquet(s"$out/winnow_hits")
+      .select("doc_id", "dup_of").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(winnowHits.contains((500000L, 0L)),
+      s"planted near-dup not flagged by the winnowing probe: ${winnowHits.toSeq}")
+    // the novel doc triggers neither probe
+    assert(!bandHits.exists(_._1 == 500001L) && !winnowHits.exists(_._1 == 500001L),
+      "a novel arrival must not be flagged")
+
+    // batch ≡ stream: the job's winnow hits are exactly the shared
+    // library function over the same arrival rows and the same stored
+    // postings, thresholded by the same MinSharedFps rule — one code
+    // path, two execution contexts
+    import spark.implicits._
+    val arrivals = Seq((500000L, s"$base0 zz0 zz1"), (500001L, novel))
+      .toDF("doc_id", "text")
+    val refs = IngestJob.references(spark, dir)
+    val batchSide = graft.streaming.StreamingDedup
+      .winnowHits(arrivals, refs.winnowPostings)
+      .groupBy("doc_id", "dup_of").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= graft.ops.TextOps.MinSharedFps)
+      .select("doc_id", "dup_of").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(winnowHits.toSet == batchSide,
+      s"job winnow hits ${winnowHits.toSet} != batch path $batchSide")
   }
 }
