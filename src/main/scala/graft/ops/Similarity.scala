@@ -889,32 +889,70 @@ object Similarity {
 
     // INCREMENTAL LABEL MAINTENANCE — the dedup_incremental_maint
     // discipline applied to the graph-index family (the r9 verdict's
-    // gap): arrivals routed by the stored centroids are APPENDED into
-    // the durable cluster-label artifact, so every label consumer
+    // gap): arriving vectors are routed into the STORED clustering and
+    // APPENDED into the durable label artifact, so every label consumer
     // (balanced sampling, cluster profiles, exemplar selection) sees
     // base + batch without a re-cluster — the full CC rebuild stays a
     // dedicated index job (IndexBuild / IndexRefresh on a stale
     // verdict). The batch is the shared arrival convention (every 5th
-    // vector ×1.01, ids +100000); assignment is the sim_cluster_assign
-    // argmin against the STORED centroid artifact (broadcast + codegen
-    // vec_sqdist — per-batch cost is k probes per arrival, zero
-    // corpus-sized work, zero CC rounds: OpsSpec pins both counters
-    // flat across an invocation). Each invocation appends into a fresh
-    // temp copy of the label store (append semantics make the query
-    // stateful by design — a fixed path would double-append across
-    // invocations); production appends to the real artifact in place.
+    // vector ×1.01, ids +100000).
+    //
+    // Routing rule: each arrival joins the cluster of its NEAREST
+    // LABELED NEIGHBOR among the capped-bucket candidates (own centered
+    // bucket + every 1-bit flip — the sim_knn_graph_mp probe side,
+    // bucketed with the index's stored thresholds). This is the rule
+    // the clustering itself is built from — CC components form along
+    // nearest-neighbor edges, so NN-routing assigns the arrival exactly
+    // where the edge build would have connected it. The first draft
+    // assigned by exact argmin over ALL per-cluster centroids and the
+    // 100× probe showed why that cannot ship: batch size AND cluster
+    // count both grow with the corpus, so the batch×k candidate space
+    // is QUADRATIC (measured: one 41.6 s crossJoin job at 100×, an
+    // 8.8× 30→100× marginal). The capped-bucket probe is the
+    // distribution-proof shape: pair space ≤ batch·(planes+1)·cap for
+    // ANY data (the cappedKnnBuckets bound, probe-side multiplier
+    // only). An arrival with NO labeled candidate in its probed cells
+    // is left UNROUTED (absent from the output) — it is genuinely new
+    // content; it waits for the next IndexRefresh re-cluster rather
+    // than being glued onto a far-away cluster.
+    //
+    // Each invocation appends into a fresh temp copy of the label store
+    // (append semantics make the query stateful by design — a fixed
+    // path would double-append across invocations); production appends
+    // to the real artifact in place. Zero CC rounds, zero base-rehash
+    // on the probe path: OpsSpec pins the build counters flat.
     "sim_cluster_labels_incr" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
-      val cents = clusterCentArtifact(s, dir)
+      val e = Tables(s, dir, "embeddings")
       val base = clusterLabels(s, dir)
-      val assigned = arrivalBatch(Tables(s, dir, "embeddings"))
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-        .crossJoin(broadcast(cents))
-        .select(col("qid"), col("label"),
-          round(expr("vec_sqdist(qe, carr)"), 6).as("dist"))
+      val b = cappedKnnBuckets(s, dir)
+      val (planes, dim) = Lsh.sizing(s, dir, "embeddings", e)
+      val thr2 = Lsh.medianThr2(s, dir, "embeddings", e, planes, dim)
+      val pops = b.select(col("bucket").as("pb"), col("nsub").as("pnsub")).distinct()
+      val q = arrivalBatch(e)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          expr(normExpr("embedding")).as("qn"),
+          Lsh.centeredBucket(planes, "embedding", dim, thr2).as("bucket"))
+        .withColumn("pb", explode(array(
+          col("bucket") +:
+            (0 until planes).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*)))
+        .join(pops, "pb")
+        .select(col("qid"), col("qe"), col("qn"), col("pb"),
+          (col("qid") % col("pnsub")).as("psub"))
+      val c = b.select(col("vec_id").as("nid"), col("embedding").as("ce"),
+        col("bucket").as("cb"), (col("vec_id") % col("nsub")).as("csub"),
+        expr(normExpr("embedding")).as("cn"))
+      val assigned = q
+        .join(c, col("pb") === col("cb") && col("psub") === col("csub"))
+        .join(base.select(col("node").as("nid"), col("cluster")), "nid")
+        .select(col("qid"),
+          round(expr(dotExpr) / (col("qn") * col("cn")), 6).as("cos_r"),
+          col("nid"), col("cluster"))
         .groupBy("qid")
-        .agg(min(struct(col("dist"), col("label"))).as("m"))
-        .select(col("qid").as("node"), col("m.label").as("cluster"))
+        // top-1 by (cos_r desc, nid asc); cluster rides as payload (nid
+        // is unique, so the struct comparison never reaches it)
+        .agg(max(struct(col("cos_r"), (-col("nid")).as("nn"), col("cluster"))).as("m"))
+        .select(col("qid").as("node"), col("m.cluster").as("cluster"))
       val root = java.nio.file.Files
         .createTempDirectory("graft-labels-ingest").toString
       val labelPath = s"$root/labels"
@@ -1585,9 +1623,12 @@ object Similarity {
             SELECT label, drift6,
                    CASE WHEN drift6 > $StaleDrift6 THEN 'stale' ELSE 'fresh' END AS verdict
             FROM drift ORDER BY label""",
-      // the sim_cluster_assign replay with the batch as the query set:
-      // label CTEs → per-cluster centroids → rounded-sqdist argmin over
-      // the ×1.01-rescaled arrivals, unioned under the base labels
+      // label CTEs off the corpus replay, then the ARRIVAL probe: batch
+      // vectors bucketed with the CORPUS thresholds (thr is in scope
+      // from the centered-bucket CTEs), own bucket + 1-bit flips picking
+      // up each target's nsub, cosine top-1 over LABELED candidates
+      // (ORDER BY cos_r DESC, nid — the max(struct) spelling), unioned
+      // under the base labels. Unrouted arrivals emit no row.
       "sim_cluster_labels_incr" ->
         s"""WITH RECURSIVE ${Lsh.paramsSql("embeddings")},
             comp AS (
@@ -1609,33 +1650,66 @@ object Similarity {
               UNION
               SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node),
             labels AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node),
-            cent AS (
-              SELECT l.cluster, c.d, avg(CAST(c.x AS DOUBLE)) AS c
-              FROM labels l JOIN comp c ON l.node = c.vec_id
-              GROUP BY l.cluster, c.d),
             batch AS (
               SELECT vec_id + 100000 AS vec_id,
                      list_transform(embedding,
                        x -> CAST(CAST(x AS FLOAT) * CAST(1.01 AS FLOAT) AS FLOAT)) AS embedding
               FROM embeddings WHERE vec_id % 5 = 0),
             bcomp AS (
-              SELECT vec_id AS qid, unnest(embedding) AS x,
+              SELECT vec_id, unnest(embedding) AS x,
                      generate_subscripts(embedding, 1) - 1 AS d
               FROM batch),
-            scored AS (
-              SELECT qid, cluster,
-                     round(sum(power(CAST(x AS DOUBLE) - c, 2)), 6) AS dist
-              FROM bcomp JOIN cent USING (d)
-              GROUP BY qid, cluster),
-            best AS (
-              SELECT qid, cluster,
-                     row_number() OVER (PARTITION BY qid
-                                        ORDER BY dist, cluster) AS rk
-              FROM scored)
+            bpd AS (
+              SELECT vec_id, p,
+                     sum(CAST(x AS DOUBLE) * ((p * 131 + d * 137) % 97 - 48)) AS dot
+              FROM bcomp
+              CROSS JOIN (SELECT CAST(i AS INT) AS p FROM range(${Lsh.MaxPlanes}) t(i))
+              CROSS JOIN params
+              WHERE p < params.np
+              GROUP BY vec_id, p),
+            bd6 AS (SELECT vec_id, p, CAST(round(dot * 1e6) AS BIGINT) AS d6 FROM bpd),
+            bbuckets AS (
+              SELECT vec_id,
+                     CAST(sum(CASE WHEN 2 * d6 >= t2
+                              THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END)
+                          AS BIGINT) AS bucket
+              FROM bd6 JOIN thr USING (p) GROUP BY vec_id),
+            bprobes0 AS (
+              SELECT vec_id AS qid, bucket AS pb FROM bbuckets
+              UNION ALL
+              SELECT vec_id, xor(bucket, CAST(pow(2, p) AS BIGINT)) AS pb
+              FROM bbuckets
+              CROSS JOIN (SELECT CAST(i AS INT) AS p FROM range(${Lsh.MaxPlanes}) t(i))
+              CROSS JOIN params
+              WHERE p < params.np),
+            bprobes AS (
+              SELECT qid, pb, qid % nsub AS psub
+              FROM bprobes0 JOIN pops ON bprobes0.pb = pops.bucket),
+            bpairs AS (
+              SELECT bp.qid, cc.nid, b.embedding AS qe, cc.ce
+              FROM bprobes bp
+              JOIN (SELECT vec_id AS nid, embedding AS ce, bucket AS cb,
+                           vec_id % nsub AS csub FROM withb) cc
+                ON bp.pb = cc.cb AND bp.psub = cc.csub
+              JOIN batch b ON b.vec_id = bp.qid),
+            bdots AS (
+              SELECT qid, nid,
+                     sum(CAST(xq AS DOUBLE) * CAST(xc AS DOUBLE)) AS dot,
+                     sqrt(sum(CAST(xq AS DOUBLE) * CAST(xq AS DOUBLE))) AS nq,
+                     sqrt(sum(CAST(xc AS DOUBLE) * CAST(xc AS DOUBLE))) AS nc
+              FROM (SELECT qid, nid, unnest(qe) AS xq, unnest(ce) AS xc FROM bpairs)
+              GROUP BY qid, nid),
+            bbest AS (
+              SELECT qid, cluster FROM (
+                SELECT s.qid, l.cluster,
+                       row_number() OVER (PARTITION BY s.qid
+                         ORDER BY round(s.dot / (s.nq * s.nc), 6) DESC, s.nid) AS rk
+                FROM bdots s JOIN labels l ON s.nid = l.node)
+              WHERE rk = 1)
             SELECT node, cluster FROM (
               SELECT node, cluster FROM labels
               UNION ALL
-              SELECT qid AS node, cluster FROM best WHERE rk = 1)
+              SELECT qid AS node, cluster FROM bbest)
             ORDER BY node""",
 
       // the full label replay as a derived table + one metadata join
