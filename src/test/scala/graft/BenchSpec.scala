@@ -143,6 +143,13 @@ class BenchSpec extends AnyFunSuite {
     val better = Bench.vsPrior(Seq(("real_q", 0.5, 0.5, 0.5)), 0.1, 0.1,
       "BENCH_r09.json", prior, Some(0.1), Some(0.1))
     assert(better.contains(""""improved":1""") && better.contains(""""regressed":{}"""))
+    // disagreeing calibrations: the single-thread probe says 1.0x, the
+    // MT sample says 2.0x (scheduler luck) — the ratio CLOSER to 1 wins,
+    // so an unchanged query is not flagged off calibration jitter
+    val jitter = Bench.vsPrior(Seq(("real_q", 1.0, 1.0, 1.0)), 0.1, 0.2,
+      "BENCH_r09.json", prior, Some(0.1), Some(0.1))
+    assert(jitter.contains(""""calib_ratio":1.000"""), jitter)
+    assert(jitter.contains(""""regressed":{}"""), jitter)
   }
 
   test("detail json carries the vs_prior block when a prior record parses") {
