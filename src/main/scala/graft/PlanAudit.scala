@@ -54,7 +54,11 @@ object PlanAudit {
     // composes the allowlisted ANN probes above (their broadcast query
     // sets), plus one 1-row truth-count frame cross-joined onto the
     // 7-row per-method summary
-    "sim_recall_eval")
+    "sim_recall_eval",
+    // the 1-row global-exemplar vector crossJoin-broadcast onto the
+    // labeled member stream (the curate_curriculum threshold shape) —
+    // one baseline cosine per member, never a data×data loop
+    "sim_cluster_quality")
 
   // A one-row global summary ends in an Exchange SinglePartition that
   // receives only per-task PARTIAL aggregates (map-side combined) — the
@@ -79,7 +83,10 @@ object PlanAudit {
     // per-method recall summary
     "sim_recall_eval",
     // the 1-row doc-count agg feeding the vocab-level idf scaling
-    "text_tfidf_topk")
+    "text_tfidf_topk",
+    // the 1-row global-exemplar argmax: per-task (rank, -node) partials
+    // map-side combined into one row — the canonical global-agg shape
+    "sim_cluster_quality")
 
   /** The shuffle-count ceiling catches one QUERY accreting shuffles; a
     * deliberate UNION of many independent pipelines legitimately sums
@@ -113,6 +120,10 @@ object PlanAudit {
     "p13_higher_order",
     "text_quality", "text_langid", "text_fingerprint", "text_repetition",
     "text_blocklist_filter",
+    // the Gopher rule battery: filter/array_distinct over per-doc word
+    // arrays of ≤~100 elements, text_quality's exact class (narrow
+    // per-row algebra, sub-0.15 s at the 100× probe)
+    "text_gopher_rules",
     "text_entropy", "text_length_outliers", "text_length_outliers_approx",
     "text_pipeline_e2e",
     "text_decontaminate", "text_pii_redact", "text_tokens",

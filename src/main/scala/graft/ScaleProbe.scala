@@ -63,7 +63,8 @@ object ScaleProbe {
     "sample_reservoir", "curate_card_incremental", "mm_dedup_phash_incr",
     "text_decontaminate_spans", "dedup_threshold_calibration",
     "sim_cluster_labels_incr", "curate_domain_decisions",
-    "text_decontam_spans_multi")
+    "text_decontam_spans_multi", "sim_graph_edges_incr",
+    "sim_cluster_quality", "text_gopher_rules")
 
   def main(args: Array[String]): Unit = {
     val spillMode = args.headOption.contains("spill")

@@ -212,6 +212,39 @@ object Similarity {
       expr("transform(embedding, x -> CAST(x AS FLOAT) * CAST(1.01 AS FLOAT))").as("embedding"),
       col("label"))
 
+  /** Arrival-probe candidate scores (qid, nid, cos_r): the arriving
+    * batch joined against the indexed corpus through the capped buckets
+    * — own centered bucket (index thresholds) + every 1-bit flip, each
+    * probe picking up the TARGET bucket's nsub so the join stays fully
+    * equi-keyed on (bucket, sub). Pair space ≤ batch·(planes+1)·cap for
+    * ANY distribution (the sim_knn_graph_mp bound, probe-side
+    * multiplier only). Shared by the label maintenance (top-1 over
+    * labeled candidates) and the edge maintenance (top-3). */
+  private def arrivalProbeCands(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables(s, dir, "embeddings")
+    val b = cappedKnnBuckets(s, dir)
+    val (planes, dim) = Lsh.sizing(s, dir, "embeddings", e)
+    val thr2 = Lsh.medianThr2(s, dir, "embeddings", e, planes, dim)
+    val pops = b.select(col("bucket").as("pb"), col("nsub").as("pnsub")).distinct()
+    val q = arrivalBatch(e)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        expr(normExpr("embedding")).as("qn"),
+        Lsh.centeredBucket(planes, "embedding", dim, thr2).as("bucket"))
+      .withColumn("pb", explode(array(
+        col("bucket") +:
+          (0 until planes).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*)))
+      .join(pops, "pb")
+      .select(col("qid"), col("qe"), col("qn"), col("pb"),
+        (col("qid") % col("pnsub")).as("psub"))
+    val c = b.select(col("vec_id").as("nid"), col("embedding").as("ce"),
+      col("bucket").as("cb"), (col("vec_id") % col("nsub")).as("csub"),
+      expr(normExpr("embedding")).as("cn"))
+    q.join(c, col("pb") === col("cb") && col("psub") === col("csub"))
+      .select(col("qid"), col("nid"),
+        round(expr(dotExpr) / (col("qn") * col("cn")), 6).as("cos_r"))
+  }
+
   /** The kNN graph's degree-attached edge list (src, dst, deg) as a
     * DURABLE artifact — the substrate every graph-diffusion consumer
     * iterates over (global PageRank, seeded expansion). Factored out of
@@ -922,32 +955,9 @@ object Similarity {
     // to the real artifact in place. Zero CC rounds, zero base-rehash
     // on the probe path: OpsSpec pins the build counters flat.
     "sim_cluster_labels_incr" -> ((s, dir) => {
-      graft.functions.GraftFunctions.register(s)
-      val e = Tables(s, dir, "embeddings")
       val base = clusterLabels(s, dir)
-      val b = cappedKnnBuckets(s, dir)
-      val (planes, dim) = Lsh.sizing(s, dir, "embeddings", e)
-      val thr2 = Lsh.medianThr2(s, dir, "embeddings", e, planes, dim)
-      val pops = b.select(col("bucket").as("pb"), col("nsub").as("pnsub")).distinct()
-      val q = arrivalBatch(e)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-          expr(normExpr("embedding")).as("qn"),
-          Lsh.centeredBucket(planes, "embedding", dim, thr2).as("bucket"))
-        .withColumn("pb", explode(array(
-          col("bucket") +:
-            (0 until planes).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*)))
-        .join(pops, "pb")
-        .select(col("qid"), col("qe"), col("qn"), col("pb"),
-          (col("qid") % col("pnsub")).as("psub"))
-      val c = b.select(col("vec_id").as("nid"), col("embedding").as("ce"),
-        col("bucket").as("cb"), (col("vec_id") % col("nsub")).as("csub"),
-        expr(normExpr("embedding")).as("cn"))
-      val assigned = q
-        .join(c, col("pb") === col("cb") && col("psub") === col("csub"))
+      val assigned = arrivalProbeCands(s, dir)
         .join(base.select(col("node").as("nid"), col("cluster")), "nid")
-        .select(col("qid"),
-          round(expr(dotExpr) / (col("qn") * col("cn")), 6).as("cos_r"),
-          col("nid"), col("cluster"))
         .groupBy("qid")
         // top-1 by (cos_r desc, nid asc); cluster rides as payload (nid
         // is unique, so the struct comparison never reaches it)
@@ -959,6 +969,94 @@ object Similarity {
       graft.engine.IndexStore.save(base, labelPath)
       graft.engine.IndexStore.append(assigned, labelPath)
       graft.engine.IndexStore.load(s, labelPath).orderBy("node")
+    }),
+
+    // INCREMENTAL EDGE MAINTENANCE — the second half of the graph
+    // family's ingest story (labels above route arrivals into clusters;
+    // this appends the arrivals' OWN kNN edges into the durable
+    // knn_edges_deg artifact, so diffusion consumers — seeded
+    // expansion, the next PageRank refresh — see the arrivals as graph
+    // nodes without a full edge rebuild). Each arrival contributes its
+    // top-3 probe candidates as out-edges with its own out-degree
+    // attached — exactly the knnTop3 edge rule on the probe side, so
+    // appended rows are shape- and semantics-identical to built rows.
+    // Existing rows never change: edges carry the SOURCE's degree, and
+    // arrivals only add new source nodes. Same capped probe bound and
+    // temp-store statefulness discipline as the label maintenance.
+    "sim_graph_edges_incr" -> ((s, dir) => {
+      val baseEd = knnEdgesDeg(s, dir)
+      val arrTop = topK3(arrivalProbeCands(s, dir))
+        .select(col("qid").as("src"), col("nid").as("dst"))
+      val arrEd = arrTop
+        .join(arrTop.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+        .select(col("src"), col("dst"), col("deg"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-edges-ingest").toString
+      val edgePath = s"$root/edges"
+      graft.engine.IndexStore.save(baseEd, edgePath)
+      graft.engine.IndexStore.append(arrEd, edgePath)
+      graft.engine.IndexStore.load(s, edgePath).orderBy("src", "dst")
+    }),
+
+    // CLUSTER QUALITY EVALUATION — "are the semantic clusters real?"
+    // measured, not assumed (the sim_recall_eval discipline applied to
+    // the clustering): per cluster, the mean member→exemplar cosine
+    // (cohesion) against the mean member→GLOBAL-exemplar cosine
+    // (baseline — what cohesion would look like if cluster structure
+    // were noise), and the margin between them. A clustering worth
+    // sampling/pruning by shows positive margins; a collapsed or
+    // arbitrary one shows ~zero. Exemplars are the max-PageRank members
+    // (the sim_cluster_exemplars rule), the exemplar itself excluded
+    // from its own mean so singleton-ish clusters can't self-certify.
+    //
+    // Scale shape — deliberately O(n + k), never pairwise: cohesion via
+    // ALL member pairs is Σ n_c² (quadratic in cluster size); one
+    // representative per cluster makes it one n-row join + a broadcast
+    // of k exemplar vectors + ONE 1-row global vector, all cosines
+    // narrow codegen'd vec_dot. Integer discipline: per-pair cosines
+    // integer-scaled (round(cos_r·1e6)), per-cluster means via floor
+    // division AFTER a +1e6 shift — cosines can be negative, and Spark
+    // `div` truncates toward zero while DuckDB `//` floors, so the
+    // shift keeps every dividend non-negative where the two agree
+    // (floor(x/m) ≡ shift-div identity, exact in both engines).
+    "sim_cluster_quality" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val e = Tables(s, dir, "embeddings")
+      val labels = clusterLabels(s, dir)
+      val ranks = pagerankRanks(s, dir)
+      val ex = labels.join(ranks, "node")
+        .groupBy("cluster")
+        .agg(max(struct(col("rank"), (-col("node")).as("nn"))).as("m"))
+        .select(col("cluster"), (-col("m.nn")).as("exemplar"))
+      val g = ranks
+        .agg(max(struct(col("rank"), (-col("node")).as("nn"))).as("m"))
+        .select((-col("m.nn")).as("gnode"))
+      val ne = e.select(col("vec_id"), col("embedding"),
+        expr(normExpr("embedding")).as("nrm"))
+      val exemb = ex.join(
+        ne.select(col("vec_id").as("exemplar"), col("embedding").as("xe"),
+          col("nrm").as("xn")), "exemplar")
+      val gemb = g.join(
+        ne.select(col("vec_id").as("gnode"), col("embedding").as("ge"),
+          col("nrm").as("gn")), "gnode")
+      labels.join(broadcast(exemb), "cluster")
+        .filter(col("node") =!= col("exemplar"))
+        .join(ne.select(col("vec_id").as("node"), col("embedding").as("qe"),
+          col("nrm").as("qn")), "node")
+        .crossJoin(broadcast(gemb))
+        .select(col("cluster"),
+          expr("CAST(round(round(vec_dot(qe, xe) / (qn * xn), 6) * 1e6) AS BIGINT) + 1000000")
+            .as("own6s"),
+          expr("CAST(round(round(vec_dot(qe, ge) / (qn * gn), 6) * 1e6) AS BIGINT) + 1000000")
+            .as("glob6s"))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("members"),
+          sum("own6s").as("so"), sum("glob6s").as("sg"))
+        .select(col("cluster"), col("members"),
+          expr("so div members - 1000000").as("cohesion6"),
+          expr("sg div members - 1000000").as("baseline6"),
+          expr("(so div members) - (sg div members)").as("margin6"))
+        .orderBy("cluster")
     }),
 
     // ANN RECALL EVALUATION — measure the recall/cost trade instead of
@@ -1006,6 +1104,62 @@ object Similarity {
               sqrt(sum(CAST(xc AS DOUBLE) * CAST(xc AS DOUBLE))) AS nc
        FROM (SELECT qid, nid, unnest(qe) AS xq, unnest(ce) AS xc FROM pairs)
        GROUP BY qid, nid"""
+
+  /** Shared oracle CTE chain replaying arrivalProbeCands: the arrival
+    * batch (shared convention), its centered buckets under the CORPUS
+    * thresholds (`thr` from the centered-bucket CTEs must be in scope),
+    * the own-bucket + 1-bit-flip probes with per-target nsub, and the
+    * probe-pair dot products. Yields `bdots` (qid, nid, dot, nq, nc). */
+  private val arrivalProbeSql: String =
+    s"""batch AS (
+          SELECT vec_id + 100000 AS vec_id,
+                 list_transform(embedding,
+                   x -> CAST(CAST(x AS FLOAT) * CAST(1.01 AS FLOAT) AS FLOAT)) AS embedding
+          FROM embeddings WHERE vec_id % 5 = 0),
+        bcomp AS (
+          SELECT vec_id, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) - 1 AS d
+          FROM batch),
+        bpd AS (
+          SELECT vec_id, p,
+                 sum(CAST(x AS DOUBLE) * ((p * 131 + d * 137) % 97 - 48)) AS dot
+          FROM bcomp
+          CROSS JOIN (SELECT CAST(i AS INT) AS p FROM range(${Lsh.MaxPlanes}) t(i))
+          CROSS JOIN params
+          WHERE p < params.np
+          GROUP BY vec_id, p),
+        bd6 AS (SELECT vec_id, p, CAST(round(dot * 1e6) AS BIGINT) AS d6 FROM bpd),
+        bbuckets AS (
+          SELECT vec_id,
+                 CAST(sum(CASE WHEN 2 * d6 >= t2
+                          THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END)
+                      AS BIGINT) AS bucket
+          FROM bd6 JOIN thr USING (p) GROUP BY vec_id),
+        bprobes0 AS (
+          SELECT vec_id AS qid, bucket AS pb FROM bbuckets
+          UNION ALL
+          SELECT vec_id, xor(bucket, CAST(pow(2, p) AS BIGINT)) AS pb
+          FROM bbuckets
+          CROSS JOIN (SELECT CAST(i AS INT) AS p FROM range(${Lsh.MaxPlanes}) t(i))
+          CROSS JOIN params
+          WHERE p < params.np),
+        bprobes AS (
+          SELECT qid, pb, qid % nsub AS psub
+          FROM bprobes0 JOIN pops ON bprobes0.pb = pops.bucket),
+        bpairs AS (
+          SELECT bp.qid, cc.nid, b.embedding AS qe, cc.ce
+          FROM bprobes bp
+          JOIN (SELECT vec_id AS nid, embedding AS ce, bucket AS cb,
+                       vec_id % nsub AS csub FROM withb) cc
+            ON bp.pb = cc.cb AND bp.psub = cc.csub
+          JOIN batch b ON b.vec_id = bp.qid),
+        bdots AS (
+          SELECT qid, nid,
+                 sum(CAST(xq AS DOUBLE) * CAST(xc AS DOUBLE)) AS dot,
+                 sqrt(sum(CAST(xq AS DOUBLE) * CAST(xq AS DOUBLE))) AS nq,
+                 sqrt(sum(CAST(xc AS DOUBLE) * CAST(xc AS DOUBLE))) AS nc
+          FROM (SELECT qid, nid, unnest(qe) AS xq, unnest(ce) AS xc FROM bpairs)
+          GROUP BY qid, nid)"""
 
   /** Oracle CTEs replaying knnEdgesDeg off an upstream `topk` (qid, nid)
     * edge set: out-degrees + the degree-attached edge list `ed`. */
@@ -1650,55 +1804,7 @@ object Similarity {
               UNION
               SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node),
             labels AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node),
-            batch AS (
-              SELECT vec_id + 100000 AS vec_id,
-                     list_transform(embedding,
-                       x -> CAST(CAST(x AS FLOAT) * CAST(1.01 AS FLOAT) AS FLOAT)) AS embedding
-              FROM embeddings WHERE vec_id % 5 = 0),
-            bcomp AS (
-              SELECT vec_id, unnest(embedding) AS x,
-                     generate_subscripts(embedding, 1) - 1 AS d
-              FROM batch),
-            bpd AS (
-              SELECT vec_id, p,
-                     sum(CAST(x AS DOUBLE) * ((p * 131 + d * 137) % 97 - 48)) AS dot
-              FROM bcomp
-              CROSS JOIN (SELECT CAST(i AS INT) AS p FROM range(${Lsh.MaxPlanes}) t(i))
-              CROSS JOIN params
-              WHERE p < params.np
-              GROUP BY vec_id, p),
-            bd6 AS (SELECT vec_id, p, CAST(round(dot * 1e6) AS BIGINT) AS d6 FROM bpd),
-            bbuckets AS (
-              SELECT vec_id,
-                     CAST(sum(CASE WHEN 2 * d6 >= t2
-                              THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END)
-                          AS BIGINT) AS bucket
-              FROM bd6 JOIN thr USING (p) GROUP BY vec_id),
-            bprobes0 AS (
-              SELECT vec_id AS qid, bucket AS pb FROM bbuckets
-              UNION ALL
-              SELECT vec_id, xor(bucket, CAST(pow(2, p) AS BIGINT)) AS pb
-              FROM bbuckets
-              CROSS JOIN (SELECT CAST(i AS INT) AS p FROM range(${Lsh.MaxPlanes}) t(i))
-              CROSS JOIN params
-              WHERE p < params.np),
-            bprobes AS (
-              SELECT qid, pb, qid % nsub AS psub
-              FROM bprobes0 JOIN pops ON bprobes0.pb = pops.bucket),
-            bpairs AS (
-              SELECT bp.qid, cc.nid, b.embedding AS qe, cc.ce
-              FROM bprobes bp
-              JOIN (SELECT vec_id AS nid, embedding AS ce, bucket AS cb,
-                           vec_id % nsub AS csub FROM withb) cc
-                ON bp.pb = cc.cb AND bp.psub = cc.csub
-              JOIN batch b ON b.vec_id = bp.qid),
-            bdots AS (
-              SELECT qid, nid,
-                     sum(CAST(xq AS DOUBLE) * CAST(xc AS DOUBLE)) AS dot,
-                     sqrt(sum(CAST(xq AS DOUBLE) * CAST(xq AS DOUBLE))) AS nq,
-                     sqrt(sum(CAST(xc AS DOUBLE) * CAST(xc AS DOUBLE))) AS nc
-              FROM (SELECT qid, nid, unnest(qe) AS xq, unnest(ce) AS xc FROM bpairs)
-              GROUP BY qid, nid),
+            $arrivalProbeSql,
             bbest AS (
               SELECT qid, cluster FROM (
                 SELECT s.qid, l.cluster,
@@ -1711,6 +1817,112 @@ object Similarity {
               UNION ALL
               SELECT qid AS node, cluster FROM bbest)
             ORDER BY node""",
+
+      // the base edge replay (topk → deg → ed) plus the arrival probe's
+      // top-3 with per-arrival out-degrees, unioned — appended rows are
+      // rule-identical to built rows
+      "sim_graph_edges_incr" ->
+        s"""WITH ${Lsh.paramsSql("embeddings")},
+            comp AS (
+              SELECT vec_id, unnest(embedding) AS x,
+                     generate_subscripts(embedding, 1) - 1 AS d
+              FROM embeddings),
+            $knnPairsSql,
+            dots AS ($dotsSql),
+            ranked AS (
+              SELECT qid, nid, round(dot / (nq * nc), 6) AS cos_r,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY round(dot / (nq * nc), 6) DESC, nid) AS rank
+              FROM dots),
+            topk AS (SELECT qid, nid FROM ranked WHERE rank <= 3),
+            $edgeCtesSql,
+            $arrivalProbeSql,
+            branked AS (
+              SELECT qid, nid,
+                     row_number() OVER (PARTITION BY qid
+                       ORDER BY round(dot / (nq * nc), 6) DESC, nid) AS rank
+              FROM bdots),
+            btopk AS (SELECT qid, nid FROM branked WHERE rank <= 3),
+            bdeg AS (SELECT qid AS src, count(*) AS deg FROM btopk GROUP BY 1),
+            bed AS (SELECT t.qid AS src, t.nid AS dst, d.deg
+                    FROM btopk t JOIN bdeg d ON t.qid = d.src)
+            SELECT src, dst, CAST(deg AS BIGINT) AS deg FROM (
+              SELECT * FROM ed UNION ALL SELECT * FROM bed)
+            ORDER BY src, dst""",
+
+      // labels + PageRank replay, the per-cluster argmax exemplar and
+      // the global argmax, then the two per-member cosines and the
+      // shifted floor-division means
+      "sim_cluster_quality" ->
+        s"""WITH RECURSIVE ${Lsh.paramsSql("embeddings")},
+            comp AS (
+              SELECT vec_id, unnest(embedding) AS x,
+                     generate_subscripts(embedding, 1) - 1 AS d
+              FROM embeddings),
+            $knnPairsSql,
+            dots AS ($dotsSql),
+            ranked AS (
+              SELECT qid, nid, round(dot / (nq * nc), 6) AS cos_r,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY round(dot / (nq * nc), 6) DESC, nid) AS rank
+              FROM dots),
+            topk AS (SELECT qid, nid FROM ranked WHERE rank <= 3),
+            edges AS (SELECT qid AS a, nid AS b FROM topk
+                      UNION SELECT nid AS a, qid AS b FROM topk),
+            reach(node, lbl) AS (
+              SELECT DISTINCT a AS node, a AS lbl FROM edges
+              UNION
+              SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node),
+            labels AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node),
+            $pagerankCtesSql,
+            ex AS (SELECT cluster, node AS exemplar FROM (
+                     SELECT l.cluster, r.node,
+                            row_number() OVER (PARTITION BY l.cluster
+                                               ORDER BY r.rank DESC, r.node) AS rk
+                     FROM labels l JOIN r5 r ON l.node = r.node)
+                   WHERE rk = 1),
+            gx AS (SELECT node AS gnode FROM (
+                     SELECT node, row_number() OVER (ORDER BY rank DESC, node) AS rk
+                     FROM r5)
+                   WHERE rk = 1),
+            mem AS (SELECT l.node, l.cluster, e.exemplar
+                    FROM labels l JOIN ex e USING (cluster)
+                    WHERE l.node <> e.exemplar),
+            qp AS (SELECT m.node AS qid, m.cluster,
+                          a.embedding AS qe, x.embedding AS xe, gg.embedding AS ge
+                   FROM mem m
+                   JOIN embeddings a ON a.vec_id = m.node
+                   JOIN embeddings x ON x.vec_id = m.exemplar
+                   CROSS JOIN gx
+                   JOIN embeddings gg ON gg.vec_id = gx.gnode),
+            down AS (
+              SELECT qid, cluster,
+                     sum(CAST(xq AS DOUBLE) * CAST(xx AS DOUBLE)) AS dot,
+                     sqrt(sum(CAST(xq AS DOUBLE) * CAST(xq AS DOUBLE))) AS nq,
+                     sqrt(sum(CAST(xx AS DOUBLE) * CAST(xx AS DOUBLE))) AS nx
+              FROM (SELECT qid, cluster, unnest(qe) AS xq, unnest(xe) AS xx FROM qp)
+              GROUP BY qid, cluster),
+            dglob AS (
+              SELECT qid,
+                     sum(CAST(xq AS DOUBLE) * CAST(xg AS DOUBLE)) AS dot,
+                     sqrt(sum(CAST(xq AS DOUBLE) * CAST(xq AS DOUBLE))) AS nq,
+                     sqrt(sum(CAST(xg AS DOUBLE) * CAST(xg AS DOUBLE))) AS ng
+              FROM (SELECT qid, unnest(qe) AS xq, unnest(ge) AS xg FROM qp)
+              GROUP BY qid),
+            c6 AS (
+              SELECT d1.cluster,
+                     CAST(round(round(d1.dot / (d1.nq * d1.nx), 6) * 1e6) AS BIGINT)
+                       + 1000000 AS own6s,
+                     CAST(round(round(d2.dot / (d2.nq * d2.ng), 6) * 1e6) AS BIGINT)
+                       + 1000000 AS glob6s
+              FROM down d1 JOIN dglob d2 USING (qid))
+            SELECT cluster,
+                   CAST(count(*) AS BIGINT) AS members,
+                   CAST(sum(own6s) // count(*) - 1000000 AS BIGINT) AS cohesion6,
+                   CAST(sum(glob6s) // count(*) - 1000000 AS BIGINT) AS baseline6,
+                   CAST((sum(own6s) // count(*)) - (sum(glob6s) // count(*))
+                        AS BIGINT) AS margin6
+            FROM c6 GROUP BY cluster ORDER BY cluster""",
 
       // the full label replay as a derived table + one metadata join
       "sim_cluster_profile" ->

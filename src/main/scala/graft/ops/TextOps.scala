@@ -1087,6 +1087,46 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // GOPHER-STYLE quality rule battery (Rae et al. 2021, "Scaling
+    // Language Models: ... Gopher", the public web-corpus filter
+    // recipe): a document survives only if it passes EVERY structural
+    // rule — word count in [50, 100k], mean word length in [3, 10],
+    // ≥80% of words containing an alphabetic character, ≤10%
+    // symbol-only words, ≥2 distinct stopwords (the repo's shared stop
+    // list — the corpus-appropriate stand-in for Gopher's English
+    // list, one definition site with text_quality). Rules compose by
+    // AND and must be explainable, so the output carries each rule's
+    // bit, not just the verdict (the text_blocklist_filter discipline).
+    // Every test is an INTEGER comparison on exact counts (3·n ≤
+    // sum_wlen, 5·alpha ≥ 4·n, 10·sym ≤ n): no ratio can flip on
+    // float noise between engines or runs. Fully narrow per-row
+    // algebra — fuses into the ingest scan with zero shuffles.
+    "text_gopher_rules" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"),
+          size(col("w")).cast("long").as("n_words"),
+          length(expr("concat_ws('', w)")).cast("long").as("sum_wlen"),
+          expr("size(filter(w, x -> x rlike '[a-zA-Z]'))").cast("long")
+            .as("alpha_words"),
+          expr(s"size(array_distinct(filter(w, x -> x IN ($stopSql))))")
+            .cast("long").as("stop_distinct"))
+        .select(col("doc_id"), col("n_words"),
+          when(col("n_words") >= 50 && col("n_words") <= 100000, 1L)
+            .otherwise(0L).as("r_len"),
+          when(col("sum_wlen") >= col("n_words") * 3 &&
+            col("sum_wlen") <= col("n_words") * 10, 1L).otherwise(0L).as("r_wlen"),
+          when(col("alpha_words") * 5 >= col("n_words") * 4, 1L)
+            .otherwise(0L).as("r_alpha"),
+          when((col("n_words") - col("alpha_words")) * 10 <= col("n_words"), 1L)
+            .otherwise(0L).as("r_symbol"),
+          when(col("stop_distinct") >= 2, 1L).otherwise(0L).as("r_stop"))
+        .withColumn("verdict",
+          when(col("r_len") + col("r_wlen") + col("r_alpha") +
+            col("r_symbol") + col("r_stop") === 5, "keep").otherwise("drop"))
+        .orderBy("doc_id")
+    }),
+
     // Quality scoring: word count, stopword ratio, mean word length, and a
     // composite score — the usual cheap pre-filters before LLM training.
     "text_quality" -> ((s, dir) => {
@@ -1745,6 +1785,39 @@ object TextOps {
                    len(string_split(text, ' ')) AS n_words,
                    len(list_filter(string_split(text, ' '), w -> w IN ($stopSql))) AS n_stop
             FROM documents) ORDER BY doc_id""",
+
+    // the same integer rule battery via DuckDB list functions; the
+    // counts are exact so the bits cannot disagree
+    "text_gopher_rules" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          c AS (SELECT doc_id,
+                       CAST(len(w) AS BIGINT) AS n_words,
+                       CAST(len(array_to_string(w, '')) AS BIGINT) AS sum_wlen,
+                       CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+                            AS BIGINT) AS alpha_words,
+                       CAST(len(list_distinct(list_filter(w, x -> x IN ($stopSql))))
+                            AS BIGINT) AS stop_distinct
+                FROM w),
+          r AS (SELECT doc_id, n_words,
+                       CASE WHEN n_words BETWEEN 50 AND 100000
+                            THEN 1 ELSE 0 END AS r_len,
+                       CASE WHEN sum_wlen >= n_words * 3 AND sum_wlen <= n_words * 10
+                            THEN 1 ELSE 0 END AS r_wlen,
+                       CASE WHEN alpha_words * 5 >= n_words * 4
+                            THEN 1 ELSE 0 END AS r_alpha,
+                       CASE WHEN (n_words - alpha_words) * 10 <= n_words
+                            THEN 1 ELSE 0 END AS r_symbol,
+                       CASE WHEN stop_distinct >= 2 THEN 1 ELSE 0 END AS r_stop
+                FROM c)
+          SELECT doc_id, n_words,
+                 CAST(r_len AS BIGINT) AS r_len,
+                 CAST(r_wlen AS BIGINT) AS r_wlen,
+                 CAST(r_alpha AS BIGINT) AS r_alpha,
+                 CAST(r_symbol AS BIGINT) AS r_symbol,
+                 CAST(r_stop AS BIGINT) AS r_stop,
+                 CASE WHEN r_len + r_wlen + r_alpha + r_symbol + r_stop = 5
+                      THEN 'keep' ELSE 'drop' END AS verdict
+          FROM r ORDER BY doc_id""",
 
     "text_langid" ->
       s"""SELECT doc_id, en_hits, fr_hits,

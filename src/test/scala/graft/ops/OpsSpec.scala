@@ -1049,6 +1049,78 @@ class OpsSpec extends SparkSpec {
         "to their original's cluster — NN routing is broken")
   }
 
+  test("incremental edge maintenance: base edges preserved, arrival edges well-formed") {
+    val base = Similarity.queries("sim_graph_pagerank")(spark, dir) // warms edges artifact
+    assert(base.collect().nonEmpty)
+    val baseEdges = Similarity.queries("sim_knn_graph")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val merged = Similarity.queries("sim_graph_edges_incr")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val (arr, kept) = merged.partition(_._1 >= 100000)
+    // base edge set passes through unchanged (deg is per-src so existing
+    // rows cannot be touched by appended sources)
+    assert(kept.map(t => (t._1, t._2)).toSet == baseEdges,
+      "maintenance mutated the base edge set")
+    assert(arr.nonEmpty, "no arrival edges appended")
+    val nodes = graft.engine.Tables(spark, dir, "embeddings")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    arr.groupBy(_._1).foreach { case (src, es) =>
+      assert(es.length <= 3, s"arrival $src has ${es.length} edges (top-3 rule)")
+      es.foreach { case (_, dst, deg) =>
+        assert(deg == es.length, s"arrival $src deg $deg != ${es.length}")
+        assert(nodes.contains(dst), s"arrival $src edge to unknown node $dst")
+      }
+    }
+  }
+
+  test("cluster quality: clusters beat the noise baseline; the global exemplar's cluster is the zero point") {
+    val rows = Similarity.queries("sim_cluster_quality")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (c, m, coh, bl, mg) =>
+      assert(m >= 1, s"cluster $c empty after exemplar exclusion")
+      assert(coh >= -1000000 && coh <= 1000000, s"cluster $c cohesion $coh")
+      assert(bl >= -1000000 && bl <= 1000000, s"cluster $c baseline $bl")
+      // margin and cohesion/baseline share the same +1e6 shift, so the
+      // identity is exact, not ±1
+      assert(mg == coh - bl, s"cluster $c margin $mg != $coh - $bl")
+    }
+    // the cluster CONTAINING the global exemplar measures itself against
+    // its own exemplar: cohesion ≡ baseline, margin exactly 0 — the
+    // metric's built-in zero point
+    assert(rows.exists { case (_, _, coh, bl, mg) => mg == 0 && coh == bl },
+      "no zero-point cluster — the global exemplar fell outside every cluster?")
+    // the clustering is real: cohesion beats the noise baseline on
+    // average (mean margin positive), not just on one lucky cluster
+    assert(rows.map(_._5).sum > 0, "clusters do not beat the noise baseline")
+  }
+
+  test("gopher rules: bits are binary, verdict is their AND, and the battery discriminates") {
+    val rows = TextOps.queries("text_gopher_rules")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Seq(r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)),
+        r.getString(7)))
+    val nDocs = graft.engine.Tables(spark, dir, "documents").count()
+    assert(rows.length == nDocs, "one verdict row per document")
+    rows.foreach { case (id, n, bits, verdict) =>
+      assert(n > 0, s"doc $id word count")
+      assert(bits.forall(b => b == 0L || b == 1L), s"doc $id non-binary bit")
+      assert(verdict == (if (bits.sum == 5) "keep" else "drop"),
+        s"doc $id verdict $verdict vs bits $bits")
+    }
+    // off-Spark recheck of the word-count rule on raw text
+    val words = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).length.toLong).toMap
+    rows.foreach { case (id, n, bits, _) =>
+      assert(n == words(id), s"doc $id word count $n != ${words(id)}")
+      assert(bits.head == (if (n >= 50 && n <= 100000) 1L else 0L), s"doc $id r_len")
+    }
+    val verdicts = rows.map(_._4).toSet
+    assert(verdicts == Set("keep", "drop"),
+      s"battery must discriminate on this corpus, saw $verdicts")
+  }
+
   test("kNN density agrees with the graph's neighbor sets; densities are valid cosine means") {
     val edges = Similarity.queries("sim_knn_graph")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
