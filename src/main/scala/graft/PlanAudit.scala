@@ -45,6 +45,9 @@ object PlanAudit {
     // crossJoin the stream and this audit caught it)
     "text_ngram_perplexity",
     "mix_rebalance", "mix_temperature",
+    // two 1-row stat frames (corpus totals, weight total) cross-joined
+    // onto the ~|domains|-row table — never onto the document stream
+    "mix_doremi",
     // the 1-row min-cluster-count frame cross-joined onto the per-cluster
     // count table (mix_rebalance's exact shape, cluster-keyed)
     "curate_cluster_balanced",
@@ -68,6 +71,8 @@ object PlanAudit {
   private val globalSummaryAllowed = Set(
     "quality_expectations", "text_length_outliers",
     "text_length_outliers_approx", "mix_rebalance",
+    // the 1-row corpus-totals and weight-total aggs of per-task partials
+    "mix_doremi",
     "mix_temperature", "dedup_keep_canonical", "text_bm25_topk",
     "text_bm25_multi", "text_vocab_topk", "text_dsir_importance",
     "text_ngram_perplexity", "curate_cluster_balanced", "curate_curriculum",
@@ -144,6 +149,9 @@ object PlanAudit {
     "text_bpe_train",
     "pack_sequences", "quality_expectations", "curate_curriculum",
     "curate_dataset_card",
+    // the shared stopword-filter HOF feeding scoreBpSql, per-doc arrays
+    // of ≤~100 words — curate_curriculum's exact class
+    "mix_doremi",
     "dedup_embedding_lsh", "dedup_embedding_cosine",
     // pq: the ADC-table collect/transform runs over the 8-row query side;
     // the encoded index and codebook build inside the session memo

@@ -64,7 +64,7 @@ object ScaleProbe {
     "text_decontaminate_spans", "dedup_threshold_calibration",
     "sim_cluster_labels_incr", "curate_domain_decisions",
     "text_decontam_spans_multi", "sim_graph_edges_incr",
-    "sim_cluster_quality", "text_gopher_rules")
+    "sim_cluster_quality", "text_gopher_rules", "mix_doremi")
 
   def main(args: Array[String]): Unit = {
     val spillMode = args.headOption.contains("spill")

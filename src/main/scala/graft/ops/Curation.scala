@@ -440,6 +440,49 @@ object Curation {
         .orderBy("cluster")
     }),
 
+    // DoReMi-INSPIRED hardness-aware mixture reweighting (Xie et al.
+    // 2023, "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    // Pretraining" — the public recipe trains a proxy model and
+    // upweights domains with high EXCESS LOSS vs a reference). This is
+    // the static, linearized batch variant a data pipeline runs without
+    // a proxy model: hardness = the domain's quality-score deficit vs
+    // the corpus mean (the SHARED scoreBpSql signal — a domain scoring
+    // below average is under-served by the current mixture), and each
+    // domain's sampling mass gets ONE multiplicative update
+    // 1 + excess/4, clamped to [0.5×, 2×] (DoReMi's iterative
+    // multiplicative weights collapse to one step when the hardness
+    // signal is static — repeating rounds on a fixed signal would just
+    // exponentiate, which is theater, not optimization). All integer:
+    // means via floor division on non-negative sums, the update via a
+    // +10000 shift so the floor stays sign-consistent across engines,
+    // clamp in integers. Topology: domains are a tiny key space — one
+    // map-side-combined agg, two 1-row broadcasts, zero corpus-sized
+    // joins (the mix_rebalance shape).
+    "mix_doremi" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .withColumn("n_words", size(split(col("text"), " ")))
+        .withColumn("n_stop",
+          expr(s"size(filter(split(text, ' '), w -> w IN (${TextOps.stopSql})))"))
+        .select(col("source"), expr(scoreBpSql).as("score_bp"))
+      val dom = d.groupBy("source")
+        .agg(count(lit(1)).as("docs"), sum("score_bp").as("sbp"))
+      val tot = dom.agg(sum("docs").as("tdocs"), sum("sbp").as("tsbp"))
+      val w = dom.crossJoin(broadcast(tot))
+        .select(col("source"), col("docs"),
+          expr("(docs * 1000000) div tdocs").as("p6"),
+          expr("(tsbp div tdocs) - (sbp div docs)").as("excess_bp"))
+        .withColumn("mult_bp",
+          expr("""CAST(greatest(5000, least(20000,
+                    10000 + ((excess_bp + 10000) div 4) - 2500)) AS BIGINT)"""))
+        .withColumn("wt", col("docs") * col("mult_bp"))
+      val tw = w.agg(sum("wt").as("tw"))
+      w.crossJoin(broadcast(tw))
+        .select(col("source"), col("docs"), col("p6"), col("excess_bp"),
+          col("mult_bp"), expr("(wt * 1000000) div tw").as("q6"))
+        .withColumn("epochs_r", round(col("q6") / col("p6"), 4))
+        .orderBy("source")
+    }),
+
     "mix_temperature" -> ((s, dir) => {
       val cnts = Tables(s, dir, "documents")
         .groupBy("lang").agg(count(lit(1)).as("n"))
@@ -803,6 +846,36 @@ object Curation {
 
     // sqrt(n) IS n^0.5 exactly on both engines (IEEE sqrt is correctly
     // rounded; pow(x, 0.5) need not be), so the shares hash-match
+    // scoreBpSql shared verbatim; the +10000 shift keeps the floor
+    // division sign-consistent (DuckDB // floors, Spark div truncates —
+    // they agree only on non-negative dividends)
+    "mix_doremi" ->
+      s"""WITH d AS (
+            SELECT source, $scoreBpSql AS score_bp
+            FROM (SELECT source,
+                         len(string_split(text, ' ')) AS n_words,
+                         len(list_filter(string_split(text, ' '),
+                             w -> w IN (${TextOps.stopSql}))) AS n_stop
+                  FROM documents)),
+          dom AS (SELECT source, count(*) AS docs, sum(score_bp) AS sbp
+                  FROM d GROUP BY source),
+          tot AS (SELECT sum(docs) AS tdocs, sum(sbp) AS tsbp FROM dom),
+          w AS (SELECT source, docs,
+                       (docs * 1000000) // tdocs AS p6,
+                       (tsbp // tdocs) - (sbp // docs) AS excess_bp
+                FROM dom CROSS JOIN tot),
+          w2 AS (SELECT *, greatest(5000, least(20000,
+                          10000 + ((excess_bp + 10000) // 4) - 2500)) AS mult_bp
+                 FROM w),
+          w3 AS (SELECT *, docs * mult_bp AS wt FROM w2),
+          tw AS (SELECT sum(wt) AS tw FROM w3)
+          SELECT source, CAST(docs AS BIGINT) AS docs, CAST(p6 AS BIGINT) AS p6,
+                 CAST(excess_bp AS BIGINT) AS excess_bp,
+                 CAST(mult_bp AS BIGINT) AS mult_bp,
+                 CAST((wt * 1000000) // tw AS BIGINT) AS q6,
+                 round(((wt * 1000000) // tw) / (p6 * 1.0), 4) AS epochs_r
+          FROM w3 CROSS JOIN tw ORDER BY source""",
+
     "mix_temperature" ->
       """WITH c AS (SELECT lang, count(*) AS n, sqrt(CAST(count(*) AS DOUBLE)) AS w
                     FROM documents GROUP BY lang),

@@ -889,6 +889,31 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("doremi reweight: mass conserved, clamp respected, updates point at hard domains") {
+    val rows = Curation.queries("mix_doremi")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    val k = graft.engine.Tables(spark, dir, "documents")
+      .select("source").distinct().count()
+    assert(rows.length == k, "one row per domain")
+    // shares are floor-divided parts of 1e6: each sum lands within k of it
+    assert(math.abs(rows.map(_._3).sum - 1000000L) <= k, "p6 mass")
+    assert(math.abs(rows.map(_._6).sum - 1000000L) <= k, "q6 mass")
+    rows.foreach { case (src, docs, p6, excess, mult, q6, epochs) =>
+      assert(docs > 0 && p6 > 0 && q6 > 0, s"$src degenerate")
+      assert(mult >= 5000 && mult <= 20000, s"$src multiplier $mult outside clamp")
+      // the update points the right way: harder-than-average domains
+      // (positive excess) upweight, easier ones downweight
+      if (excess > 0) assert(mult > 10000, s"$src hard domain not upweighted")
+      if (excess < 0) assert(mult < 10000, s"$src easy domain not downweighted")
+      assert(math.abs(epochs - q6.toDouble / p6) < 5e-4, s"$src epochs ratio")
+    }
+    // excess is zero-mean-ish by construction (deviations from the
+    // corpus mean): both directions must appear on a real corpus
+    assert(rows.exists(_._4 > 0) && rows.exists(_._4 < 0),
+      "no hardness spread — the signal is degenerate")
+  }
+
   test("mixture rebalance rates scale every language to the rarest") {
     val out = Curation.queries("mix_rebalance")(spark, dir).collect()
     val minN = out.map(_.getLong(1)).min
