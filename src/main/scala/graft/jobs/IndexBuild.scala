@@ -68,8 +68,11 @@ object IndexBuild {
       println(f"index-build $name%-28s ${(System.nanoTime() - q0) / 1e9}%6.2f s ($rows rows)")
     }
     // record each artifact's input fingerprint so IndexRefresh can later
-    // PROVE freshness (unchanged source files ⇒ serve with zero jobs)
-    sys.env.get("GRAFT_INDEX_DIR").orElse(Tables.indexDirOverride)
+    // PROVE freshness (unchanged source files ⇒ serve with zero jobs).
+    // Override-first, matching Tables.cachedFrame's resolution — the
+    // stamps must land next to the artifacts the build loop just wrote,
+    // not under a different root
+    Tables.indexDirOverride.orElse(sys.env.get("GRAFT_INDEX_DIR"))
       .foreach(root => IndexRefresh.stampFingerprints(spark, sfDir, root))
     val built = IndexStore.buildCounts.snapshot().keys.toSeq.sorted
     println(f"index-build complete: ${built.size} artifacts built this run " +

@@ -57,9 +57,12 @@ import graft.engine.{IndexStore, Tables}
 object IndexRefresh {
   /** One durable artifact's refresh plan: store key, the source table
     * whose files fingerprint it, the query whose evaluation rebuilds it,
-    * and whether the semantic centroid canary gates its rebuild. */
+    * whether the semantic centroid canary gates its rebuild, and — for
+    * artifacts DERIVED from another stored artifact — the upstream key
+    * whose rebuild forces this one's (adoption is only valid while the
+    * upstream still serves the rows the derivation consumed). */
   final case class Plan(key: String, source: String, builder: String,
-      centroidGated: Boolean = false)
+      centroidGated: Boolean = false, derivedFrom: Option[String] = None)
 
   /** The registry: every durable artifact the store serves (the
     * DurableIndexSpec key list, with provenance). Centroid-gated rows
@@ -97,7 +100,14 @@ object IndexRefresh {
     Plan("ivf_kmeans_centarr", "embeddings", "sim_ivf_kmeans", centroidGated = true),
     Plan("ivf_kmeans_blocks", "embeddings", "sim_ivf_kmeans"),
     Plan("semdedup_centarr", "embeddings", "dedup_semantic", centroidGated = true),
-    Plan("knn_cluster_centarr", "embeddings", "sim_cluster_assign", centroidGated = true))
+    // knn_cluster_centarr is labelCentroids OVER knn_cluster_labels —
+    // the one centroid table whose derivation direction is inverted
+    // (ivf_kmeans_blocks/semdedup_blocks are assignments TO adopted
+    // centroids, which stays consistent; centroids OF a rebuilt
+    // clustering do not): when the labels rebuild, adopted centroids
+    // would be keyed by cluster ids that no longer exist
+    Plan("knn_cluster_centarr", "embeddings", "sim_cluster_assign",
+      centroidGated = true, derivedFrom = Some("knn_cluster_labels")))
 
   private def fsOf(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -168,12 +178,21 @@ object IndexRefresh {
   /** One refresh pass. Returns (artifact key, action) per artifact:
     *  - `built`    — absent from the store; cold-built
     *  - `fresh`    — input fingerprint unchanged; served as-is, 0 jobs
-    *  - `rebuilt`  — input changed (and, for gated rows, the canary
-    *                 confirmed drift); rebuilt via its builder query
-    *  - `adopted`  — gated row whose input changed but whose canary is
-    *                 below threshold (or an artifact with no recorded
-    *                 fingerprint, e.g. written before stamping existed):
+    *  - `rebuilt`  — input changed or unprovable (and, for gated rows,
+    *                 the canary confirmed drift), or the artifact's
+    *                 derivedFrom upstream rebuilt this pass; rebuilt
+    *                 via its builder query
+    *  - `adopted`  — gated row whose input changed (or has no recorded
+    *                 fingerprint) but whose canary is below threshold:
     *                 kept serving, fingerprint (re)recorded
+    *
+    * A MISSING fingerprint on a per-row artifact is treated as a
+    * changed input, never adopted: the sidecar's absence means the
+    * artifact's provenance is unprovable, and stamping the current
+    * fingerprint over a possibly-stale artifact would report 'fresh'
+    * forever while every probe silently missed the unindexed rows.
+    * Gated rows fall back to the canary — a semantic check that needs
+    * no fingerprint history.
     *
     * Run in a session that has not yet resolved the artifacts (its own
     * JVM in production; a fresh newSession in specs) — a session memo
@@ -187,17 +206,27 @@ object IndexRefresh {
     // the canary is evaluated at most once per pass, and only if some
     // gated artifact's input actually changed
     lazy val canary = canaryStale(spark, dir, root)
-    val decisions = artifacts.map { a =>
+    val prelim = artifacts.map { a =>
       val path = Tables.storePath(root, dir, a.key)
       val action =
         if (!IndexStore.exists(spark, path)) "built"
         else readFp(spark, path) match {
           case Some(rec) if rec == fps(a.source) => "fresh"
-          case Some(_) if a.centroidGated && !canary => "adopted"
-          case Some(_) => "rebuilt"
-          case None => "adopted"
+          case _ if a.centroidGated && !canary => "adopted"
+          case _ => "rebuilt"
         }
       (a, path, action)
+    }
+    // derived-artifact promotion: an adopted/fresh artifact whose
+    // upstream rebuilds this pass must rebuild with it — its rows are
+    // keyed by the upstream state the rebuild just replaced. One level
+    // deep by construction (no derived-of-derived in the registry).
+    val rebuilding = prelim.collect {
+      case (a, _, act) if act == "built" || act == "rebuilt" => a.key }.toSet
+    val decisions = prelim.map {
+      case (a, path, act) if act != "built" &&
+          a.derivedFrom.exists(rebuilding.contains) => (a, path, "rebuilt")
+      case other => other
     }
     // delete every stale path first (a builder may rebuild several keys
     // in one evaluation), then run each distinct builder once

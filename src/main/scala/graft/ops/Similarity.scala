@@ -42,12 +42,23 @@ object Similarity {
     * real ingest) share the verdict arithmetic — the job must not be
     * able to disagree with the monitor about what "stale" means. */
   private[graft] def centroidDrift(stored: DataFrame, current: DataFrame): DataFrame =
+    // FULL OUTER on the label key: a label present on only one side —
+    // new content arrived under a label the stored index has never
+    // seen, or the last rows of an old label left the corpus — is
+    // maximal staleness, not a row to silently drop (an inner join
+    // here would leave the refresh canary blind to exactly the arrival
+    // that most needs a rebuild: the IVF routing table would
+    // permanently lack the new label's centroid). Unmatched labels
+    // carry a NULL drift6 and an unconditional 'stale' verdict.
     stored.select(col("label"), col("carr").as("ca"))
-      .join(current.select(col("label"), col("carr").as("cb")), "label")
+      .join(current.select(col("label"), col("carr").as("cb")), Seq("label"), "full_outer")
       .select(col("label"),
-        expr("CAST(round(round(vec_sqdist(ca, cb), 6) * 1e6) AS BIGINT)").as("drift6"))
+        when(col("ca").isNull || col("cb").isNull, lit(null).cast("long"))
+          .otherwise(expr("CAST(round(round(vec_sqdist(ca, cb), 6) * 1e6) AS BIGINT)"))
+          .as("drift6"))
       .withColumn("verdict",
-        when(col("drift6") > StaleDrift6, "stale").otherwise("fresh"))
+        when(col("drift6").isNull || col("drift6") > StaleDrift6, "stale")
+          .otherwise("fresh"))
 
   /** The cheap semantic canary the refresh job evaluates: per-label
     * means over the CURRENT corpus (one aggregate pass — the
@@ -1748,7 +1759,11 @@ object Similarity {
       "sim_recall_eval" -> recallEvalSql,
       // both centroid sets replay the labelCentroids SQL (the sim_ivf_ann
       // cent CTE); drift rounds at 6dp before the integer scale, the same
-      // float-summation discipline every centroid consumer here uses
+      // float-summation discipline every centroid consumer here uses.
+      // The label join is FULL OUTER like the Spark side: one-sided
+      // labels verdict 'stale' with NULL drift (the fixture batch reuses
+      // existing labels, so both engines emit matched rows here — the
+      // outer arm is the refresh canary's real-ingest contract)
       "sim_index_staleness" ->
         s"""WITH all_e AS (
               SELECT vec_id, embedding, label FROM embeddings
@@ -1768,14 +1783,23 @@ object Similarity {
                       FROM all_e),
             cent1 AS (SELECT label, d, avg(CAST(x AS DOUBLE)) AS c
                       FROM comp1 GROUP BY label, d),
-            drift AS (SELECT cent0.label AS label,
-                             CAST(round(round(sum(power(cent0.c - cent1.c, 2)), 6) * 1e6)
-                                  AS BIGINT) AS drift6
-                      FROM cent0 JOIN cent1
-                        ON cent0.label = cent1.label AND cent0.d = cent1.d
-                      GROUP BY cent0.label)
+            matched AS (SELECT cent0.label AS label,
+                               CAST(round(round(sum(power(cent0.c - cent1.c, 2)), 6) * 1e6)
+                                    AS BIGINT) AS drift6
+                        FROM cent0 JOIN cent1
+                          ON cent0.label = cent1.label AND cent0.d = cent1.d
+                        GROUP BY cent0.label),
+            l0 AS (SELECT DISTINCT label FROM cent0),
+            l1 AS (SELECT DISTINCT label FROM cent1),
+            drift AS (SELECT coalesce(l0.label, l1.label) AS label,
+                             m.drift6 AS drift6
+                      FROM l0 FULL OUTER JOIN l1 ON l0.label = l1.label
+                      -- matched only holds both-side labels, so a
+                      -- one-sided label left-joins to NULL drift
+                      LEFT JOIN matched m ON m.label = coalesce(l0.label, l1.label))
             SELECT label, drift6,
-                   CASE WHEN drift6 > $StaleDrift6 THEN 'stale' ELSE 'fresh' END AS verdict
+                   CASE WHEN drift6 IS NULL OR drift6 > $StaleDrift6
+                        THEN 'stale' ELSE 'fresh' END AS verdict
             FROM drift ORDER BY label""",
       // label CTEs off the corpus replay, then the ARRIVAL probe: batch
       // vectors bucketed with the CORPUS thresholds (thr is in scope

@@ -67,6 +67,7 @@ class DurableIndexSpec extends SparkSpec {
       val cdA = q("curate_card_incremental")(sA, dir).collect().toSeq
       val ddA = q("curate_domain_decisions")(sA, dir).collect().toSeq
       val liA = q("sim_cluster_labels_incr")(sA, dir).collect().toSeq
+      val eiA = q("sim_graph_edges_incr")(sA, dir).collect().toSeq
       val njA = q("dedup_ngram_jaccard")(sA, dir).collect().toSeq
       assert(incA.nonEmpty && ivfA.nonEmpty && q8A.nonEmpty &&
         semA.nonEmpty && bloomA.nonEmpty && bpeA.nonEmpty &&
@@ -126,6 +127,7 @@ class DurableIndexSpec extends SparkSpec {
       // STORED labels + centroids — identical merge, zero CC rounds
       // (covered by the labelBuildCounts assertion below)
       assert(q("sim_cluster_labels_incr")(sB, dir).collect().toSeq == liA)
+      assert(q("sim_graph_edges_incr")(sB, dir).collect().toSeq == eiA)
       assert(q("dedup_ngram_jaccard")(sB, dir).collect().toSeq == njA)
       keys.foreach { k =>
         assert(IndexStore.buildCounts.get(paths(k)).contains(1),

@@ -42,6 +42,10 @@ class IndexRefreshSpec extends SparkSpec {
       val docKeys = keys.filter(_.source == "documents").map(_.key).toSet
       val embKeys = keys.filter(_.source == "embeddings").map(_.key).toSet
       val gated = keys.filter(_.centroidGated).map(_.key).toSet
+      // gated rows whose upstream is per-row rebuild WITH it (the
+      // derived-artifact promotion): knn_cluster_centarr
+      val derived = keys.filter(_.derivedFrom.nonEmpty).map(_.key).toSet
+      val adoptable = gated -- derived
 
       // replace a table file with a mutated parquet DIRECTORY of the same
       // name (spark reads both shapes; the fingerprint walks both). The
@@ -89,15 +93,20 @@ class IndexRefreshSpec extends SparkSpec {
       // ---- phase 4: one duplicated vector — input changed, but the
       // centroid canary stays below threshold: per-row embedding
       // artifacts rebuild, the centroid-mean ones are ADOPTED (served,
-      // fingerprint re-recorded); documents-side untouched ----
+      // fingerprint re-recorded) — EXCEPT knn_cluster_centarr, whose
+      // upstream labels just rebuilt: centroids of a replaced
+      // clustering must rebuild with it; documents-side untouched ----
       rewrite("embeddings")(e =>
         e.unionAll(e.limit(1).withColumn("vec_id", lit(999999L))))
       val r4 = IndexRefresh.refresh(spark.newSession(), data).toMap
       docKeys.foreach(k => assert(r4(k) == "fresh", s"$k: ${r4(k)}"))
-      gated.foreach(k => assert(r4(k) == "adopted", s"$k: ${r4(k)}"))
+      adoptable.foreach(k => assert(r4(k) == "adopted", s"$k: ${r4(k)}"))
+      derived.foreach(k => assert(r4(k) == "rebuilt",
+        s"$k: ${r4(k)} — must rebuild with its rebuilt upstream"))
       (embKeys -- gated).foreach(k => assert(r4(k) == "rebuilt", s"$k: ${r4(k)}"))
-      gated.foreach(k => assert(buildCount(root, data, k) == 1,
+      adoptable.foreach(k => assert(buildCount(root, data, k) == 1,
         s"$k rebuilt despite a below-threshold canary"))
+      derived.foreach(k => assert(buildCount(root, data, k) == 2, s"$k not promoted"))
       (embKeys -- gated).foreach(k => assert(buildCount(root, data, k) == 2,
         s"$k must rebuild on any input change"))
 
@@ -109,8 +118,26 @@ class IndexRefreshSpec extends SparkSpec {
       val r5 = IndexRefresh.refresh(spark.newSession(), data).toMap
       docKeys.foreach(k => assert(r5(k) == "fresh", s"$k: ${r5(k)}"))
       embKeys.foreach(k => assert(r5(k) == "rebuilt", s"$k: ${r5(k)}"))
-      gated.foreach(k => assert(buildCount(root, data, k) == 2,
+      adoptable.foreach(k => assert(buildCount(root, data, k) == 2,
         s"$k must rebuild once the canary fires"))
+      derived.foreach(k => assert(buildCount(root, data, k) == 3, s"$k"))
+
+      // ---- phase 6: a MISSING fingerprint sidecar with UNCHANGED input
+      // — provenance unprovable. Per-row artifacts must rebuild (adopting
+      // would stamp the current fingerprint over possibly-stale rows and
+      // report 'fresh' forever); gated artifacts fall back to the canary,
+      // which reads fresh here (phase 5 rebuilt them from this corpus) ----
+      Files.delete(Paths.get(Tables.storePath(root, data, "bm25_postings") + ".fp"))
+      Files.delete(Paths.get(Tables.storePath(root, data, "ivf_label_centarr") + ".fp"))
+      val bmBefore = buildCount(root, data, "bm25_postings")
+      val r6 = IndexRefresh.refresh(spark.newSession(), data).toMap
+      assert(r6("bm25_postings") == "rebuilt",
+        s"missing-fp per-row artifact must rebuild: ${r6("bm25_postings")}")
+      assert(buildCount(root, data, "bm25_postings") == bmBefore + 1)
+      assert(r6("ivf_label_centarr") == "adopted",
+        s"missing-fp gated artifact with a fresh canary: ${r6("ivf_label_centarr")}")
+      (keys.map(_.key).toSet - "bm25_postings" - "ivf_label_centarr").foreach(k =>
+        assert(r6(k) == "fresh", s"$k: ${r6(k)}"))
     } finally Tables.indexDirOverride = None
   }
 

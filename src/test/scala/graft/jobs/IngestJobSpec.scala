@@ -88,12 +88,19 @@ class IngestJobSpec extends SparkSpec {
     // processBatch no executed plan may scan base-corpus FILES — caught
     // via QueryExecutionListener over the batch's actions (writes
     // included), which a rescan cannot evade.
-    Seq("decisions" -> refs.decisions, "bandIndex" -> refs.bandIndex,
-        "winnowPostings" -> refs.winnowPostings).foreach { case (nm, f) =>
-      assert(!f.queryExecution.optimizedPlan.collectLeaves().exists(
-          _.isInstanceOf[org.apache.spark.sql.execution.datasources.LogicalRelation]),
-        s"$nm must be materialized, not a lazy plan over base files")
-    }
+    // plan-shape assertion only applies in memo mode: under a store root
+    // (GRAFT_INDEX_DIR / override) the frames legitimately scan the tiny
+    // STORED parquet — a LogicalRelation, but of the artifact, not the
+    // base corpus. The runtime FileSourceScanExec check below covers
+    // both modes by matching base-corpus paths.
+    if (sys.env.get("GRAFT_INDEX_DIR").isEmpty &&
+        graft.engine.Tables.indexDirOverride.isEmpty)
+      Seq("decisions" -> refs.decisions, "bandIndex" -> refs.bandIndex,
+          "winnowPostings" -> refs.winnowPostings).foreach { case (nm, f) =>
+        assert(!f.queryExecution.optimizedPlan.collectLeaves().exists(
+            _.isInstanceOf[org.apache.spark.sql.execution.datasources.LogicalRelation]),
+          s"$nm must be materialized, not a lazy plan over base files")
+      }
     val scanned = new java.util.concurrent.CopyOnWriteArrayList[String]()
     val ql = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(fn: String,

@@ -1074,6 +1074,27 @@ class OpsSpec extends SparkSpec {
         "to their original's cluster — NN routing is broken")
   }
 
+  test("centroid drift: one-sided labels verdict stale — the canary cannot be blind to new labels") {
+    // a label present only in the CURRENT corpus (new content arrived
+    // under a label the stored index has never seen) or only in the
+    // STORED set (the label's last rows left) must verdict 'stale':
+    // an inner join would drop exactly the row that demands a rebuild,
+    // and the IVF routing table would permanently lack the new centroid
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val stored = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("label", "carr")
+    val current = Seq((0L, Seq(1.0, 0.0)), (2L, Seq(0.5, 0.5)))
+      .toDF("label", "carr")
+    val v = Similarity.centroidDrift(stored, current).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getString(2))).toMap
+    assert(v.keySet == Set(0L, 1L, 2L), "full outer must keep both sides")
+    assert(v(0L) == ((Some(0L), "fresh")), s"matched identical label: ${v(0L)}")
+    assert(v(1L)._2 == "stale" && v(1L)._1.isEmpty, "stored-only label must be stale")
+    assert(v(2L)._2 == "stale" && v(2L)._1.isEmpty, "current-only label must be stale")
+  }
+
   test("incremental edge maintenance: base edges preserved, arrival edges well-formed") {
     val base = Similarity.queries("sim_graph_pagerank")(spark, dir) // warms edges artifact
     assert(base.collect().nonEmpty)
