@@ -58,6 +58,9 @@ object PlanAudit {
     // sets), plus one 1-row truth-count frame cross-joined onto the
     // 7-row per-method summary
     "sim_recall_eval",
+    // same eval shape for the dedup family: one 1-row truth-count frame
+    // cross-joined onto the 5-row per-method summary
+    "dedup_method_eval",
     // the 1-row global-exemplar vector crossJoin-broadcast onto the
     // labeled member stream (the curate_curriculum threshold shape) —
     // one baseline cosine per member, never a data×data loop
@@ -87,6 +90,8 @@ object PlanAudit {
     // the 1-row truth-count agg (24 rows in) joined onto the 7-row
     // per-method recall summary
     "sim_recall_eval",
+    // the 1-row planted-truth count joined onto the 5-row method summary
+    "dedup_method_eval",
     // the 1-row doc-count agg feeding the vocab-level idf scaling
     "text_tfidf_topk",
     // the 1-row global-exemplar argmax: per-task (rank, -node) partials
@@ -100,7 +105,9 @@ object PlanAudit {
   private val shuffleCountAllowed = Set(
     // 7 ANN probe pipelines (each 1–3 shuffles, each audited standalone)
     // + one 168-row summary agg
-    "sim_recall_eval")
+    "sim_recall_eval",
+    // 5 pair-search pipelines (each audited standalone) + one summary agg
+    "dedup_method_eval")
 
   /** Big parquet tables: a scan of one of these feeding an INTERPRETED
     * (non-WholeStageCodegen) stretch is a hot path running the row-at-a-

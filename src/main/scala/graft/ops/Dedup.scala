@@ -645,6 +645,43 @@ object Dedup {
       starCC(candidatePairs(sidArrays(nearDupCorpus(s, dir), md5Sids)))._1.orderBy("node")
     }),
 
+    // NEAR-DUP METHOD EVALUATION — the sim_recall_eval discipline
+    // applied to the dedup family: every pair-search method over the
+    // SAME planted corpus (nearDupCorpus — each doc_id % 3 == 0 has a
+    // two-token-appended copy at +100000) scored against the KNOWN
+    // planted pair set: integer hits, basis-point recall, and the total
+    // pair volume each method surfaces (its precision-side cost — pairs
+    // beyond the plants are corpus-internal near-dups plus collisions
+    // that downstream exact verification pays for). This is the
+    // evaluation loop a dedup deployment runs on every knob change
+    // (band count, shingle size, hamming gate, fingerprint window):
+    // recall against plants, volume as the verification bill. Cost at
+    // scale: the arms reuse their own (index-backed) pipelines; the
+    // comparison moves |pairs| rows per method through one keyed join.
+    "dedup_method_eval" -> ((s, dir) => {
+      val truth = Tables(s, dir, "documents")
+        .filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("da"), (col("doc_id") + 100000).as("db"),
+          lit(1L).as("hit"))
+      val arms = Seq(
+        "minhash_lsh" -> queries("dedup_minhash_lsh")(s, dir),
+        "ngram_jaccard" -> queries("dedup_ngram_jaccard")(s, dir),
+        "simhash32" -> queries("dedup_simhash_pairs")(s, dir),
+        "simhash64" -> queries("dedup_simhash64_pairs")(s, dir),
+        "winnowing" -> TextOps.queries("dedup_winnowing_pairs")(s, dir))
+      arms.map { case (m, df) =>
+        df.select(lit(m).as("method"), col("da"), col("db"))
+      }.reduce(_ unionAll _)
+        .join(truth, Seq("da", "db"), "left")
+        .groupBy("method")
+        .agg(count(lit(1)).as("pairs"),
+          sum(coalesce(col("hit"), lit(0L))).as("hits"))
+        .crossJoin(broadcast(truth.agg(count(lit(1)).as("truth_n"))))
+        .select(col("method"), col("pairs"), col("hits"), col("truth_n"),
+          expr("(hits * 10000) div truth_n").as("recall_bp"))
+        .orderBy("method")
+    }),
+
     // Standalone n-gram Jaccard near-dup, inverted-index formulation:
     // candidates are blocked by the first-3-words prefix key
     // (append-mutations preserve it), then exact word-3-gram Jaccard ≥ 0.3.
@@ -965,7 +1002,7 @@ object Dedup {
         SELECT node, min(lbl) AS cluster FROM reach
         GROUP BY node ORDER BY node"""
 
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
     // identical planting (1-based inclusive slices ≡ Spark's slice),
     // identical positional 15-gram strings/md5 keys, and the NOT EXISTS
     // coverage join replaying the array-land filter/exists predicate
@@ -1363,4 +1400,38 @@ object Dedup {
           ORDER BY m.cid"""
     }
   )
+
+  /** Eval oracle = the per-method pair-search oracles composed verbatim
+    * as derived tables (the sim_recall_eval discipline: every arm is
+    * already hash-pinned standalone; the eval adds only the planted-
+    * truth join and integer arithmetic). */
+  private def methodEvalSql: String = {
+    val arms = Seq(
+      "minhash_lsh" -> baseOracles("dedup_minhash_lsh"),
+      "ngram_jaccard" -> baseOracles("dedup_ngram_jaccard"),
+      "simhash32" -> baseOracles("dedup_simhash_pairs"),
+      "simhash64" -> baseOracles("dedup_simhash64_pairs"),
+      "winnowing" -> TextOps.oracles("dedup_winnowing_pairs"))
+      .map { case (label, sql) =>
+        s"SELECT '$label' AS method, da, db FROM ($sql) t"
+      }.mkString("\nUNION ALL\n")
+    s"""WITH truth AS (SELECT doc_id AS da, doc_id + 100000 AS db, 1 AS hit
+                       FROM documents WHERE doc_id % 3 = 0),
+        allm AS ($arms),
+        j AS (SELECT method,
+                     CAST(count(*) AS BIGINT) AS pairs,
+                     CAST(sum(coalesce(hit, 0)) AS BIGINT) AS hits
+              FROM allm LEFT JOIN truth USING (da, db)
+              GROUP BY method),
+        tn AS (SELECT CAST(count(*) AS BIGINT) AS truth_n FROM truth)
+        SELECT method, pairs, hits, truth_n,
+               CAST((hits * 10000) // truth_n AS BIGINT) AS recall_bp
+        FROM j CROSS JOIN tn ORDER BY method"""
+  }
+
+  // lazy: methodEvalSql reads TextOps.oracles, and TextOps' own init
+  // touches this object (nearDupCorpus/nearDupSql) — an eager val here
+  // would observe TextOps.oracles as null mid-initialization
+  lazy val oracles: Map[String, String] =
+    baseOracles + ("dedup_method_eval" -> methodEvalSql)
 }

@@ -1074,6 +1074,36 @@ class OpsSpec extends SparkSpec {
         "to their original's cluster — NN routing is broken")
   }
 
+  test("dedup method eval: exact arithmetic, and recall floors guard every pair-search knob") {
+    val rows = Dedup.queries("dedup_method_eval")(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.keySet == Set(
+      "minhash_lsh", "ngram_jaccard", "simhash32", "simhash64", "winnowing"))
+    val truthN = rows.values.head._3
+    rows.foreach { case (m, (pairs, hits, tn, bp)) =>
+      assert(tn == truthN, s"$m truth_n")
+      assert(hits >= 0 && hits <= math.min(pairs, truthN), s"$m hits $hits")
+      assert(bp == hits * 10000 / truthN, s"$m recall_bp")
+    }
+    // ABSOLUTE planted-recall floors at THIS sf (measured: minhash 10000,
+    // ngram 10000, winnowing 9820, simhash32 9161, simhash64 8622),
+    // pinned at ~90% of measured — a band-count, shingle-size, hamming-
+    // gate or fingerprint-window regression fails here instead of
+    // passing silently. sf-specific; re-measure if testdata changes.
+    val floors = Map(
+      "minhash_lsh" -> 9000L, "ngram_jaccard" -> 9000L, "winnowing" -> 8800L,
+      "simhash32" -> 8200L, "simhash64" -> 7700L)
+    floors.foreach { case (m, floor) =>
+      assert(rows(m)._4 >= floor, s"$m recall ${rows(m)._4} bp < floor $floor") }
+    // the volume column is the honest precision-side cost: the loose
+    // hamming gate (simhash32, ham ≤ 2 of 32 bits) must surface MORE
+    // pairs than the banded-verified methods — if it ever reports fewer,
+    // the gate (or the volume accounting) broke
+    assert(rows("simhash32")._1 > rows("minhash_lsh")._1,
+      "simhash32's loose gate should out-volume the verified methods")
+  }
+
   test("centroid drift: one-sided labels verdict stale — the canary cannot be blind to new labels") {
     // a label present only in the CURRENT corpus (new content arrived
     // under a label the stored index has never seen) or only in the
