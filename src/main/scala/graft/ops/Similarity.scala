@@ -256,6 +256,32 @@ object Similarity {
         round(expr(dotExpr) / (col("qn") * col("cn")), 6).as("cos_r"))
   }
 
+  /** Per-cluster exemplars (cluster, exemplar, rank): the max-PageRank
+    * member, ties to the smaller node — the ONE argmax rule shared by
+    * the sim_cluster_exemplars query and the cluster-quality metric
+    * (both oracles replay the same window, so the rule must have one
+    * definition site). */
+  private def exemplarsByRank(s: SparkSession, dir: String): DataFrame =
+    clusterLabels(s, dir)
+      .join(pagerankRanks(s, dir), "node")
+      .groupBy("cluster")
+      .agg(max(struct(col("rank"), (-col("node")).as("nn"))).as("m"))
+      .select(col("cluster"), (-col("m.nn")).as("exemplar"),
+        col("m.rank").as("rank"))
+
+  /** One maintenance step's APPEND-MERGE through a fresh temp copy of
+    * the store (append semantics make these queries stateful by design
+    * — a fixed path would double-append across invocations; production
+    * appends to the real artifact in place). Returns the merged table. */
+  private def tempStoreMerge(s: SparkSession, tag: String,
+      base: DataFrame, appended: DataFrame): DataFrame = {
+    val path = java.nio.file.Files
+      .createTempDirectory(s"graft-$tag-ingest").toString + "/merged"
+    graft.engine.IndexStore.save(base, path)
+    graft.engine.IndexStore.append(appended, path)
+    graft.engine.IndexStore.load(s, path)
+  }
+
   /** The kNN graph's degree-attached edge list (src, dst, deg) as a
     * DURABLE artifact — the substrate every graph-diffusion consumer
     * iterates over (global PageRank, seeded expansion). Factored out of
@@ -740,15 +766,8 @@ object Similarity {
     // cluster (max over (rank, -node) structs — rank desc, ties to the
     // smaller node, matching the oracle's window), no corpus-sized
     // rebuild anywhere on the probe path.
-    "sim_cluster_exemplars" -> ((s, dir) => {
-      clusterLabels(s, dir)
-        .join(pagerankRanks(s, dir), "node")
-        .groupBy("cluster")
-        .agg(max(struct(col("rank"), (-col("node")).as("nn"))).as("m"))
-        .select(col("cluster"), (-col("m.nn")).as("exemplar"),
-          col("m.rank").as("rank"))
-        .orderBy("cluster")
-    }),
+    "sim_cluster_exemplars" -> ((s, dir) =>
+      exemplarsByRank(s, dir).orderBy("cluster")),
 
     // Two-stage retrieval over an int8 SCALAR-QUANTIZED index — the
     // production memory-bandwidth lever: stage 1 scans quantized vectors
@@ -960,11 +979,8 @@ object Similarity {
     // content; it waits for the next IndexRefresh re-cluster rather
     // than being glued onto a far-away cluster.
     //
-    // Each invocation appends into a fresh temp copy of the label store
-    // (append semantics make the query stateful by design — a fixed
-    // path would double-append across invocations); production appends
-    // to the real artifact in place. Zero CC rounds, zero base-rehash
-    // on the probe path: OpsSpec pins the build counters flat.
+    // Zero CC rounds, zero base-rehash on the probe path: OpsSpec pins
+    // the build counters flat. Merge semantics: tempStoreMerge.
     "sim_cluster_labels_incr" -> ((s, dir) => {
       val base = clusterLabels(s, dir)
       val assigned = arrivalProbeCands(s, dir)
@@ -974,12 +990,7 @@ object Similarity {
         // is unique, so the struct comparison never reaches it)
         .agg(max(struct(col("cos_r"), (-col("nid")).as("nn"), col("cluster"))).as("m"))
         .select(col("qid").as("node"), col("m.cluster").as("cluster"))
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-labels-ingest").toString
-      val labelPath = s"$root/labels"
-      graft.engine.IndexStore.save(base, labelPath)
-      graft.engine.IndexStore.append(assigned, labelPath)
-      graft.engine.IndexStore.load(s, labelPath).orderBy("node")
+      tempStoreMerge(s, "labels", base, assigned).orderBy("node")
     }),
 
     // INCREMENTAL EDGE MAINTENANCE — the second half of the graph
@@ -995,18 +1006,13 @@ object Similarity {
     // arrivals only add new source nodes. Same capped probe bound and
     // temp-store statefulness discipline as the label maintenance.
     "sim_graph_edges_incr" -> ((s, dir) => {
-      val baseEd = knnEdgesDeg(s, dir)
       val arrTop = topK3(arrivalProbeCands(s, dir))
         .select(col("qid").as("src"), col("nid").as("dst"))
       val arrEd = arrTop
         .join(arrTop.groupBy("src").agg(count(lit(1)).as("deg")), "src")
         .select(col("src"), col("dst"), col("deg"))
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-edges-ingest").toString
-      val edgePath = s"$root/edges"
-      graft.engine.IndexStore.save(baseEd, edgePath)
-      graft.engine.IndexStore.append(arrEd, edgePath)
-      graft.engine.IndexStore.load(s, edgePath).orderBy("src", "dst")
+      tempStoreMerge(s, "edges", knnEdgesDeg(s, dir), arrEd)
+        .orderBy("src", "dst")
     }),
 
     // CLUSTER QUALITY EVALUATION — "are the semantic clusters real?"
@@ -1034,12 +1040,8 @@ object Similarity {
       graft.functions.GraftFunctions.register(s)
       val e = Tables(s, dir, "embeddings")
       val labels = clusterLabels(s, dir)
-      val ranks = pagerankRanks(s, dir)
-      val ex = labels.join(ranks, "node")
-        .groupBy("cluster")
-        .agg(max(struct(col("rank"), (-col("node")).as("nn"))).as("m"))
-        .select(col("cluster"), (-col("m.nn")).as("exemplar"))
-      val g = ranks
+      val ex = exemplarsByRank(s, dir).select(col("cluster"), col("exemplar"))
+      val g = pagerankRanks(s, dir)
         .agg(max(struct(col("rank"), (-col("node")).as("nn"))).as("m"))
         .select((-col("m.nn")).as("gnode"))
       val ne = e.select(col("vec_id"), col("embedding"),

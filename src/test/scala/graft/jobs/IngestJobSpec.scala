@@ -16,26 +16,28 @@ import graft.streaming.IngestFilters
 class IngestJobSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
+  /** One arrival as a JSON line. Escapes control chars too: a corpus
+    * text with a newline/tab must not split the fixture into invalid
+    * JSON lines. */
+  private def jsonLine(t: (Long, String, String)): String = {
+    val esc = t._3.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    s"""{"doc_id":${t._1},"source":"${t._2}","text":"$esc"}"""
+  }
+
   test("ingest job: batch-identical admission, per-batch drift log, outage flagged") {
     val in = Files.createTempDirectory("graft-ingest-in").toString
     val out = Files.createTempDirectory("graft-ingest-out").toString
     val rows = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "source", "text").limit(60).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
-    def jsonLine(t: (Long, String, String)): String = {
-      // escape control chars too: a corpus text with a newline/tab must
-      // not split the fixture into invalid JSON lines
-      val esc = t._3.flatMap {
-        case '\\' => "\\\\"
-        case '"' => "\\\""
-        case '\n' => "\\n"
-        case '\r' => "\\r"
-        case '\t' => "\\t"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      }
-      s"""{"doc_id":${t._1},"source":"${t._2}","text":"$esc"}"""
-    }
     // file 1: healthy arrivals; file 2 (later mtime): the dead-crawler
     // batch — every page truncated
     Files.write(Paths.get(s"$in/batch1.json"),
@@ -142,8 +144,8 @@ class IngestJobSpec extends SparkSpec {
     val novel = "totally novel arrival text " +
       (0 until 60).map(i => s"nv$i").mkString(" ")
     val lines = Seq(
-      s"""{"doc_id":500000,"source":"src_new","text":"${base0.replace("\\", "\\\\").replace("\"", "\\\"")} zz0 zz1"}""",
-      s"""{"doc_id":500001,"source":"src_new","text":"$novel"}""")
+      jsonLine((500000L, "src_new", s"$base0 zz0 zz1")),
+      jsonLine((500001L, "src_new", novel)))
     Files.write(Paths.get(s"$in/batch1.json"),
       lines.mkString("\n").getBytes("UTF-8"))
     val q = IngestJob.run(spark, dir, in, out, s"$out/_checkpoint")
