@@ -262,6 +262,36 @@ object TextOps {
                     AND len(string_split(text, ' ')[${drop + 1}:]) >= 8)))"""
   }.mkString("\nUNION ALL\n")
 
+  /** The multi-suite span oracle (positional replay, windows partitioned
+    * by (bench_set, doc_id)) — shared verbatim by the spans query and
+    * the per-suite report rollup. */
+  private def decontamSpansMultiSql: String =
+    s"""WITH bench AS ($decontamBenchSql),
+        d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+              WHERE len(string_split(text, ' ')) >= 8),
+        posg AS (
+          SELECT doc_id, i,
+            CAST(concat('0x', substr(md5(array_to_string(w[i:i+7], ' ')), 1, 15))
+                 AS BIGINT) % $P AS gid
+          FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i FROM d)),
+        starts AS (
+          SELECT bench_set, doc_id, CAST(i - 1 AS BIGINT) AS i
+          FROM posg JOIN bench USING (gid)),
+        m AS (SELECT bench_set, doc_id, i,
+                max(i + 8) OVER (PARTITION BY bench_set, doc_id ORDER BY i
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end
+              FROM starts),
+        isl AS (SELECT bench_set, doc_id, i,
+                  sum(CASE WHEN prev_max_end IS NULL OR i > prev_max_end
+                      THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY bench_set, doc_id ORDER BY i
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+                FROM m)
+        SELECT bench_set, doc_id, CAST(min(i) AS BIGINT) AS span_start,
+               CAST(max(i) + 8 AS BIGINT) AS span_end
+        FROM isl GROUP BY bench_set, doc_id, island
+        ORDER BY bench_set, doc_id, span_start"""
+
   /** Winnowing (Schleimer/Wilkerson/Aiken, MOSS) fingerprint relation
     * (doc_id, fp) over a (doc_id, text) corpus: hash every positional
     * word 4-gram, slide a w=5 window over the hash sequence, select each
@@ -1062,6 +1092,26 @@ object TextOps {
         .agg(min("i").as("span_start"), (max("i") + 8).as("span_end"))
         .select(col("bench_set"), col("doc_id"), col("span_start"), col("span_end"))
         .orderBy("bench_set", "doc_id", "span_start")
+    }),
+
+    // Per-suite decontamination REPORT — the dashboard rollup of the
+    // span table above: per benchmark suite, how many documents are
+    // contaminated, how many maximal spans, and the total token mass a
+    // span-level redaction would remove. This is the number a release
+    // review reads ("suite X overlaps N docs / M tokens of the corpus")
+    // before anyone looks at individual spans; it also quantifies the
+    // doc-level-vs-span-level trade (redacted_tokens ≪ the contaminated
+    // docs' full token mass = span redaction saves data a whole-doc
+    // drop would burn). Pure rollup of the multi-suite operator — the
+    // two corpus-sized phases are shared, the report adds one ≤|suites|-
+    // key aggregation.
+    "text_decontam_report" -> ((s, dir) => {
+      queries("text_decontam_spans_multi")(s, dir)
+        .groupBy("bench_set")
+        .agg(countDistinct(col("doc_id")).as("docs_hit"),
+          count(lit(1)).as("spans"),
+          sum(col("span_end") - col("span_start")).as("redacted_tokens"))
+        .orderBy("bench_set")
     }),
 
     // C4-style HARD-GATE filter — the blocklist stage every web-corpus
@@ -1994,32 +2044,16 @@ object TextOps {
 
     // the same positional replay with the per-suite bench table rendered
     // from decontamSets; windows partition by (bench_set, doc_id)
-    "text_decontam_spans_multi" ->
-      s"""WITH bench AS ($decontamBenchSql),
-          d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
-                WHERE len(string_split(text, ' ')) >= 8),
-          posg AS (
-            SELECT doc_id, i,
-              CAST(concat('0x', substr(md5(array_to_string(w[i:i+7], ' ')), 1, 15))
-                   AS BIGINT) % $P AS gid
-            FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i FROM d)),
-          starts AS (
-            SELECT bench_set, doc_id, CAST(i - 1 AS BIGINT) AS i
-            FROM posg JOIN bench USING (gid)),
-          m AS (SELECT bench_set, doc_id, i,
-                  max(i + 8) OVER (PARTITION BY bench_set, doc_id ORDER BY i
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end
-                FROM starts),
-          isl AS (SELECT bench_set, doc_id, i,
-                    sum(CASE WHEN prev_max_end IS NULL OR i > prev_max_end
-                        THEN 1 ELSE 0 END)
-                      OVER (PARTITION BY bench_set, doc_id ORDER BY i
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-                  FROM m)
-          SELECT bench_set, doc_id, CAST(min(i) AS BIGINT) AS span_start,
-                 CAST(max(i) + 8 AS BIGINT) AS span_end
-          FROM isl GROUP BY bench_set, doc_id, island
-          ORDER BY bench_set, doc_id, span_start""",
+    "text_decontam_spans_multi" -> decontamSpansMultiSql,
+
+    // the span replay above, rolled up per suite
+    "text_decontam_report" ->
+      s"""WITH spans AS ($decontamSpansMultiSql)
+          SELECT bench_set,
+                 CAST(count(DISTINCT doc_id) AS BIGINT) AS docs_hit,
+                 CAST(count(*) AS BIGINT) AS spans,
+                 CAST(sum(span_end - span_start) AS BIGINT) AS redacted_tokens
+          FROM spans GROUP BY bench_set ORDER BY bench_set""",
 
     // the bloom prefilter never false-negatives and the survivors go
     // through the same exact verification join, so the bloom variant's

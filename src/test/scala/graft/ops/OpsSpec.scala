@@ -1795,6 +1795,29 @@ class OpsSpec extends SparkSpec {
       assert(s1 - s0 >= 8, s"$set span shorter than one 8-gram") }
   }
 
+  test("decontam report: exact rollup of the span table, spans never overlap within a doc") {
+    val spans = TextOps.queries("text_decontam_spans_multi")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val report = TextOps.queries("text_decontam_report")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(report.keySet == spans.map(_._1).toSet)
+    spans.groupBy(_._1).foreach { case (set, ss) =>
+      val (docsHit, nSpans, redacted) = report(set)
+      assert(docsHit == ss.map(_._2).distinct.length, s"$set docs_hit")
+      assert(nSpans == ss.length, s"$set spans")
+      assert(redacted == ss.map(s => s._4 - s._3).sum, s"$set redacted_tokens")
+      // maximal spans: within a doc they must be disjoint AND non-adjacent
+      // (an adjacent pair would have merged in the gaps-and-islands pass)
+      ss.groupBy(_._2).foreach { case (doc, ds) =>
+        ds.sortBy(_._3).sliding(2).filter(_.length == 2).foreach { pair =>
+          val e1 = pair(0)._4
+          val s2 = pair(1)._3
+          assert(s2 > e1, s"$set doc $doc spans not maximal: end $e1 vs start $s2")
+        }
+      }
+    }
+  }
+
   test("media oracle precondition: the test corpus text is pure ASCII at every oracle SF") {
     // the mm_* oracles replay payload BYTES via DuckDB's
     // ascii(substring(text, ...)) — char-indexed code points — which
