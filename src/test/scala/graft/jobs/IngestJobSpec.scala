@@ -16,21 +16,21 @@ import graft.streaming.IngestFilters
 class IngestJobSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
-  /** One arrival as a JSON line. Escapes control chars too: a corpus
-    * text with a newline/tab must not split the fixture into invalid
+  /** One arrival as a JSON line. BOTH string fields are escaped,
+    * control chars included: a corpus text (or source) with a quote,
+    * backslash, or newline must not split the fixture into invalid
     * JSON lines. */
-  private def jsonLine(t: (Long, String, String)): String = {
-    val esc = t._3.flatMap {
-      case '\\' => "\\\\"
-      case '"' => "\\\""
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
-    s"""{"doc_id":${t._1},"source":"${t._2}","text":"$esc"}"""
+  private def jsonEsc(s: String): String = s.flatMap {
+    case '\\' => "\\\\"
+    case '"' => "\\\""
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
   }
+  private def jsonLine(t: (Long, String, String)): String =
+    s"""{"doc_id":${t._1},"source":"${jsonEsc(t._2)}","text":"${jsonEsc(t._3)}"}"""
 
   test("ingest job: batch-identical admission, per-batch drift log, outage flagged") {
     val in = Files.createTempDirectory("graft-ingest-in").toString
