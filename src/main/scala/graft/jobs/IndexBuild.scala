@@ -46,7 +46,12 @@ object IndexBuild {
     "sim_graph_pagerank",       // knn_pagerank (via knn_edges_deg)
     "mm_dedup_phash_incr",      // phash_sig_index (media aHash signatures)
     "curate_card_incremental",  // card_by_lang (mergeable base card)
-    "curate_domain_decisions")  // domain_decisions (the ingest admission table)
+    "curate_domain_decisions",  // domain_decisions (the ingest admission table)
+    "dedup_ngram_jaccard")      // ngram_posting_index (found by an IndexBuild→
+                                // IndexRefresh CLI smoke: refresh reported one
+                                // cold build over a store this job had just
+                                // "completed" — the one artifact no other
+                                // builder reaches transitively)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(

@@ -141,6 +141,25 @@ class IndexRefreshSpec extends SparkSpec {
     } finally Tables.indexDirOverride = None
   }
 
+  test("IndexBuild's builder list fills the ENTIRE refresh registry — no artifact left cold") {
+    // found by a CLI smoke: a refresh over a store IndexBuild had just
+    // "completed" reported one cold build (ngram_posting_index — the one
+    // artifact no other builder reaches transitively). This runs the
+    // build job's exact builder list against a cold store and asserts
+    // every refresh-tracked artifact was published — the executable form
+    // of IndexBuild's "every durable artifact" claim.
+    val root = Files.createTempDirectory("graft-buildcover-root").toString
+    Tables.indexDirOverride = Some(root)
+    try {
+      val s = spark.newSession()
+      IndexBuild.builders.foreach(b => graft.SparkEntry.queries(b)(s, src).count())
+      IndexRefresh.artifacts.foreach { a =>
+        assert(IndexStore.exists(s, Tables.storePath(root, src, a.key)),
+          s"${a.key}: not built by IndexBuild's builder list")
+      }
+    } finally Tables.indexDirOverride = None
+  }
+
   test("IndexRefresh's registry names real queries and covers the durable store") {
     IndexRefresh.artifacts.foreach { a =>
       assert(graft.SparkEntry.queries.contains(a.builder),
