@@ -67,6 +67,12 @@ object IndexBuild {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
+    // capture the source fingerprints BEFORE the build loop: the stamps
+    // must record the inputs as the builders READ them — digesting after
+    // the loop would let a source mutated mid-build be 'proven' fresh by
+    // a later IndexRefresh (the un-conservative race direction, r10
+    // ADVICE)
+    val fps = IndexRefresh.captureFingerprints(spark, sfDir)
     builders.foreach { name =>
       val q0 = System.nanoTime()
       val rows = SparkEntry.queries(name)(spark, sfDir).count()
@@ -78,7 +84,13 @@ object IndexBuild {
     // stamps must land next to the artifacts the build loop just wrote,
     // not under a different root
     Tables.indexDirOverride.orElse(sys.env.get("GRAFT_INDEX_DIR"))
-      .foreach(root => IndexRefresh.stampFingerprints(spark, sfDir, root))
+      .foreach { root =>
+        IndexRefresh.stampFingerprints(spark, sfDir, root, fps)
+        // anchor each k-means centroid table's own-space canary (see
+        // IndexRefresh.writeCanaryBaseline) next to its stamp
+        IndexRefresh.artifacts.filter(_.centroidGated)
+          .foreach(a => IndexRefresh.writeCanaryBaseline(spark, sfDir, root, a.key))
+      }
     val built = IndexStore.buildCounts.snapshot().keys.toSeq.sorted
     println(f"index-build complete: ${built.size} artifacts built this run " +
       f"in ${(System.nanoTime() - t0) / 1e9}%.1f s")

@@ -28,11 +28,15 @@ import graft.engine.{IndexStore, Tables}
   *    the new rows from every probe.
   *  - **Semantic centroid canary** (the centroid-MEAN artifacts only):
   *    a changed input does not necessarily invalidate a k×dim table of
-  *    per-label means — means are aggregate summaries, robust to
-  *    arrivals that look like the data they summarize; that robustness
-  *    is exactly why the drift monitor exists. For these the job
-  *    recomputes the cheap per-label means over the current corpus (ONE
-  *    aggregate pass — the monitoring cost) and applies the SAME
+  *    means — means are aggregate summaries, robust to arrivals that
+  *    look like the data they summarize; that robustness is exactly why
+  *    the drift monitor exists. Each centroid FAMILY is gated on drift
+  *    measured in its OWN space (one cheap aggregate pass — the
+  *    monitoring cost): the per-label table against recomputed label
+  *    means, the k-means-family tables against a reassign-and-mean pass
+  *    of their builder's corpus routed to the STORED centroids (a
+  *    label-only canary would be blind to within-label redistribution
+  *    moving the k-means optima — r10 ADVICE). All apply the SAME
   *    integer drift verdict as sim_index_staleness
   *    (Similarity.centroidDrift, shared code): below threshold, the
   *    stored centroids keep serving (new data keeps routing into the
@@ -119,14 +123,22 @@ object IndexRefresh {
   private[jobs] def fingerprint(spark: SparkSession, path: String): String = {
     val p = new Path(path)
     val fs = fsOf(spark, p)
+    // each file is described by its path RELATIVE to the table root, not
+    // its base name: a partitioned table has same-named part files
+    // (part-00000) in different partition dirs, and a partition-dir
+    // rename with identical inner files must change the digest (ADVICE
+    // r10). The root is resolved to its fully-qualified form first so
+    // relativize sees the same scheme/authority as the listed children.
+    val qualifiedRoot = fs.getFileStatus(p).getPath
+    val rootUri = qualifiedRoot.toUri
     def describe(q: Path): Seq[String] = {
       val st = fs.getFileStatus(q)
       if (st.isDirectory)
         fs.listStatus(q).toSeq.sortBy(_.getPath.getName).flatMap(c => describe(c.getPath))
-      else Seq(s"${q.getName}:${st.getLen}:${st.getModificationTime}")
+      else Seq(s"${rootUri.relativize(q.toUri).getPath}:${st.getLen}:${st.getModificationTime}")
     }
     val md = java.security.MessageDigest.getInstance("MD5")
-    md.digest(describe(p).mkString("\n").getBytes(StandardCharsets.UTF_8))
+    md.digest(describe(qualifiedRoot).mkString("\n").getBytes(StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
   }
 
@@ -152,27 +164,106 @@ object IndexRefresh {
     try out.write(fp.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
 
-  /** Record current input fingerprints for every artifact that exists in
-    * the store — IndexBuild calls this after its build loop so a
-    * subsequent refresh can prove freshness instead of assuming it. */
-  private[jobs] def stampFingerprints(spark: SparkSession, dir: String, root: String): Unit =
+  /** One fingerprint per distinct source table, as the source stands NOW.
+    * IndexBuild captures this BEFORE its build loop: the stamp must
+    * record the source as the builders READ it — digesting after the
+    * loop would let a mid-build source mutation be 'proven' fresh by a
+    * later refresh, the un-conservative direction of the race (ADVICE
+    * r10; refresh() itself always fingerprints before building). */
+  private[jobs] def captureFingerprints(spark: SparkSession, dir: String): Map[String, String] =
+    artifacts.map(_.source).distinct
+      .map(src => src -> fingerprint(spark, s"$dir/$src.parquet")).toMap
+
+  /** Record the given input fingerprints for every artifact that exists
+    * in the store — IndexBuild calls this after its build loop (with
+    * fingerprints captured before it) so a subsequent refresh can prove
+    * freshness instead of assuming it. */
+  private[jobs] def stampFingerprints(spark: SparkSession, dir: String, root: String,
+      fps: Map[String, String]): Unit =
     artifacts.foreach { a =>
       val path = Tables.storePath(root, dir, a.key)
-      if (IndexStore.exists(spark, path))
-        writeFp(spark, path, fingerprint(spark, s"$dir/${a.source}.parquet"))
+      if (IndexStore.exists(spark, path)) writeFp(spark, path, fps(a.source))
     }
 
-  /** True when the stored ivf_label_centarr has drifted from the current
-    * corpus beyond the shared threshold — the one cheap semantic canary
-    * for the centroid-mean family. A missing stored centroid table is
-    * conservatively stale. */
-  private[jobs] def canaryStale(spark: SparkSession, dir: String, root: String): Boolean = {
-    val p = Tables.storePath(root, dir, "ivf_label_centarr")
+  /** The corpus each k-means-family centroid table summarizes — what its
+    * own-space canary routes to the stored centroids. None for the
+    * per-label table (its own space IS label means). */
+  private def kmeansCanaryCorpus(spark: SparkSession, dir: String,
+      key: String): Option[org.apache.spark.sql.DataFrame] = key match {
+    case "ivf_kmeans_centarr" => // builder clusters vec_id >= 8 (0-7 are queries)
+      Some(Tables(spark, dir, "embeddings").filter(col("vec_id") >= 8))
+    case "semdedup_centarr" => // builder clusters embeddings + planted dups
+      Some(graft.ops.Dedup.semanticCorpus(spark, dir))
+    case "knn_cluster_centarr" => // cluster centroids over the full table
+      Some(Tables(spark, dir, "embeddings"))
+    case _ => None
+  }
+
+  /** Stored centroid table in centroidDrift's (label, carr) shape — the
+    * k-means tables key by `cid`. */
+  private def loadCentroids(spark: SparkSession, path: String) = {
+    val raw = IndexStore.load(spark, path)
+    if (raw.columns.contains("cid")) raw.withColumnRenamed("cid", "label") else raw
+  }
+
+  /** Record the own-space canary BASELINE for a just-(re)built k-means
+    * centroid artifact: the reassign-and-mean pass of its builder corpus
+    * routed to the stored centroids, as of build time. The baseline, not
+    * the stored table itself, anchors the drift check — two-round Lloyd
+    * is not converged, so stored-vs-reassigned has nonzero SELF-drift on
+    * an unchanged corpus and would fire the canary forever. Written only
+    * on build/rebuild, never on adoption: re-baselining an adopted
+    * artifact would ratchet — slow drift arriving below threshold each
+    * pass would never accumulate against a fixed anchor. */
+  private[jobs] def writeCanaryBaseline(spark: SparkSession, dir: String, root: String,
+      key: String): Unit =
+    kmeansCanaryCorpus(spark, dir, key).foreach { corpus =>
+      val path = Tables.storePath(root, dir, key)
+      if (IndexStore.exists(spark, path)) {
+        graft.functions.GraftFunctions.register(spark)
+        graft.ops.Similarity.reassignedCentroids(corpus, loadCentroids(spark, path))
+          .write.mode("overwrite").parquet(path + ".canary")
+      }
+    }
+
+  /** True when the stored centroid artifact `key` has drifted from the
+    * current corpus beyond the shared threshold. Each centroid FAMILY is
+    * gated on drift computed in its OWN space (ADVICE r10 — the
+    * label-mean canary alone was blind to within-label redistribution
+    * moving the k-means optima):
+    *
+    *  - `ivf_label_centarr` IS the per-label mean table — stored vs one
+    *    label-mean pass over current embeddings (zero self-drift by
+    *    construction).
+    *  - the k-means-family tables (`ivf_kmeans_centarr`,
+    *    `semdedup_centarr`, `knn_cluster_centarr`) — build-time canary
+    *    baseline vs one reassign-and-mean pass of THEIR builder's corpus
+    *    routed to the stored centroids (Similarity.reassignedCentroids);
+    *    same routing both sides, so only corpus change moves the verdict.
+    *
+    * A missing stored table or baseline is conservatively stale. */
+  private[jobs] def canaryStale(spark: SparkSession, dir: String, root: String,
+      key: String): Boolean = {
+    val p = Tables.storePath(root, dir, key)
     if (!IndexStore.exists(spark, p)) true
-    else graft.ops.Similarity.centroidDrift(
-        IndexStore.load(spark, p),
-        graft.ops.Similarity.currentLabelCentroids(spark, dir))
-      .filter(col("verdict") === "stale").limit(1).count() > 0
+    else {
+      graft.functions.GraftFunctions.register(spark)
+      val verdicts = key match {
+        case "ivf_label_centarr" =>
+          graft.ops.Similarity.centroidDrift(
+            loadCentroids(spark, p),
+            graft.ops.Similarity.currentLabelCentroids(spark, dir))
+        case _ =>
+          val corpus = kmeansCanaryCorpus(spark, dir, key).getOrElse(
+            sys.error(s"IndexRefresh: no canary defined for '$key'"))
+          val basePath = new Path(p + ".canary")
+          if (!fsOf(spark, basePath).exists(basePath)) return true
+          graft.ops.Similarity.centroidDrift(
+            spark.read.parquet(p + ".canary"),
+            graft.ops.Similarity.reassignedCentroids(corpus, loadCentroids(spark, p)))
+      }
+      verdicts.filter(col("verdict") === "stale").limit(1).count() > 0
+    }
   }
 
   /** One refresh pass. Returns (artifact key, action) per artifact:
@@ -201,18 +292,19 @@ object IndexRefresh {
   def refresh(spark: SparkSession, dir: String): Seq[(String, String)] = {
     val root = Tables.indexDirOverride.orElse(sys.env.get("GRAFT_INDEX_DIR"))
       .getOrElse(sys.error("IndexRefresh: set GRAFT_INDEX_DIR — nothing durable to refresh"))
-    val fps = artifacts.map(_.source).distinct
-      .map(src => src -> fingerprint(spark, s"$dir/$src.parquet")).toMap
-    // the canary is evaluated at most once per pass, and only if some
-    // gated artifact's input actually changed
-    lazy val canary = canaryStale(spark, dir, root)
+    val fps = captureFingerprints(spark, dir)
+    // each family's canary is evaluated at most once per pass, and only
+    // if some artifact it gates has an actually-changed input
+    val canaryMemo = scala.collection.mutable.Map.empty[String, Boolean]
+    def canary(key: String): Boolean =
+      canaryMemo.getOrElseUpdate(key, canaryStale(spark, dir, root, key))
     val prelim = artifacts.map { a =>
       val path = Tables.storePath(root, dir, a.key)
       val action =
         if (!IndexStore.exists(spark, path)) "built"
         else readFp(spark, path) match {
           case Some(rec) if rec == fps(a.source) => "fresh"
-          case _ if a.centroidGated && !canary => "adopted"
+          case _ if a.centroidGated && !canary(a.key) => "adopted"
           case _ => "rebuilt"
         }
       (a, path, action)
@@ -244,6 +336,11 @@ object IndexRefresh {
         if (!IndexStore.exists(spark, path))
           sys.error(s"IndexRefresh: ${a.key} not published after ${a.builder}")
         writeFp(spark, path, fps(a.source))
+        // a freshly (re)built k-means centroid table re-anchors its
+        // own-space canary; adoption deliberately does NOT (see
+        // writeCanaryBaseline — ratchet prevention)
+        if (a.centroidGated && action != "adopted")
+          writeCanaryBaseline(spark, dir, root, a.key)
       }
       (a.key, action)
     }

@@ -940,11 +940,7 @@ object Dedup {
     // (n_members, n_dup_pairs, n_removed) summary.
     "dedup_semantic" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
-      val e = Tables(s, dir, "embeddings")
-      val dup = e.filter(col("vec_id") % 5 === 0).select(
-        (col("vec_id") + 100000).as("vec_id"),
-        expr("transform(embedding, x -> CAST(x AS FLOAT) * CAST(1.01 AS FLOAT))").as("embedding"))
-      val all = e.select(col("vec_id"), col("embedding")).unionAll(dup)
+      val all = semanticCorpus(s, dir)
       val n = Tables.cachedStat(s, dir, "semdedup_n")(all.count())
       val k = math.max(8L, n / 500).toInt
       val comp = Tables.cachedFrame(s, dir, "semdedup_comp", durable = false)(
@@ -990,6 +986,19 @@ object Dedup {
         .orderBy("cid")
     })
   )
+
+  /** The semantic-dedup build corpus: embeddings plus the deterministic
+    * planted near-duplicates (every 5th vector, scaled ×1.01, id+100000).
+    * Factored out so the IndexRefresh own-space canary measures
+    * semdedup_centarr drift against the SAME corpus its builder
+    * clustered — the artifact summarizes this frame, not raw embeddings. */
+  private[graft] def semanticCorpus(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val dup = e.filter(col("vec_id") % 5 === 0).select(
+      (col("vec_id") + 100000).as("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS FLOAT) * CAST(1.01 AS FLOAT))").as("embedding"))
+    e.select(col("vec_id"), col("embedding")).unionAll(dup)
+  }
 
   private val clusterCcSql =
     s"""WITH RECURSIVE $candSql,

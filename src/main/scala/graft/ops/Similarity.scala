@@ -69,6 +69,30 @@ object Similarity {
     labelCentroids(Tables(s, dir, "embeddings"))
   }
 
+  /** Own-space canary means for the K-MEANS-family centroid artifacts
+    * (ivf_kmeans_centarr / semdedup_centarr / knn_cluster_centarr). The
+    * r10 ADVICE blind spot: gating every centroid family on drift of
+    * per-LABEL means lets a corpus change that redistributes vectors
+    * WITHIN labels move the k-means optima while label means sit still —
+    * those artifacts were adopted (and stamped current) with unmonitored
+    * drift in their own centroid space. This measures in that space:
+    * route each current-corpus vector to its nearest STORED centroid
+    * (one broadcast pass, the builders' exact 6dp-rounded argmin
+    * discipline) and take per-centroid means; centroidDrift of stored vs
+    * routed means then applies the one shared threshold. Cost is one
+    * n×k broadcast pass per family, paid only when the source
+    * fingerprint actually changed. `stored` is (label, carr). */
+  private[graft] def reassignedCentroids(corpus: DataFrame, stored: DataFrame): DataFrame =
+    labelCentroids(corpus
+      .select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(stored.select(col("label"), col("carr"))))
+      .select(col("vec_id"),
+        struct(round(expr("vec_sqdist(embedding, carr)"), 6).as("dist"),
+          col("label"), col("embedding")).as("cand"))
+      .groupBy("vec_id")
+      .agg(min(col("cand")).as("m"))
+      .select(col("m.label").as("label"), col("m.embedding").as("embedding")))
+
   /** Per-query top-3 over (qid, nid, cos_r) via the bounded-state
     * `topk3_ids` aggregate (graft.functions.TopKAgg): map-side partials
     * keep ≤3 rows per qid, so the shuffle is O(tasks × queries × 3) — the

@@ -903,8 +903,13 @@ class OpsSpec extends SparkSpec {
       assert(docs > 0 && p6 > 0 && q6 > 0, s"$src degenerate")
       assert(mult >= 5000 && mult <= 20000, s"$src multiplier $mult outside clamp")
       // the update points the right way: harder-than-average domains
-      // (positive excess) upweight, easier ones downweight
-      if (excess > 0) assert(mult > 10000, s"$src hard domain not upweighted")
+      // (positive excess) upweight, easier ones downweight. The floor
+      // division mult = 10000 + ((excess+10000) div 4) - 2500 maps
+      // excess ∈ {1,2,3} to exactly 10000, so the strict upweight is
+      // only provable from excess >= 4 — asserting it for smaller
+      // excess was a latent flake waiting on a corpus shift (ADVICE r10)
+      if (excess > 0) assert(mult >= 10000, s"$src hard domain not upweighted")
+      if (excess >= 4) assert(mult > 10000, s"$src hard domain not upweighted")
       if (excess < 0) assert(mult < 10000, s"$src easy domain not downweighted")
       assert(math.abs(epochs - q6.toDouble / p6) < 5e-4, s"$src epochs ratio")
     }
