@@ -212,42 +212,60 @@ object Bench {
     (qmap, num("calib").map(_.toDouble), num("calib_mt").map(_.toDouble), num("sf"))
   }
 
-  /** The CALIB-NORMALIZED cross-round comparison (r9 verdict ask #6: the
-    * load/calib fields existed, nothing consumed them). Host-speed
-    * normalization: a query's normalized ratio is (cur/prior)/calibRatio,
-    * flagged as a regression when it exceeds 1.5× AND the normalized
-    * delta exceeds 0.1 s — the absolute floor keeps 0.05 s → 0.09 s
-    * scheduler jitter on cheap queries from drowning the triage in
-    * false flags. This is exactly the triage the judge ran by hand in
-    * rounds 8-9.
+  /** Minimum shared-query count for the median-of-ratios session-speed
+    * estimate; below this, fall back to the calibration-loop ratio. */
+  private[graft] val MedianNormMin = 8
+
+  /** The cross-round comparison (r9 ask #6), HOST-NORMALIZED by the
+    * median of per-query ratios (r10 verdict task #2). A query's
+    * normalized ratio is (cur/prior)/sessionRatio, flagged as a
+    * regression when it exceeds 1.5× AND the normalized delta exceeds
+    * 0.1 s — the absolute floor keeps 0.05 s → 0.09 s scheduler jitter
+    * on cheap queries from drowning the triage in false flags.
     *
-    * calibRatio selection: both the single-thread and the all-cores
-    * ratio are computed and the one CLOSER to 1 wins. Each calibration
-    * is a ~0.1 s instantaneous sample and calib_mt in particular swings
-    * ±30% run-to-run with scheduler luck (measured back-to-back this
-    * round: 0.143 then 0.108 on the same idle host); dividing every
-    * query by one noisy sample amplifies that noise into a page of
-    * false flags. A real host-speed change (co-tenant, throttling)
-    * moves BOTH probes the same way, so taking the milder adjustment
-    * normalizes confidently-host-induced shifts and refuses to
-    * manufacture regressions out of calibration jitter. */
+    * sessionRatio is the MEDIAN over shared queries of cur/prior. Round
+    * 10 proved the calibration loops cannot be the denominator: calib
+    * (single-thread) sat at 0.098 in every session of the round while
+    * same-code totals spread 18.6–24.1 s — the host's multi-core
+    * throughput drifts along dimensions a fixed CPU loop never touches
+    * (per-job scheduling, shuffle IO, memory bandwidth). The query fleet
+    * itself is the only probe that measures the right thing, and its
+    * median is robust to BOTH a handful of genuine regressions (they sit
+    * in the tail, not the middle) and single-query noise strikes — which
+    * is also why a single mid-size reference query would be weaker: one
+    * noise strike on the reference poisons every flag. A uniform host
+    * drift moves all shared ratios together, lands in the median, and
+    * normalizes away; a real regression moves one query against the
+    * median and survives. Blind spot, documented: if MOST of the fleet
+    * genuinely regressed (a build-wide change), the median absorbs it —
+    * but that case is visible in the un-normalized total, which the
+    * record always carries. With fewer than MedianNormMin shared queries
+    * the median is itself noise, so the calibration-loop ratio (the one
+    * CLOSER to 1 of calib/calib_mt, as before) is used — rendered as
+    * "norm":"calib" vs "norm":"median" so a reader knows which estimate
+    * produced the flags. */
   private[graft] def vsPrior(results: Seq[Timing], calib: Double, calibMt: Double,
       priorName: String, prior: Map[String, Double],
       priorCalib: Option[Double], priorCalibMt: Option[Double]): String = {
     val candidates = Seq(
       priorCalib.collect { case p if p > 0 && calib > 0 => calib / p },
       priorCalibMt.collect { case p if p > 0 && calibMt > 0 => calibMt / p }).flatten
-    val ratio = candidates
+    val calibRatio = candidates
       .minByOption(r => math.abs(math.log(r))).getOrElse(1.0)
-    val norm = results.collect {
-      case (n, cur, _, _) if prior.get(n).exists(_ > 0) =>
-        (n, (cur / prior(n)) / ratio, cur / ratio - prior(n))
+    val shared = results.collect {
+      case (n, cur, _, _) if cur > 0 && prior.get(n).exists(_ > 0) =>
+        (n, cur, cur / prior(n))
     }
+    val (ratio, how) =
+      if (shared.size >= MedianNormMin)
+        (shared.map(_._3).sorted.apply(shared.size / 2), "median")
+      else (calibRatio, "calib")
+    val norm = shared.map { case (n, cur, r) => (n, r / ratio, cur / ratio - prior(n)) }
     val regressed = norm.filter { case (_, r, d) => r > 1.5 && d > 0.1 }
     val improved = norm.count { case (_, r, d) => r < 1.0 / 1.5 && d < -0.1 }
     val rmap = regressed
       .map { case (n, r, _) => "\"" + n + "\":" + f"$r%.2f" }.mkString("{", ",", "}")
-    f""""vs_prior":{"record":"$priorName","calib_ratio":$ratio%.3f,"shared":${norm.size},"regressed":$rmap,"improved":$improved}"""
+    f""""vs_prior":{"record":"$priorName","norm":"$how","session_ratio":$ratio%.3f,"calib_ratio":$calibRatio%.3f,"shared":${norm.size},"regressed":$rmap,"improved":$improved}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -272,23 +290,32 @@ object Bench {
       all.get(name).foreach(fn =>
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () })
     }
-    // 3 timed reps after warm-up: min is the steady-state number, max the
-    // spread (r3→r4 showed ±70% per-query swings with ZERO code change),
-    // and the median is the load-robust middle — a real regression moves
-    // the median; a noisy host moves only the max.
+    // 3 timed passes after warm-up, INTERLEAVED (r10 verdict task #2):
+    // the whole headline list runs in rotation — pass k of every query
+    // completes before pass k+1 of any query — instead of 3 consecutive
+    // reps per query. A transient host-load window (GC storm, co-tenant
+    // burst, page-cache eviction) then lands on ONE pass of many queries
+    // rather than ALL reps of the few queries unlucky enough to be
+    // running, so the per-query min-across-passes discards it; with
+    // consecutive reps the same window poisoned every sample a query had
+    // (r10's four phantom 1.5-1.9× flags all sat in one stretch of the
+    // list). min is the steady-state number, max the spread (r3→r4
+    // showed ±70% per-query swings with ZERO code change), median the
+    // load-robust middle.
     val reps = 3
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     calibSecs() // JIT-warm the calibration loop before anything is timed
     val load0 = osBean.getSystemLoadAverage
-    val results: Seq[Timing] = headline.flatMap { name =>
-      all.get(name).map { fn =>
-        val times = (1 to reps).map { _ =>
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          (System.nanoTime() - t0) / 1e9
-        }.sorted
-        (name, times.head, times(reps / 2), times.last)
-      }
+    val resolved = headline.flatMap(n => all.get(n).map(n -> _))
+    val samples = Array.fill(resolved.size, reps)(0.0)
+    for (pass <- 0 until reps; ((_, fn), qi) <- resolved.zipWithIndex) {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      samples(qi)(pass) = (System.nanoTime() - t0) / 1e9
+    }
+    val results: Seq[Timing] = resolved.zipWithIndex.map { case ((name, _), qi) =>
+      val times = samples(qi).sorted
+      (name, times.head, times(reps / 2), times.last)
     }
     val load1 = osBean.getSystemLoadAverage
     val calib = calibSecs()

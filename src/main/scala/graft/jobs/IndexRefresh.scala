@@ -99,6 +99,11 @@ object IndexRefresh {
     Plan("knn_capped_buckets", "embeddings", "sim_knn_graph"),
     Plan("knn_cluster_labels", "embeddings", "sim_cluster_knn"),
     Plan("knn_edges_deg", "embeddings", "sim_seed_expand"),
+    // knn_pagerank is the one WARM-refreshable artifact: when its input
+    // changed but the stored ranks still cover (>= 90% of) the current
+    // node set, the refresh re-seeds from the stored ranks and runs
+    // Similarity.PrWarmIters iterations over the freshly rebuilt edge
+    // artifact instead of the 5-iteration cold build (see warmPagerank)
     Plan("knn_pagerank", "embeddings", "sim_graph_pagerank"),
     Plan("ivf_label_centarr", "embeddings", "sim_ivf_ann", centroidGated = true),
     Plan("ivf_kmeans_centarr", "embeddings", "sim_ivf_kmeans", centroidGated = true),
@@ -276,6 +281,11 @@ object IndexRefresh {
     *  - `adopted`  — gated row whose input changed (or has no recorded
     *                 fingerprint) but whose canary is below threshold:
     *                 kept serving, fingerprint (re)recorded
+    *  - `warm`     — knn_pagerank only: input changed but the stored
+    *                 ranks cover >= 90% of the current node set, so the
+    *                 artifact is refreshed by the warm re-seed
+    *                 (PrWarmIters iterations over the rebuilt edges)
+    *                 instead of the 5-iteration cold build
     *
     * A MISSING fingerprint on a per-row artifact is treated as a
     * changed input, never adopted: the sidecar's absence means the
@@ -315,9 +325,21 @@ object IndexRefresh {
     // deep by construction (no derived-of-derived in the registry).
     val rebuilding = prelim.collect {
       case (a, _, act) if act == "built" || act == "rebuilt" => a.key }.toSet
-    val decisions = prelim.map {
+    val promoted = prelim.map {
       case (a, path, act) if act != "built" &&
           a.derivedFrom.exists(rebuilding.contains) => (a, path, "rebuilt")
+      case other => other
+    }
+    // WARM-refresh election for knn_pagerank (r10 verdict task #6): a
+    // stale rank artifact whose stored ranks still COVER the current
+    // node set re-seeds from them instead of cold-building — the gate is
+    // one narrow join count (canary-cost), warm iff >= 90% of current
+    // nodes already carry a stored rank. The stored path is NOT deleted
+    // (it IS the seed); warmPagerank below republishes over it after the
+    // edge artifact has rebuilt.
+    val decisions = promoted.map {
+      case (a, path, "rebuilt") if a.key == "knn_pagerank" &&
+          warmCoverageOk(spark, dir, path) => (a, path, "warm")
       case other => other
     }
     // delete every stale path first (a builder may rebuild several keys
@@ -331,6 +353,11 @@ object IndexRefresh {
     decisions.collect { case (a, _, act) if act == "built" || act == "rebuilt" => a.builder }
       .distinct
       .foreach(b => SparkEntry.queries(b)(spark, dir).count())
+    // the warm pass runs AFTER the builder loop so it iterates over the
+    // freshly rebuilt knn_edges_deg artifact, not the stale one
+    decisions.foreach { case (_, path, action) =>
+      if (action == "warm") warmPagerank(spark, dir, root, path)
+    }
     decisions.map { case (a, path, action) =>
       if (action != "fresh") {
         if (!IndexStore.exists(spark, path))
@@ -344,6 +371,41 @@ object IndexRefresh {
       }
       (a.key, action)
     }
+  }
+
+  /** Warm-start gate for knn_pagerank: true when >= 90% of the CURRENT
+    * node set already carries a stored rank (integer comparison, one
+    * narrow join count). Below that the corpus was largely replaced and
+    * the stored seed carries no structure worth starting from — cold
+    * build instead. */
+  private def warmCoverageOk(spark: SparkSession, dir: String,
+      path: String): Boolean = {
+    val nodes = Tables(spark, dir, "embeddings").select(col("vec_id").as("node"))
+    val stored = IndexStore.load(spark, path).select("node")
+    val nCur = nodes.count()
+    val covered = nodes.join(stored, "node").count()
+    nCur > 0 && 10L * covered >= 9L * nCur
+  }
+
+  /** Execute the warm PageRank refresh over the REBUILT edge artifact:
+    * seed = stored ranks (new nodes at the uniform share), PrWarmIters
+    * iterations (Similarity.pagerankWarmRefresh — the oracle-checked
+    * sim_pagerank_incr kernel), atomic republish over the same path. The
+    * result is the warm APPROXIMATION of the new graph's ranks (ranks
+    * are consumed as a relative ordering); scheduled IndexBuild cold
+    * builds remain the convergence anchor. */
+  private def warmPagerank(spark: SparkSession, dir: String, root: String,
+      path: String): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    val nodes = Tables(spark, dir, "embeddings").select(col("vec_id").as("node"))
+    val edges = IndexStore.load(spark,
+      Tables.storePath(root, dir, "knn_edges_deg"))
+    val stored = IndexStore.load(spark, path)
+    val warm = graft.ops.Similarity.pagerankWarmRefresh(
+      nodes, edges, stored, nodes.count())
+    // save stages to a temp sibling and only then replaces the path, so
+    // the plan's read of the stored seed completes before the swap
+    IndexStore.save(warm, path)
   }
 
   def main(args: Array[String]): Unit = {

@@ -1,5 +1,6 @@
 package graft.jobs
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -62,31 +63,46 @@ object IngestJob {
       graft.ops.Dedup.baseBandIndex(spark, baseDir),
       graft.ops.TextOps.winnowCappedPostings(spark, baseDir).localCheckpoint())
 
+  /** Publish one sink's batch partition ATOMICALLY: stage the write to a
+    * HIDDEN dot-prefixed sibling — Hadoop/Spark input listings skip
+    * paths starting with `.` or `_`, so no reader ever lists the stage —
+    * then rename into place (IndexStore.save's publish discipline at
+    * partition granularity; rename is atomic on HDFS and posix). */
+  private[jobs] def publishPartition(df: DataFrame, sinkDir: String,
+      batchId: Long): Unit = {
+    val dest = new Path(s"$sinkDir/batch_id=$batchId")
+    val tmp = new Path(s"$sinkDir/.batch_id=$batchId.staging")
+    val fs = tmp.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(dest)) fs.delete(dest, true)
+    if (!fs.rename(tmp, dest))
+      sys.error(s"IngestJob: could not publish $tmp -> $dest")
+  }
+
   /** One micro-batch through the topology — IDEMPOTENT by batch id:
-    * each sink write lands in (and overwrites) that batch's own
-    * `batch_id=N` partition directory, so a crash between the two
-    * writes and the offset-log commit replays the batch into the SAME
+    * each sink write lands in (and replaces) that batch's own
+    * `batch_id=N` partition directory, so a crash between the writes
+    * and the offset-log commit replays the batch into the SAME
     * partitions instead of appending duplicates. foreachBatch is
     * at-least-once; idempotent writes are what upgrade the pipeline to
     * effectively-once (partition discovery supplies batch_id on read).
     *
-    * READ-SIDE CAVEAT: effectively-once here describes the QUIESCENT
-    * post-replay state. mode("overwrite") of a partition is
-    * delete-then-write, so a reader racing a replay can observe a
-    * partially rewritten batch_id partition, and a crash between the
-    * drift write and the admitted write leaves the two sinks one batch
-    * out of step until the replay completes. Readers must either
-    * tolerate in-flight batch partitions (filter to batch_ids below the
-    * committed watermark) or the sinks get the IndexStore.save
-    * temp-path + rename treatment for atomic per-partition visibility. */
+    * Each partition is published via stage + rename (publishPartition),
+    * so a reader racing a replay observes the partition either absent,
+    * fully old, or fully new — NEVER partially written (the r10
+    * read-side caveat, closed; IngestJobSpec's staged-dir test pins that
+    * a reader cannot see in-flight rows). The remaining non-atomicity is
+    * ACROSS sinks: a crash between two partition publishes leaves the
+    * sinks one batch out of step until the offset-log replay completes. */
   private[jobs] def processBatch(df: DataFrame, batchId: Long,
       outDir: String, refs: Refs): Unit = {
     // the batch frame has ≥3 consumers below (drift card, gates, two
     // dup probes) — pin it so foreachBatch's source isn't re-read per sink
     val batch = df.localCheckpoint()
     // monitor the RAW batch — a gated view would hide the outage
-    DriftMonitor.drift(DriftMonitor.card(batch), refs.drift)
-      .write.mode("overwrite").parquet(s"$outDir/drift/batch_id=$batchId")
+    publishPartition(
+      DriftMonitor.drift(DriftMonitor.card(batch), refs.drift),
+      s"$outDir/drift", batchId)
     // DUP-GATE probes against the STORED indexes — candidates written
     // alongside admissions (flag, don't silently drop: the admission
     // policy is a downstream curation decision; the gate's job is to
@@ -96,16 +112,19 @@ object IngestJob {
     //  - span-level: StreamingDedup.winnowHits — the ONE code path shared
     //    with the streaming library — against the df-capped postings,
     //    thresholded by the same MinSharedFps rule as the batch query
-    graft.ops.Dedup.crossCandidates(refs.bandIndex,
-        graft.ops.Dedup.arrivalBandSigs(batch))
-      .select(col("db").as("doc_id"), col("da").as("dup_of"))
-      .write.mode("overwrite").parquet(s"$outDir/dup_hits/batch_id=$batchId")
-    StreamingDedup.winnowHits(batch, refs.winnowPostings)
-      .groupBy("doc_id", "dup_of").agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= graft.ops.TextOps.MinSharedFps)
-      .write.mode("overwrite").parquet(s"$outDir/winnow_hits/batch_id=$batchId")
-    IngestFilters.domainGate(IngestFilters.classifierGate(batch), refs.decisions)
-      .write.mode("overwrite").parquet(s"$outDir/admitted/batch_id=$batchId")
+    publishPartition(
+      graft.ops.Dedup.crossCandidates(refs.bandIndex,
+          graft.ops.Dedup.arrivalBandSigs(batch))
+        .select(col("db").as("doc_id"), col("da").as("dup_of")),
+      s"$outDir/dup_hits", batchId)
+    publishPartition(
+      StreamingDedup.winnowHits(batch, refs.winnowPostings)
+        .groupBy("doc_id", "dup_of").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= graft.ops.TextOps.MinSharedFps),
+      s"$outDir/winnow_hits", batchId)
+    publishPartition(
+      IngestFilters.domainGate(IngestFilters.classifierGate(batch), refs.decisions),
+      s"$outDir/admitted", batchId)
   }
 
   /** Start the ingest stream over a JSON-lines arrival directory. */

@@ -345,6 +345,43 @@ object Similarity {
     * round (the starCC localCheckpoint discipline). The iteration count
     * is fixed (5), not convergence-tested: no driver-side loop decision
     * depends on data, so the plan is static and the oracle unrollable. */
+  /** Integer PageRank total mass (1e12) — shared by the cold build, the
+    * warm refresh, and both oracles. */
+  private val PrMass = 1000000000000L
+
+  /** Warm-refresh iteration count. Two is the standard warm-start
+    * budget: the seed already carries the converged structure of the old
+    * graph, so the iterations only need to flow rank across the appended
+    * edges — IndexRefreshSpec measures the warm job count strictly below
+    * the 5-iteration cold build's. */
+  private[graft] val PrWarmIters = 2
+
+  /** `iters` integer PageRank iterations from `seed` over a
+    * degree-attached edge frame — the ONE iteration kernel the cold
+    * build (uniform seed, 5 iters) and the warm refresh (stored-rank
+    * seed, PrWarmIters) both run, so the two paths cannot disagree on
+    * the update rule. Each iteration: one shuffle join (edges × ranks on
+    * src), one keyed aggregation (contributions by dst), one left join
+    * back to the node frame — linear in n, lineage truncated every other
+    * round. */
+  private def prIterate(nodes: DataFrame, edges: DataFrame, seed: DataFrame,
+      nTotal: Long, iters: Int): DataFrame = {
+    val base = (15L * PrMass) / (100L * nTotal)
+    var rank = seed
+    for (i <- 1 to iters) {
+      val contrib = edges
+        .join(rank.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"), expr("(85 * rank) div (100 * deg)").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("cs"))
+      rank = nodes
+        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + coalesce(col("cs"), lit(0L))).as("rank"))
+      if (i % 2 == 0) rank = rank.localCheckpoint()
+    }
+    rank
+  }
+
   private[ops] def pagerankRanks(s: SparkSession, dir: String): DataFrame =
     Tables.cachedFrame(s, dir, "knn_pagerank") {
       prBuildCounts.updateWith((s, dir))(c => Some(c.getOrElse(0) + 1))
@@ -354,23 +391,29 @@ object Similarity {
       val ed = knnEdgesDeg(s, dir)
       val e = Tables(s, dir, "embeddings")
       val n = Tables.cachedStat(s, dir, "count:embeddings")(e.count())
-      val S = 1000000000000L
-      val base = (15L * S) / (100L * n)
       val nodes = e.select(col("vec_id").as("node"))
-      var rank = nodes.select(col("node"), lit(S / n).as("rank"))
-      for (i <- 1 to 5) {
-        val contrib = ed
-          .join(rank.withColumnRenamed("node", "src"), "src")
-          .select(col("dst"), expr("(85 * rank) div (100 * deg)").as("c"))
-          .groupBy("dst").agg(sum(col("c")).as("cs"))
-        rank = nodes
-          .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
-          .select(col("node"),
-            (lit(base) + coalesce(col("cs"), lit(0L))).as("rank"))
-        if (i % 2 == 0) rank = rank.localCheckpoint()
-      }
-      rank
+      prIterate(nodes, ed, nodes.select(col("node"), lit(PrMass / n).as("rank")), n, 5)
     }
+
+  /** WARM PageRank refresh — the standard re-seed-from-stored-ranks warm
+    * start (r10 verdict task #6): nodes already ranked keep their stored
+    * rank as the seed, new nodes seed at the uniform share under the NEW
+    * node count, and only PrWarmIters iterations run over the maintained
+    * (base + appended) edge frame. The seed already encodes the old
+    * graph's converged structure; the short budget flows rank across the
+    * appended edges. Cost: 2/5 of the cold build's iteration jobs plus
+    * one seed join — no bucket build, no edge rebuild. The result is the
+    * warm APPROXIMATION of the new graph's ranks (ranks are consumed as
+    * a relative ordering; a full re-cluster refresh still cold-builds) —
+    * deterministic integer arithmetic end to end, so the sim_pagerank_incr
+    * oracle replays it bit-for-bit. */
+  private[graft] def pagerankWarmRefresh(nodes: DataFrame, edges: DataFrame,
+      stored: DataFrame, nTotal: Long): DataFrame =
+    prIterate(nodes, edges,
+      nodes.join(stored, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("rank"), lit(PrMass / nTotal)).as("rank")),
+      nTotal, PrWarmIters)
 
   /** Oracle CTEs replaying cappedKnnBuckets' bucketed corpus: centered
     * buckets + per-bucket sub-split counts. Expects `comp` and `params`
@@ -1037,6 +1080,33 @@ object Similarity {
         .select(col("src"), col("dst"), col("deg"))
       tempStoreMerge(s, "edges", knnEdgesDeg(s, dir), arrEd)
         .orderBy("src", "dst")
+    }),
+
+    // WARM PAGERANK REFRESH — the third leg of the graph family's
+    // maintenance story (labels route arrivals, edges append their kNN
+    // links; this refreshes the centrality artifact those consumers
+    // rank by WITHOUT the 5-iteration cold build): re-seed from the
+    // STORED ranks (new nodes at the uniform share under the new count),
+    // run PrWarmIters iterations over the maintained base+arrival edge
+    // frame — see pagerankWarmRefresh. Same arrival convention as the
+    // other *_incr queries; same integer arithmetic, so the oracle
+    // replays the 5-iter base build AND the 2-iter warm pass exactly.
+    "sim_pagerank_incr" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val e = Tables(s, dir, "embeddings")
+      val arrTop = topK3(arrivalProbeCands(s, dir))
+        .select(col("qid").as("src"), col("nid").as("dst"))
+      val arrEd = arrTop
+        .join(arrTop.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+        .select(col("src"), col("dst"), col("deg"))
+      val edges = knnEdgesDeg(s, dir).unionAll(arrEd)
+      val n = Tables.cachedStat(s, dir, "count:embeddings")(e.count())
+      val narr = Tables.cachedStat(s, dir, "count:pr_arrivals")(
+        arrivalBatch(e).count())
+      val nodes = e.select(col("vec_id").as("node"))
+        .unionAll(arrivalBatch(e).select(col("vec_id").as("node")))
+      pagerankWarmRefresh(nodes, edges, pagerankRanks(s, dir), n + narr)
+        .orderBy("node")
     }),
 
     // CLUSTER QUALITY EVALUATION — "are the semantic clusters real?"
@@ -1899,6 +1969,56 @@ object Similarity {
             SELECT src, dst, CAST(deg AS BIGINT) AS deg FROM (
               SELECT * FROM ed UNION ALL SELECT * FROM bed)
             ORDER BY src, dst""",
+
+      // the 5-iteration base PageRank (r5) + the arrival top-3 edges
+      // (bed, the edges_incr rule) merged into the base edge list, then
+      // the TWO warm iterations re-seeded from r5 — new nodes seeded at
+      // the uniform share under the new count n2
+      "sim_pagerank_incr" ->
+        s"""WITH ${Lsh.paramsSql("embeddings")},
+            comp AS (
+              SELECT vec_id, unnest(embedding) AS x,
+                     generate_subscripts(embedding, 1) - 1 AS d
+              FROM embeddings),
+            $knnPairsSql,
+            dots AS ($dotsSql),
+            ranked AS (
+              SELECT qid, nid, round(dot / (nq * nc), 6) AS cos_r,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY round(dot / (nq * nc), 6) DESC, nid) AS rank
+              FROM dots),
+            topk AS (SELECT qid, nid FROM ranked WHERE rank <= 3),
+            $pagerankCtesSql,
+            $arrivalProbeSql,
+            branked AS (
+              SELECT qid, nid,
+                     row_number() OVER (PARTITION BY qid
+                       ORDER BY round(dot / (nq * nc), 6) DESC, nid) AS rank
+              FROM bdots),
+            btopk AS (SELECT qid, nid FROM branked WHERE rank <= 3),
+            bdeg AS (SELECT qid AS src, count(*) AS deg FROM btopk GROUP BY 1),
+            bed AS (SELECT t.qid AS src, t.nid AS dst, d.deg
+                    FROM btopk t JOIN bdeg d ON t.qid = d.src),
+            med AS (SELECT * FROM ed UNION ALL SELECT * FROM bed),
+            alln AS (SELECT vec_id AS node FROM embeddings
+                     UNION ALL
+                     SELECT vec_id + 100000 AS node FROM embeddings
+                     WHERE vec_id % 5 = 0),
+            n2 AS (SELECT count(*) AS n2 FROM alln),
+            w0 AS (SELECT a.node,
+                          CAST(coalesce(r.rank, 1000000000000 // n2) AS BIGINT) AS rank
+                   FROM alln a CROSS JOIN n2
+                   LEFT JOIN r5 r ON a.node = r.node),
+            ${(1 to 2).map(i =>
+              s"""wc$i AS (SELECT dst, sum((85 * rank) // (100 * deg)) AS cs
+                          FROM med JOIN w${i - 1} ON med.src = w${i - 1}.node
+                          GROUP BY dst),
+                  w$i AS (SELECT a.node,
+                                 CAST((15 * 1000000000000) // (100 * n2)
+                                      + coalesce(cs, 0) AS BIGINT) AS rank
+                          FROM alln a CROSS JOIN n2
+                          LEFT JOIN wc$i ON a.node = wc$i.dst)""").mkString(",\n")}
+            SELECT node, rank FROM w2 ORDER BY node""",
 
       // labels + PageRank replay, the per-cluster argmax exemplar and
       // the global argmax, then the two per-member cosines and the

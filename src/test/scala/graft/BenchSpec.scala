@@ -152,6 +152,35 @@ class BenchSpec extends AnyFunSuite {
     assert(jitter.contains(""""regressed":{}"""), jitter)
   }
 
+  test("vs_prior: median-of-ratios normalization absorbs host drift the calib loop cannot see") {
+    // r10's exact failure shape: the host's multi-core throughput drifts
+    // ~1.6× on shuffle-heavy queries while the single-thread calib loop
+    // measures IDENTICAL (0.098 every session). With >= MedianNormMin
+    // shared queries the fleet median is the denominator, so the uniform
+    // drift normalizes away even though calib says the host is unchanged.
+    val prior = (1 to 9).map(i => s"steady_q$i" -> 1.0).toMap + ("real_q" -> 1.0)
+    val drift = 1.6
+    val results: Seq[Bench.Timing] =
+      (1 to 9).map(i => (s"steady_q$i", drift, drift, drift)) :+
+        ("real_q", 2.0 * drift, 2.0 * drift, 2.0 * drift)
+    // calib identical across sessions (ratio 1.0) — the r10 trap
+    val vs = Bench.vsPrior(results, calib = 0.098, calibMt = 0.14,
+      "BENCH_r10.json", prior, Some(0.098), Some(0.14))
+    assert(vs.contains(""""norm":"median""""), vs)
+    assert(vs.contains(""""session_ratio":1.600"""), vs)
+    assert(vs.contains(""""real_q":2.00"""), s"real 2x regression must survive: $vs")
+    assert(!vs.contains("steady_q"), s"uniform host drift must normalize away: $vs")
+    // and the same-code case: every query at the drifted level, nothing flagged
+    val same = Bench.vsPrior(
+      prior.keys.toSeq.sorted.map(n => (n, drift, drift, drift)),
+      0.098, 0.14, "BENCH_r10.json", prior, Some(0.098), Some(0.14))
+    assert(same.contains(""""regressed":{}"""), s"identical code must flag nothing: $same")
+    // below MedianNormMin shared queries the calib path takes over
+    val few = Bench.vsPrior(Seq(("real_q", 1.0, 1.0, 1.0)), 0.1, 0.1,
+      "BENCH_r10.json", Map("real_q" -> 1.0), Some(0.1), Some(0.1))
+    assert(few.contains(""""norm":"calib""""), few)
+  }
+
   test("detail json carries the vs_prior block when a prior record parses") {
     val detail = Bench.detailJson(syntheticResults(35), reps = 3, sf = "0.1",
       Bench.vsPrior(Seq(("agg_q1_pricing", 0.2, 0.2, 0.2)), 0.1, 0.1,

@@ -103,21 +103,39 @@ class IndexRefreshSpec extends SparkSpec {
       adoptable.foreach(k => assert(r4(k) == "adopted", s"$k: ${r4(k)}"))
       derived.foreach(k => assert(r4(k) == "rebuilt",
         s"$k: ${r4(k)} — must rebuild with its rebuilt upstream"))
-      (embKeys -- gated).foreach(k => assert(r4(k) == "rebuilt", s"$k: ${r4(k)}"))
+      // knn_pagerank is the warm-refreshable artifact: the stored ranks
+      // cover all but the one appended node, so it re-seeds instead of
+      // cold-building (its build counter must stay flat)
+      assert(r4("knn_pagerank") == "warm", s"knn_pagerank: ${r4("knn_pagerank")}")
+      (embKeys -- gated - "knn_pagerank").foreach(k =>
+        assert(r4(k) == "rebuilt", s"$k: ${r4(k)}"))
       adoptable.foreach(k => assert(buildCount(root, data, k) == 1,
         s"$k rebuilt despite a below-threshold canary"))
       derived.foreach(k => assert(buildCount(root, data, k) == 2, s"$k not promoted"))
-      (embKeys -- gated).foreach(k => assert(buildCount(root, data, k) == 2,
-        s"$k must rebuild on any input change"))
+      (embKeys -- gated - "knn_pagerank").foreach(k =>
+        assert(buildCount(root, data, k) == 2,
+          s"$k must rebuild on any input change"))
+      assert(buildCount(root, data, "knn_pagerank") == 1,
+        "warm refresh must not run the cold pagerank builder")
+      // the warm refresh REPLACED the artifact (it iterates over the
+      // rebuilt edges): the stored ranks must cover the appended node
+      val s4b = spark.newSession()
+      val warmRanks = graft.engine.IndexStore.load(s4b,
+        graft.engine.Tables.storePath(root, data, "knn_pagerank"))
+      assert(warmRanks.filter(col("node") === 999999L).count() == 1,
+        "warm-refreshed ranks must include the appended node")
 
       // ---- phase 5: corpus-wide rescale — the canary fires and the
-      // centroid artifacts rebuild too ----
+      // centroid artifacts rebuild too; node ids persist, so pagerank
+      // still warm-refreshes (ranks are a relative ordering; scheduled
+      // cold builds are the convergence anchor) ----
       rewrite("embeddings")(e =>
         e.withColumn("embedding",
           expr("transform(embedding, x -> CAST(x AS FLOAT) * CAST(1.5 AS FLOAT))")))
       val r5 = IndexRefresh.refresh(spark.newSession(), data).toMap
       docKeys.foreach(k => assert(r5(k) == "fresh", s"$k: ${r5(k)}"))
-      embKeys.foreach(k => assert(r5(k) == "rebuilt", s"$k: ${r5(k)}"))
+      assert(r5("knn_pagerank") == "warm", s"knn_pagerank: ${r5("knn_pagerank")}")
+      (embKeys - "knn_pagerank").foreach(k => assert(r5(k) == "rebuilt", s"$k: ${r5(k)}"))
       adoptable.foreach(k => assert(buildCount(root, data, k) == 2,
         s"$k must rebuild once the canary fires"))
       derived.foreach(k => assert(buildCount(root, data, k) == 3, s"$k"))
@@ -157,6 +175,44 @@ class IndexRefreshSpec extends SparkSpec {
         assert(IndexStore.exists(s, Tables.storePath(root, src, a.key)),
           s"${a.key}: not built by IndexBuild's builder list")
       }
+    } finally Tables.indexDirOverride = None
+  }
+
+  test("warm pagerank refresh costs fewer Spark jobs than the cold build") {
+    // the r10 verdict's acceptance bar for task #6: the warm re-seed
+    // (PrWarmIters iterations from stored ranks) must be measurably
+    // cheaper than the 5-iteration cold build over the SAME stored edge
+    // substrate — counted in Spark jobs, the unit the refresh pays in
+    val root = Files.createTempDirectory("graft-warmpr-root").toString
+    Tables.indexDirOverride = Some(root)
+    try {
+      def countJobs(body: => Unit): Int = {
+        val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+        val l = new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            jobs.incrementAndGet()
+        }
+        spark.sparkContext.addSparkListener(l)
+        try { body; Thread.sleep(500) } finally spark.sparkContext.removeSparkListener(l)
+        jobs.get()
+      }
+      // substrate: buckets + edges built and stored first, so both
+      // measurements start from a warm edge artifact
+      graft.SparkEntry.queries("sim_seed_expand")(spark.newSession(), src).count()
+      val coldJobs = countJobs {
+        graft.SparkEntry.queries("sim_graph_pagerank")(spark.newSession(), src).count()
+      }
+      val s = spark.newSession()
+      val nodes = Tables(s, src, "embeddings").select(col("vec_id").as("node"))
+      val edges = IndexStore.load(s, Tables.storePath(root, src, "knn_edges_deg"))
+      val stored = IndexStore.load(s, Tables.storePath(root, src, "knn_pagerank"))
+      val n = nodes.count()
+      val warmJobs = countJobs {
+        graft.ops.Similarity.pagerankWarmRefresh(nodes, edges, stored, n).count()
+      }
+      assert(warmJobs > 0 && coldJobs > 0)
+      assert(warmJobs < coldJobs,
+        s"warm refresh ($warmJobs jobs) must cost less than the cold build ($coldJobs jobs)")
     } finally Tables.indexDirOverride = None
   }
 

@@ -133,6 +133,51 @@ class IngestJobSpec extends SparkSpec {
       s"replay duplicated admitted rows: $admittedReplay vs ${admitted.size}")
   }
 
+  test("atomic partition publish: readers never observe a staged (in-flight) batch partition") {
+    val out = Files.createTempDirectory("graft-atomic-out").toString
+    import spark.implicits._
+    val refs = IngestJob.references(spark, dir)
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source", "text").limit(40).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    IngestJob.processBatch(rows.toDF("doc_id", "source", "text"), 0L, out, refs)
+
+    // (1) the publish leaves no stage directories behind, and every
+    // published partition carries the parquet completeness marker
+    val sinks = Seq("drift", "dup_hits", "winnow_hits", "admitted")
+    sinks.foreach { s =>
+      val children = new java.io.File(s"$out/$s").listFiles().map(_.getName)
+      assert(!children.exists(_.endsWith(".staging")),
+        s"$s: stage dir left behind: ${children.toSeq}")
+      assert(Files.exists(Paths.get(s"$out/$s/batch_id=0/_SUCCESS")),
+        s"$s: published partition missing _SUCCESS")
+    }
+    val n0 = spark.read.parquet(s"$out/admitted").count()
+    assert(n0 > 0)
+
+    // (2) a crashed-mid-replay stage — a fully written parquet dir at the
+    // hidden stage path, rename never executed — is INVISIBLE to readers:
+    // Hadoop input listings skip dot-prefixed paths, so the in-flight
+    // batch contributes zero rows and no schema conflicts
+    rows.take(5).toDF("doc_id", "source", "text")
+      .withColumn("admitted_extra", lit(true))
+      .write.parquet(s"$out/admitted/.batch_id=7.staging")
+    assert(spark.read.parquet(s"$out/admitted").count() == n0,
+      "a reader observed rows from a staged, unpublished partition")
+
+    // (3) replaying the same batch over the leftover stage completes and
+    // leaves the sink content identical (idempotent replay through the
+    // stage+rename path — the kill/replay shape end to end)
+    IngestJob.processBatch(rows.toDF("doc_id", "source", "text"), 0L, out, refs)
+    assert(spark.read.parquet(s"$out/admitted").count() == n0,
+      "replay through the atomic publish path changed the sink")
+    // and a NEW batch id publishes through a pre-existing dirty stage too
+    IngestJob.processBatch(rows.take(10).toDF("doc_id", "source", "text"), 7L, out, refs)
+    val batch7 = spark.read.parquet(s"$out/admitted")
+      .filter(col("batch_id").cast("long") === 7L).count()
+    assert(batch7 > 0 && spark.read.parquet(s"$out/admitted").count() == n0 + batch7)
+  }
+
   test("ingest dup-gate: a planted near-dup arrival is flagged by both probes, batch ≡ stream") {
     val in = Files.createTempDirectory("graft-dupgate-in").toString
     val out = Files.createTempDirectory("graft-dupgate-out").toString

