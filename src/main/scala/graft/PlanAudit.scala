@@ -258,6 +258,14 @@ object PlanAudit {
     val flagged = audit(spark, dir)
     flagged.foreach { case (n, f) => println(s"FLAG $n: $f") }
     println(s"audited ${SparkEntry.queries.size} queries, ${flagged.size} flagged")
+    // machine-readable result for the committed PROBES.json
+    sys.env.get("GRAFT_AUDIT_JSON").foreach { p =>
+      val fl = flagged.map { case (n, f) =>
+        s""""$n":"${f.replace("\"", "'")}"""" }.mkString(",")
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        s"""{"metric":"plan_audit","audited":${SparkEntry.queries.size},"flagged":{$fl}}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     spark.stop()
   }
 }

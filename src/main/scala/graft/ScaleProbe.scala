@@ -64,7 +64,8 @@ object ScaleProbe {
     "text_decontaminate_spans", "dedup_threshold_calibration",
     "sim_cluster_labels_incr", "curate_domain_decisions",
     "text_decontam_spans_multi", "sim_graph_edges_incr",
-    "sim_cluster_quality", "text_gopher_rules", "mix_doremi")
+    "sim_cluster_quality", "text_gopher_rules", "mix_doremi",
+    "sim_pagerank_incr")
 
   def main(args: Array[String]): Unit = {
     val spillMode = args.headOption.contains("spill")
@@ -190,6 +191,7 @@ object ScaleProbe {
       val marginalHdr = if (mults.size >= 2)
         f"  marg_${mults.init.last}%d->${mults.last}%dx" else ""
       println(f"${"query"}%-24s ${"t_1x"}%8s$multCols$marginalHdr")
+      val jsonRows = Seq.newBuilder[String]
       queries.foreach { name =>
         val t1 = best(name, base)
         val ts = mults.map(m => best(name, outFor(m)))
@@ -200,6 +202,19 @@ object ScaleProbe {
         val marginal = if (mults.size >= 2)
           f"  ${ts.last / ts.init.last}%9.2f" else ""
         println(f"$name%-24s $t1%8.2f$cols$marginal")
+        val tsJson = mults.zip(ts)
+          .map { case (m, tn) => f""""t_${m}%dx":$tn%.2f""" }.mkString(",")
+        val margJson = if (mults.size >= 2)
+          f""","marginal":${ts.last / ts.init.last}%.2f""" else ""
+        jsonRows += f""""$name":{"t_1x":$t1%.2f,$tsJson$margJson}"""
+      }
+      // machine-readable rows for the committed PROBES.json (r10 verdict
+      // task #7): the same numbers as the table above, keyed per query
+      sys.env.get("GRAFT_SCALE_JSON").foreach { p =>
+        val json = s"""{"metric":"scale_probe","mults":[${mults.mkString(",")}],""" +
+          s""""queries":{${jsonRows.result().mkString(",")}}}"""
+        java.nio.file.Files.write(java.nio.file.Paths.get(p),
+          json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       }
     }
     spark.stop()

@@ -49,4 +49,26 @@ class CompileDirSpec extends AnyFunSuite {
       assert(t.contains(frag), s"missing $frag in:\n$t")
     }
   }
+
+  test("fan-out probe's synthetic rule corpus compiles through the directory path") {
+    // the 1000-rule probe's YAML must exercise the REAL compileDir
+    // pipeline — pin here that the generated document compiles to the
+    // expected shape, at a small count (the probe itself runs 1000)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-fanout-yaml")
+    (0 until 30).foreach(i => java.nio.file.Files.write(
+      tmp.resolve(f"synthetic_$i%04d.yml"),
+      graft.RuleFanoutProbe.ruleYaml(i).getBytes("UTF-8")))
+    val rules = RuleCompiler.compileDir(tmp.toString)
+    assert(rules.size == 30)
+    val r1 = rules.find(_.name == "Synthetic fan-out probe rule 1").get
+    val sql = r1.where.toDuckDb(f => f)
+    // process_creation category prefix + the two unique contains patterns
+    assert(sql.contains("event_id = 1"), sql)
+    assert(sql.contains("-fanout-probe-1-a") && sql.contains("-fanout-probe-1-b"), sql)
+    assert(r1.severity == 5 && r1.technique == Seq("attack.t1059"))
+    // every 25th rule carries the firing pool literal, others never fire
+    val r0 = rules.find(_.name == "Synthetic fan-out probe rule 0").get
+    assert(r0.where.toDuckDb(f => f).contains("cmdkey /list"))
+    assert(!sql.contains("cmdkey /list"))
+  }
 }
