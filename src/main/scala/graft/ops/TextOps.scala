@@ -1541,20 +1541,47 @@ object TextOps {
           sum(when(col("len") > col("hi"), 1L).otherwise(0L)).as("too_long"))
     }),
 
-    // The documented 100 TB swap for text_length_outliers, as CODE: the
-    // exact `percentile` (full sort-based) bounds become the mergeable
-    // t-digest-style sketch `percentile_approx(len, p, 100)` — accuracy
-    // 100 ⇒ rank error ≤ 1%, so each boundary count differs from the
-    // exact trim by at most ~1% of the corpus (OpsSpec asserts the 2%
-    // two-sided bound). Rows-only check like agg_approx_sketch: DuckDB's
-    // approx quantile is a different sketch with different tie-breaks, so
-    // a hash oracle cannot exist by construction.
+    // The documented 100 TB swap for text_length_outliers, as CODE — and
+    // since round 11 a swap with a FULL hash oracle (one fewer rows-only
+    // exception, r10 verdict task #8). percentile_approx — like any true
+    // t-digest — can never hash-match a second engine: its centroid
+    // state depends on the order partial sketches merge in, which Spark
+    // does not fix. The boundaries therefore come from a DETERMINISTIC
+    // mergeable quantile sketch instead: an HDR-histogram/DDSketch-style
+    // LOG-LINEAR histogram. bucket(len) = 32·floor(log2 len) +
+    // floor(32·(len − 2^b)/2^b), computed with pure integer/string
+    // algebra (length(bin(len)), shifts, floor division) that both
+    // engines evaluate bit-identically — no float channel. Per-bucket
+    // counts are commutative partial aggregates, so the sketch is
+    // merge-order-FREE by construction (the property t-digest lacks); a
+    // quantile answer is the lower bound of the first bucket whose
+    // cumulative count reaches ceil(q·n). Guarantee: bucket width ≤
+    // lower_bound/32, so each boundary lands within 1/32 ≈ 3.1%
+    // value-relative error of the true rank-q value at ANY corpus size,
+    // with ≤ 32·63 buckets of state. The cumulative window runs over the
+    // sketch-sized histogram (≤ ~2k rows of per-task partials), never
+    // the corpus.
     "text_length_outliers_approx" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      def lob(c: String) =
+        s"shiftleft(CAST(1 AS BIGINT), CAST($c div 32 AS INT)) + " +
+          s"(($c % 32) * shiftleft(CAST(1 AS BIGINT), CAST($c div 32 AS INT))) div 32"
       val lens = Tables(s, dir, "documents")
         .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("len"))
-      val bounds = lens.agg(
-        expr("percentile_approx(len, 0.05, 100)").as("lo"),
-        expr("percentile_approx(len, 0.95, 100)").as("hi"))
+      val hist = lens
+        .select(col("len"), (length(expr("bin(len)")) - 1).cast("long").as("b"))
+        .select((col("b") * 32 + expr(
+          "((len - shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))) * 32) " +
+            "div shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))")).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("c"))
+      val cum = hist.withColumn("cum",
+        sum(col("c")).over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val bounds = cum.crossJoin(broadcast(lens.agg(count(lit(1)).as("n"))))
+        .agg(
+          min(when(col("cum") >= expr("(n + 19) div 20"), col("bucket"))).as("bl"),
+          min(when(col("cum") >= expr("(19 * n + 19) div 20"), col("bucket"))).as("bh"))
+        .select(expr(lob("bl")).as("lo"), expr(lob("bh")).as("hi"))
       lens.crossJoin(broadcast(bounds))
         .agg(count(lit(1)).as("docs"),
           sum(when(col("len") >= col("lo") && col("len") <= col("hi"), 1L)
@@ -1576,6 +1603,36 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // the deterministic log-linear histogram sketch, replayed exactly:
+    // identical integer bucket algebra (bin-string length = floor log2,
+    // shifts, floor division), cumulative counts over the sketch-sized
+    // histogram, ceil-rank targets, bucket-lower-bound answers
+    "text_length_outliers_approx" ->
+      """WITH lens AS (
+           SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+           FROM documents),
+         hist AS (
+           SELECT (length(bin(len)) - 1) * 32
+                  + ((len - (CAST(1 AS BIGINT) << (length(bin(len)) - 1))) * 32)
+                    // (CAST(1 AS BIGINT) << (length(bin(len)) - 1)) AS bucket,
+                  count(*) AS c
+           FROM lens GROUP BY 1),
+         cum AS (SELECT bucket, sum(c) OVER (ORDER BY bucket) AS cum FROM hist),
+         nn AS (SELECT count(*) AS n FROM lens),
+         qb AS (SELECT min(CASE WHEN cum >= (n + 19) // 20 THEN bucket END) AS bl,
+                       min(CASE WHEN cum >= (19 * n + 19) // 20 THEN bucket END) AS bh
+                FROM cum CROSS JOIN nn),
+         bounds AS (SELECT
+             (CAST(1 AS BIGINT) << CAST(bl // 32 AS INT))
+               + ((bl % 32) * (CAST(1 AS BIGINT) << CAST(bl // 32 AS INT))) // 32 AS lo,
+             (CAST(1 AS BIGINT) << CAST(bh // 32 AS INT))
+               + ((bh % 32) * (CAST(1 AS BIGINT) << CAST(bh // 32 AS INT))) // 32 AS hi
+           FROM qb)
+         SELECT count(*) AS docs,
+                CAST(sum(CASE WHEN len >= lo AND len <= hi THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+                CAST(sum(CASE WHEN len < lo THEN 1 ELSE 0 END) AS BIGINT) AS too_short,
+                CAST(sum(CASE WHEN len > hi THEN 1 ELSE 0 END) AS BIGINT) AS too_long
+         FROM lens CROSS JOIN bounds""",
     // identical chunking (1-based inclusive slices ≡ Spark's slice), the
     // same planted header/footer lines, and 128-bit md5 line keys; NULLs
     // are skipped by string_agg exactly as collect_list skips them, and

@@ -844,20 +844,41 @@ class OpsSpec extends SparkSpec {
       s"target mean ${mean(t)} must exceed non-target mean ${mean(r)}")
   }
 
-  test("approx length-outlier trim stays within the sketch's rank-error bound of exact") {
-    val exact = TextOps.queries("text_length_outliers")(spark, dir).head()
+  test("approx length-outlier trim honors the log-linear sketch's value-error bound") {
     val approx = TextOps.queries("text_length_outliers_approx")(spark, dir).head()
-    val n = exact.getLong(0)
+    val lens = graft.engine.Tables(spark, dir, "documents")
+      .select(size(split(col("text"), " ")).cast("long")).collect()
+      .map(_.getLong(0)).sorted
+    val n = lens.length.toLong
     assert(approx.getLong(0) == n, "docs count must be exact")
-    // percentile_approx accuracy=100 ⇒ rank error ≤ 1% per boundary; a
-    // boundary shifted by ≤1% of ranks moves each bucket count by ≤1% (2%
-    // two-sided for kept). Ties can only snap the boundary onto the same
-    // values the exact percentile interpolates between.
-    val tol = math.max(2L, (n * 0.02).toLong)
-    Seq(1, 2, 3).foreach { i =>
-      assert(math.abs(approx.getLong(i) - exact.getLong(i)) <= tol,
-        s"col $i: approx=${approx.getLong(i)} exact=${exact.getLong(i)} tol=$tol")
+    assert(approx.getLong(1) + approx.getLong(2) + approx.getLong(3) == n,
+      "trim buckets must partition the corpus")
+    // the sketch's guarantee: each boundary is the lower bound of the
+    // log-linear bucket (32 subdivisions per octave) containing the true
+    // rank-ceil(q·n) value, so lo <= v* <= lo·(1 + 1/32); re-derive the
+    // boundaries from the sketch algebra and check both directions
+    def bucketOf(v: Long): Long = {
+      val b = 63 - java.lang.Long.numberOfLeadingZeros(v)
+      b * 32 + ((v - (1L << b)) * 32) / (1L << b)
     }
+    def lob(bk: Long): Long =
+      (1L << (bk / 32)) + (bk % 32) * (1L << (bk / 32)) / 32
+    def sketchQ(r: Long): Long = {
+      val hist = lens.groupBy(bucketOf).toSeq.sortBy(_._1)
+      var cum = 0L
+      hist.collectFirst {
+        case (bk, vs) if { cum += vs.length; cum >= r } => lob(bk)
+      }.get
+    }
+    val (lo, hi) = (sketchQ((n + 19) / 20), sketchQ((19 * n + 19) / 20))
+    val vLo = lens(((n + 19) / 20 - 1).toInt)   // true rank-ceil(0.05n) value
+    val vHi = lens(((19 * n + 19) / 20 - 1).toInt)
+    assert(lo <= vLo && vLo <= lo + lo / 32 + 1, s"lo=$lo vs exact p05=$vLo")
+    assert(hi <= vHi && vHi <= hi + hi / 32 + 1, s"hi=$hi vs exact p95=$vHi")
+    // and the query's counts are exactly the trim by those boundaries
+    assert(approx.getLong(1) == lens.count(v => v >= lo && v <= hi))
+    assert(approx.getLong(2) == lens.count(_ < lo))
+    assert(approx.getLong(3) == lens.count(_ > hi))
   }
 
   test("k-means IVF: every query gets 3 ranked neighbors, nonzero recall vs brute force") {
