@@ -186,9 +186,13 @@ object Bench {
 "qmax":${jmap(results)(_._4)}${if (extra.isEmpty) "" else ",\n" + extra}}"""
   }
 
-  /** Newest prior driver record (BENCH_r<N>.json, highest N) in `dir`. */
+  /** Newest prior driver record (BENCH_r<N>.json, highest N) in `dir`.
+    * The regex must match the WHOLE name: a substring match would also
+    * accept STREAMBENCH_r<N>.json (the streaming record introduced in
+    * round 11), and its higher N silently displaced the real prior —
+    * parseRecord then found no queries and vs_prior vanished. */
   private[graft] def priorRecordFile(dir: String = "."): Option[java.io.File] = {
-    val rx = "BENCH_r(\\d+)\\.json".r
+    val rx = "^BENCH_r(\\d+)\\.json$".r
     Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty[java.io.File])
       .toSeq
       .flatMap(f => rx.findFirstMatchIn(f.getName).map(m => (m.group(1).toInt, f)))

@@ -142,7 +142,7 @@ object StreamBench {
     * round-over-round eps comparison (the batch headline's vs_prior
     * discipline applied to the streaming record). */
   private[graft] def priorStreamRecord(dir: String = "."): Option[java.io.File] = {
-    val rx = "STREAMBENCH_r(\\d+)\\.json".r
+    val rx = "^STREAMBENCH_r(\\d+)\\.json$".r // whole-name: see Bench.priorRecordFile
     Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty[java.io.File])
       .toSeq
       .flatMap(f => rx.findFirstMatchIn(f.getName).map(m => (m.group(1).toInt, f)))

@@ -189,6 +189,11 @@ class BenchSpec extends AnyFunSuite {
     // and the repo's real prior record parses with a usable query map
     val f = Bench.priorRecordFile("/root/repo")
     assert(f.nonEmpty, "no BENCH_r*.json found in the repo")
+    // whole-name match: STREAMBENCH_r11.json sits in the same dir with a
+    // higher round number and must NOT displace the batch record (it did,
+    // via findFirstMatchIn substring semantics, and vs_prior silently
+    // vanished from the round-11 record until the anchored regex)
+    assert(f.get.getName.startsWith("BENCH_r"), s"picked ${f.get.getName}")
     val (pq, _, _, psf) = Bench.parseRecord(new String(
       java.nio.file.Files.readAllBytes(f.get.toPath), "UTF-8"))
     assert(pq.size > 50, s"prior record parsed only ${pq.size} queries")
