@@ -65,7 +65,8 @@ object ScaleProbe {
     "sim_cluster_labels_incr", "curate_domain_decisions",
     "text_decontam_spans_multi", "sim_graph_edges_incr",
     "sim_cluster_quality", "text_gopher_rules", "mix_doremi",
-    "sim_pagerank_incr")
+    "sim_pagerank_incr", "text_length_outliers_approx",
+    "agg_approx_sketch")
 
   def main(args: Array[String]): Unit = {
     val spillMode = args.headOption.contains("spill")

@@ -330,6 +330,12 @@ object GraftFunctions {
     spark.udf.register("topk3_scored",
       org.apache.spark.sql.functions.udaf(new TopKScoredAgg(3),
         org.apache.spark.sql.Encoders.product[ScoredId]))
+    // KMV distinct-count sketch over 52-bit md5-derived hashes: bounded
+    // mergeable state (≤64 longs per group), replayable bit-for-bit by the
+    // DuckDB oracle — see KmvSketchAgg for the full rationale.
+    spark.udf.register("kmv64",
+      org.apache.spark.sql.functions.udaf(new KmvSketchAgg(64),
+        org.apache.spark.sql.Encoders.scalaLong))
     // optimizer rewrite: size(array_intersect) → fused intersect_count.
     // experimental.extraOptimizations reaches an ALREADY-BUILT session
     // (the extensions path below covers spark.sql.extensions users).

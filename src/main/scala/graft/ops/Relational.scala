@@ -307,16 +307,58 @@ object Relational {
         .orderBy("event_id")
     }),
 
-    // Approximate sketches (HLL distinct, quantile sketch) — rows-only
-    // check (no DuckDB equivalent of Spark's sketch impls); OpsSpec bounds
-    // them against exact values.
+    // Approximate sketches with a FULL hash oracle (round 11; was the
+    // rows-only approx_count_distinct + percentile_approx pair through
+    // round 10). Spark's native sketches can never hash-match a second
+    // engine — HLL++ registers hang off xxhash64 and percentile_approx's
+    // summary depends on partial-merge order — so the same capabilities
+    // are re-expressed as DETERMINISTIC mergeable sketches instead:
+    //  - approx distinct: a KMV sketch (graft.functions.KmvSketchAgg,
+    //    k=64) over md5-derived 52-bit hashes. State = k smallest distinct
+    //    hashes, a pure function of the SET (merge-order-free); estimate =
+    //    (k-1)·2^52 div h_(k), one integer division; exact below k.
+    //  - approx median: the same log-linear (HDR/DDSketch-style) integer
+    //    histogram as text_length_outliers_approx, per group, over
+    //    cents(value)+1; answer = bucket lower bound − 1, value-relative
+    //    error ≤ 1/32. Both are bounded-state map-side-combining
+    //    aggregations; the native sketches remain bounds-pinned against
+    //    these and exact values in OpsSpec.
     "agg_approx_sketch" -> ((s, dir) => {
-      t(s, dir, "events")
-        .groupBy(col("event_type").as("etype"))
-        .agg(
-          approx_count_distinct(col("user_id")).as("approx_users"),
-          percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_p50"),
-          count(lit(1)).as("n"))
+      graft.functions.GraftFunctions.register(s)
+      import org.apache.spark.sql.expressions.Window
+      def lob(c: String) =
+        s"shiftleft(CAST(1 AS BIGINT), CAST($c div 32 AS INT)) + " +
+          s"(($c % 32) * shiftleft(CAST(1 AS BIGINT), CAST($c div 32 AS INT))) div 32"
+      val ev = t(s, dir, "events").select(
+        col("event_type").as("etype"),
+        expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 13), 16, 10) AS BIGINT)")
+          .as("h"),
+        expr("CAST(round(value * 100) AS BIGINT) + 1").as("c1"))
+      val kmv = ev.groupBy("etype")
+        .agg(expr("kmv64(h)").as("sk"), count(lit(1)).as("n"))
+        .select(col("etype"), col("n"),
+          when(size(col("sk.hs")) < 64, size(col("sk.hs")).cast("long"))
+            .otherwise(expr(
+              "(CAST(63 AS BIGINT) * CAST(4503599627370496 AS BIGINT)) div " +
+                "greatest(element_at(sk.hs, 64), CAST(1 AS BIGINT))"))
+            .as("approx_users"))
+      val hist = ev
+        .select(col("etype"), col("c1"),
+          (length(expr("bin(c1)")) - 1).cast("long").as("b"))
+        .select(col("etype"), (col("b") * 32 + expr(
+          "((c1 - shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))) * 32) " +
+            "div shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))")).as("bucket"))
+        .groupBy("etype", "bucket").agg(count(lit(1)).as("c"))
+      val cum = hist
+        .withColumn("cum", sum(col("c")).over(
+          Window.partitionBy("etype").orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tot", sum(col("c")).over(Window.partitionBy("etype")))
+      val p50 = cum.groupBy("etype")
+        .agg(min(when(col("cum") >= expr("(tot + 1) div 2"), col("bucket"))).as("pb"))
+        .select(col("etype"), (expr(lob("pb")) - 1).as("approx_p50_cents"))
+      kmv.join(p50, "etype")
+        .select("etype", "approx_users", "approx_p50_cents", "n")
         .orderBy("etype")
     }),
 
@@ -624,6 +666,51 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // the deterministic sketches replayed exactly: KMV = k smallest
+    // DISTINCT md5-52-bit hashes per group (a window rank over the
+    // distinct set ≡ the Aggregator's sorted-distinct buffer) with the
+    // identical integer estimator, and the per-group log-linear histogram
+    // with the same bin/shift/floor-division algebra as
+    // text_length_outliers_approx
+    "agg_approx_sketch" ->
+      """WITH ev AS (
+           SELECT event_type AS etype,
+                  CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 13))
+                       AS BIGINT) AS h,
+                  CAST(round(value * 100) AS BIGINT) + 1 AS c1
+           FROM events),
+         rk AS (SELECT etype, h,
+                       row_number() OVER (PARTITION BY etype ORDER BY h) AS rn
+                FROM (SELECT DISTINCT etype, h FROM ev)),
+         kmv AS (SELECT etype,
+                   CASE WHEN count(*) < 64 THEN count(*)
+                        ELSE (63 * CAST(4503599627370496 AS BIGINT))
+                             // greatest(max(CASE WHEN rn = 64 THEN h END), 1)
+                   END AS approx_users
+                 FROM rk WHERE rn <= 64 GROUP BY etype),
+         hist AS (SELECT etype,
+                    (length(bin(c1)) - 1) * 32
+                    + ((c1 - (CAST(1 AS BIGINT) << (length(bin(c1)) - 1))) * 32)
+                      // (CAST(1 AS BIGINT) << (length(bin(c1)) - 1)) AS bucket,
+                    count(*) AS c
+                  FROM ev GROUP BY 1, 2),
+         cum AS (SELECT etype, bucket,
+                   sum(c) OVER (PARTITION BY etype ORDER BY bucket) AS cum,
+                   sum(c) OVER (PARTITION BY etype) AS tot
+                 FROM hist),
+         p50 AS (SELECT etype,
+                   min(CASE WHEN cum >= (tot + 1) // 2 THEN bucket END) AS pb
+                 FROM cum GROUP BY 1),
+         p50v AS (SELECT etype,
+                    (CAST(1 AS BIGINT) << CAST(pb // 32 AS INT))
+                    + ((pb % 32) * (CAST(1 AS BIGINT) << CAST(pb // 32 AS INT))) // 32
+                    - 1 AS approx_p50_cents
+                  FROM p50),
+         n AS (SELECT event_type AS etype, count(*) AS n FROM events GROUP BY 1)
+         SELECT k.etype, k.approx_users, p.approx_p50_cents, n.n
+         FROM kmv k JOIN p50v p USING (etype) JOIN n USING (etype)
+         ORDER BY etype""",
+
     "sql_q3_shipping" ->
       """SELECT l_orderkey AS okey,
                 round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

@@ -95,23 +95,79 @@ class OpsSpec extends SparkSpec {
   }
 
   test("approx sketches honor their parameterized theoretical error bounds") {
-    // Sketch parameters as declared in agg_approx_sketch (Relational.scala):
-    // - approx_count_distinct: Spark's default relativeSD = 0.05, the HLL++
-    //   STANDARD error. Hard bound asserted at 3σ (99.7% for a random key
-    //   set; deterministic for this fixed dataset, so a violation means the
-    //   sketch parameters or implementation changed, not bad luck). The 1σ
-    //   assertion is an empirical regression pin on this data.
-    // - percentile_approx(accuracy=1000): Greenwald–Khanna-style RANK
-    //   guarantee — the returned value is an actual element of the group
-    //   whose rank is within eps·n = n/1000 of the target rank 0.5·n (+2
-    //   ranks of slack for partial-summary merge discretization). Asserted
-    //   in RANK space: a value-space envelope via interpolated exact
-    //   percentiles breaks on discrete data at small n.
+    // agg_approx_sketch (Relational.scala) since round 11 ships the
+    // DETERMINISTIC sketches (KMV distinct + log-linear quantile) so the
+    // query gets a full DuckDB hash oracle; the bounds asserted here:
+    // - approx_users: KMV(k=64). Below k distinct the sketch is EXACT by
+    //   construction; above, the estimator's relative standard error is
+    //   ~1/sqrt(k-2) ≈ 12.7% — hard bound at 3σ, empirical 1σ pin on this
+    //   fixed dataset (deterministic hashes: a violation means the sketch
+    //   changed, not bad luck).
+    // - approx_p50_cents: lower bound of the log-linear bucket (32
+    //   subdivisions per octave) holding the true rank-ceil(n/2) cents
+    //   value v: a <= v <= a + (a+1)/32 + 1 (the +1s absorb the c1 = cents
+    //   + 1 domain shift and integer bucket-width floors).
+    // Spark's NATIVE sketches stay bounds-pinned below so the built-in
+    // capability (HLL++, Greenwald–Khanna) keeps its regression guard even
+    // though the shipped query no longer uses them.
+    val kmvSigma = 1.0 / math.sqrt(64 - 2)
+    val approx = Relational.queries("agg_approx_sketch")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = graft.engine.Tables(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("d"),
+        sort_array(collect_list(expr("CAST(round(value * 100) AS BIGINT)")))
+          .as("cents"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getSeq[Long](2))).toMap
+    exact.foreach { case (k, (d, cents)) =>
+      val (ad, ap50) = approx(k)
+      if (d < 64) assert(ad == d, s"$k: KMV below k must be exact ($ad vs $d)")
+      else {
+        val err = math.abs(ad - d).toDouble / d
+        assert(err <= 3 * kmvSigma, s"$k distinct: $ad vs $d breaks 3σ KMV bound")
+        assert(err <= kmvSigma, s"$k distinct: $ad vs $d (1σ empirical pin)")
+      }
+      val v = cents((cents.size + 1) / 2 - 1) // true rank-ceil(n/2) value
+      assert(ap50 <= v && v <= ap50 + (ap50 + 1) / 32 + 1,
+        s"$k p50=$ap50 misses exact median cents $v beyond the 1/32 bound")
+    }
+    // the KMV estimator path + merge-order-freeness, on a corpus larger
+    // than k: 5000 distinct keys through the identical md5-52-bit channel,
+    // aggregated under two different partitionings — identical sketches
+    // (the state is a function of the SET) and a 3σ-bounded estimate
+    graft.functions.GraftFunctions.register(spark)
+    def est(parts: Int): Long = spark.range(5000).toDF("id")
+      .repartition(parts)
+      .select(expr(
+        "CAST(conv(substr(md5(CAST(id AS STRING)), 1, 13), 16, 10) AS BIGINT)")
+        .as("h"))
+      .agg(expr("kmv64(h)").as("sk"))
+      .select(expr(
+        "(CAST(63 AS BIGINT) * CAST(4503599627370496 AS BIGINT)) div " +
+          "greatest(element_at(sk.hs, 64), CAST(1 AS BIGINT))"))
+      .collect()(0).getLong(0)
+    val (e1, e32) = (est(1), est(32))
+    assert(e1 == e32, s"KMV must be partitioning-invariant ($e1 vs $e32)")
+    assert(math.abs(e1 - 5000).toDouble / 5000 <= 3 * kmvSigma,
+      s"KMV estimate $e1 for 5000 distinct breaks the 3σ bound")
+  }
+
+  test("native Spark sketches keep their theoretical-bound regression pins") {
+    // approx_count_distinct (HLL++, relativeSD=0.05) and
+    // percentile_approx (GK, accuracy=1000) were agg_approx_sketch's
+    // implementation through round 10; the shipped query moved to
+    // oracle-replayable sketches, but the native capability keeps its
+    // bound assertions: 3σ hard / 1σ empirical for HLL, and the GK RANK
+    // guarantee (returned value's rank within n/1000 + 2 of 0.5n).
     val rsd = 0.05
     val eps = 1.0 / 1000
-    val approx = Relational.queries("agg_approx_sketch")(spark, dir).collect()
+    val approx = graft.engine.Tables(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("ad"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("ap50"))
+      .collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
-    // per-group median lookup column (5 groups) so ranks compute in one agg
     val apCol = approx.foldLeft(lit(null).cast("double")) {
       case (acc, (k, (_, v))) => when(col("event_type") === k, lit(v)).otherwise(acc)
     }
@@ -128,8 +184,6 @@ class OpsSpec extends SparkSpec {
       val err = math.abs(ad - d).toDouble / d
       assert(err <= 3 * rsd, s"$k distinct: $ad vs $d breaks the 3*rsd HLL bound")
       assert(err <= rsd, s"$k distinct: $ad vs $d (1-sigma empirical pin)")
-      // the returned value occupies ranks [below+1, atOrBelow]; that
-      // interval must come within eps*n + 2 of the target rank
       val target = 0.5 * n
       val slack = eps * n + 2
       assert(below + 1 - slack <= target && target <= atOrBelow + slack,
