@@ -32,20 +32,34 @@ import org.apache.spark.unsafe.types.UTF8String
   *    15 hex digits ARE the top 60 bits;
   *  - xx id = abs(xxhash64(sh)) % P with Spark's seed 42 over the same
   *    UTF-8 bytes (XxHash64Function), Math.abs wrapping at Long.MinValue
-  *    exactly like Spark's abs.
+  *    exactly like Spark's abs;
+  *  - fnv id = FNV-1a 64 over the UTF-8 bytes, reduced UNSIGNED mod P
+  *    (Long.remainderUnsigned — the running hash is a full 64-bit
+  *    unsigned value). FNV-1a is the production hash that IS
+  *    cross-engine replayable: its per-byte step is
+  *    h = (h XOR byte) · 0x100000001b3 mod 2⁶⁴, and because the prime
+  *    is < 2⁴¹ every wrapping product fits DuckDB's HUGEINT
+  *    ((2⁶⁴−1)·2⁴¹ < 2¹²⁷−1), so the oracle replays it exactly with
+  *    list_reduce — unlike xxhash64, whose 64×64-bit wrapping multiplies
+  *    overflow HUGEINT (see COVERAGE.md "xxhash64 DuckDB oracle").
   * Inputs shorter than `width` yield an empty array; callers filter
   * size(w) >= width anyway (the declarative form is undefined there:
   * sequence(0, negative) counts DOWN).
   */
-case class ShingleIdsExpr(child: Expression, width: Int, useXx: Boolean)
+case class ShingleIdsExpr(child: Expression, width: Int, mode: String)
     extends UnaryExpression {
-  import ShingleIdsExpr.P
+  import ShingleIdsExpr.{P, FnvOffset, FnvPrime}
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
-  override def prettyName: String = if (useXx) "shingle_sids_xx" else "shingle_sids_md5"
+  override def prettyName: String = s"shingle_sids_$mode"
+  private def useXx = mode == "xx"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _ if !ShingleIdsExpr.Modes.contains(mode) =>
+      TypeCheckResult.TypeCheckFailure(
+        s"unknown shingle-id mode '$mode' (expected one of " +
+          s"${ShingleIdsExpr.Modes.mkString(", ")})")
     case ArrayType(StringType, _) if width >= 1 => TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure(
       s"$prettyName expects array<string> and width >= 1, got " +
@@ -60,7 +74,7 @@ case class ShingleIdsExpr(child: Expression, width: Int, useXx: Boolean)
     if (n < width) return new GenericArrayData(Array.empty[Long])
     val seen = new java.util.HashSet[String]((n - width + 1) * 2)
     val out = new java.util.ArrayList[Long](n - width + 1)
-    val md = if (useXx) null else ShingleIdsExpr.md5.get()
+    val md = if (mode == "md5") ShingleIdsExpr.md5.get() else null
     var i = 0
     while (i <= n - width) {
       val sb = new java.lang.StringBuilder
@@ -80,7 +94,16 @@ case class ShingleIdsExpr(child: Expression, width: Int, useXx: Boolean)
           if (useXx)
             math.abs(XxHash64Function.hash(
               UTF8String.fromString(sh), StringType, 42L)) % P
-          else {
+          else if (mode == "fnv") {
+            var h = FnvOffset
+            val bytes = sh.getBytes(StandardCharsets.UTF_8)
+            var bi = 0
+            while (bi < bytes.length) {
+              h = (h ^ (bytes(bi) & 0xffL)) * FnvPrime
+              bi += 1
+            }
+            java.lang.Long.remainderUnsigned(h, P)
+          } else {
             md.reset()
             val d = md.digest(sh.getBytes(StandardCharsets.UTF_8))
             val hi = ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
@@ -113,6 +136,9 @@ case class ShingleIdsExpr(child: Expression, width: Int, useXx: Boolean)
 
 object ShingleIdsExpr {
   val P = 2147483647L // 2^31 - 1, the shared shingle-id space
+  val Modes: Set[String] = Set("md5", "xx", "fnv")
+  val FnvOffset = 0xcbf29ce484222325L // FNV-1a 64 offset basis
+  val FnvPrime = 0x100000001b3L // FNV-1a 64 prime (2^40 + 2^8 + 0xb3)
   private val md5 = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")

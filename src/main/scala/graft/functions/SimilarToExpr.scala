@@ -158,11 +158,11 @@ object GraftFunctions {
 
   /** shingle_sids_*(words, width) — width must be a literal (it is baked
     * into the kernel at plan-build time). */
-  private def shingle(name: String, useXx: Boolean): Seq[Expression] => Expression = {
+  private def shingle(name: String, mode: String): Seq[Expression] => Expression = {
     case Seq(arr, w) =>
       ShingleIdsExpr(arr,
         foldableArg(name, "width", "INT", w).asInstanceOf[Number].intValue(),
-        useXx)
+        mode)
     case children => throw new org.apache.spark.sql.AnalysisException(
       errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
       messageParameters = Map(
@@ -173,12 +173,17 @@ object GraftFunctions {
   val shingleMd5: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("shingle_sids_md5"),
     new ExpressionInfo(classOf[ShingleIdsExpr].getName, "shingle_sids_md5"),
-    shingle("shingle_sids_md5", useXx = false))
+    shingle("shingle_sids_md5", "md5"))
 
   val shingleXx: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("shingle_sids_xx"),
     new ExpressionInfo(classOf[ShingleIdsExpr].getName, "shingle_sids_xx"),
-    shingle("shingle_sids_xx", useXx = true))
+    shingle("shingle_sids_xx", "xx"))
+
+  val shingleFnv: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("shingle_sids_fnv"),
+    new ExpressionInfo(classOf[ShingleIdsExpr].getName, "shingle_sids_fnv"),
+    shingle("shingle_sids_fnv", "fnv"))
 
   /** ngrams_ws(words, width) — fused distinct n-gram STRING array; width
     * must be a literal (baked into the kernel at plan-build time). */
@@ -307,6 +312,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       shingleXx._1, shingleXx._2, shingleXx._3)
     spark.sessionState.functionRegistry.registerFunction(
+      shingleFnv._1, shingleFnv._2, shingleFnv._3)
+    spark.sessionState.functionRegistry.registerFunction(
       ngramsWs._1, ngramsWs._2, ngramsWs._3)
     spark.sessionState.functionRegistry.registerFunction(
       wordIds._1, wordIds._2, wordIds._3)
@@ -361,6 +368,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.minHash16)
     ext.injectFunction(GraftFunctions.shingleMd5)
     ext.injectFunction(GraftFunctions.shingleXx)
+    ext.injectFunction(GraftFunctions.shingleFnv)
     ext.injectFunction(GraftFunctions.wordIds)
     ext.injectOptimizerRule(_ => IntersectCountRule)
   }

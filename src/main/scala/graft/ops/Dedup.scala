@@ -18,8 +18,11 @@ import graft.engine.Tables
   *    map-side combined; never shuffles full text twice.
   *  - MinHash-LSH assigns shingle ids via md5 (bit-identical in Spark and
   *    DuckDB → full hash oracle) — a narrow per-row hash, no dictionary, no
-  *    global sort. `dedup_minhash_fast` is the same topology with xxhash64
-  *    (cheaper; Spark-only, so checked rows-only) — the production pick.
+  *    global sort. `dedup_minhash_fast` is the same topology with FNV-1a 64
+  *    (a cheap non-cryptographic hash that is STILL replayable in DuckDB,
+  *    so it carries a full hash oracle too) — the production pick; xxhash64
+  *    remains available (`shingle_sids_xx`, spec-pinned) where cross-engine
+  *    replay is not needed.
   *  - candidate generation joins on (band, signature) so the self-join is
   *    band-partitioned — never O(n²); verification touches candidates only.
   *  - embedding near-dup blocks by label (the IVF-style coarse partition),
@@ -76,8 +79,8 @@ object Dedup {
     * graft.functions.ShingleIdsExpr, byte-identical to the previous
     * transform/array_distinct/concat_ws/md5 HOF chain, which ran
     * interpreted and was the dominant remaining job in the dedup
-    * pipelines). `sidsFn` selects the md5 (oracle-replayable) or xxhash64
-    * (production fast path) id. */
+    * pipelines). `sidsFn` selects the md5, FNV-1a 64 (production fast
+    * path — both oracle-replayable) or xxhash64 (Spark-only) id. */
   private def sidArrays(corpus: DataFrame, sidsFn: String): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     corpus
@@ -87,7 +90,7 @@ object Dedup {
   }
 
   private val md5Sids = "shingle_sids_md5"
-  private val xxSids = "shingle_sids_xx"
+  private val fnvSids = "shingle_sids_fnv"
 
   /** 32-bit SimHash signature per (doc_id, text) row, fully narrow. The
     * word hash is md5-derived (replayable bit-for-bit in DuckDB) — a weak
@@ -199,10 +202,11 @@ object Dedup {
                    FROM sh)"""
   private val docShSql = docShSqlFor(nearDupSql)
 
-  /** Shared oracle CTE chain replaying the md5 postings + candidatePairs. */
-  private def candSqlFor(corpusSql: String) =
-    s"""${docShSqlFor(corpusSql)},
-        perms AS (SELECT i, 12345 * i + 1103515245 AS a, 987654 * i + 67867967 AS b
+  /** The perms→sig→bands→cand replay of candidatePairs over whatever
+    * doc_sh CTE precedes it (md5 or FNV postings — the banding is
+    * id-space-agnostic). */
+  private val candChainSql =
+    s"""perms AS (SELECT i, 12345 * i + 1103515245 AS a, 987654 * i + 67867967 AS b
                   FROM range(16) t(i)),
         sig AS (SELECT doc_id, i, min((a * sid + b) % $P) AS mh
                 FROM doc_sh CROSS JOIN perms GROUP BY doc_id, i),
@@ -212,7 +216,33 @@ object Dedup {
         cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
                  FROM bands x JOIN bands y
                    ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id)"""
+
+  /** Shared oracle CTE chain replaying the md5 postings + candidatePairs. */
+  private def candSqlFor(corpusSql: String) =
+    s"""${docShSqlFor(corpusSql)},
+        $candChainSql"""
   private val candSql = candSqlFor(nearDupSql)
+
+  /** FNV-1a 64 (doc_id, sid) postings replaying shingle_sids_fnv: the
+    * per-byte wrapping step h = (h XOR byte)·0x100000001b3 mod 2⁶⁴ runs
+    * in HUGEINT (every product < 2¹⁰⁵ because the prime is < 2⁴¹) via
+    * list_reduce over the shingle's characters. ord(char) == UTF-8 byte
+    * requires pure-ASCII text — the precondition the media-oracle spec
+    * already asserts for this corpus at every oracle SF (OpsSpec "media
+    * oracle precondition"); final reduction % P matches the Spark side's
+    * Long.remainderUnsigned (h is kept unsigned end-to-end here). */
+  private val fnvDocShSql =
+    s"""corpus AS ($nearDupSql),
+        sh AS ($shinglesSql),
+        doc_sh AS (SELECT doc_id,
+          CAST(list_reduce(
+                 list_prepend(14695981039346656037::HUGEINT,
+                   list_transform(range(1, length(shingle) + 1),
+                     i -> ord(shingle[i])::HUGEINT)),
+                 (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
+                             % 18446744073709551616::HUGEINT)
+               % $P AS BIGINT) AS sid
+          FROM sh)"""
 
   /** Exact-Jaccard verification of cross (index, batch) candidate pairs:
     * attach both sides' sid arrays, one narrow size(array_intersect) per
@@ -493,12 +523,16 @@ object Dedup {
         .orderBy("decile")
     }),
 
-    // Production-path MinHash (no dictionary): shingle ids via xxhash64 —
-    // no global sort, fully scalable. Rows-only check (DuckDB has no
-    // xxhash64); the LSH topology is identical to dedup_minhash_lsh and the
-    // planted-pair recall is asserted in DedupSpec.
+    // Production-path MinHash (no dictionary): shingle ids via a codegen'd
+    // FNV-1a 64 kernel — a narrow per-row hash, no global sort, fully
+    // scalable, AND cross-engine replayable (the FNV prime is < 2^41, so
+    // DuckDB's HUGEINT holds every wrapping product exactly — see
+    // ShingleIdsExpr), which upgrades this query from the long-standing
+    // rows-only check to a full hash oracle. xxhash64 (`shingle_sids_xx`)
+    // stays registered and spec-pinned for deployments that prefer it;
+    // its replay blocker is documented in COVERAGE.md.
     "dedup_minhash_fast" -> ((s, dir) => {
-      candidatePairs(sidArrays(nearDupCorpus(s, dir), xxSids)).orderBy("da", "db")
+      candidatePairs(sidArrays(nearDupCorpus(s, dir), fnvSids)).orderBy("da", "db")
     }),
 
     // CORPUS-LEVEL source overlap: the data-mixing diagnostic — how much
@@ -1089,6 +1123,14 @@ object Dedup {
           FROM com JOIN cnt ca ON com.da = ca.doc_id JOIN cnt cb ON com.db = cb.doc_id
           WHERE round(common / (ca.c + cb.c - common * 1.0), 3) >= 0.5
           ORDER BY da, db""",
+
+    // the FNV-1a 64 postings feeding the identical banding chain — the
+    // query emits the candidate pairs themselves (verification is the
+    // downstream consumer's job in the fast path)
+    "dedup_minhash_fast" ->
+      s"""WITH $fnvDocShSql,
+          $candChainSql
+          SELECT da, db FROM cand ORDER BY da, db""",
 
     // same banding + verification replay WITHOUT the threshold, rolled
     // into the per-decile histogram + cumulative merge counts

@@ -25,8 +25,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * A hit is a CANDIDATE (same guarantee as batch LSH): callers verify with
   * exact Jaccard on the candidate pair if false positives matter.
-  * Permutation constants match ops.Dedup (xxhash64 id space, so this is
-  * the production/fast variant).
+  * Permutation constants match ops.Dedup (FNV-1a 64 id space, so this is
+  * the production/fast variant — same ids as `dedup_minhash_fast`, whose
+  * DuckDB oracle therefore also pins this path's signature function).
   */
 object StreamingDedup {
   private val P = 2147483647L // 2^31-1
@@ -40,9 +41,9 @@ object StreamingDedup {
     docs
       .withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= 3)
-      // fused shingle→distinct→xxhash64-id kernel (ShingleIdsExpr), same
+      // fused shingle→distinct→FNV-1a-id kernel (ShingleIdsExpr), same
       // ids as the batch pipelines' fast path
-      .withColumn("sids", expr("shingle_sids_xx(w, 3)"))
+      .withColumn("sids", expr("shingle_sids_fnv(w, 3)"))
       // all 16 permutation minima in ONE fused codegen'd pass
       // (graft.functions.MinHash16Expr) — the 16-HOF spelling ran
       // interpreted and materialized 16 arrays per row
