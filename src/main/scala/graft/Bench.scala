@@ -52,6 +52,10 @@ object Bench {
   // text_topk_ngrams + text_tfidf_topk machinery, both already headline
   // rows, and the compact line sits 14 bytes under its cap at 71 queries
   // — growth must stay conscious. It is in the scale probe.
+  // text_heavy_hitters_cms likewise: its hot path is the same fused-gram
+  // explode + a 16384-cell bounded agg + broadcast lookups — machinery
+  // the headline already times via text_topk_ngrams and the broadcast
+  // ANN probes. It is in the scale probe.
   // sim_recall_eval stays OUTSIDE the headline: it is the 7 ANN probes
   // (every one already a headline row) re-run in one DAG plus a 168-row
   // join — timing it would double-count the probes without adding a new

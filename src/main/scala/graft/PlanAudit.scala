@@ -64,7 +64,11 @@ object PlanAudit {
     // the 1-row global-exemplar vector crossJoin-broadcast onto the
     // labeled member stream (the curate_curriculum threshold shape) —
     // one baseline cosine per member, never a data×data loop
-    "sim_cluster_quality")
+    "sim_cluster_quality",
+    // the 1-row doc-count threshold frame cross-joined onto the
+    // VOCAB-sized heavy-hitter report — never onto the posting stream;
+    // the CMS itself broadcasts as a 16384-cell equi-join side
+    "text_heavy_hitters_cms")
 
   // A one-row global summary ends in an Exchange SinglePartition that
   // receives only per-task PARTIAL aggregates (map-side combined) — the
@@ -96,7 +100,9 @@ object PlanAudit {
     "text_tfidf_topk",
     // the 1-row global-exemplar argmax: per-task (rank, -node) partials
     // map-side combined into one row — the canonical global-agg shape
-    "sim_cluster_quality")
+    "sim_cluster_quality",
+    // the 1-row doc-count agg feeding the heavy-hitter threshold
+    "text_heavy_hitters_cms")
 
   /** The shuffle-count ceiling catches one QUERY accreting shuffles; a
     * deliberate UNION of many independent pipelines legitimately sums

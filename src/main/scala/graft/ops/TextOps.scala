@@ -1443,6 +1443,59 @@ object TextOps {
         .orderBy(col("df").desc, col("gram")).limit(20)
     }),
 
+    // COUNT-MIN-SKETCH heavy hitters: which bigrams appear in >= 8% of
+    // documents (boilerplate / template spans), decided by a bounded
+    // 4x4096-cell CMS with the exact document-frequency arm attached as
+    // the eval (the dedup_method_eval discipline: the sketch's decision
+    // column is `est`, truth is `df`/`true_hh`; emitted rows are the
+    // SKETCH's flags, so false positives are visible as true_hh=0 —
+    // CMS never underestimates, so false NEGATIVES are impossible by
+    // construction and need no column). Determinism/replayability: the
+    // 4 row-hashes are the 4 disjoint 12-bit slices of the md5-52-bit
+    // gram id (the KmvSketchAgg hash convention) — no seeded RNG — and
+    // per-cell counts are commutative partials, so the sketch is
+    // merge-order-free and DuckDB replays it exactly.
+    // Scale shape (the reason a 100 TB profile runs the sketch, not the
+    // exact groupBy): the CMS build's shuffle is bounded at tasks x 16384
+    // (j,bucket) partials NO MATTER the corpus — the exact arm's shuffle
+    // grows with the vocabulary. Grams never shuffle as strings on the
+    // sketch path (the text_ngram_novelty 100x lesson): buckets are
+    // derived from the 52-bit id in the scan stage. The exact arm keys
+    // on the id too (min(gram) carries one vocab-bounded string per key
+    // for the report); the estimate probe joins the vocab-sized key set
+    // to the BROADCAST 16384-cell sketch. 52-bit id collisions merge both
+    // arms identically (the sids convention — DuckDB replays the same
+    // ids, and a collision only ever RAISES a df toward heavy-hitter
+    // status, mirroring CMS's own one-sided error).
+    "text_heavy_hitters_cms" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables(s, dir, "documents")
+      val posts = docs
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(explode(expr("ngrams_ws(w, 2)")).as("gram"))
+        .withColumn("h",
+          expr("CAST(conv(substr(md5(gram), 1, 13), 16, 10) AS BIGINT)"))
+        .localCheckpoint() // 2 consumers: sketch build + exact arm
+      def buckets = posexplode(array((0 until 4).map(j =>
+        expr(s"shiftright(h, ${12 * j}) % 4096")): _*))
+      val cms = posts.select(buckets.as(Seq("j", "bucket")))
+        .groupBy("j", "bucket").agg(count(lit(1)).as("cnt"))
+      val exact = posts.groupBy("h")
+        .agg(count(lit(1)).as("df"), min("gram").as("gram"))
+        .localCheckpoint() // 2 consumers: estimate probe + report join
+      val est = exact.select(col("h"), buckets.as(Seq("j", "bucket")))
+        .join(broadcast(cms), Seq("j", "bucket"))
+        .groupBy("h").agg(min("cnt").as("est"))
+      val t = docs.agg(
+        greatest(lit(2L), expr("(count(1) * 8) div 100")).as("t"))
+      exact.join(est, "h").crossJoin(broadcast(t))
+        .filter(col("est") >= col("t"))
+        .select(col("gram"), col("df"), col("est"),
+          when(col("df") >= col("t"), 1L).otherwise(0L).as("true_hh"))
+        .orderBy("gram")
+    }),
+
     // Per-document n-gram NOVELTY — the inverse of the memorization
     // profile: the fraction (basis points) of a document's distinct
     // 5-grams that appear NOWHERE else in the corpus. Low-novelty
@@ -2183,6 +2236,37 @@ object TextOps {
            FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i FROM d)),
          dfs AS (SELECT gram, count(*) AS df FROM g GROUP BY gram)
          SELECT gram, df FROM dfs ORDER BY df DESC, gram LIMIT 20""",
+
+    // the CMS replay: identical 52-bit md5 gram ids, the same 4 disjoint
+    // 12-bit slices as row hashes (dv = 2^(12j) divisors), per-cell
+    // counts, min-of-4 estimate, and the sketch-side >= T emission with
+    // the exact-df truth flag
+    "text_heavy_hitters_cms" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents
+           WHERE len(string_split(text, ' ')) >= 2),
+         g AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i : i + 1], ' ') AS gram
+           FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM d)),
+         ph AS (SELECT doc_id, gram,
+                  CAST(concat('0x', substr(md5(gram), 1, 13)) AS BIGINT) AS h
+                FROM g),
+         js AS (SELECT * FROM (VALUES (0, 1), (1, 4096), (2, 16777216),
+                                      (3, 68719476736)) t(j, dv)),
+         cms AS (SELECT j, (h // dv) % 4096 AS bucket, count(*) AS cnt
+                 FROM ph CROSS JOIN js GROUP BY 1, 2),
+         exact AS (SELECT h, count(*) AS df, min(gram) AS gram
+                   FROM ph GROUP BY h),
+         est AS (SELECT e.h, min(c.cnt) AS est
+                 FROM exact e CROSS JOIN js
+                 JOIN cms c ON c.j = js.j AND c.bucket = (e.h // js.dv) % 4096
+                 GROUP BY e.h),
+         t AS (SELECT GREATEST(2, (count(*) * 8) // 100) AS t FROM documents)
+         SELECT e.gram, e.df, s.est,
+                CAST(CASE WHEN e.df >= t.t THEN 1 ELSE 0 END AS BIGINT) AS true_hh
+         FROM exact e JOIN est s ON e.h = s.h CROSS JOIN t
+         WHERE s.est >= t.t
+         ORDER BY gram""",
 
     // the text_topk_ngrams distinct-gram CTE mapped to md5 shingle ids
     // (the shingle_sids_md5 replay — string-level DISTINCT first, id

@@ -1311,6 +1311,39 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("CMS heavy hitters: one-sided error, zero false negatives, truthful flags") {
+    import org.apache.spark.sql.functions._
+    val out = TextOps.queries("text_heavy_hitters_cms")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    // independent truth: per-bigram document frequency and the 8% doc
+    // threshold, computed with plain aggregation (no hashing, no sketch)
+    val docs = graft.engine.Tables(spark, dir, "documents")
+    val truth = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(w) - 2),
+             i -> concat_ws(' ', w[i], w[i + 1]))""")).as("gram"))
+      .distinct()
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val t = math.max(2L, docs.count() * 8 / 100)
+    out.foreach { case (gram, df, est, flag) =>
+      assert(truth(gram) == df, s"$gram exact df")
+      assert(est >= df, s"$gram: CMS must never underestimate ($est < $df)")
+      assert(est >= t, s"$gram emitted below the sketch threshold")
+      assert(flag == (if (df >= t) 1L else 0L), s"$gram truth flag")
+    }
+    // CMS's one-sided error makes false NEGATIVES impossible: every true
+    // heavy hitter must be in the sketch-flagged output
+    val trueHH = truth.filter(_._2 >= t).keySet
+    val emitted = out.map(_._1).toSet
+    assert(trueHH.subsetOf(emitted),
+      s"missed true heavy hitters: ${trueHH -- emitted}")
+    assert(trueHH.nonEmpty, "degenerate fixture: no true heavy hitters")
+  }
+
   test("top-ngram profile: document-frequency ranked, deterministic boundary, honest counts") {
     val out = TextOps.queries("text_topk_ngrams")(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1)))
