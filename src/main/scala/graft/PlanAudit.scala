@@ -68,7 +68,9 @@ object PlanAudit {
     // the 1-row doc-count threshold frame cross-joined onto the
     // VOCAB-sized heavy-hitter report — never onto the posting stream;
     // the CMS itself broadcasts as a 16384-cell equi-join side
-    "text_heavy_hitters_cms")
+    "text_heavy_hitters_cms",
+    // same report shape over the merged (base-artifact + batch) sketch
+    "text_heavy_hitters_incr")
 
   // A one-row global summary ends in an Exchange SinglePartition that
   // receives only per-task PARTIAL aggregates (map-side combined) — the
@@ -102,7 +104,9 @@ object PlanAudit {
     // map-side combined into one row — the canonical global-agg shape
     "sim_cluster_quality",
     // the 1-row doc-count agg feeding the heavy-hitter threshold
-    "text_heavy_hitters_cms")
+    "text_heavy_hitters_cms",
+    // the union-corpus 1-row doc-count agg, same threshold shape
+    "text_heavy_hitters_incr")
 
   /** The shuffle-count ceiling catches one QUERY accreting shuffles; a
     * deliberate UNION of many independent pipelines legitimately sums

@@ -66,7 +66,7 @@ object ScaleProbe {
     "text_decontam_spans_multi", "sim_graph_edges_incr",
     "sim_cluster_quality", "text_gopher_rules", "mix_doremi",
     "sim_pagerank_incr", "text_length_outliers_approx",
-    "agg_approx_sketch", "text_heavy_hitters_cms")
+    "agg_approx_sketch", "text_heavy_hitters_cms", "text_heavy_hitters_incr")
 
   def main(args: Array[String]): Unit = {
     val spillMode = args.headOption.contains("spill")

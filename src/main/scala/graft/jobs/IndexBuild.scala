@@ -47,6 +47,7 @@ object IndexBuild {
     "mm_dedup_phash_incr",      // phash_sig_index (media aHash signatures)
     "curate_card_incremental",  // card_by_lang (mergeable base card)
     "curate_domain_decisions",  // domain_decisions (the ingest admission table)
+    "text_heavy_hitters_incr",  // cms_bigram_base (the mergeable CMS profile)
     "dedup_ngram_jaccard")      // ngram_posting_index (found by an IndexBuild→
                                 // IndexRefresh CLI smoke: refresh reported one
                                 // cold build over a store this job had just

@@ -86,6 +86,7 @@ object IndexRefresh {
     Plan("phash_sig_index", "documents", "mm_dedup_phash_incr"),
     Plan("card_by_lang", "documents", "curate_card_incremental"),
     Plan("domain_decisions", "documents", "curate_domain_decisions"),
+    Plan("cms_bigram_base", "documents", "text_heavy_hitters_incr"),
     Plan("q8_index", "embeddings", "sim_q8_rerank"),
     Plan("pq_codebook", "embeddings", "sim_pq_adc"),
     Plan("pq_codes", "embeddings", "sim_pq_adc"),

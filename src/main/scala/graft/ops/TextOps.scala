@@ -51,6 +51,82 @@ object TextOps {
       .select(col("doc_id"), explode(expr("shingle_sids_md5(w, 8)")).as("gid"))
   }
 
+  /** (gram, h) bigram posting stream for the heavy-hitter family:
+    * per-doc distinct grams from the fused ngrams_ws kernel, each with
+    * its md5-52-bit id — the CMS and report key (grams never shuffle as
+    * strings on the sketch path; the text_ngram_novelty 100× lesson). */
+  private def hhPosts(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr("ngrams_ws(w, 2)")).as("gram"))
+      .withColumn("h",
+        expr("CAST(conv(substr(md5(gram), 1, 13), 16, 10) AS BIGINT)"))
+  }
+
+  /** The 4 CMS row-buckets of `h`: the 4 disjoint 12-bit slices of the
+    * 52-bit id — deterministic pairwise-independent-enough row hashes
+    * with no seeded RNG, replayable bit-for-bit by the oracle. */
+  private def hhBuckets = posexplode(array((0 until 4).map(j =>
+    expr(s"shiftright(h, ${12 * j}) % 4096")): _*))
+
+  /** 4×4096-cell Count-Min sketch of a posting stream. Per-cell counts
+    * are commutative partials: the sketch is merge-order-free, and two
+    * sketches over disjoint streams merge by elementwise ADDITION —
+    * the property text_heavy_hitters_incr's maintenance rides on. */
+  private def hhCms(posts: DataFrame): DataFrame =
+    posts.select(hhBuckets.as(Seq("j", "bucket")))
+      .groupBy("j", "bucket").agg(count(lit(1)).as("cnt"))
+
+  /** Oracle replay of the heavy-hitter report over an arbitrary corpus
+    * relation: identical 52-bit md5 gram ids, 12-bit-slice row hashes
+    * (dv = 2^(12j) divisors), per-cell counts, min-of-4 estimate, and
+    * the sketch-side ≥ T emission with the exact-df truth flag. */
+  private def hhCmsSqlFor(corpusSql: String) =
+    s"""WITH corpus AS ($corpusSql),
+        d AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus
+              WHERE len(string_split(text, ' ')) >= 2),
+        g AS (SELECT DISTINCT doc_id, array_to_string(w[i : i + 1], ' ') AS gram
+              FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM d)),
+        ph AS (SELECT doc_id, gram,
+                 CAST(concat('0x', substr(md5(gram), 1, 13)) AS BIGINT) AS h
+               FROM g),
+        js AS (SELECT * FROM (VALUES (0, 1), (1, 4096), (2, 16777216),
+                                     (3, 68719476736)) t(j, dv)),
+        cms AS (SELECT j, (h // dv) % 4096 AS bucket, count(*) AS cnt
+                FROM ph CROSS JOIN js GROUP BY 1, 2),
+        exact AS (SELECT h, count(*) AS df, min(gram) AS gram
+                  FROM ph GROUP BY h),
+        est AS (SELECT e.h, min(c.cnt) AS est
+                FROM exact e CROSS JOIN js
+                JOIN cms c ON c.j = js.j AND c.bucket = (e.h // js.dv) % 4096
+                GROUP BY e.h),
+        t AS (SELECT GREATEST(2, (count(*) * 8) // 100) AS t FROM corpus)
+        SELECT e.gram, e.df, s.est,
+               CAST(CASE WHEN e.df >= t.t THEN 1 ELSE 0 END AS BIGINT) AS true_hh
+        FROM exact e JOIN est s ON e.h = s.h CROSS JOIN t
+        WHERE s.est >= t.t
+        ORDER BY gram"""
+
+  /** Heavy-hitter report: sketch-side ≥ T emission with the exact-df
+    * truth arm attached (rationale at text_heavy_hitters_cms). `posts`
+    * must be the FULL posting stream the sketch summarizes; `t` a 1-row
+    * threshold frame. */
+  private def hhReport(posts: DataFrame, cms: DataFrame, t: DataFrame): DataFrame = {
+    val exact = posts.groupBy("h")
+      .agg(count(lit(1)).as("df"), min("gram").as("gram"))
+      .localCheckpoint() // 2 consumers: estimate probe + report join
+    val est = exact.select(col("h"), hhBuckets.as(Seq("j", "bucket")))
+      .join(broadcast(cms), Seq("j", "bucket"))
+      .groupBy("h").agg(min("cnt").as("est"))
+    exact.join(est, "h").crossJoin(broadcast(t))
+      .filter(col("est") >= col("t"))
+      .select(col("gram"), col("df"), col("est"),
+        when(col("df") >= col("t"), 1L).otherwise(0L).as("true_hh"))
+      .orderBy("gram")
+  }
+
   /** The BPE training replay as DuckDB CTEs (vocab0, m1..mN, vocab1..):
     * shared by the text_bpe_train oracle (reads the mN rows) and the
     * text_bpe_tokens oracle (applies them to the corpus). */
@@ -1470,30 +1546,47 @@ object TextOps {
     "text_heavy_hitters_cms" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
       val docs = Tables(s, dir, "documents")
-      val posts = docs
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .filter(size(col("w")) >= 2)
-        .select(explode(expr("ngrams_ws(w, 2)")).as("gram"))
-        .withColumn("h",
-          expr("CAST(conv(substr(md5(gram), 1, 13), 16, 10) AS BIGINT)"))
+      val posts = hhPosts(docs)
         .localCheckpoint() // 2 consumers: sketch build + exact arm
-      def buckets = posexplode(array((0 until 4).map(j =>
-        expr(s"shiftright(h, ${12 * j}) % 4096")): _*))
-      val cms = posts.select(buckets.as(Seq("j", "bucket")))
-        .groupBy("j", "bucket").agg(count(lit(1)).as("cnt"))
-      val exact = posts.groupBy("h")
-        .agg(count(lit(1)).as("df"), min("gram").as("gram"))
-        .localCheckpoint() // 2 consumers: estimate probe + report join
-      val est = exact.select(col("h"), buckets.as(Seq("j", "bucket")))
-        .join(broadcast(cms), Seq("j", "bucket"))
-        .groupBy("h").agg(min("cnt").as("est"))
       val t = docs.agg(
         greatest(lit(2L), expr("(count(1) * 8) div 100")).as("t"))
-      exact.join(est, "h").crossJoin(broadcast(t))
-        .filter(col("est") >= col("t"))
-        .select(col("gram"), col("df"), col("est"),
-          when(col("df") >= col("t"), 1L).otherwise(0L).as("true_hh"))
-        .orderBy("gram")
+      hhReport(posts, hhCms(posts), t)
+    }),
+
+    // INCREMENTAL heavy hitters — the CMS maintenance shape: the base
+    // corpus's sketch is a DURABLE 16384-cell artifact (cms_bigram_base,
+    // full IndexBuild → IndexRefresh lifecycle), and an arriving batch
+    // folds in by elementwise ADDITION: CMS cells are commutative
+    // counts, so sketch(base) + sketch(batch) == sketch(base ∪ batch)
+    // EXACTLY — merging introduces NO approximation, unlike re-banding
+    // or re-clustering maintenance (the property that makes CMS the
+    // canonical distributed-profile sketch). Sketch-side work per
+    // ingest step: O(batch) + one 16384-cell merge, regardless of
+    // corpus size. The batch plants ' zz0 zz1' boilerplate on every
+    // 4th doc, so a NEW heavy hitter ('zz0 zz1') exists only
+    // post-merge — the report must surface it (spec-pinned). The
+    // exact-df arm replays the union corpus as the eval (the
+    // text_heavy_hitters_cms discipline); at 100 TB it drops and
+    // candidates come from per-shard pre-aggregation.
+    "text_heavy_hitters_incr" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val baseCms = Tables.cachedFrame(s, dir, "cms_bigram_base")(
+        hhCms(hhPosts(docs)))
+      val batch = docs.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          concat(col("text"), lit(" zz0 zz1")).as("text"))
+      val batchPosts = hhPosts(batch)
+        .localCheckpoint() // 2 consumers: batch sketch + the eval arm
+      val merged = baseCms.unionAll(hhCms(batchPosts))
+        .groupBy("j", "bucket").agg(sum("cnt").as("cnt"))
+      // the exact/eval arm over the union corpus (base postings re-read
+      // here by design — the eval replays ground truth; the SKETCH path
+      // above touched only the stored artifact and the batch)
+      val posts = hhPosts(docs).unionAll(batchPosts).localCheckpoint()
+      val t = docs.select(lit(1)).unionAll(batch.select(lit(1))).agg(
+        greatest(lit(2L), expr("(count(1) * 8) div 100")).as("t"))
+      hhReport(posts, merged, t)
     }),
 
     // Per-document n-gram NOVELTY — the inverse of the memorization
@@ -2242,31 +2335,17 @@ object TextOps {
     // counts, min-of-4 estimate, and the sketch-side >= T emission with
     // the exact-df truth flag
     "text_heavy_hitters_cms" ->
-      """WITH d AS (
-           SELECT doc_id, string_split(text, ' ') AS w FROM documents
-           WHERE len(string_split(text, ' ')) >= 2),
-         g AS (
-           SELECT DISTINCT doc_id, array_to_string(w[i : i + 1], ' ') AS gram
-           FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM d)),
-         ph AS (SELECT doc_id, gram,
-                  CAST(concat('0x', substr(md5(gram), 1, 13)) AS BIGINT) AS h
-                FROM g),
-         js AS (SELECT * FROM (VALUES (0, 1), (1, 4096), (2, 16777216),
-                                      (3, 68719476736)) t(j, dv)),
-         cms AS (SELECT j, (h // dv) % 4096 AS bucket, count(*) AS cnt
-                 FROM ph CROSS JOIN js GROUP BY 1, 2),
-         exact AS (SELECT h, count(*) AS df, min(gram) AS gram
-                   FROM ph GROUP BY h),
-         est AS (SELECT e.h, min(c.cnt) AS est
-                 FROM exact e CROSS JOIN js
-                 JOIN cms c ON c.j = js.j AND c.bucket = (e.h // js.dv) % 4096
-                 GROUP BY e.h),
-         t AS (SELECT GREATEST(2, (count(*) * 8) // 100) AS t FROM documents)
-         SELECT e.gram, e.df, s.est,
-                CAST(CASE WHEN e.df >= t.t THEN 1 ELSE 0 END AS BIGINT) AS true_hh
-         FROM exact e JOIN est s ON e.h = s.h CROSS JOIN t
-         WHERE s.est >= t.t
-         ORDER BY gram""",
+      hhCmsSqlFor("SELECT doc_id, text FROM documents"),
+
+    // same replay over the union corpus — CMS(base) + CMS(batch) ==
+    // CMS(base ∪ batch) exactly (cells add), so the oracle needs no
+    // separate merge step
+    "text_heavy_hitters_incr" ->
+      hhCmsSqlFor(
+        """SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 300000 AS doc_id, text || ' zz0 zz1' AS text
+           FROM documents WHERE doc_id % 4 = 0"""),
 
     // the text_topk_ngrams distinct-gram CTE mapped to md5 shingle ids
     // (the shingle_sids_md5 replay — string-level DISTINCT first, id

@@ -33,6 +33,7 @@ class DurableIndexSpec extends SparkSpec {
   // store — the r9 verdict's IngestJob fix makes it a real artifact —
   // and ngram_posting_index (durable since round 6 but never round-
   // tripped here; IndexRefresh's registry audit surfaced the gap)
+  // round-11: the mergeable CMS bigram profile (cms_bigram_base)
   private val keys =
     Seq("dedup_sid_index", "dedup_band_index", "ivf_label_centarr", "q8_index",
       "semdedup_centarr", "semdedup_blocks", "decontam_bloom", "bpe_merges",
@@ -40,7 +41,7 @@ class DurableIndexSpec extends SparkSpec {
       "bm25_postings", "bm25_dfs", "bm25_stats",
       "winnow_base_index", "winnow_base_dfs", "knn_cluster_centarr",
       "knn_pagerank", "knn_edges_deg", "phash_sig_index", "card_by_lang",
-      "domain_decisions", "ngram_posting_index")
+      "domain_decisions", "ngram_posting_index", "cms_bigram_base")
 
   test("second session serves index-backed queries from the store with zero rebuilds") {
     val root = Files.createTempDirectory("graft-idx-root").toString
@@ -69,6 +70,7 @@ class DurableIndexSpec extends SparkSpec {
       val liA = q("sim_cluster_labels_incr")(sA, dir).collect().toSeq
       val eiA = q("sim_graph_edges_incr")(sA, dir).collect().toSeq
       val njA = q("dedup_ngram_jaccard")(sA, dir).collect().toSeq
+      val hhA = q("text_heavy_hitters_incr")(sA, dir).collect().toSeq
       assert(incA.nonEmpty && ivfA.nonEmpty && q8A.nonEmpty &&
         semA.nonEmpty && bloomA.nonEmpty && bpeA.nonEmpty &&
         ccA.nonEmpty && cbA.nonEmpty && wpA.nonEmpty && bmA.nonEmpty)
@@ -129,6 +131,7 @@ class DurableIndexSpec extends SparkSpec {
       assert(q("sim_cluster_labels_incr")(sB, dir).collect().toSeq == liA)
       assert(q("sim_graph_edges_incr")(sB, dir).collect().toSeq == eiA)
       assert(q("dedup_ngram_jaccard")(sB, dir).collect().toSeq == njA)
+      assert(q("text_heavy_hitters_incr")(sB, dir).collect().toSeq == hhA)
       keys.foreach { k =>
         assert(IndexStore.buildCounts.get(paths(k)).contains(1),
           s"$k: probing session must not rebuild")

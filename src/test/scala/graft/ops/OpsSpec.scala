@@ -1344,6 +1344,31 @@ class OpsSpec extends SparkSpec {
     assert(trueHH.nonEmpty, "degenerate fixture: no true heavy hitters")
   }
 
+  test("incremental CMS heavy hitters: planted boilerplate surfaces post-merge, one-sided error holds") {
+    import org.apache.spark.sql.functions._
+    val out = TextOps.queries("text_heavy_hitters_incr")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (g, df, est, _) =>
+      assert(est >= df, s"$g: merged CMS must never underestimate") }
+    // the planted batch boilerplate is a NEW heavy hitter that exists
+    // only after the stored base sketch absorbs the batch's cells —
+    // cell addition is EXACT merging (CMS(base)+CMS(batch) ==
+    // CMS(base ∪ batch)), so df is the precise batch doc count
+    val docs = graft.engine.Tables(spark, dir, "documents")
+    val nBatch = docs.filter(col("doc_id") % 4 === 0).count()
+    val t = math.max(2L, (docs.count() + nBatch) * 8 / 100)
+    assert(nBatch >= t, "degenerate fixture: planted gram below threshold")
+    val zz = out.find(_._1 == "zz0 zz1")
+    assert(zz.nonEmpty, "planted boilerplate bigram missing from the report")
+    assert(zz.get._2 == nBatch && zz.get._4 == 1L, s"zz0 zz1 row ${zz.get}")
+    // and it is genuinely post-merge: the base-corpus report cannot
+    // contain a gram no base document has
+    val base = TextOps.queries("text_heavy_hitters_cms")(spark, dir)
+      .collect().map(_.getString(0)).toSet
+    assert(!base.contains("zz0 zz1"))
+  }
+
   test("top-ngram profile: document-frequency ranked, deterministic boundary, honest counts") {
     val out = TextOps.queries("text_topk_ngrams")(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1)))
