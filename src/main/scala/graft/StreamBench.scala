@@ -49,8 +49,9 @@ import graft.streaming.TimeframeRules
   * predicate-evaluation scaling. The union topology is only measured up to
   * 50 rules: its plan has O(rules) operators and O(rules) source re-scans
   * in batch, which is exactly the shape that cannot scale — the merged
-  * dispatch stays ONE projection + explode + broadcast-join at any rule
-  * count.
+  * dispatch stays ONE projection + explode + constant-metadata lookup at
+  * any rule count (no join: the rule-metadata array is folded into the
+  * plan as a literal, see AlertPipeline.alertsMerged).
   */
 object StreamBench {
 
@@ -163,6 +164,12 @@ object StreamBench {
     *               per host, watermarked) — keyed state actually lands
     *               in RocksDB here
     *
+    * plus a RULES-SCALING table (r11 verdict task #3): the merged
+    * dispatch re-measured at 250 and 1000 cloned rules — the
+    * configuration the merged path exists for (a 1000-branch union plan
+    * takes 93.8 s just to BUILD, RuleFanoutProbe) — so the record shows
+    * how sustained eps degrades with rule count.
+    *
     * Each runs unthrottled-saturated (rate source above capacity), warms
     * 3 triggers, then records events/s = Σrows / Σtrigger-time over the
     * next ~25 triggers plus p50/p95 trigger latency. Batch-mode merged /
@@ -195,7 +202,8 @@ object StreamBench {
 
     // ---- sustained streaming eps per topology ----
     def sustained(name: String,
-        mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): String = {
+        mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+        deadlineSec: Long = 120): String = {
       val samples = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
       val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
         import org.apache.spark.sql.streaming.StreamingQueryListener._
@@ -215,7 +223,7 @@ object StreamBench {
         .select(col("value").as("event_id"), col("timestamp").as("ts"))
       val q = mk(stream).writeStream.format("noop").outputMode("append").start()
       try {
-        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        val deadline = System.nanoTime() + deadlineSec * 1000 * 1000 * 1000
         while (samples.size < 28 && System.nanoTime() < deadline) Thread.sleep(200)
       } finally { q.stop(); spark.streams.removeListener(listener) }
       // first triggers pay codegen + broadcast warm-up, not throughput
@@ -249,6 +257,22 @@ object StreamBench {
           .withWatermark("timestamp", "5 seconds"),
         tfRule))
 
+    // ---- rules-scaling table (r11 verdict task #3): the merged path
+    // exists FOR the 1000-rule configuration, so measure it there, in
+    // streaming, not just in the batch fan-out probe. Clones never fire
+    // beyond the base 25 (cloneRules), so alert volume is constant and the
+    // scaling isolates per-event predicate work — throughput should
+    // degrade ~O(rules) in CPU with flat plan/trigger overhead now that
+    // the metadata lookup is a plan literal (no per-trigger broadcast).
+    // Longer deadlines: the first trigger at 1000 rules pays whole-stage
+    // codegen over a 1000-conjunct dispatch before any steady trigger.
+    val scalingS = Seq(250 -> 240L, 1000 -> 480L).map { case (nr, dl) =>
+      val cloned = cloneRules(rules, nr)
+      sustained(s"merged${nr}", s =>
+        AlertPipeline.alertsMerged(
+          Detection.nestedFrom(Detection.synthFrom(s)), cloned), dl)
+    }
+
     val load1 = osBean.getSystemLoadAverage
     val calib = Bench.calibSecs()
     val calibMt = Bench.calibMtSecs()
@@ -269,7 +293,7 @@ object StreamBench {
     println(s"""{"metric":"stream_record_eps","rules":${rules.size},""" +
       f""""batch_merged_eps":${(n / mergedBatchSec).toLong},""" +
       f""""batch_union_eps":${(n / unionBatchSec).toLong},""" +
-      s"""$mergedS,$unionS,$statefulS,""" +
+      s"""$mergedS,$unionS,$statefulS,${scalingS.mkString(",")},""" +
       f""""load":[$load0%.2f,$load1%.2f],"calib":$calib%.3f,"calib_mt":$calibMt%.3f""" +
       s"""$vs,"state_store":"rocksdb"}""")
   }

@@ -97,19 +97,33 @@ object AlertPipeline {
   /** Merged-dispatch fan-out — the 1000-rule scale path (SURVEY §4 "plan
     * size"): instead of N union branches (N operators in the plan, N
     * codegen'd filters), ONE projection evaluates every rule predicate into
-    * an int array, explodes the fired rule ids, and broadcast-joins the
-    * tiny rule-metadata table to shape alerts. Plan size is O(1) in rule
-    * count; the predicates still all run inside one codegen'd stage.
+    * an int array, explodes the fired rule ids, and shapes alerts by
+    * indexing a LITERAL array-of-structs of rule metadata with the fired
+    * `rid` — `element_at(<constant>, rid+1)`, which ConstantFolding
+    * collapses to a single Literal at plan time, so the lookup is pure
+    * codegen: no join, no broadcast, no exchange. Plan size is O(1) in
+    * rule count; the predicates still all run inside one codegen'd stage.
     * Semantics identical to [[alerts]] (bag multiplicity included) —
     * asserted by AlertPipelineSpec.
+    *
+    * Why not a broadcast join: rule metadata is static for the lifetime of
+    * a job, but Structured Streaming re-plans every micro-batch, and a
+    * broadcast join REBUILDS and re-ships the broadcast each trigger — the
+    * round-11 streaming record measured that rebuild as the merged path's
+    * p95 (14.9 s/trigger at 25 rules, STREAMBENCH_r11.json). A constant
+    * folded into the plan costs one fold per trigger instead of one
+    * broadcast job per trigger. Metadata far too large to live as a plan
+    * literal (threshold [[MetaLiteralMaxBytes]]) falls back to the
+    * broadcast join; the 31-rule corpus is ~20 KB and a 1000-rule clone
+    * fleet ~500 KB, both comfortably literal.
     *
     * Also the BATCH-mode winner at any rule count: a batch union fan-out
     * re-executes the source scan per branch (Spark reuses the scan across
     * union branches only in streaming MicroBatchScan), so at 25 rules the
     * union plan costs ~25 scans. Measured at sf0.1/local[32]: 7.9s union
     * vs 1.5s merged for the same 25-rule fan-out counts. */
-  def alertsMerged(sysmon: DataFrame, rules: Seq[RuleDef]): DataFrame = {
-    val spark = sysmon.sparkSession
+  def alertsMerged(sysmon: DataFrame, rules: Seq[RuleDef],
+      literalMaxBytes: Long = MetaLiteralMaxBytes): DataFrame = {
     val fired = array(rules.zipWithIndex.map { case (r, i) =>
       when(r.where.toColumn(nestedField), lit(i)).otherwise(lit(-1))
     }: _*)
@@ -120,52 +134,102 @@ object AlertPipeline {
     // work (caught by PlanAudit's HOF detector)
     val withFired = sysmon.withColumn("__fa", fired)
       .withColumn("rid", explode(array_remove(col("__fa"), lit(-1))))
-    val meta = spark.createDataFrame(
-      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(
-        rules.zipWithIndex.map { case (r, i) =>
-          Row(i, r.name, r.author, r.category, r.severity, r.description,
-            r.references, r.tactic, r.technique, r.subtechnique,
-            r.module.orNull, r.version, r.source)
-        }).asJava),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("rid", org.apache.spark.sql.types.IntegerType),
-        org.apache.spark.sql.types.StructField("r_name", org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("r_author", org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("r_category", org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("r_severity", org.apache.spark.sql.types.IntegerType),
-        org.apache.spark.sql.types.StructField("r_description", org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("r_references", org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)),
-        org.apache.spark.sql.types.StructField("r_tactic", org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)),
-        org.apache.spark.sql.types.StructField("r_technique", org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)),
-        org.apache.spark.sql.types.StructField("r_subtechnique", org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)),
-        org.apache.spark.sql.types.StructField("r_module", org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("r_version", org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("r_source", org.apache.spark.sql.types.StringType))))
-    withFired.join(broadcast(meta), "rid").select(
+    if (metaBytes(rules) <= literalMaxBytes)
+      shapeMerged(withFired,
+        element_at(array(rules.map(metaStruct): _*), col("rid") + 1))
+    else
+      shapeMerged(withFired.join(
+        broadcast(metaTable(sysmon.sparkSession, rules)), "rid"), col("__m"))
+  }
+
+  /** Rule-metadata sets larger than this go through a broadcast join
+    * instead of a plan literal (a literal rides the serialized plan to
+    * every task; a broadcast ships once per executor — the right trade
+    * only when the metadata is genuinely big). 8 MB ≈ 16000 corpus-sized
+    * rules, far above any real deployment. */
+  private[engine] val MetaLiteralMaxBytes: Long = 8L * 1024 * 1024
+
+  /** Conservative metadata size estimate: UTF-16 chars of every string
+    * field plus per-rule struct overhead. */
+  private[engine] def metaBytes(rules: Seq[RuleDef]): Long =
+    rules.iterator.map { r =>
+      2L * (r.name.length + r.author.length + r.category.length +
+        r.description.length + r.version.length + r.source.length +
+        r.module.map(_.length).getOrElse(0) +
+        (r.references ++ r.tactic ++ r.technique ++ r.subtechnique)
+          .map(_.length).sum) + 64L
+    }.sum
+
+  /** One rule's metadata as a fully-literal struct — every child foldable,
+    * so an `array` of these constant-folds to ONE Literal at plan time. */
+  private def metaStruct(r: RuleDef): Column = struct(
+    lit(r.name).as("name"),
+    lit(r.author).as("author"),
+    lit(r.category).as("category"),
+    lit(r.severity).as("severity"),
+    lit(r.description).as("description"),
+    strArray(r.references).as("references"),
+    strArray(r.tactic).as("tactic"),
+    strArray(r.technique).as("technique"),
+    strArray(r.subtechnique).as("subtechnique"),
+    r.module.map(m => lit(m)).getOrElse(lit(null).cast("string")).as("module"),
+    lit(r.version).as("version"),
+    lit(r.source).as("source"))
+
+  /** Fallback metadata source above [[MetaLiteralMaxBytes]]: a (rid, __m)
+    * table to broadcast-join, `__m` a struct with the same field names the
+    * literal path produces, so [[shapeMerged]] is shared verbatim. */
+  private def metaTable(spark: SparkSession, rules: Seq[RuleDef]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val rows = rules.zipWithIndex.map { case (r, i) =>
+      Row(i, Row(r.name, r.author, r.category, r.severity, r.description,
+        r.references, r.tactic, r.technique, r.subtechnique,
+        r.module.orNull, r.version, r.source))
+    }
+    val mSchema = StructType(Seq(
+      StructField("name", StringType), StructField("author", StringType),
+      StructField("category", StringType), StructField("severity", IntegerType),
+      StructField("description", StringType),
+      StructField("references", ArrayType(StringType)),
+      StructField("tactic", ArrayType(StringType)),
+      StructField("technique", ArrayType(StringType)),
+      StructField("subtechnique", ArrayType(StringType)),
+      StructField("module", StringType), StructField("version", StringType),
+      StructField("source", StringType)))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      StructType(Seq(StructField("rid", IntegerType),
+        StructField("__m", mSchema))))
+  }
+
+  /** Shared alert shaping over the merged dispatch: `m` is the fired
+    * rule's metadata struct (literal-array lookup or joined column). */
+  private def shapeMerged(withFired: DataFrame, m: Column): DataFrame =
+    withFired.select(
       col("computer_name"),
       col("host"),
       struct(
         lit("signal").as("kind"),
-        col("r_module").as("module"),
+        m.getField("module").as("module"),
         array(col("uuid")).as("origin_ids"),
         lit(1L).as("count"),
         col("timestamp").as("start"),
         col("timestamp").as("end"),
         col("timestamp").as("time")).as("event"),
       struct(
-        col("r_tactic").as("tactic"),
-        col("r_technique").as("technique"),
-        col("r_subtechnique").as("subtechnique")).as("threat"),
+        m.getField("tactic").as("tactic"),
+        m.getField("technique").as("technique"),
+        m.getField("subtechnique").as("subtechnique")).as("threat"),
       struct(
-        col("r_name").as("name"),
-        col("r_author").as("author"),
-        col("r_category").as("category"),
-        col("r_severity").as("severity"),
-        col("r_description").as("description"),
-        col("r_references").as("reference"),
-        col("r_version").as("version"),
-        col("r_source").as("source")).as("rule"))
-  }
+        m.getField("name").as("name"),
+        m.getField("author").as("author"),
+        m.getField("category").as("category"),
+        m.getField("severity").as("severity"),
+        m.getField("description").as("description"),
+        m.getField("references").as("reference"),
+        m.getField("version").as("version"),
+        m.getField("source").as("source")).as("rule"))
 
   /** Build an in-memory sysmon DataFrame from (field → value) maps —
     * fixture entry point for tests and the oracle harness. */

@@ -42,14 +42,44 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 3, s"unexpected exchanges:\n$plan")
   }
 
-  test("merged dispatch: one scan, no exchange before the explode") {
+  test("merged dispatch: one scan, no exchange, no join — metadata is a plan literal") {
     val nested = ops.Detection.nested(spark, dir)
     val df = engine.AlertPipeline.alertsMerged(nested, rules.ReferenceCorpus.active)
     val p = df.queryExecution.executedPlan.toString
     assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p)
-    // only the broadcast of the 25-row rule-metadata table, no shuffle
-    assert(!p.contains("Exchange hashpartitioning"), p)
+    // the r11 shape broadcast-joined a 25-row rule-metadata table — rebuilt
+    // EVERY micro-batch in streaming (p95 14.9 s/trigger,
+    // STREAMBENCH_r11.json); the metadata is static per job, so it now
+    // rides the plan as a constant-folded literal array: zero exchanges,
+    // zero joins, the whole dispatch is one codegen'd projection chain.
+    // Matched on the plan's OPERATOR tokens, not raw substrings — the rule
+    // corpus itself contains strings like "Microsoft.Exchange.…"
+    val opTokens = p.linesIterator
+      .map(_.replaceAll("^[\\s|:+*()\\d-]*", "").takeWhile(c => !c.isWhitespace))
+      .toSeq
+    assert(!opTokens.exists(t => t.contains("Exchange") || t.contains("Join")),
+      opTokens.mkString(", "))
+    // ConstantFolding must have collapsed the 25-struct array — an
+    // unfolded CreateArray would rebuild all structs PER ROW
+    val opt = df.queryExecution.optimizedPlan
+    val unfolded = opt.expressions.flatMap(_.collect {
+      case c: org.apache.spark.sql.catalyst.expressions.CreateArray
+          if c.children.size == rules.ReferenceCorpus.active.size => c
+    })
+    assert(unfolded.isEmpty, s"metadata array not constant-folded:\n$opt")
+  }
+
+  test("merged dispatch above the literal threshold falls back to broadcast join") {
+    val nested = ops.Detection.nested(spark, dir).limit(500)
+    val corpus = rules.ReferenceCorpus.active
+    val viaLit = engine.AlertPipeline.alertsMerged(nested, corpus)
+    val viaJoin = engine.AlertPipeline.alertsMerged(nested, corpus, literalMaxBytes = 0L)
+    val p = viaJoin.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    def canon(d: org.apache.spark.sql.DataFrame): Seq[String] =
+      d.select(to_json(struct(col("computer_name"), col("host"), col("event"),
+        col("threat"), col("rule")))).collect().map(_.getString(0)).sorted.toSeq
+    assert(canon(viaLit) == canon(viaJoin))
   }
 
   test("detection rules compile to codegen-able predicates (no UDFs)") {
