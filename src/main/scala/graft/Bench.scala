@@ -76,6 +76,34 @@ object Bench {
   /** One timed query: (name, min, median, max) over the reps. */
   type Timing = (String, Double, Double, Double)
 
+  /** Measurement-protocol identifier, carried in every record so
+    * cross-round totals are never silently protocol-confounded again
+    * (BENCH_r10 consecutive vs BENCH_r11 interleaved differed 1.54× on
+    * identical code and the records couldn't say why). "iw1" =
+    * Interleaved visits, each visit 1 Warm + 1 timed execution:
+    * the rotation keeps interleaving's noise-robustness (a transient
+    * host-load window lands on one pass of many queries, discarded by
+    * min-of-passes), while the untimed same-query warm execution
+    * immediately before each timed one re-pays the codegen-cache/page
+    * warmth the full 71-query rotation evicted — the round-11 protocol
+    * timed that cold re-entry and inflated the official total 1.5-1.7×
+    * (judge A/B, same build, idle host: interleaved-cold 36.09 s vs
+    * consecutive 23.44 s). Prior protocols, for reading old records:
+    * r10 and earlier = consecutive reps ("cons"), r11 = interleaved
+    * without warm ("i0"). */
+  private[graft] val Protocol = "iw1"
+
+  /** The iw1 execution schedule: (queryIndex, timed) steps. Every timed
+    * sample is immediately preceded by an untimed warm execution of the
+    * SAME query (BenchSpec pins this invariant), and consecutive timed
+    * samples of one query are separated by a full rotation of the fleet. */
+  private[graft] def schedule(nQueries: Int, reps: Int): Seq[(Int, Boolean)] =
+    for {
+      _ <- 0 until reps
+      qi <- 0 until nQueries
+      timed <- Seq(false, true)
+    } yield (qi, timed)
+
   private def jmap(results: Seq[Timing])(f: Timing => Double): String =
     results.map { case t @ (k, _, _, _) => "\"" + k + "\":" + f"${f(t)}%.2f" }
       .mkString("{", ",", "}")
@@ -93,19 +121,20 @@ object Bench {
   // Raised 1450 → 1800 in round 8 when the headline hit 57 queries and
   // the growth guard tripped (by design — growth must raise this
   // CONSCIOUSLY); raised 1800 → 1880 in round 9 at 69 queries, then
-  // 1880 → 1920 at 71 queries + the calib_mt field (realistic line:
-  // ~1881 bytes). Margin math: the driver's tail capture keeps the LAST
-  // ~2 KB and the compact line prints last, so 1 920 leaves 128 bytes
-  // for sbt's trailing "[success] …" line (~75 bytes); the r6 loss was
+  // 1880 → 1920 at 71 queries + the calib_mt field, then 1920 → 1940 in
+  // round 12 for the 17-byte "protocol" field (realistic line: ~1898
+  // bytes). Margin math: the driver's tail capture keeps the LAST ~2 KB
+  // and the compact line prints last, so 1 940 leaves 108 bytes for
+  // sbt's trailing "[success] …" line (~75 bytes); the r6 loss was
   // a 3.4 KB line. The headline list is effectively FULL at this cap —
   // the next operator family goes to the scale probe, not the headline.
-  private[graft] val lineCap = 1920
+  private[graft] val lineCap = 1940
   private[graft] def compactLine(results: Seq[Timing], reps: Int, sf: String,
       extra: String = ""): String = {
     val total = results.map(_._2).sum
     def render(rs: Seq[Timing], omitted: Int): String = {
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":${jmap(rs)(_._2)}$om$extra,"sf":$sf}"""
+      f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","reps":$reps,"protocol":"$Protocol","queries":${jmap(rs)(_._2)}$om$extra,"sf":$sf}"""
     }
     var kept = results
     var line = render(kept, 0)
@@ -184,7 +213,7 @@ object Bench {
       extra: String = ""): String = {
     val total = results.map(_._2).sum
     val medTotal = results.map(_._3).sum
-    f"""{"metric":"headline_total","value":$total%.3f,"value_med":$medTotal%.3f,"unit":"sec","reps":$reps,"sf":$sf,
+    f"""{"metric":"headline_total","value":$total%.3f,"value_med":$medTotal%.3f,"unit":"sec","reps":$reps,"protocol":"$Protocol","sf":$sf,
 "queries":${jmap(results)(_._2)},
 "qmed":${jmap(results)(_._3)},
 "qmax":${jmap(results)(_._4)}${if (extra.isEmpty) "" else ",\n" + extra}}"""
@@ -207,12 +236,19 @@ object Bench {
     * record. Tolerates both shapes the record appears in — the raw
     * compact line and the driver's wrapper JSON, where the line rides an
     * escaped "tail" string — by unescaping quotes first; the fields are
-    * machine-emitted by compactLine, so anchored regexes are reliable. */
+    * machine-emitted by compactLine, so anchored regexes are reliable.
+    * The queries extraction is anchored to the compact-line shape — the
+    * ENTIRE map body must be flat `"name":number` pairs — so a record
+    * where a nested object precedes or pollutes `queries` yields an empty
+    * map (vs_prior then skips, loudly absent) instead of a silently
+    * truncated-at-the-first-`}` wrong one (r11 verdict "what's wrong" #4). */
   private[graft] def parseRecord(raw: String):
       (Map[String, Double], Option[Double], Option[Double], Option[String]) = {
     val s = raw.replace("\\\"", "\"")
-    val qmap = """"queries":\s*\{([^}]*)\}""".r.findFirstMatchIn(s).map(_.group(1))
-      .map(b => """"([A-Za-z0-9_]+)":\s*([0-9.]+)""".r.findAllMatchIn(b)
+    val qmap =
+      """"queries":\s*\{((?:\s*"[A-Za-z0-9_]+"\s*:\s*[0-9.]+\s*,?)*)\}""".r
+        .findFirstMatchIn(s).map(_.group(1))
+      .map(b => """"([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(b)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap)
       .getOrElse(Map.empty)
     def num(k: String) =
@@ -298,28 +334,38 @@ object Bench {
       all.get(name).foreach(fn =>
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () })
     }
-    // 3 timed passes after warm-up, INTERLEAVED (r10 verdict task #2):
+    // 3 timed passes after warm-up, protocol iw1 (r11 verdict task #1):
     // the whole headline list runs in rotation — pass k of every query
-    // completes before pass k+1 of any query — instead of 3 consecutive
-    // reps per query. A transient host-load window (GC storm, co-tenant
-    // burst, page-cache eviction) then lands on ONE pass of many queries
-    // rather than ALL reps of the few queries unlucky enough to be
-    // running, so the per-query min-across-passes discards it; with
-    // consecutive reps the same window poisoned every sample a query had
-    // (r10's four phantom 1.5-1.9× flags all sat in one stretch of the
-    // list). min is the steady-state number, max the spread (r3→r4
-    // showed ±70% per-query swings with ZERO code change), median the
-    // load-robust middle.
+    // completes before pass k+1 of any query — so a transient host-load
+    // window (GC storm, co-tenant burst, page-cache eviction) lands on
+    // ONE pass of many queries rather than ALL reps of the few queries
+    // unlucky enough to be running, and the per-query min-across-passes
+    // discards it (with consecutive reps the same window poisoned every
+    // sample a query had — r10's four phantom 1.5-1.9× flags all sat in
+    // one stretch of the list). Each VISIT runs the query twice
+    // back-to-back and times only the SECOND execution: after 70 other
+    // queries churn the bounded codegen-class cache and page/shuffle
+    // warmth, a single timed execution measures recompile+rewarm cost,
+    // not steady state — that cold re-entry inflated the round-11
+    // official total 1.5-1.7× and was misdiagnosed as host drift. min is
+    // the steady-state number, max the spread (r3→r4 showed ±70%
+    // per-query swings with ZERO code change), median the load-robust
+    // middle.
     val reps = 3
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     calibSecs() // JIT-warm the calibration loop before anything is timed
     val load0 = osBean.getSystemLoadAverage
     val resolved = headline.flatMap(n => all.get(n).map(n -> _))
     val samples = Array.fill(resolved.size, reps)(0.0)
-    for (pass <- 0 until reps; ((_, fn), qi) <- resolved.zipWithIndex) {
+    val passOf = Array.fill(resolved.size)(0)
+    for ((qi, timed) <- schedule(resolved.size, reps)) {
+      val fn = resolved(qi)._2
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      samples(qi)(pass) = (System.nanoTime() - t0) / 1e9
+      if (timed) {
+        samples(qi)(passOf(qi)) = (System.nanoTime() - t0) / 1e9
+        passOf(qi) += 1
+      }
     }
     val results: Seq[Timing] = resolved.zipWithIndex.map { case ((name, _), qi) =>
       val times = samples(qi).sorted

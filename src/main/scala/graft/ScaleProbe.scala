@@ -144,13 +144,21 @@ object ScaleProbe {
 
     // one untimed invocation first: JIT/codegen for a query's operators
     // compiles on its first run, which would otherwise inflate t_1x (it
-    // always runs first) and understate the scaling ratio
-    def best(name: String, dir: String): Double =
-      (0 to 2).map { rep =>
+    // always runs first) and understate the scaling ratio. Returns
+    // (seconds, output rows): the row count makes linear-output /
+    // super-linear-time cases (single-JVM memory pressure) machine-
+    // distinguishable from genuine pair-space blowups — the r11
+    // ngram-Jaccard adjudication rested on a pair count recorded only in
+    // prose (r11 verdict task #6).
+    def best(name: String, dir: String): (Double, Long) = {
+      var rows = 0L
+      val t = (0 to 2).map { rep =>
         val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, dir).count()
+        rows = SparkEntry.queries(name)(spark, dir).count()
         (System.nanoTime() - t0) / 1e9
       }.drop(1).min
+      (t, rows)
+    }
 
     SparkEntry.entry(spark).count() // warm session machinery
 
@@ -190,24 +198,37 @@ object ScaleProbe {
       val multCols = mults.flatMap(m => Seq(f"t_${m}%dx", "ratio"))
         .map(h => f"$h%9s").mkString
       val marginalHdr = if (mults.size >= 2)
-        f"  marg_${mults.init.last}%d->${mults.last}%dx" else ""
+        f"  marg_${mults.init.last}%d->${mults.last}%dx   out_growth" else ""
       println(f"${"query"}%-24s ${"t_1x"}%8s$multCols$marginalHdr")
       val jsonRows = Seq.newBuilder[String]
       queries.foreach { name =>
-        val t1 = best(name, base)
-        val ts = mults.map(m => best(name, outFor(m)))
+        val (t1, rows1) = best(name, base)
+        val points = mults.map(m => best(name, outFor(m)))
+        val ts = points.map(_._1)
         val cols = ts.map(tn => f"$tn%9.2f${tn / t1}%9.2f").mkString
         // the marginal between the last two points is the linearity
         // verdict: data grows mults.last/mults.init.last ×, a linear
-        // pipeline's time should grow about that factor
-        val marginal = if (mults.size >= 2)
-          f"  ${ts.last / ts.init.last}%9.2f" else ""
+        // pipeline's time should grow about that factor. output_growth is
+        // the OUTPUT-row growth over the same two points: a time marginal
+        // above the data factor with output_growth at-or-below it is
+        // memory/constant pressure, not pair-space blowup — and vice
+        // versa a super-linear output_growth convicts the workload shape
+        // regardless of how fast the run happened to be.
+        val marginal = if (mults.size >= 2) {
+          val og = if (points.init.last._2 > 0)
+            points.last._2.toDouble / points.init.last._2 else -1.0
+          f"  ${ts.last / ts.init.last}%9.2f  $og%9.2f"
+        } else ""
         println(f"$name%-24s $t1%8.2f$cols$marginal")
-        val tsJson = mults.zip(ts)
-          .map { case (m, tn) => f""""t_${m}%dx":$tn%.2f""" }.mkString(",")
-        val margJson = if (mults.size >= 2)
-          f""","marginal":${ts.last / ts.init.last}%.2f""" else ""
-        jsonRows += f""""$name":{"t_1x":$t1%.2f,$tsJson$margJson}"""
+        val tsJson = mults.zip(points)
+          .map { case (m, (tn, rn)) => f""""t_${m}%dx":$tn%.2f,"rows_${m}%dx":$rn%d""" }
+          .mkString(",")
+        val margJson = if (mults.size >= 2) {
+          val og = if (points.init.last._2 > 0)
+            points.last._2.toDouble / points.init.last._2 else -1.0
+          f""","marginal":${ts.last / ts.init.last}%.2f,"output_growth":$og%.2f"""
+        } else ""
+        jsonRows += f""""$name":{"t_1x":$t1%.2f,"rows_1x":$rows1%d,$tsJson$margJson}"""
       }
       // machine-readable rows for the committed PROBES.json (r10 verdict
       // task #7): the same numbers as the table above, keyed per query

@@ -65,9 +65,15 @@ object TextOps {
         expr("CAST(conv(substr(md5(gram), 1, 13), 16, 10) AS BIGINT)"))
   }
 
-  /** The 4 CMS row-buckets of `h`: the 4 disjoint 12-bit slices of the
-    * 52-bit id — deterministic pairwise-independent-enough row hashes
-    * with no seeded RNG, replayable bit-for-bit by the oracle. */
+  /** The 4 CMS row-buckets of `h`: the 4 disjoint 12-bit slices at bit
+    * offsets 0/12/24/36 of the 52-bit id — deterministic
+    * pairwise-independent-enough row hashes with no seeded RNG,
+    * replayable bit-for-bit by the oracle. Note the top 4 bits (48..52)
+    * go UNUSED, and slices of one md5 value are weaker than 4
+    * independent hashes — acceptable because CMS error stays one-sided
+    * (over-estimates only) and the exact-df arm measures the realized
+    * precision; if more independence is ever needed, fold bits 36..52
+    * into the 4th slice with an xor. */
   private def hhBuckets = posexplode(array((0 until 4).map(j =>
     expr(s"shiftright(h, ${12 * j}) % 4096")): _*))
 
@@ -111,16 +117,32 @@ object TextOps {
 
   /** Heavy-hitter report: sketch-side ≥ T emission with the exact-df
     * truth arm attached (rationale at text_heavy_hitters_cms). `posts`
-    * must be the FULL posting stream the sketch summarizes; `t` a 1-row
-    * threshold frame. */
+    * must be the FULL posting stream the sketch summarizes (or a subset
+    * of it); `t` a 1-row threshold frame.
+    *
+    * Stale-sketch guard: CMS estimates are one-sided (est ≥ true df for
+    * every gram in the summarized stream), so an estimate that is NULL
+    * (no matching cell — possible only against a sketch built over a
+    * DIFFERENT stream) or BELOW the exact df convicts the durable base
+    * artifact of being out of sync with the corpus — e.g. data changed
+    * under cms_bigram_base. That used to underestimate or silently drop
+    * rows; it now raises, the same loud-failure discipline every other
+    * durable artifact gets from its canary. */
   private def hhReport(posts: DataFrame, cms: DataFrame, t: DataFrame): DataFrame = {
     val exact = posts.groupBy("h")
       .agg(count(lit(1)).as("df"), min("gram").as("gram"))
       .localCheckpoint() // 2 consumers: estimate probe + report join
     val est = exact.select(col("h"), hhBuckets.as(Seq("j", "bucket")))
-      .join(broadcast(cms), Seq("j", "bucket"))
+      .join(broadcast(cms), Seq("j", "bucket"), "left")
       .groupBy("h").agg(min("cnt").as("est"))
-    exact.join(est, "h").crossJoin(broadcast(t))
+    exact.join(est, Seq("h"), "left").crossJoin(broadcast(t))
+      .withColumn("est",
+        when(col("est").isNull || col("est") < col("df"),
+          raise_error(format_string(
+            "stale CMS sketch: gram '%s' has df=%s but sketch estimate %s " +
+              "— the sketch does not summarize this posting stream",
+            col("gram"), col("df"), col("est"))))
+          .otherwise(col("est")))
       .filter(col("est") >= col("t"))
       .select(col("gram"), col("df"), col("est"),
         when(col("df") >= col("t"), 1L).otherwise(0L).as("true_hh"))

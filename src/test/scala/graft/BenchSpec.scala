@@ -97,11 +97,57 @@ class BenchSpec extends AnyFunSuite {
   test("compact line carries the contract fields and only ONE per-query map") {
     val line = Bench.compactLine(syntheticResults(35), reps = 3, sf = "0.01")
     assert(line.startsWith("""{"metric":"headline_total","value":"""))
-    assert(line.contains(""","unit":"sec","reps":3,"queries":{"""))
+    // the protocol field keeps cross-round totals comparable-or-labeled:
+    // r10 (consecutive) vs r11 (interleaved, no warm) differed 1.54× on
+    // identical code with nothing in either record saying why
+    assert(line.contains(""","unit":"sec","reps":3,"protocol":"iw1","queries":{"""))
     assert(line.endsWith(""","sf":0.01}"""))
     // exactly one map: qmed/qmax belong to the detail FILE, not stdout
     assert(!line.contains("\"qmed\"") && !line.contains("\"qmax\""))
     assert(line.count(_ == '{') == 2)
+  }
+
+  test("iw1 schedule: every timed sample follows a same-query warm execution") {
+    val n = Bench.headline.size
+    val sched = Bench.schedule(n, 3)
+    // reps timed samples per query
+    (0 until n).foreach { qi =>
+      assert(sched.count { case (q, timed) => q == qi && timed } == 3)
+    }
+    // the step before every timed sample is an UNTIMED execution of the
+    // SAME query — the steady-state discipline that fixes the r11 defect
+    // (timing cold codegen-cache re-entry after a 71-query rotation)
+    sched.zipWithIndex.foreach { case ((qi, timed), i) =>
+      if (timed) assert(i > 0 && sched(i - 1) == (qi, false),
+        s"timed sample at step $i lacks a same-query warm predecessor")
+    }
+    // interleaving is preserved: between two timed samples of one query,
+    // every other query runs (full-rotation separation)
+    val timedSteps = sched.zipWithIndex.collect { case ((qi, true), i) => (qi, i) }
+    val byQuery = timedSteps.groupBy(_._1).values
+    byQuery.foreach { visits =>
+      visits.map(_._2).sliding(2).foreach {
+        case Seq(a, b) =>
+          val between = sched.slice(a + 1, b).map(_._1).distinct
+          assert(between.size >= n - 1, s"rotation gap only ${between.size}")
+        case _ =>
+      }
+    }
+  }
+
+  test("parseRecord: a nested object before queries cannot poison the map") {
+    // a hypothetical future record where a nested field precedes queries —
+    // the r11 regex stopped at the FIRST '}' and silently returned garbage
+    val line = """{"metric":"headline_total","value":2.5,""" +
+      """"host":{"queries":{"bogus":{"x":1}},"z":2},""" +
+      """"queries":{"agg_q1_pricing":0.14,"sim_pq_adc":0.37},"sf":0.1}"""
+    val (q, _, _, sf) = Bench.parseRecord(line)
+    assert(q == Map("agg_q1_pricing" -> 0.14, "sim_pq_adc" -> 0.37))
+    assert(sf.contains("0.1"))
+    // a queries map that is itself nested (not the compact-line shape)
+    // parses as EMPTY — loudly absent, never truncated-wrong
+    val bad = """{"queries":{"a":{"min":1.0}},"sf":0.1}"""
+    assert(Bench.parseRecord(bad)._1.isEmpty)
   }
 
   test("parseRecord reads both record shapes: raw compact line and driver wrapper") {

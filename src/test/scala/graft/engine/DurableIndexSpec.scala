@@ -74,6 +74,12 @@ class DurableIndexSpec extends SparkSpec {
       assert(incA.nonEmpty && ivfA.nonEmpty && q8A.nonEmpty &&
         semA.nonEmpty && bloomA.nonEmpty && bpeA.nonEmpty &&
         ccA.nonEmpty && cbA.nonEmpty && wpA.nonEmpty && bmA.nonEmpty)
+      // the newer artifacts' session-A results must be non-empty too, or
+      // their session-B equality assertions below pass vacuously on an
+      // empty report (ADVICE r11)
+      assert(wiA.nonEmpty && caA.nonEmpty && prA.nonEmpty && phA.nonEmpty &&
+        cdA.nonEmpty && ddA.nonEmpty && liA.nonEmpty && eiA.nonEmpty &&
+        njA.nonEmpty && hhA.nonEmpty)
       keys.foreach { k =>
         assert(IndexStore.buildCounts.get(paths(k)).contains(1),
           s"$k: expected exactly one cold build")
