@@ -186,6 +186,12 @@ object StreamBench {
     // RocksDB (StreamingSpec pins result-equivalence vs the default)
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // production detection config #2 (see jobs/Main): the fused merged-
+    // dispatch stage sits in the 8-64 KB dead zone where HotSpot refuses
+    // to JIT but Spark keeps whole-stage fusion — interpreted execution,
+    // measured 4-5x per-event (TriggerProbe A/B, round 12). 8000 = fall
+    // back to per-operator codegen exactly at the JIT ceiling.
+    spark.conf.set("spark.sql.codegen.hugeMethodLimit", "8000")
 
     // ---- batch continuity numbers (same shape as the default mode) ----
     val load = Detection.nestedFrom(Detection.synthFrom(
@@ -323,6 +329,7 @@ object StreamBench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.hugeMethodLimit", "8000") // see record()
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -108,14 +108,29 @@ object AlertPipeline {
     *
     * Why not a broadcast join: rule metadata is static for the lifetime of
     * a job, but Structured Streaming re-plans every micro-batch, and a
-    * broadcast join REBUILDS and re-ships the broadcast each trigger — the
-    * round-11 streaming record measured that rebuild as the merged path's
-    * p95 (14.9 s/trigger at 25 rules, STREAMBENCH_r11.json). A constant
-    * folded into the plan costs one fold per trigger instead of one
-    * broadcast job per trigger. Metadata far too large to live as a plan
-    * literal (threshold [[MetaLiteralMaxBytes]]) falls back to the
-    * broadcast join; the 31-rule corpus is ~20 KB and a 1000-rule clone
-    * fleet ~500 KB, both comfortably literal.
+    * broadcast join REBUILDS and re-ships the broadcast each trigger. A
+    * constant folded into the plan costs one fold per trigger instead of
+    * one broadcast job per trigger — measured per-trigger at 25 rules /
+    * 400k events (TriggerProbe, JIT-healthy config): literal ~540 ms vs
+    * broadcast ~710 ms, and planning 120 ms vs 270 ms. Metadata far too
+    * large to live as a plan literal (threshold [[MetaLiteralMaxBytes]])
+    * falls back to the broadcast join; the 31-rule corpus is ~20 KB and a
+    * 1000-rule clone fleet ~500 KB, both comfortably literal.
+    *
+    * DEPLOYMENT REQUIREMENT — `spark.sql.codegen.hugeMethodLimit=8000`
+    * (set by jobs/Main and the benches; a library function must not
+    * mutate its caller's session): the whole dispatch fuses into ONE
+    * whole-stage-codegen method, and at ~25 corpus-sized rules that
+    * method lands in the 8-64 KB bytecode dead zone — bigger than
+    * HotSpot's DontCompileHugeMethods JIT ceiling (8000 bytes), smaller
+    * than Spark's default fallback threshold (65535) — so every micro
+    * batch runs INTERPRETED generated code. That cliff, not the broadcast
+    * rebuild, was the real cause of the round-11 streaming record's
+    * merged p95 (14.9 s): measured 400k-event triggers go 2.1 s → 0.54 s
+    * when Spark is told to abandon fusion at the JIT ceiling (per-operator
+    * codegen splits expressions into JIT-able sub-methods). At 1000 rules
+    * the fused method exceeds 65535 anyway and Spark falls back on its
+    * own; only the 8-64 KB window is silent.
     *
     * Also the BATCH-mode winner at any rule count: a batch union fan-out
     * re-executes the source scan per branch (Spark reuses the scan across
@@ -147,7 +162,7 @@ object AlertPipeline {
     * every task; a broadcast ships once per executor — the right trade
     * only when the metadata is genuinely big). 8 MB ≈ 16000 corpus-sized
     * rules, far above any real deployment. */
-  private[engine] val MetaLiteralMaxBytes: Long = 8L * 1024 * 1024
+  private[graft] val MetaLiteralMaxBytes: Long = 8L * 1024 * 1024
 
   /** Conservative metadata size estimate: UTF-16 chars of every string
     * field plus per-rule struct overhead. */

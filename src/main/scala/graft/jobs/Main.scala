@@ -42,7 +42,16 @@ object Main {
     val spark = conf.filter { case (k, _) => k.startsWith("spark.") }
       .foldLeft(SparkSession.builder()
         .appName("graft-alerts")
-        .config("spark.sql.session.timeZone", "UTC")) {
+        .config("spark.sql.session.timeZone", "UTC")
+        // Required detection-job config (overridable via --conf): a
+        // 25-rule merged dispatch fuses into ONE whole-stage method in the
+        // 8-64 KB bytecode dead zone — above HotSpot's 8000-byte
+        // DontCompileHugeMethods JIT ceiling, below Spark's 65535 default
+        // fallback — so it silently runs INTERPRETED (measured 4-5x:
+        // 400k-event triggers 2.1s -> 0.54s at this setting). 8000 makes
+        // Spark fall back to per-operator codegen exactly when HotSpot
+        // would refuse to compile the fused method.
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")) {
         case (b, (k, v)) => b.config(k, v)
       }
       .getOrCreate()
