@@ -208,18 +208,45 @@ object PlanAudit {
       case other => other.children.flatMap(scansOutsideCodegen(_, under))
     }
 
+  /** JIT dead-zone sweep (round 12): compile every WholeStageCodegen
+    * subtree of a plan and report the largest generated METHOD size. A
+    * method above HotSpot's DontCompileHugeMethods ceiling (8000
+    * bytecode) never JIT-compiles; with Spark's default
+    * hugeMethodLimit=65535 a stage in the (8000, 65535] window silently
+    * runs INTERPRETED generated code — the 25-rule merged detection
+    * dispatch lived exactly there, 4-5× slower per event until round 12
+    * measured it (TriggerProbe A/B: 2.1 s → 0.54 s per 400k-event
+    * trigger). Under the library's SessionDefaults (hugeMethodLimit=8000)
+    * such stages take the visible per-operator-codegen fallback instead,
+    * so a listing here means "this stage does not fuse", not "this stage
+    * is interpreted" — report it so fusion loss is a recorded fact, not a
+    * surprise. */
+  private[graft] def jitDeadZone(plan: SparkPlan): Seq[Int] =
+    org.apache.spark.sql.execution.debug.codegenStringSeq(plan)
+      .map(_._3.maxMethodCodeSize).filter(_ > 8000)
+
   /** Audit every registered query's physical plan; returns the flagged
-    * (name, reasons) pairs. Plan building only — nothing executes (beyond
-    * the localCheckpoints some dedup queries take at build time). AQE is
-    * disabled while building: the adaptive wrapper's pre-execution plan
-    * carries no WholeStageCodegen markers, and the static planner's
-    * shapes are what the string checks inspect anyway. */
-  def audit(spark: SparkSession, dir: String): Seq[(String, String)] = {
+    * (name, reasons) pairs plus the JIT dead-zone report
+    * (query -> max generated-method bytecode across its no-fuse stages).
+    * Plan building only — nothing executes (beyond the localCheckpoints
+    * some dedup queries take at build time), though the dead-zone sweep
+    * does COMPILE each stage's generated code. AQE is disabled while
+    * building: the adaptive wrapper's pre-execution plan carries no
+    * WholeStageCodegen markers, and the static planner's shapes are what
+    * the string checks inspect anyway. */
+  def audit(spark: SparkSession, dir: String): Seq[(String, String)] =
+    auditFull(spark, dir)._1
+
+  def auditFull(spark: SparkSession, dir: String):
+      (Seq[(String, String)], Seq[(String, Int)]) = {
     val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    val deadZone = Seq.newBuilder[(String, Int)]
+    val flagged = try SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
         val plan = fn(spark, dir).queryExecution.executedPlan
+        val dz = try jitDeadZone(plan) catch { case _: Throwable => Nil }
+        if (dz.nonEmpty) deadZone += (name -> dz.max)
         val p = plan.toString
         val interpreted = scansOutsideCodegen(plan).distinct
         // a SinglePartition exchange is benign when it feeds a global
@@ -255,25 +282,30 @@ object PlanAudit {
           Some(name -> s"plan build failed: ${e.getMessage.take(120)}")
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+    (flagged, deadZone.result())
   }
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val spark = SparkSession.builder()
+    val spark = graft.engine.SessionDefaults(SparkSession.builder())
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val flagged = audit(spark, dir)
+    val (flagged, deadZone) = auditFull(spark, dir)
     flagged.foreach { case (n, f) => println(s"FLAG $n: $f") }
-    println(s"audited ${SparkEntry.queries.size} queries, ${flagged.size} flagged")
+    deadZone.foreach { case (n, sz) => println(s"NOFUSE $n: max method $sz B") }
+    println(s"audited ${SparkEntry.queries.size} queries, ${flagged.size} flagged, " +
+      s"${deadZone.size} with no-fuse (JIT dead-zone) stages")
     // machine-readable result for the committed PROBES.json
     sys.env.get("GRAFT_AUDIT_JSON").foreach { p =>
       val fl = flagged.map { case (n, f) =>
         s""""$n":"${f.replace("\"", "'")}"""" }.mkString(",")
+      val dz = deadZone.map { case (n, sz) => s""""$n":$sz""" }.mkString(",")
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
-        s"""{"metric":"plan_audit","audited":${SparkEntry.queries.size},"flagged":{$fl}}"""
+        (s"""{"metric":"plan_audit","audited":${SparkEntry.queries.size},""" +
+          s""""flagged":{$fl},"jit_dead_zone":{$dz}}""")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     spark.stop()

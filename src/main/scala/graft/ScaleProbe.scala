@@ -86,7 +86,7 @@ object ScaleProbe {
     // making per-task input 4× larger — more pressure per task, honestly
     // reached
     val threads = if (spillMode) 8 else 32
-    val builder = SparkSession.builder()
+    val builder = graft.engine.SessionDefaults(SparkSession.builder())
       .master(s"local[$threads]")
       .config("spark.sql.shuffle.partitions", threads)
       .config("spark.ui.enabled", "false")

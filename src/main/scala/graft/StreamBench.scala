@@ -186,12 +186,9 @@ object StreamBench {
     // RocksDB (StreamingSpec pins result-equivalence vs the default)
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    // production detection config #2 (see jobs/Main): the fused merged-
-    // dispatch stage sits in the 8-64 KB dead zone where HotSpot refuses
-    // to JIT but Spark keeps whole-stage fusion — interpreted execution,
-    // measured 4-5x per-event (TriggerProbe A/B, round 12). 8000 = fall
-    // back to per-operator codegen exactly at the JIT ceiling.
-    spark.conf.set("spark.sql.codegen.hugeMethodLimit", "8000")
+    // (production detection config #2, hugeMethodLimit=8000, comes from
+    // SessionDefaults on the builder — the fused merged-dispatch stage
+    // otherwise runs interpreted, measured 4-5× per-event by TriggerProbe)
 
     // ---- batch continuity numbers (same shape as the default mode) ----
     val load = Detection.nestedFrom(Detection.synthFrom(
@@ -207,9 +204,21 @@ object StreamBench {
     val unionBatchSec = timeSec(AlertPipeline.alerts(load, rules).count())
 
     // ---- sustained streaming eps per topology ----
+    // inputFactor: StreamingQueryProgress.numInputRows sums input counts
+    // across plan BRANCHES — a k-branch UNION over one shared
+    // MicroBatchScan reports every source row k times (confirmed with
+    // TriggerProbe: trigger rows=10,000,000 against a 400k rows/s rate
+    // source = exactly 25× the arrivals), so the r11 committed
+    // union_eps=10.1M was 25× inflated. Rows are divided by the factor so
+    // every eps in the record counts SOURCE events once.
+    // rps: arrival rate. The eps rows run saturated (arrivals above
+    // capacity) so eps measures capacity; the *_lat rows re-run paced
+    // (arrivals below capacity) because p50/p95 under saturation measure
+    // backlog growth, not trigger latency.
     def sustained(name: String,
         mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
-        deadlineSec: Long = 120): String = {
+        deadlineSec: Long = 120, inputFactor: Long = 1,
+        rps: String = sys.env.getOrElse("SPARK_GRAFT_RECORD_RPS", "400000")): String = {
       val samples = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
       val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
         import org.apache.spark.sql.streaming.StreamingQueryListener._
@@ -223,8 +232,7 @@ object StreamBench {
       }
       spark.streams.addListener(listener)
       val stream = spark.readStream.format("rate")
-        .option("rowsPerSecond",
-          sys.env.getOrElse("SPARK_GRAFT_RECORD_RPS", "400000"))
+        .option("rowsPerSecond", rps)
         .option("numPartitions", 8).load()
         .select(col("value").as("event_id"), col("timestamp").as("ts"))
       val q = mk(stream).writeStream.format("noop").outputMode("append").start()
@@ -235,7 +243,7 @@ object StreamBench {
       // first triggers pay codegen + broadcast warm-up, not throughput
       val steady = samples.toArray(Array.empty[(Long, Long)])
         .drop(math.min(3, samples.size / 2))
-      val rows = steady.map(_._1).sum
+      val rows = steady.map(_._1).sum / inputFactor
       val ms = steady.map(_._2).sum
       val eps = if (ms > 0) rows * 1000L / ms else -1L
       val ds = steady.map(_._2).sorted
@@ -249,7 +257,8 @@ object StreamBench {
     val mergedS = sustained("merged",
       s => AlertPipeline.alertsMerged(Detection.nestedFrom(Detection.synthFrom(s)), rules))
     val unionS = sustained("union",
-      s => AlertPipeline.alerts(Detection.nestedFrom(Detection.synthFrom(s)), rules))
+      s => AlertPipeline.alerts(Detection.nestedFrom(Detection.synthFrom(s)), rules),
+      inputFactor = rules.size)
     // the stateful row: a windowed-count timeframe rule whose predicate
     // matches the svchost pool values (~2/17 of events), 10 s tumbling
     // window per computer_name, 5 s watermark — keyed state in RocksDB
@@ -272,11 +281,17 @@ object StreamBench {
     // the metadata lookup is a plan literal (no per-trigger broadcast).
     // Longer deadlines: the first trigger at 1000 rules pays whole-stage
     // codegen over a 1000-conjunct dispatch before any steady trigger.
-    val scalingS = Seq(250 -> 240L, 1000 -> 480L).map { case (nr, dl) =>
+    val scalingS = Seq(250 -> 240L, 1000 -> 480L).flatMap { case (nr, dl) =>
       val cloned = cloneRules(rules, nr)
-      sustained(s"merged${nr}", s =>
-        AlertPipeline.alertsMerged(
-          Detection.nestedFrom(Detection.synthFrom(s)), cloned), dl)
+      def run(s: org.apache.spark.sql.DataFrame) = AlertPipeline.alertsMerged(
+        Detection.nestedFrom(Detection.synthFrom(s)), cloned)
+      // saturated row = capacity eps (p50/p95 there track backlog growth,
+      // not latency); paced row at 50k eps (below every capacity point) =
+      // honest steady-state trigger latency, where the per-trigger fixed
+      // cost — dominated by Catalyst re-optimizing the O(rules) predicate
+      // tree every micro-batch — is directly visible
+      Seq(sustained(s"merged${nr}", run, dl),
+        sustained(s"merged${nr}_lat", run, dl, rps = "50000"))
     }
 
     val load1 = osBean.getSystemLoadAverage
@@ -288,9 +303,13 @@ object StreamBench {
     val vs = priorStreamRecord().map { f =>
       val prior = new String(java.nio.file.Files.readAllBytes(f.toPath),
         java.nio.charset.StandardCharsets.UTF_8)
+      // records before the input_corrected field carried union_eps counted
+      // once per branch (25×) — normalize the prior before comparing
+      val priorCorrected = prior.contains("\"input_corrected\":true")
       val ratios = Seq("merged_eps", "union_eps", "stateful_eps").flatMap { k =>
         for {
-          p <- num(prior, k) if p > 0
+          p0 <- num(prior, k) if p0 > 0
+          p = if (!priorCorrected && k == "union_eps") p0 / rules.size else p0
           c <- num(s"""${mergedS},${unionS},${statefulS}""", k)
         } yield f""""$k":${c / p}%.2f"""
       }
@@ -301,13 +320,13 @@ object StreamBench {
       f""""batch_union_eps":${(n / unionBatchSec).toLong},""" +
       s"""$mergedS,$unionS,$statefulS,${scalingS.mkString(",")},""" +
       f""""load":[$load0%.2f,$load1%.2f],"calib":$calib%.3f,"calib_mt":$calibMt%.3f""" +
-      s"""$vs,"state_store":"rocksdb"}""")
+      s"""$vs,"input_corrected":true,"state_store":"rocksdb"}""")
   }
 
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("record")) {
       val cpus0 = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-      val spark0 = SparkSession.builder()
+      val spark0 = graft.engine.SessionDefaults(SparkSession.builder())
         .master(s"local[$cpus0]")
         .config("spark.sql.shuffle.partitions", cpus0)
         .config("spark.sql.session.timeZone", "UTC")
@@ -324,7 +343,7 @@ object StreamBench {
     val mode = args.drop(3).headOption.getOrElse("rr")
     val skew = args.drop(4).headOption.contains("skew")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = graft.engine.SessionDefaults(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -35,7 +35,7 @@ object TriggerProbe {
       .getOrElse(AlertPipeline.MetaLiteralMaxBytes)
     val shape = args.lift(4).getOrElse("full")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = graft.engine.SessionDefaults(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -34,7 +34,7 @@ object ExportShards {
     val outDir = args.lift(1).getOrElse(
       sys.error("usage: ExportShards <sfDir> <outDir> [pipelineQuery]"))
     val query = args.lift(2).getOrElse("curate_pipeline_v2")
-    val spark = SparkSession.builder()
+    val spark = graft.engine.SessionDefaults(SparkSession.builder())
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false")

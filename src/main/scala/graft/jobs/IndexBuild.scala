@@ -60,7 +60,7 @@ object IndexBuild {
     val master = args.drop(1).headOption.getOrElse("local[32]")
     require(sys.env.contains("GRAFT_INDEX_DIR") || Tables.indexDirOverride.nonEmpty,
       "IndexBuild: set GRAFT_INDEX_DIR — without a store root there is nothing durable to build")
-    val spark = SparkSession.builder()
+    val spark = graft.engine.SessionDefaults(SparkSession.builder())
       .master(master)
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")

@@ -148,7 +148,7 @@ object IngestJob {
       sys.error("usage: IngestJob <baseDir> <inDir> <outDir> [checkpointDir]")
     val Array(baseDir, inDir, outDir) = args.take(3)
     val checkpoint = args.lift(3).getOrElse(s"$outDir/_checkpoint")
-    val spark = SparkSession.builder()
+    val spark = graft.engine.SessionDefaults(SparkSession.builder())
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false")

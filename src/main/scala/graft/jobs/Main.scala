@@ -40,18 +40,13 @@ object Main {
     require(rules.nonEmpty, "no rules compiled")
 
     val spark = conf.filter { case (k, _) => k.startsWith("spark.") }
-      .foldLeft(SparkSession.builder()
+      .foldLeft(graft.engine.SessionDefaults(SparkSession.builder())
         .appName("graft-alerts")
-        .config("spark.sql.session.timeZone", "UTC")
-        // Required detection-job config (overridable via --conf): a
-        // 25-rule merged dispatch fuses into ONE whole-stage method in the
-        // 8-64 KB bytecode dead zone — above HotSpot's 8000-byte
-        // DontCompileHugeMethods JIT ceiling, below Spark's 65535 default
-        // fallback — so it silently runs INTERPRETED (measured 4-5x:
-        // 400k-event triggers 2.1s -> 0.54s at this setting). 8000 makes
-        // Spark fall back to per-operator codegen exactly when HotSpot
-        // would refuse to compile the fused method.
-        .config("spark.sql.codegen.hugeMethodLimit", "8000")) {
+        // SessionDefaults carries the REQUIRED detection-job config
+        // (hugeMethodLimit=8000 — the merged dispatch's whole-stage method
+        // otherwise runs interpreted; rationale at SessionDefaults),
+        // still overridable via --conf
+        .config("spark.sql.session.timeZone", "UTC")) {
         case (b, (k, v)) => b.config(k, v)
       }
       .getOrCreate()

@@ -13,6 +13,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(flagged.isEmpty, flagged.map { case (n, f) => s"$n: $f" }.mkString("; "))
   }
 
+  test("JIT dead-zone sweep sees the merged dispatch's huge method (positive control)") {
+    // the known inhabitant: the 25-rule merged detection dispatch fuses
+    // into one whole-stage method above HotSpot's 8000-byte JIT ceiling
+    // (the round-12 interpreted-execution finding). If the sweep can't
+    // see THIS stage, its empty report elsewhere proves nothing.
+    val nested = ops.Detection.nested(spark, "/root/testdata/sf0.001")
+    val plan = engine.AlertPipeline
+      .alertsMerged(nested, rules.ReferenceCorpus.active)
+      .queryExecution.executedPlan
+    val dz = PlanAudit.jitDeadZone(plan)
+    assert(dz.nonEmpty && dz.max > 8000,
+      s"merged-dispatch stage not seen in the dead zone: $dz")
+    // and a trivially small plan reports nothing
+    val small = spark.range(10).toDF("id").queryExecution.executedPlan
+    assert(PlanAudit.jitDeadZone(small).isEmpty)
+  }
+
   test("the interpreted-scan detector fires when codegen is disabled (negative control)") {
     // 0-flagged above is only meaningful if the detector CAN flag: turn
     // whole-stage codegen off and the same audit must report interpreted
