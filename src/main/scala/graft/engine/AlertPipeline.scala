@@ -99,10 +99,11 @@ object AlertPipeline {
     * codegen'd filters), ONE projection evaluates every rule predicate into
     * an int array, explodes the fired rule ids, and shapes alerts by
     * indexing a LITERAL array-of-structs of rule metadata with the fired
-    * `rid` — `element_at(<constant>, rid+1)`, which ConstantFolding
-    * collapses to a single Literal at plan time, so the lookup is pure
-    * codegen: no join, no broadcast, no exchange. Plan size is O(1) in
-    * rule count; the predicates still all run inside one codegen'd stage.
+    * `rid` — `element_at(<one pre-folded Literal>, rid+1)` (see
+    * [[metaLiteral]]), so the lookup is pure codegen: no join, no
+    * broadcast, no exchange, and the planner sees a single constant node.
+    * Plan size is O(1) in rule count; the predicates still all run inside
+    * one codegen'd stage.
     * Semantics identical to [[alerts]] (bag multiplicity included) —
     * asserted by AlertPipelineSpec.
     *
@@ -150,12 +151,37 @@ object AlertPipeline {
     val withFired = sysmon.withColumn("__fa", fired)
       .withColumn("rid", explode(array_remove(col("__fa"), lit(-1))))
     if (metaBytes(rules) <= literalMaxBytes)
-      shapeMerged(withFired,
-        element_at(array(rules.map(metaStruct): _*), col("rid") + 1))
+      shapeMerged(withFired, element_at(metaLiteral(rules), col("rid") + 1))
     else
       shapeMerged(withFired.join(
         broadcast(metaTable(sysmon.sparkSession, rules)), "rid"), col("__m"))
   }
+
+  /** Typed mirror of [[metaSchema]] so the metadata literal can be built
+    * with `typedlit` (the one public API that accepts a whole Scala value
+    * as a single Literal; the classic Column(Expression) constructors are
+    * private[sql] in Spark 4). Field names must match metaSchema —
+    * [[shapeMerged]] extracts by name on both paths. */
+  private case class RuleMeta(name: String, author: String, category: String,
+      severity: Int, description: String, references: Seq[String],
+      tactic: Seq[String], technique: Seq[String], subtechnique: Seq[String],
+      module: Option[String], version: String, source: String)
+
+  /** The rule-metadata array as ONE pre-folded Literal. The first draft
+    * spelled it `array(struct(lit(...)...)...)` and let ConstantFolding
+    * collapse it — correct, but the ANALYZER and OPTIMIZER walk the
+    * unfolded tree first, and at 1000 rules those ~15k foldable nodes
+    * cost 13.4 s of plan build (RuleFanoutProbe) — paid EVERY micro-batch
+    * in streaming, where the plan is rebuilt per trigger. Handing the
+    * planner a single pre-converted Literal node returns plan build to
+    * the join-era ~0.5 s at 1000 rules with none of the join's broadcast
+    * traffic. */
+  private def metaLiteral(rules: Seq[RuleDef]): Column =
+    typedlit(rules.map { r =>
+      RuleMeta(r.name, r.author, r.category, r.severity, r.description,
+        r.references, r.tactic, r.technique, r.subtechnique,
+        r.module, r.version, r.source)
+    })
 
   /** Rule-metadata sets larger than this go through a broadcast join
     * instead of a plan literal (a literal rides the serialized plan to
@@ -175,21 +201,20 @@ object AlertPipeline {
           .map(_.length).sum) + 64L
     }.sum
 
-  /** One rule's metadata as a fully-literal struct — every child foldable,
-    * so an `array` of these constant-folds to ONE Literal at plan time. */
-  private def metaStruct(r: RuleDef): Column = struct(
-    lit(r.name).as("name"),
-    lit(r.author).as("author"),
-    lit(r.category).as("category"),
-    lit(r.severity).as("severity"),
-    lit(r.description).as("description"),
-    strArray(r.references).as("references"),
-    strArray(r.tactic).as("tactic"),
-    strArray(r.technique).as("technique"),
-    strArray(r.subtechnique).as("subtechnique"),
-    r.module.map(m => lit(m)).getOrElse(lit(null).cast("string")).as("module"),
-    lit(r.version).as("version"),
-    lit(r.source).as("source"))
+  /** The metadata struct shape shared by the literal and broadcast paths. */
+  private val metaSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("name", StringType), StructField("author", StringType),
+      StructField("category", StringType), StructField("severity", IntegerType),
+      StructField("description", StringType),
+      StructField("references", ArrayType(StringType)),
+      StructField("tactic", ArrayType(StringType)),
+      StructField("technique", ArrayType(StringType)),
+      StructField("subtechnique", ArrayType(StringType)),
+      StructField("module", StringType), StructField("version", StringType),
+      StructField("source", StringType)))
+  }
 
   /** Fallback metadata source above [[MetaLiteralMaxBytes]]: a (rid, __m)
     * table to broadcast-join, `__m` a struct with the same field names the
@@ -201,21 +226,11 @@ object AlertPipeline {
         r.references, r.tactic, r.technique, r.subtechnique,
         r.module.orNull, r.version, r.source))
     }
-    val mSchema = StructType(Seq(
-      StructField("name", StringType), StructField("author", StringType),
-      StructField("category", StringType), StructField("severity", IntegerType),
-      StructField("description", StringType),
-      StructField("references", ArrayType(StringType)),
-      StructField("tactic", ArrayType(StringType)),
-      StructField("technique", ArrayType(StringType)),
-      StructField("subtechnique", ArrayType(StringType)),
-      StructField("module", StringType), StructField("version", StringType),
-      StructField("source", StringType)))
     spark.createDataFrame(
       new java.util.ArrayList[Row](
         scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
       StructType(Seq(StructField("rid", IntegerType),
-        StructField("__m", mSchema))))
+        StructField("__m", metaSchema))))
   }
 
   /** Shared alert shaping over the merged dispatch: `m` is the fired

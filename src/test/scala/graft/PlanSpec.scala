@@ -59,14 +59,18 @@ class PlanSpec extends SparkSpec {
       .toSeq
     assert(!opTokens.exists(t => t.contains("Exchange") || t.contains("Join")),
       opTokens.mkString(", "))
-    // ConstantFolding must have collapsed the 25-struct array — an
-    // unfolded CreateArray would rebuild all structs PER ROW
+    // the metadata must reach the plan as ONE pre-folded Literal (an
+    // expression-spelled array cost 13.4 s of plan build at 1000 rules —
+    // paid per micro-batch in streaming)
     val opt = df.queryExecution.optimizedPlan
-    val unfolded = opt.expressions.flatMap(_.collect {
-      case c: org.apache.spark.sql.catalyst.expressions.CreateArray
-          if c.children.size == rules.ReferenceCorpus.active.size => c
+    val metaLits = opt.expressions.flatMap(_.collect {
+      case l: org.apache.spark.sql.catalyst.expressions.Literal
+          if l.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+            l.value != null &&
+            l.value.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+              .numElements == rules.ReferenceCorpus.active.size => l
     })
-    assert(unfolded.isEmpty, s"metadata array not constant-folded:\n$opt")
+    assert(metaLits.nonEmpty, s"pre-folded metadata literal not found:\n$opt")
   }
 
   test("merged dispatch above the literal threshold falls back to broadcast join") {
