@@ -141,12 +141,20 @@ object StreamBench {
 
   /** Newest prior STREAMBENCH_r<N>.json in the repo root, for the
     * round-over-round eps comparison (the batch headline's vs_prior
-    * discipline applied to the streaming record). */
-  private[graft] def priorStreamRecord(dir: String = "."): Option[java.io.File] = {
+    * discipline applied to the streaming record).
+    *
+    * `maxRound`: rounds >= this are EXCLUDED — the round being recorded
+    * must not compare against its own (or a later) already-written file.
+    * The shipped r12 record compared r12-vs-r12 because an earlier r12
+    * run was already on disk when the final one ran (advisor finding);
+    * record() now passes the current round from GRAFT_STREAM_ROUND. */
+  private[graft] def priorStreamRecord(dir: String = ".",
+      maxRound: Int = Int.MaxValue): Option[java.io.File] = {
     val rx = "^STREAMBENCH_r(\\d+)\\.json$".r // whole-name: see Bench.priorRecordFile
     Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty[java.io.File])
       .toSeq
       .flatMap(f => rx.findFirstMatchIn(f.getName).map(m => (m.group(1).toInt, f)))
+      .filter(_._1 < maxRound)
       .sortBy(-_._1).headOption.map(_._2)
   }
 
@@ -300,16 +308,21 @@ object StreamBench {
     def num(src: String, k: String): Option[Double] =
       ("\"" + k + "\":\\s*(-?[0-9.]+)").r.findFirstMatchIn(src)
         .map(_.group(1).toDouble)
-    val vs = priorStreamRecord().map { f =>
+    val maxRound = sys.env.get("GRAFT_STREAM_ROUND").map(_.toInt)
+      .getOrElse(Int.MaxValue)
+    val vs = priorStreamRecord(maxRound = maxRound).map { f =>
       val prior = new String(java.nio.file.Files.readAllBytes(f.toPath),
         java.nio.charset.StandardCharsets.UTF_8)
       // records before the input_corrected field carried union_eps counted
-      // once per branch (25×) — normalize the prior before comparing
+      // once per branch (rules×) — normalize the prior before comparing,
+      // by the PRIOR record's own rule count (advisor finding: dividing by
+      // the current corpus size silently mis-normalizes if the corpus grew)
       val priorCorrected = prior.contains("\"input_corrected\":true")
+      val priorRules = num(prior, "rules").getOrElse(rules.size.toDouble)
       val ratios = Seq("merged_eps", "union_eps", "stateful_eps").flatMap { k =>
         for {
           p0 <- num(prior, k) if p0 > 0
-          p = if (!priorCorrected && k == "union_eps") p0 / rules.size else p0
+          p = if (!priorCorrected && k == "union_eps") p0 / priorRules else p0
           c <- num(s"""${mergedS},${unionS},${statefulS}""", k)
         } yield f""""$k":${c / p}%.2f"""
       }
@@ -348,7 +361,6 @@ object StreamBench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.codegen.hugeMethodLimit", "8000") // see record()
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -284,6 +284,24 @@ object Detection {
             col("a_eid").as("creation_eid"), col("gap_us"))
           .orderBy("access_eid")
       }),
+      // Mutant control for the dead winrmShells rule (r12 verdict #5):
+      // sig_suspicious_shells_spawn_by passes with 0 rows on BOTH engines
+      // by corpus-quirk design (untranslated Sigma `*` wildcards in = / IN
+      // can never match), so that oracle alone cannot distinguish
+      // "faithful transcription" from "broken predicate". This control
+      // runs the MECHANICALLY-FIXED predicate (`*` → LIKE `%`) over the
+      // synth table plus planted rows: the fixed rule MUST match exactly
+      // the planted positives (full hash oracle), and DetectionSpec pins
+      // that the ORIGINAL predicate still matches none of them — together
+      // they make the 0-row fidelity query falsifiable.
+      "sig_winrm_mutant" -> ((s: SparkSession, dir: String) => {
+        import s.implicits._
+        val planted = winrmPlanted.toDF("eid", "ParentImage", "Image")
+        synth(s, dir).select(col("eid"), col("ParentImage"), col("Image"))
+          .unionAll(planted)
+          .filter(fixSigmaWildcards(ReferenceCorpus.winrmShells.where).toColumn(col))
+          .select(col("eid")).orderBy("eid")
+      }),
       // Alert shaping: scalar extraction from the event/threat/rule structs
       // for one rule (LaZagne), proving struct construction semantics.
       "sig_alert_shape" -> ((s: SparkSession, dir: String) => {
@@ -300,6 +318,37 @@ object Detection {
           .orderBy("origin_id")
       }))
   }
+
+  /** The Sigma-wildcard translation main.py would have applied had the
+    * reference's transpiler handled `*` in = / IN (it does not — the
+    * winrmShells rule ships dead, windows-process-access.sql:225-252):
+    * an equality/IN value containing `*` becomes a LIKE with `%`. Used
+    * ONLY by the sig_winrm_mutant control; the shipped corpus keeps the
+    * quirk verbatim. */
+  private[graft] def fixSigmaWildcards(p: Pred): Pred = {
+    import graft.compile._
+    p match {
+      case Eq(f, v) if v.contains("*") => Like(f, v.replace('*', '%'))
+      case In(f, vs) if vs.exists(_.contains("*")) =>
+        vs.map[Pred](v =>
+          if (v.contains("*")) Like(f, v.replace('*', '%')) else Eq(f, v))
+          .reduce(Or(_, _))
+      case And(l, r) => And(fixSigmaWildcards(l), fixSigmaWildcards(r))
+      case Or(l, r) => Or(fixSigmaWildcards(l), fixSigmaWildcards(r))
+      case Not(q) => Not(fixSigmaWildcards(q))
+      case other => other
+    }
+  }
+
+  /** Planted rows for the mutant control: two positives (WinRM host
+    * spawning cmd/powershell), two near-misses (wrong child, wrong
+    * parent). Negative eids cannot collide with synth rows at any SF. */
+  private[graft] val winrmPlanted: Seq[(Long, String, String)] = Seq(
+    (-1L, """C:\Windows\System32\wsmprovhost.exe""", """C:\Windows\System32\cmd.exe"""),
+    (-2L, """C:\Windows\system32\wsmprovhost.exe""",
+      """C:\Windows\SysWOW64\WindowsPowerShell\v1.0\powershell.exe"""),
+    (-3L, """C:\Windows\System32\wsmprovhost.exe""", """C:\Windows\System32\notepad.exe"""),
+    (-4L, """C:\Windows\explorer.exe""", """C:\Windows\System32\cmd.exe"""))
 
   val oracles: Map[String, String] = {
     val perRule = ReferenceCorpus.allRules.map { r =>
@@ -356,8 +405,20 @@ object Detection {
           WHERE kind = 1 AND a_eid IS NOT NULL AND ts_us - a_ts_us <= 259200000000
           ORDER BY access_eid"""
 
+    val winrmMutant = {
+      val values = winrmPlanted.map { case (eid, pi, im) =>
+        s"(CAST($eid AS BIGINT), ${Pred.sq(pi)}, ${Pred.sq(im)})"
+      }.mkString(", ")
+      val fixed = fixSigmaWildcards(ReferenceCorpus.winrmShells.where)
+      s"""SELECT eid FROM (
+            SELECT eid, "ParentImage", "Image" FROM ($synthSql)
+            UNION ALL
+            SELECT * FROM (VALUES $values) t(eid, "ParentImage", "Image"))
+          WHERE ${fixed.toDuckDb(duckField)} ORDER BY eid"""
+    }
+
     perRule + ("sig_fanout_counts" -> fanout) + ("sig_fanout_merged" -> fanout) +
       ("sig_alert_shape" -> shape) + ("tf_windowed_count" -> tf) +
-      ("sig_sequence_corr" -> seqCorr)
+      ("sig_sequence_corr" -> seqCorr) + ("sig_winrm_mutant" -> winrmMutant)
   }
 }

@@ -134,7 +134,12 @@ object TextOps {
       .localCheckpoint() // 2 consumers: estimate probe + report join
     val est = exact.select(col("h"), hhBuckets.as(Seq("j", "bucket")))
       .join(broadcast(cms), Seq("j", "bucket"), "left")
-      .groupBy("h").agg(min("cnt").as("est"))
+      // a bucket with no sketch cell means the sketch counted 0 there —
+      // coalesce to 0 BEFORE the min, or a gram missing from some-but-not-
+      // all of its 4 buckets takes its min over only the matched cells and
+      // can dodge the est>=df conviction (advisor finding: partial
+      // staleness slipped the guard; est=0 < df now always raises)
+      .groupBy("h").agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
     exact.join(est, Seq("h"), "left").crossJoin(broadcast(t))
       .withColumn("est",
         when(col("est").isNull || col("est") < col("df"),

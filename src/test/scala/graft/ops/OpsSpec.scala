@@ -19,6 +19,21 @@ class OpsSpec extends SparkSpec {
     assert(Lsh.planesFor(Long.MaxValue) == Lsh.MaxPlanes)
   }
 
+  test("winrm mutant control: fixed predicate fires on planted rows, the " +
+      "shipped quirk predicate on none (falsifies the 0-row fidelity oracle)") {
+    import spark.implicits._
+    // the full-oracle query: synth + planted rows, mechanically-fixed rule
+    val fired = Detection.queries("sig_winrm_mutant")(spark, dir)
+      .collect().map(_.getLong(0)).toSeq
+    assert(fired == Seq(-2L, -1L),
+      s"fixed winrm rule must match exactly the planted positives, got $fired")
+    // the shipped predicate (untranslated `*` wildcards) must match NOTHING,
+    // even the planted positives — that is the corpus quirk being preserved
+    val planted = Detection.winrmPlanted.toDF("eid", "ParentImage", "Image")
+    assert(planted.filter(
+      graft.rules.ReferenceCorpus.winrmShells.where.toColumn(col)).count() == 0)
+  }
+
   test("dedup_exact finds exactly the planted byte-exact copies") {
     val out = Dedup.queries("dedup_exact")(spark, dir).collect()
     assert(out.nonEmpty)
