@@ -118,20 +118,22 @@ object AlertPipeline {
     * falls back to the broadcast join; the 31-rule corpus is ~20 KB and a
     * 1000-rule clone fleet ~500 KB, both comfortably literal.
     *
-    * DEPLOYMENT REQUIREMENT — `spark.sql.codegen.hugeMethodLimit=8000`
-    * (set by jobs/Main and the benches; a library function must not
-    * mutate its caller's session): the whole dispatch fuses into ONE
-    * whole-stage-codegen method, and at ~25 corpus-sized rules that
-    * method lands in the 8-64 KB bytecode dead zone — bigger than
-    * HotSpot's DontCompileHugeMethods JIT ceiling (8000 bytes), smaller
-    * than Spark's default fallback threshold (65535) — so every micro
-    * batch runs INTERPRETED generated code. That cliff, not the broadcast
-    * rebuild, was the real cause of the round-11 streaming record's
-    * merged p95 (14.9 s): measured 400k-event triggers go 2.1 s → 0.54 s
-    * when Spark is told to abandon fusion at the JIT ceiling (per-operator
-    * codegen splits expressions into JIT-able sub-methods). At 1000 rules
-    * the fused method exceeds 65535 anyway and Spark falls back on its
-    * own; only the 8-64 KB window is silent.
+    * JIT dead zone — RESOLVED BY CONSTRUCTION on the default path (r12
+    * verdict #6): the r12 round found the when/otherwise spelling of this
+    * dispatch fused into ONE whole-stage-codegen method that, at ~25
+    * corpus-sized rules, landed in the 8-64 KB bytecode dead zone —
+    * bigger than HotSpot's DontCompileHugeMethods JIT ceiling (8000
+    * bytes), smaller than Spark's default fallback threshold (65535) —
+    * so every micro-batch ran INTERPRETED generated code (the real cause
+    * of the r11 streaming record's merged p95 of 14.9 s; 400k-event
+    * triggers went 2.1 s → 0.54 s under hugeMethodLimit=8000). The
+    * rule_dispatch expression generates ONE SMALL METHOD PER RULE plus
+    * 64-call block methods, so the fused stage method no longer grows
+    * with rule count AT ALL — a consumer's own SparkSession with Spark's
+    * default hugeMethodLimit cannot re-enter the zone through this path
+    * at any rule count. `SessionDefaults` (hugeMethodLimit=8000) remains
+    * the recommended baseline for OTHER large fused stages; the legacy
+    * tree spelling logs a one-shot WARN when it would sit in the zone.
     *
     * Also the BATCH-mode winner at any rule count: a batch union fan-out
     * re-executes the source scan per branch (Spark reuses the scan across
@@ -139,17 +141,31 @@ object AlertPipeline {
     * union plan costs ~25 scans. Measured at sf0.1/local[32]: 7.9s union
     * vs 1.5s merged for the same 25-rule fan-out counts. */
   def alertsMerged(sysmon: DataFrame, rules: Seq[RuleDef],
-      literalMaxBytes: Long = MetaLiteralMaxBytes): DataFrame = {
-    val fired = array(rules.zipWithIndex.map { case (r, i) =>
-      when(r.where.toColumn(nestedField), lit(i)).otherwise(lit(-1))
-    }: _*)
-    // array_remove(-1) drops the non-fired sentinels exactly like
-    // filter(x -> x >= 0) (fired ids are >= 0) but is a codegen'd
-    // collection function — the lambda spelling evaluated an interpreted
-    // N-element filter PER EVENT, which at 1000 rules is real per-trigger
-    // work (caught by PlanAudit's HOF detector)
-    val withFired = sysmon.withColumn("__fa", fired)
-      .withColumn("rid", explode(array_remove(col("__fa"), lit(-1))))
+      literalMaxBytes: Long = MetaLiteralMaxBytes,
+      dispatchExpr: Boolean = DefaultDispatchExpr): DataFrame = {
+    val withFired =
+      if (dispatchExpr)
+        // ONE expression node holding the whole battery
+        // (functions/RuleDispatchExpr.scala): the analyzer/optimizer walk
+        // O(1) nodes per micro-batch regardless of rule count, killing the
+        // ~1.1 s/trigger of queryPlanning the O(rules) when/otherwise tree
+        // cost at 1000 rules (r12 verdict #2; TriggerProbe A/B below)
+        sysmon.withColumn("rid", explode(graft.functions.RuleDispatch.column(
+          sysmon.sparkSession, rules.map(_.where),
+          col("event_data"), col("event_id"))))
+      else {
+        // legacy expression-tree spelling, kept for A/B measurement and as
+        // an escape hatch (GRAFT_DISPATCH_TREE=1): array_remove(-1) drops
+        // the non-fired sentinels exactly like filter(x -> x >= 0) but is
+        // a codegen'd collection function — the lambda spelling evaluated
+        // an interpreted N-element filter PER EVENT (PlanAudit HOF detector)
+        warnIfJitDeadZone(sysmon, rules.size)
+        val fired = array(rules.zipWithIndex.map { case (r, i) =>
+          when(r.where.toColumn(nestedField), lit(i)).otherwise(lit(-1))
+        }: _*)
+        sysmon.withColumn("__fa", fired)
+          .withColumn("rid", explode(array_remove(col("__fa"), lit(-1))))
+      }
     if (metaBytes(rules) <= literalMaxBytes)
       shapeMerged(withFired, element_at(metaLiteral(rules), col("rid") + 1))
     else
@@ -182,6 +198,35 @@ object AlertPipeline {
         r.references, r.tactic, r.technique, r.subtechnique,
         r.module, r.version, r.source)
     })
+
+  /** Default dispatch spelling: the O(1)-plan [[graft.functions.RuleDispatchExpr]]
+    * unless GRAFT_DISPATCH_TREE is set (the measurement escape hatch back
+    * to the r12 when/otherwise expression tree). */
+  private[graft] val DefaultDispatchExpr: Boolean =
+    !sys.env.contains("GRAFT_DISPATCH_TREE")
+
+  /** One-shot WARN for the legacy tree spelling in a session whose
+    * hugeMethodLimit would put the fused N-rule dispatch in the silent
+    * 8-64 KB HotSpot dead zone (r12 verdict #6: a consumer session built
+    * without SessionDefaults re-entered it at ~25 corpus-sized rules —
+    * the fused method runs INTERPRETED with no log line otherwise). The
+    * default rule_dispatch path is immune (per-rule methods); this fires
+    * only for the escape hatch. ~15 corpus rules ≈ 8 KB of fused dispatch
+    * bytecode (the r12 TriggerProbe measurement). */
+  @volatile private[engine] var warnedDeadZone = false
+  private def warnIfJitDeadZone(df: DataFrame, nRules: Int): Unit = {
+    val limit = df.sparkSession.conf.get("spark.sql.codegen.hugeMethodLimit", "65535").toInt
+    if (!warnedDeadZone && nRules >= 15 && limit > 8000) {
+      warnedDeadZone = true
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"alertsMerged(tree) with $nRules rules under " +
+          s"spark.sql.codegen.hugeMethodLimit=$limit: the fused dispatch " +
+          "method likely exceeds HotSpot's 8000-byte JIT ceiling and will " +
+          "run as INTERPRETED generated code (4-5x slower per event). Set " +
+          "hugeMethodLimit=8000 (graft.engine.SessionDefaults) or use the " +
+          "default rule_dispatch path.")
+    }
+  }
 
   /** Rule-metadata sets larger than this go through a broadcast join
     * instead of a plan literal (a literal rides the serialized plan to

@@ -13,18 +13,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(flagged.isEmpty, flagged.map { case (n, f) => s"$n: $f" }.mkString("; "))
   }
 
-  test("JIT dead-zone sweep sees the merged dispatch's huge method (positive control)") {
-    // the known inhabitant: the 25-rule merged detection dispatch fuses
-    // into one whole-stage method above HotSpot's 8000-byte JIT ceiling
-    // (the round-12 interpreted-execution finding). If the sweep can't
-    // see THIS stage, its empty report elsewhere proves nothing.
+  test("JIT dead-zone sweep sees the tree dispatch's huge method (positive control)") {
+    // the known inhabitant: the LEGACY when/otherwise spelling of the
+    // 25-rule merged dispatch fuses into one whole-stage method above
+    // HotSpot's 8000-byte JIT ceiling (the round-12 interpreted-execution
+    // finding). If the sweep can't see THIS stage, its empty report
+    // elsewhere proves nothing. The DEFAULT rule_dispatch spelling must
+    // stay OUT of the zone — per-rule methods, r13 — which the second
+    // assertion pins.
     val nested = ops.Detection.nested(spark, "/root/testdata/sf0.001")
-    val plan = engine.AlertPipeline
+    val tree = engine.AlertPipeline
+      .alertsMerged(nested, rules.ReferenceCorpus.active, dispatchExpr = false)
+      .queryExecution.executedPlan
+    val dz = PlanAudit.jitDeadZone(tree)
+    assert(dz.nonEmpty && dz.max > 8000,
+      s"tree-dispatch stage not seen in the dead zone: $dz")
+    // the rule_dispatch spelling generates per-rule methods: no stage of
+    // the SAME pipeline may sit in the zone, at 25 or at 1000 rules
+    val rd25 = engine.AlertPipeline
       .alertsMerged(nested, rules.ReferenceCorpus.active)
       .queryExecution.executedPlan
-    val dz = PlanAudit.jitDeadZone(plan)
-    assert(dz.nonEmpty && dz.max > 8000,
-      s"merged-dispatch stage not seen in the dead zone: $dz")
+    assert(PlanAudit.jitDeadZone(rd25).isEmpty,
+      s"rule_dispatch(25) re-entered the dead zone: ${PlanAudit.jitDeadZone(rd25)}")
+    val rd1000 = engine.AlertPipeline
+      .alertsMerged(nested, StreamBench.cloneRules(rules.ReferenceCorpus.active, 1000))
+      .queryExecution.executedPlan
+    assert(PlanAudit.jitDeadZone(rd1000).isEmpty,
+      s"rule_dispatch(1000) re-entered the dead zone: ${PlanAudit.jitDeadZone(rd1000)}")
     // and a trivially small plan reports nothing
     val small = spark.range(10).toDF("id").queryExecution.executedPlan
     assert(PlanAudit.jitDeadZone(small).isEmpty)

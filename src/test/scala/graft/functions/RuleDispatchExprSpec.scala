@@ -1,0 +1,177 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+import graft.compile._
+
+import scala.util.Random
+
+/** rule_dispatch correctness: the single-node battery dispatch must agree
+  * with (a) a direct three-valued-logic interpreter on random predicate
+  * trees (the PredPropertySpec discipline, lifted to the fired-id set),
+  * (b) its own interpreted eval path (codegen ≡ interpreted — the
+  * SimilarToExpr/ShingleIdsExpr contract), and (c) the per-rule
+  * when/otherwise expression tree it replaces, over the full corpus. */
+class RuleDispatchExprSpec extends SparkSpec {
+
+  private val fields = Seq("A", "B", "C")
+  private val values = Seq("x", "yy", """C:\p\q.exe""", "%odd", "a_b", "", "zz")
+  private val patterns = Seq(
+    "%", "x%", "%x", "%x%", "a_b", "%q.exe", """%\p\%""", "_", "%%y", """C:\p\q.exe""")
+  private val regexes = Seq("x+", "[a-z]{2}", ".*q\\.exe", "z*")
+
+  /** Reference interpreter — identical to PredPropertySpec's. */
+  private def eval(p: Pred, row: Map[String, String], eventId: Option[Long]): Option[Boolean] = p match {
+    case Eq(f, v) => row.get(f).filter(_ != null).map(_ == v)
+    case In(f, vs) => row.get(f).filter(_ != null).map(vs.contains)
+    case IsNull(f) => Some(row.get(f).forall(_ == null))
+    case Like(f, pat) =>
+      row.get(f).filter(_ != null).map(_.matches(Pred.likeToRegex(pat)))
+    case SimilarTo(f, pat) =>
+      row.get(f).filter(_ != null)
+        .map(v => java.util.regex.Pattern.compile(s"^(?:${Pred.fixRegex(pat)})$$").matcher(v).find())
+    case TopEq(_, v) => eventId.map(_ == v)
+    case And(l, r) => (eval(l, row, eventId), eval(r, row, eventId)) match {
+      case (Some(false), _) | (_, Some(false)) => Some(false)
+      case (Some(true), Some(true)) => Some(true)
+      case _ => None
+    }
+    case Or(l, r) => (eval(l, row, eventId), eval(r, row, eventId)) match {
+      case (Some(true), _) | (_, Some(true)) => Some(true)
+      case (Some(false), Some(false)) => Some(false)
+      case _ => None
+    }
+    case Not(q) => eval(q, row, eventId).map(!_)
+  }
+
+  private def genPred(rnd: Random, depth: Int): Pred = {
+    val leaf = depth <= 0 || rnd.nextInt(3) == 0
+    if (leaf) rnd.nextInt(6) match {
+      case 0 => Eq(fields(rnd.nextInt(3)), values(rnd.nextInt(values.size)))
+      case 1 => In(fields(rnd.nextInt(3)),
+        Seq.fill(1 + rnd.nextInt(3))(values(rnd.nextInt(values.size))).distinct)
+      case 2 => IsNull(fields(rnd.nextInt(3)))
+      case 3 => Like(fields(rnd.nextInt(3)), patterns(rnd.nextInt(patterns.size)))
+      case 4 => SimilarTo(fields(rnd.nextInt(3)), regexes(rnd.nextInt(regexes.size)))
+      case 5 => TopEq("event_id", 1L + rnd.nextInt(3))
+    } else rnd.nextInt(3) match {
+      case 0 => And(genPred(rnd, depth - 1), genPred(rnd, depth - 1))
+      case 1 => Or(genPred(rnd, depth - 1), genPred(rnd, depth - 1))
+      case 2 => Not(genPred(rnd, depth - 1))
+    }
+  }
+
+  /** rows: (rid, event_id or null, field map or null-struct marker). */
+  private def structFrame(rows: Seq[(Long, Option[Long], Option[Map[String, String]])]): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("rid", LongType),
+      StructField("event_id", LongType),
+      StructField("event_data", StructType(fields.map(StructField(_, StringType))))))
+    val data = rows.map { case (rid, eid, m) =>
+      Row(rid, eid.map(Long.box).orNull,
+        m.map(mm => Row.fromSeq(fields.map(mm(_)))).orNull)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(data).asJava), schema)
+  }
+
+  private def firedVia(df: DataFrame, preds: Seq[Pred]): Map[Long, Seq[Int]] =
+    df.select(col("rid"),
+      RuleDispatch.column(spark, preds, col("event_data"), col("event_id")).as("fired"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+
+  private def mkRows(rnd: Random, n: Int): Seq[(Long, Option[Long], Option[Map[String, String]])] =
+    Seq.tabulate(n) { i =>
+      val m = if (rnd.nextInt(12) == 0) None // whole-struct NULL
+      else Some(fields.map { f =>
+        f -> (if (rnd.nextInt(4) == 0) null else values(rnd.nextInt(values.size)))
+      }.toMap)
+      val eid = if (rnd.nextInt(12) == 0) None else Some(1L + rnd.nextInt(3))
+      (i.toLong, eid, m)
+    }
+
+  test("random batteries: codegen'd dispatch == three-valued interpreter (seed 42)") {
+    val rnd = new Random(42)
+    val preds = Seq.fill(150)(genPred(rnd, 3))
+    val rows = mkRows(rnd, 60)
+    val fired = firedVia(structFrame(rows), preds)
+    for ((rid, eid, m) <- rows) {
+      // a NULL struct reads every field as NULL, exactly like getField
+      val rowMap = m.getOrElse(fields.map(_ -> (null: String)).toMap)
+      val expect = preds.zipWithIndex.collect {
+        case (p, i) if eval(p, rowMap, eid).contains(true) => i
+      }
+      assert(fired(rid) == expect,
+        s"rid=$rid eid=$eid row=$m fired=${fired(rid)} expected=$expect")
+    }
+  }
+
+  test("interpreted eval path == codegen path (factoryMode=NO_CODEGEN)") {
+    val rnd = new Random(7)
+    val preds = Seq.fill(80)(genPred(rnd, 3))
+    val rows = mkRows(rnd, 40)
+    val df = structFrame(rows)
+    val viaCodegen = firedVia(df, preds)
+    val conf = spark.conf
+    val ws = conf.get("spark.sql.codegen.wholeStage")
+    val fm = conf.get("spark.sql.codegen.factoryMode")
+    try {
+      conf.set("spark.sql.codegen.wholeStage", "false")
+      conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      assert(firedVia(df, preds) == viaCodegen)
+    } finally {
+      conf.set("spark.sql.codegen.wholeStage", ws)
+      conf.set("spark.sql.codegen.factoryMode", fm)
+    }
+  }
+
+  test("corpus battery over synth events: dispatch fired set == per-rule filters") {
+    val rules = graft.rules.ReferenceCorpus.active
+    val df = graft.ops.Detection.nestedFrom(graft.ops.Detection.synthFrom(
+      spark.range(500).select(col("id").as("event_id"),
+        timestamp_micros(lit(1700000000000000L) + col("id") * 1000).as("ts"))))
+      .withColumn("rid", col("eid"))
+    val fired = firedVia(df, rules.map(_.where))
+    rules.zipWithIndex.foreach { case (r, i) =>
+      val direct = df.filter(r.where.toColumn(graft.engine.AlertPipeline.nestedField))
+        .select("rid").collect().map(_.getLong(0)).toSet
+      val viaDispatch = fired.collect { case (rid, ids) if ids.contains(i) => rid }.toSet
+      assert(viaDispatch == direct, s"rule ${r.name}: $viaDispatch != $direct")
+    }
+  }
+
+  test("alertsMerged: dispatch-expr path == expression-tree path at 1000 rules") {
+    val rules = graft.StreamBench.cloneRules(graft.rules.ReferenceCorpus.active, 1000)
+    val df = graft.ops.Detection.nestedFrom(graft.ops.Detection.synthFrom(
+      spark.range(200).select(col("id").as("event_id"),
+        timestamp_micros(lit(1700000000000000L) + col("id") * 1000).as("ts"))))
+    def canon(d: DataFrame): Seq[String] =
+      d.select(to_json(struct(col("computer_name"), col("host"), col("event"),
+        col("threat"), col("rule")))).collect().map(_.getString(0)).sorted.toSeq
+    val viaExpr = canon(graft.engine.AlertPipeline.alertsMerged(df, rules,
+      dispatchExpr = true))
+    val viaTree = canon(graft.engine.AlertPipeline.alertsMerged(df, rules,
+      dispatchExpr = false))
+    assert(viaExpr.nonEmpty && viaExpr == viaTree)
+  }
+
+  test("analysis errors: unknown battery key, missing field, non-long event_id") {
+    RuleDispatch.register(spark)
+    val df = structFrame(Seq((0L, Some(1L), Some(fields.map(_ -> "x").toMap))))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(call_function(RuleDispatch.Name, lit("no-such-key"),
+        col("event_data"), col("event_id"))).collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] { // field D not in struct
+      df.select(RuleDispatch.column(spark, Seq(Eq("D", "x")),
+        col("event_data"), col("event_id"))).collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] { // rid is not the struct
+      df.select(RuleDispatch.column(spark, Seq(Eq("A", "x")),
+        col("rid"), col("event_id"))).collect()
+    }
+  }
+}
