@@ -226,7 +226,8 @@ object StreamBench {
     def sustained(name: String,
         mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
         deadlineSec: Long = 120, inputFactor: Long = 1,
-        rps: String = sys.env.getOrElse("SPARK_GRAFT_RECORD_RPS", "400000")): String = {
+        rps: String = sys.env.getOrElse("SPARK_GRAFT_RECORD_RPS", "400000"),
+        targetSamples: Int = 28): String = {
       val samples = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
       val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
         import org.apache.spark.sql.streaming.StreamingQueryListener._
@@ -246,7 +247,8 @@ object StreamBench {
       val q = mk(stream).writeStream.format("noop").outputMode("append").start()
       try {
         val deadline = System.nanoTime() + deadlineSec * 1000 * 1000 * 1000
-        while (samples.size < 28 && System.nanoTime() < deadline) Thread.sleep(200)
+        while (samples.size < targetSamples && System.nanoTime() < deadline)
+          Thread.sleep(200)
       } finally { q.stop(); spark.streams.removeListener(listener) }
       // first triggers pay codegen + broadcast warm-up, not throughput
       val steady = samples.toArray(Array.empty[(Long, Long)])
@@ -260,6 +262,79 @@ object StreamBench {
         else ds(math.min(ds.length - 1, math.ceil(p * ds.length).toInt - 1))
       f""""${name}_eps":$eps,"${name}_batches":${steady.length},""" +
         f""""${name}_p50_ms":${pct(0.5)},"${name}_p95_ms":${pct(0.95)}"""
+    }
+
+    // ---- sharded-fleet table (r12 verdict #1): the documented deployment
+    // answer for latency-sensitive very-large rule sets is K consumers of
+    // the same feed, each dispatching rules/K — every committed sharding
+    // number predated BOTH r12 corrections (JIT dead zone, per-branch
+    // input inflation) AND r13's rule_dispatch, so re-measure on the fixed
+    // stack. Each shard reads its own full-rate source (K consumer GROUPS:
+    // every rule must see every event) and runs the merged dispatch of its
+    // contiguous slice. Paced below fleet capacity: p50/p95 are honest
+    // trigger latencies; per-shard eps = rows/busy-time (numInputRows is
+    // counted once per shard — merged dispatch has no union branches —
+    // hence input_corrected), and the fleet's number is its WORST shard's
+    // (all shards serve the same feed; a laggard's queue grows). K=1 rows
+    // are the merged{nr}_lat entries below. NOTE local[32] oversubscribes
+    // at K=8 (64 source tasks): worst-shard figures are conservative — a
+    // real fleet gives each consumer its own executors.
+    def sharded(k: Int, nr: Int, deadlineSec: Long): String = {
+      val cloned = cloneRules(rules, nr)
+      val slices = cloned.grouped(math.ceil(nr.toDouble / k).toInt).toSeq
+      val perQ = new java.util.concurrent.ConcurrentHashMap[java.util.UUID,
+        java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]]()
+      val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = {
+          val d = e.progress.durationMs.get("triggerExecution")
+          if (e.progress.numInputRows > 0 && d != null)
+            perQ.computeIfAbsent(e.progress.id,
+              _ => new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]())
+              .add((e.progress.numInputRows, d.toLong))
+        }
+      }
+      spark.streams.addListener(listener)
+      val qs = slices.map { g =>
+        val stream = spark.readStream.format("rate")
+          .option("rowsPerSecond", "50000")
+          .option("numPartitions", 8).load()
+          .select(col("value").as("event_id"), col("timestamp").as("ts"))
+        AlertPipeline.alertsMerged(Detection.nestedFrom(Detection.synthFrom(stream)), g)
+          .writeStream.format("noop").outputMode("append").start()
+      }
+      val perShardTarget = 16 // 3 dropped warm + >=10 steady per shard
+      try {
+        val deadline = System.nanoTime() + deadlineSec * 1000 * 1000 * 1000
+        while ((perQ.size < k ||
+            perQ.values.stream.anyMatch(_.size < perShardTarget))
+            && System.nanoTime() < deadline) Thread.sleep(200)
+      } finally { qs.foreach(_.stop()); spark.streams.removeListener(listener) }
+      import scala.jdk.CollectionConverters._
+      val shardsSteady = perQ.values.asScala.toSeq.map { q =>
+        val all = q.toArray(Array.empty[(Long, Long)])
+        all.drop(math.min(3, all.length / 2)).toSeq
+      }.filter(_.nonEmpty)
+      def pctOf(xs: Seq[Long], p: Double): Long =
+        if (xs.isEmpty) -1
+        else xs(math.min(xs.length - 1, math.ceil(p * xs.length).toInt - 1))
+      val pooled = shardsSteady.flatten.map(_._2).sorted
+      def shardEps(s: Seq[(Long, Long)]): Long = {
+        val ms = s.map(_._2).sum
+        if (ms > 0) s.map(_._1).sum * 1000L / ms else -1L
+      }
+      val worstP50 = if (shardsSteady.isEmpty) -1
+        else shardsSteady.map(s => pctOf(s.map(_._2).sorted, 0.5)).max
+      val worstP95 = if (shardsSteady.isEmpty) -1
+        else shardsSteady.map(s => pctOf(s.map(_._2).sorted, 0.95)).max
+      val worstEps = if (shardsSteady.isEmpty) -1 else shardsSteady.map(shardEps).min
+      val minBatches = if (shardsSteady.isEmpty) 0 else shardsSteady.map(_.size).min
+      s"""{"k":$k,"rules":$nr,"paced_rps":50000,""" +
+        s""""p50_ms":${pctOf(pooled, 0.5)},"p95_ms":${pctOf(pooled, 0.95)},""" +
+        s""""worst_shard_p50_ms":$worstP50,"worst_shard_p95_ms":$worstP95,""" +
+        s""""worst_shard_eps":$worstEps,"min_shard_batches":$minBatches}"""
     }
 
     val mergedS = sustained("merged",
@@ -289,17 +364,29 @@ object StreamBench {
     // the metadata lookup is a plan literal (no per-trigger broadcast).
     // Longer deadlines: the first trigger at 1000 rules pays whole-stage
     // codegen over a 1000-conjunct dispatch before any steady trigger.
-    val scalingS = Seq(250 -> 240L, 1000 -> 480L).flatMap { case (nr, dl) =>
-      val cloned = cloneRules(rules, nr)
-      def run(s: org.apache.spark.sql.DataFrame) = AlertPipeline.alertsMerged(
-        Detection.nestedFrom(Detection.synthFrom(s)), cloned)
-      // saturated row = capacity eps (p50/p95 there track backlog growth,
-      // not latency); paced row at 50k eps (below every capacity point) =
-      // honest steady-state trigger latency, where the per-trigger fixed
-      // cost — dominated by Catalyst re-optimizing the O(rules) predicate
-      // tree every micro-batch — is directly visible
-      Seq(sustained(s"merged${nr}", run, dl),
-        sustained(s"merged${nr}_lat", run, dl, rps = "50000"))
+    // saturated row = capacity eps (p50/p95 there track backlog growth,
+    // not latency); paced row at 50k eps (below every capacity point) =
+    // honest steady-state trigger latency. Saturated rps sits ~1.5-2×
+    // above the expected capacity point, NOT at the 400k default: under
+    // deep saturation each trigger drains a backlog that grew during the
+    // previous one, so durations compound geometrically and the run can
+    // only complete 2-3 enormous triggers before the deadline — the r12
+    // record's merged1000 row carried batches:2 for exactly that reason
+    // (advisor finding). Mild saturation keeps eps a capacity measurement
+    // while completing the >=10 steady triggers the row needs to be
+    // citable.
+    val scalingS = Seq((250, 240L, "600000"), (1000, 600L, "250000"))
+      .flatMap { case (nr, dl, satRps) =>
+        val cloned = cloneRules(rules, nr)
+        def run(s: org.apache.spark.sql.DataFrame) = AlertPipeline.alertsMerged(
+          Detection.nestedFrom(Detection.synthFrom(s)), cloned)
+        Seq(sustained(s"merged${nr}", run, dl, rps = satRps, targetSamples = 16),
+          sustained(s"merged${nr}_lat", run, dl, rps = "50000"))
+      }
+
+    val shardedRows = Seq((4, 250, 240L), (8, 250, 240L),
+      (4, 1000, 480L), (8, 1000, 480L)).map { case (k, nr, dl) =>
+      sharded(k, nr, dl)
     }
 
     val load1 = osBean.getSystemLoadAverage
@@ -329,14 +416,87 @@ object StreamBench {
       s""","vs_prior":{"record":"${f.getName}",${ratios.mkString(",")}}"""
     }.getOrElse("")
     println(s"""{"metric":"stream_record_eps","rules":${rules.size},""" +
+      s""""dispatch":"rule_dispatch",""" +
       f""""batch_merged_eps":${(n / mergedBatchSec).toLong},""" +
       f""""batch_union_eps":${(n / unionBatchSec).toLong},""" +
       s"""$mergedS,$unionS,$statefulS,${scalingS.mkString(",")},""" +
+      s""""sharded":[${shardedRows.mkString(",")}],""" +
       f""""load":[$load0%.2f,$load1%.2f],"calib":$calib%.3f,"calib_mt":$calibMt%.3f""" +
       s"""$vs,"input_corrected":true,"state_store":"rocksdb"}""")
   }
 
+  /** End-to-end ingest-chain throughput (r12 stretch #7): JSON events →
+    * PERMISSIVE parse (admission) → watermarked bounded-state uuid dedup →
+    * merged rule dispatch, as ONE streaming query — the full
+    * admission-to-alert path StreamingSpec proves correct, measured. The
+    * rate source is serialized to real JSON first so the measurement pays
+    * the same parse cost a Kafka deployment does. Prints one JSON line.
+    * Run: sbt "runMain graft.StreamBench e2e [rps] [deadlineSec]" */
+  private def e2e(spark: SparkSession, rps: String, deadlineSec: Long): Unit = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val rules = ReferenceCorpus.active
+    val samples = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val d = e.progress.durationMs.get("triggerExecution")
+        if (e.progress.numInputRows > 0 && d != null)
+          samples.add((e.progress.numInputRows, d.toLong))
+      }
+    }
+    spark.streams.addListener(listener)
+    val stream = spark.readStream.format("rate")
+      .option("rowsPerSecond", rps)
+      .option("numPartitions", 8).load()
+      .select(col("value").as("event_id"), col("timestamp").as("ts"))
+    val jsonified = Detection.nestedFrom(Detection.synthFrom(stream))
+      .select(
+        to_json(struct(col("computer_name"), col("event_id"), col("host"),
+          col("event_data"), col("uuid"))).as("value"),
+        col("timestamp"))
+    val chain = AlertPipeline.alertsMerged(
+      AlertPipeline.parseJson(jsonified)
+        .withWatermark("timestamp", "10 seconds")
+        .dropDuplicatesWithinWatermark("uuid"),
+      rules)
+    val q = chain.writeStream.format("noop").outputMode("append").start()
+    try {
+      val deadline = System.nanoTime() + deadlineSec * 1000 * 1000 * 1000
+      while (samples.size < 28 && System.nanoTime() < deadline) Thread.sleep(200)
+    } finally { q.stop(); spark.streams.removeListener(listener) }
+    val steady = samples.toArray(Array.empty[(Long, Long)])
+      .drop(math.min(3, samples.size / 2))
+    val rows = steady.map(_._1).sum
+    val ms = steady.map(_._2).sum
+    val ds = steady.map(_._2).sorted
+    def pct(p: Double): Long =
+      if (ds.isEmpty) -1
+      else ds(math.min(ds.length - 1, math.ceil(p * ds.length).toInt - 1))
+    println(s"""{"metric":"stream_e2e_eps","rules":${rules.size},""" +
+      s""""chain":"json_parse->dedup_within_watermark->rule_dispatch",""" +
+      s""""rps":$rps,"eps":${if (ms > 0) rows * 1000L / ms else -1L},""" +
+      s""""batches":${steady.length},"p50_ms":${pct(0.5)},"p95_ms":${pct(0.95)},""" +
+      s""""state_store":"rocksdb","input_corrected":true}""")
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("e2e")) {
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val spark = graft.engine.SessionDefaults(SparkSession.builder())
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      e2e(spark, args.lift(1).getOrElse("200000"),
+        args.lift(2).map(_.toLong).getOrElse(180L))
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("record")) {
       val cpus0 = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
       val spark0 = graft.engine.SessionDefaults(SparkSession.builder())

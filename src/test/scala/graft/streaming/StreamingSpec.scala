@@ -146,6 +146,48 @@ class StreamingSpec extends SparkSpec {
     } finally { q1.stop(); q2.stop() }
   }
 
+  test("e2e ingest chain: JSON admission -> at-ingest dedup -> detection, ONE query (r12 stretch #7)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // one query graph: parse(PERMISSIVE, corrupt dropped) -> watermark ->
+    // bounded-state uuid dedup -> merged rule dispatch. No foreachBatch,
+    // no intermediate sink — the full admission-to-alert path the
+    // reference runs as separate jobs, as a single Spark streaming plan.
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    val chain = {
+      val parsed = AlertPipeline.parseJson(mem.toDF().toDF("value", "timestamp"))
+      val deduped = parsed.withWatermark("timestamp", "10 seconds")
+        .dropDuplicatesWithinWatermark("uuid")
+      AlertPipeline.alertsMerged(deduped, ReferenceCorpus.active)
+    }
+    val q = chain
+      .select(col("event.origin_ids")(0).as("uuid"), col("rule.name").as("rule"))
+      .writeStream.format("memory").queryName("e2e_chain_t1")
+      .outputMode("append").start()
+    val cmdkey = (u: String) =>
+      s"""{"computer_name":"pc1","event_id":1,"host":"h","uuid":"$u",""" +
+        s""""event_data":{"CommandLine":"cmdkey /list",""" +
+        s""""Image":"C:\\\\Windows\\\\System32\\\\cmdkey.exe"}}"""
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      mem.addData(
+        (cmdkey("e1"), t0),            // fires cmdkeyRecon
+        (cmdkey("e1"), t0),            // same-batch duplicate: dedup eats it
+        ("{not json", t0),             // admission drops it
+        (json("e2", """C:\\x\\benign.exe"""), t0)) // admitted, fires nothing
+      q.processAllAvailable()
+      mem.addData(
+        (cmdkey("e1"), t0),            // cross-batch duplicate: state eats it
+        (cmdkey("e3"), t0))            // distinct event fires again
+      q.processAllAvailable()
+      val alerts = spark.table("e2e_chain_t1").collect()
+        .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+      assert(alerts == Seq(
+        ("e1", "Cmdkey Cached Credentials Recon"),
+        ("e3", "Cmdkey Cached Credentials Recon")), alerts.toString)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: dropDuplicates on uuid within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
