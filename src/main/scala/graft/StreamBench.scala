@@ -432,7 +432,8 @@ object StreamBench {
     * rate source is serialized to real JSON first so the measurement pays
     * the same parse cost a Kafka deployment does. Prints one JSON line.
     * Run: sbt "runMain graft.StreamBench e2e [rps] [deadlineSec]" */
-  private def e2e(spark: SparkSession, rps: String, deadlineSec: Long): Unit = {
+  private def e2e(spark: SparkSession, rps: String, deadlineSec: Long,
+      shape: String = "full"): Unit = {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val rules = ReferenceCorpus.active
@@ -457,11 +458,18 @@ object StreamBench {
         to_json(struct(col("computer_name"), col("event_id"), col("host"),
           col("event_data"), col("uuid"))).as("value"),
         col("timestamp"))
-    val chain = AlertPipeline.alertsMerged(
-      AlertPipeline.parseJson(jsonified)
-        .withWatermark("timestamp", "10 seconds")
-        .dropDuplicatesWithinWatermark("uuid"),
-      rules)
+    // shape: cost-attribution slices — "nodedup" (parse→dispatch, no
+    // dedup state), "nop" (parse only), vs the "full" chain
+    val chain = shape match {
+      case "nop" => AlertPipeline.parseJson(jsonified)
+      case "nodedup" => AlertPipeline.alertsMerged(
+        AlertPipeline.parseJson(jsonified), rules)
+      case _ => AlertPipeline.alertsMerged(
+        AlertPipeline.parseJson(jsonified)
+          .withWatermark("timestamp", "10 seconds")
+          .dropDuplicatesWithinWatermark("uuid"),
+        rules)
+    }
     val q = chain.writeStream.format("noop").outputMode("append").start()
     try {
       val deadline = System.nanoTime() + deadlineSec * 1000 * 1000 * 1000
@@ -475,11 +483,17 @@ object StreamBench {
     def pct(p: Double): Long =
       if (ds.isEmpty) -1
       else ds(math.min(ds.length - 1, math.ceil(p * ds.length).toInt - 1))
+    val chainLabel = shape match {
+      case "nop" => "json_parse"
+      case "nodedup" => "json_parse->rule_dispatch"
+      case _ => "json_parse->dedup_within_watermark->rule_dispatch"
+    }
     println(s"""{"metric":"stream_e2e_eps","rules":${rules.size},""" +
-      s""""chain":"json_parse->dedup_within_watermark->rule_dispatch",""" +
+      s""""chain":"$chainLabel",""" +
       s""""rps":$rps,"eps":${if (ms > 0) rows * 1000L / ms else -1L},""" +
       s""""batches":${steady.length},"p50_ms":${pct(0.5)},"p95_ms":${pct(0.95)},""" +
-      s""""state_store":"rocksdb","input_corrected":true}""")
+      s""""state_store":"rocksdb","input_corrected":true,""" +
+      s""""shuffle_partitions":"${spark.conf.get("spark.sql.shuffle.partitions")}"}""")
   }
 
   def main(args: Array[String]): Unit = {
@@ -487,13 +501,15 @@ object StreamBench {
       val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
       val spark = graft.engine.SessionDefaults(SparkSession.builder())
         .master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       e2e(spark, args.lift(1).getOrElse("200000"),
-        args.lift(2).map(_.toLong).getOrElse(180L))
+        args.lift(2).map(_.toLong).getOrElse(180L),
+        args.lift(3).getOrElse("full"))
       spark.stop()
       return
     }
