@@ -66,7 +66,8 @@ object ScaleProbe {
     "text_decontam_spans_multi", "sim_graph_edges_incr",
     "sim_cluster_quality", "text_gopher_rules", "mix_doremi",
     "sim_pagerank_incr", "text_length_outliers_approx",
-    "agg_approx_sketch", "text_heavy_hitters_cms", "text_heavy_hitters_incr")
+    "agg_approx_sketch", "text_heavy_hitters_cms", "text_heavy_hitters_incr",
+    "sig_fanout_merged")
 
   def main(args: Array[String]): Unit = {
     val spillMode = args.headOption.contains("spill")
@@ -135,10 +136,22 @@ object ScaleProbe {
       // round-trip writes it back as a plain BIGINT of nanos, which
       // Tables.load converts identically)
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      for (n <- engine.Tables.all if n != "documents" && n != "embeddings") {
+      for (n <- engine.Tables.all
+          if n != "documents" && n != "embeddings" && n != "events") {
         spark.read.parquet(s"$base/$n.parquet")
           .write.mode("overwrite").parquet(s"$dest/$n.parquet")
       }
+      // events: replicate with a per-copy event_id shift — the detection
+      // synth derives every pooled field from event_id modular phases, so
+      // shifted copies cycle the same value combinations and rule alert
+      // volume scales linearly with the data (needed by the
+      // sig_fanout_merged scaling row; a plain 1× copy would probe the
+      // dispatch at constant data under every multiplier)
+      val ev = spark.read.parquet(s"$base/events.parquet")
+      (0 until m).map(i =>
+          ev.withColumn("event_id", col("event_id") + lit(i * 1000000000L)))
+        .reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$dest/events.parquet")
     }
     (if (spillMode) Seq(mult) else mults).foreach(m => makeReplicas(m, outFor(m)))
 

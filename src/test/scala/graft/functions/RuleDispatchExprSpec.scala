@@ -158,6 +158,29 @@ class RuleDispatchExprSpec extends SparkSpec {
     assert(viaExpr.nonEmpty && viaExpr == viaTree)
   }
 
+  test("plan is O(1) in rule count: node AND expression counts equal at 25 vs 1000 rules") {
+    val df = graft.ops.Detection.nestedFrom(graft.ops.Detection.synthFrom(
+      spark.range(50).select(col("id").as("event_id"),
+        timestamp_micros(lit(1700000000000000L) + col("id") * 1000).as("ts"))))
+    def shape(n: Int): (Int, Int) = {
+      val rules = graft.StreamBench.cloneRules(graft.rules.ReferenceCorpus.active, n)
+      val plan = graft.engine.AlertPipeline.alertsMerged(df, rules)
+        .queryExecution.optimizedPlan
+      val nodes = plan.collect { case p => p }.size
+      // every expression node Catalyst re-walks per micro-batch — the
+      // quantity the O(rules) when/otherwise tree grew and rule_dispatch
+      // must NOT (the battery hides in a constructor field)
+      val exprs = plan.collect { case p =>
+        p.expressions.map(e => e.collect { case x => x }.size).sum
+      }.sum
+      (nodes, exprs)
+    }
+    val (n25, e25) = shape(25)
+    val (n1000, e1000) = shape(1000)
+    assert(n25 == n1000, s"plan nodes grew with rules: $n25 -> $n1000")
+    assert(e25 == e1000, s"plan expressions grew with rules: $e25 -> $e1000")
+  }
+
   test("analysis errors: unknown battery key, missing field, non-long event_id") {
     RuleDispatch.register(spark)
     val df = structFrame(Seq((0L, Some(1L), Some(fields.map(_ -> "x").toMap))))
