@@ -496,7 +496,76 @@ object StreamBench {
       s""""shuffle_partitions":"${spark.conf.get("spark.sql.shuffle.partitions")}"}""")
   }
 
+  /** Timeframe-battery throughput (round 13): N windowed-count rules in
+    * ONE stateful aggregation (TimeframeRules.alertsBattery) — sustained
+    * eps + paced p50/p95, RocksDB, one state operator asserted via
+    * progress. Compare against the single-rule `stateful` row of the
+    * committed record. Run: sbt "runMain graft.StreamBench tfbattery
+    * [nRules] [rps] [deadlineSec]" */
+  private def tfBatteryBench(spark: SparkSession, nRules: Int, rps: String,
+      deadlineSec: Long): Unit = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val rules = cloneRules(ReferenceCorpus.active, nRules).map(r =>
+      TimeframeRules.TimeframeRule(r, "10 seconds", 2L, "computer_name"))
+    val samples = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val stateOps = new java.util.concurrent.atomic.AtomicInteger(-1)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val d = e.progress.durationMs.get("triggerExecution")
+        stateOps.set(e.progress.stateOperators.length)
+        if (e.progress.numInputRows > 0 && d != null)
+          samples.add((e.progress.numInputRows, d.toLong))
+      }
+    }
+    spark.streams.addListener(listener)
+    val stream = spark.readStream.format("rate")
+      .option("rowsPerSecond", rps)
+      .option("numPartitions", 8).load()
+      .select(col("value").as("event_id"), col("timestamp").as("ts"))
+    val q = TimeframeRules.alertsBattery(
+      Detection.nestedFrom(Detection.synthFrom(stream))
+        .withWatermark("timestamp", "5 seconds"), rules)
+      .writeStream.format("noop").outputMode("update").start()
+    try {
+      val deadline = System.nanoTime() + deadlineSec * 1000 * 1000 * 1000
+      while (samples.size < 28 && System.nanoTime() < deadline) Thread.sleep(200)
+    } finally { q.stop(); spark.streams.removeListener(listener) }
+    val steady = samples.toArray(Array.empty[(Long, Long)])
+      .drop(math.min(3, samples.size / 2))
+    val rows = steady.map(_._1).sum
+    val ms = steady.map(_._2).sum
+    val ds = steady.map(_._2).sorted
+    def pct(p: Double): Long =
+      if (ds.isEmpty) -1
+      else ds(math.min(ds.length - 1, math.ceil(p * ds.length).toInt - 1))
+    println(s"""{"metric":"tf_battery_eps","rules":${rules.size},""" +
+      s""""eps":${if (ms > 0) rows * 1000L / ms else -1L},""" +
+      s""""batches":${steady.length},"p50_ms":${pct(0.5)},"p95_ms":${pct(0.95)},""" +
+      s""""state_operators":${stateOps.get},"rps":$rps,""" +
+      s""""state_store":"rocksdb","input_corrected":true}""")
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("tfbattery")) {
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val spark = graft.engine.SessionDefaults(SparkSession.builder())
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      tfBatteryBench(spark, args.lift(1).map(_.toInt).getOrElse(25),
+        args.lift(2).getOrElse("400000"),
+        args.lift(3).map(_.toLong).getOrElse(180L))
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("e2e")) {
       val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
       val spark = graft.engine.SessionDefaults(SparkSession.builder())

@@ -261,6 +261,21 @@ object Detection {
             to_json(col("event.origin_ids")).as("origins"))
           .orderBy("start_us", "computer_name")
       }),
+      // Timeframe BATTERY (round 13): N windowed-count rules in ONE
+      // stateful aggregation via rule_dispatch — groupBy((rid, window,
+      // key)), per-rid thresholds/names from plan literals. Distinct
+      // thresholds exercise the per-rid filter; the oracle replays each
+      // rule's windowed count independently and unions.
+      "tf_battery_counts" -> ((s: SparkSession, dir: String) => {
+        import graft.streaming.TimeframeRules
+        TimeframeRules.alertsBattery(nested(s, dir), tfBattery)
+          .select(
+            col("rule_name"), col("computer_name"), col("host"),
+            col("event.count").as("n"),
+            unix_micros(col("event.start")).as("start_us"),
+            to_json(col("event.origin_ids")).as("origins"))
+          .orderBy("rule_name", "start_us", "computer_name")
+      }),
       // Sequence correlation (beyond-reference stateful operator, the
       // class main.py:194-195 rejects): cmdkey credential recon (creation)
       // followed within 72h by an lsass handle access on the same host —
@@ -317,6 +332,17 @@ object Detection {
             col("rule.name").as("rule_name"), col("rule.severity").as("severity"))
           .orderBy("origin_id")
       }))
+  }
+
+  /** The timeframe battery under oracle check: three corpus rules that
+    * fire on the synth load, one shared 24h window and key, DISTINCT
+    * thresholds so the per-rid threshold lookup is exercised. */
+  private[graft] def tfBattery: Seq[graft.streaming.TimeframeRules.TimeframeRule] = {
+    import graft.streaming.TimeframeRules.TimeframeRule
+    Seq(
+      TimeframeRule(ReferenceCorpus.directSyscall, "24 hours", 2L, "computer_name"),
+      TimeframeRule(ReferenceCorpus.mimikatzWinrm, "24 hours", 1L, "computer_name"),
+      TimeframeRule(ReferenceCorpus.cmdkeyRecon, "24 hours", 3L, "computer_name"))
   }
 
   /** The Sigma-wildcard translation main.py would have applied had the
@@ -405,6 +431,18 @@ object Detection {
           WHERE kind = 1 AND a_eid IS NOT NULL AND ts_us - a_ts_us <= 259200000000
           ORDER BY access_eid"""
 
+    val tfBatterySql = tfBattery.map { r =>
+      s"""SELECT ${Pred.sq(r.base.name)} AS rule_name, computer_name,
+            min(host) AS host, count(*) AS n,
+            (epoch_us(ts) // 86400000000) * 86400000000 AS start_us,
+            to_json(list(uuid ORDER BY uuid)) AS origins
+          FROM ($synthSql) WHERE ${r.base.where.toDuckDb(duckField)}
+          GROUP BY computer_name, (epoch_us(ts) // 86400000000) * 86400000000
+          HAVING count(*) >= ${r.threshold}"""
+    }.mkString(
+      "SELECT * FROM (", " UNION ALL ",
+      ") ORDER BY rule_name, start_us, computer_name")
+
     val winrmMutant = {
       val values = winrmPlanted.map { case (eid, pi, im) =>
         s"(CAST($eid AS BIGINT), ${Pred.sq(pi)}, ${Pred.sq(im)})"
@@ -419,6 +457,7 @@ object Detection {
 
     perRule + ("sig_fanout_counts" -> fanout) + ("sig_fanout_merged" -> fanout) +
       ("sig_alert_shape" -> shape) + ("tf_windowed_count" -> tf) +
-      ("sig_sequence_corr" -> seqCorr) + ("sig_winrm_mutant" -> winrmMutant)
+      ("sig_sequence_corr" -> seqCorr) + ("sig_winrm_mutant" -> winrmMutant) +
+      ("tf_battery_counts" -> tfBatterySql)
   }
 }

@@ -31,6 +31,63 @@ object TimeframeRules {
   final case class TimeframeRule(
       base: RuleDef, windowLength: String, threshold: Long, keyCol: String)
 
+  /** A BATTERY of timeframe rules in one stateful aggregation per
+    * (windowLength, keyCol) group — the 1000-rule scale path for stateful
+    * rules, mirroring what [[graft.engine.AlertPipeline.alertsMerged]]
+    * does for stateless ones. Running N timeframe rules as N separate
+    * streaming queries costs N source scans, N shuffles, and N state
+    * stores; here the rule_dispatch expression evaluates every predicate
+    * in one pass, fired ids explode, and ONE groupBy((rid, window, key))
+    * maintains all rules' windowed counts in ONE state store (state keys
+    * = rules × keys × live windows — the same total state the N queries
+    * would hold, minus N-1 stores' overhead). Per-rule thresholds, names
+    * and modules ride plan literals indexed by rid, so the plan is O(1)
+    * in rule count like the stateless dispatch.
+    *
+    * Rules with DIFFERENT window lengths or key columns cannot share a
+    * tumbling-window aggregation; they group into one aggregation per
+    * distinct (windowLength, keyCol) and union. In streaming, a
+    * multi-group battery is subject to Spark's multiple-stateful-operator
+    * rules — the normal deployment shape is one battery per window/key
+    * configuration (TimeframeBatterySpec drives that shape end to end and
+    * pins stateOperators == 1).
+    *
+    * Output adds `rule_name` over [[alerts]]'s shape (a battery alert
+    * must say which rule fired); semantics per rule are identical to
+    * [[alerts]] — pinned by spec and by the tf_battery_counts oracle. */
+  def alertsBattery(sysmon: DataFrame, rules: Seq[TimeframeRule]): DataFrame = {
+    require(rules.nonEmpty, "empty timeframe battery")
+    rules.groupBy(r => (r.windowLength, r.keyCol)).toSeq.sortBy(_._1)
+      .map { case ((len, key), grpSeq) =>
+        val g = grpSeq.toIndexedSeq
+        val withRid = sysmon.withColumn("rid",
+          explode(graft.functions.RuleDispatch.column(sysmon.sparkSession,
+            g.map(_.base.where), col("event_data"), col("event_id"))))
+        val thresholds = typedlit(g.map(_.threshold))
+        val names = typedlit(g.map(_.base.name))
+        val modules = typedlit(g.map(_.base.module))
+        withRid
+          .groupBy(col("rid"), window(col("timestamp"), len), col(key))
+          .agg(
+            count(lit(1)).as("n"),
+            array_sort(collect_list(col("uuid"))).as("origin_ids"),
+            min(col("host")).as("host"))
+          .filter(col("n") >= element_at(thresholds, col("rid") + 1))
+          .select(
+            element_at(names, col("rid") + 1).as("rule_name"),
+            col(key).as("computer_name"),
+            col("host"),
+            struct(
+              lit("signal").as("kind"),
+              element_at(modules, col("rid") + 1).as("module"),
+              col("origin_ids"),
+              col("n").as("count"),
+              col("window.start").as("start"),
+              col("window.end").as("end"),
+              col("window.end").as("time")).as("event"))
+      }.reduce(_ unionAll _)
+  }
+
   /** Windowed-count alerts over a sysmon frame (batch or pre-watermarked
     * streaming — identical logical plan, SURVEY §7 module 4). */
   def alerts(sysmon: DataFrame, rule: TimeframeRule,
