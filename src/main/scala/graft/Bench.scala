@@ -46,7 +46,10 @@ object Bench {
     "curate_pipeline_v2", "sim_knn_graph_mp", "dedup_winnowing_incr",
     "text_topk_ngrams", "dedup_source_overlap", "curate_length_buckets",
     "text_bpe_fertility", "text_tfidf_topk", "curate_curriculum",
-    "mm_dedup_phash", "curate_dataset_card", "text_blocklist_filter")
+    "mm_dedup_phash", "curate_dataset_card", "text_blocklist_filter",
+    // round 13: the timeframe-rule battery (one stateful aggregation for
+    // N windowed-count rules via rule_dispatch) — tracked round-over-round
+    "tf_battery_counts")
   // text_ngram_novelty stays OUTSIDE the headline: its plan shape (fused
   // gram kernel explode + gram-keyed df agg + shuffle_hash join) is the
   // text_topk_ngrams + text_tfidf_topk machinery, both already headline
