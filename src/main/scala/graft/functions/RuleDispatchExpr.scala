@@ -235,6 +235,12 @@ case class RuleDispatchExpr(eventData: Expression, eventId: Expression,
     * work is paid once per row like CSE, but work short-circuited away is
     * never paid at all (corpus rules mostly die on their event_id gate). */
   private final class GenState(ctx: CodegenContext) {
+    // per-INSTANCE function-name prefix: two dispatch expressions landing
+    // in one generated class (e.g. two batteries in one projection) would
+    // otherwise both emit graftRule0/graftSub0/... — duplicate methods,
+    // Janino compile failure, silent interpreted fallback. freshName is
+    // unique within the CodegenContext.
+    val pfx: String = ctx.freshName("graftDispatch")
     // census: structural occurrence count of every subtree in the battery
     private val occurs = new java.util.HashMap[Pred, Integer]()
     private def census(p: Pred): Unit = {
@@ -306,8 +312,8 @@ case class RuleDispatchExpr(eventData: Expression, eventId: Expression,
     // one accessor method per referenced field: lazily extracts + caches
     private val fieldFns: Map[String, String] = fieldSlots.map { case (f, slot) =>
       val ord = ordinals(f)
-      f -> ctx.addNewFunction(s"graftFld$slot",
-        s"""private org.apache.spark.unsafe.types.UTF8String graftFld$slot(
+      f -> ctx.addNewFunction(s"${pfx}Fld$slot",
+        s"""private org.apache.spark.unsafe.types.UTF8String ${pfx}Fld$slot(
            |    ${classOf[InternalRow].getName} ed, boolean edNull) {
            |  if (!$fdone[$slot]) {
            |    $fcache[$slot] = (edNull || ed.isNullAt($ord)) ? null : ed.getUTF8String($ord);
@@ -327,8 +333,8 @@ case class RuleDispatchExpr(eventData: Expression, eventId: Expression,
         case Some(slot) =>
           val fn = memoFns.getOrElseUpdate(p, {
             val (code, v) = genInner(p)
-            ctx.addNewFunction(s"graftSub$slot",
-              s"""private byte graftSub$slot(${classOf[InternalRow].getName} ed,
+            ctx.addNewFunction(s"${pfx}Sub$slot",
+              s"""private byte ${pfx}Sub$slot(${classOf[InternalRow].getName} ed,
                  |    boolean edNull, long eid, boolean eidNull) {
                  |  if ($mcache[$slot] == (byte)3) {
                  |    $code
@@ -437,8 +443,8 @@ case class RuleDispatchExpr(eventData: Expression, eventId: Expression,
     // one tiny method per rule: JIT-able at any battery size
     val ruleFns = preds.zipWithIndex.map { case (p, i) =>
       val (code, v) = st.gen(p)
-      ctx.addNewFunction(s"graftRule$i",
-        s"""private byte graftRule$i($row ed, boolean edNull, long eid, boolean eidNull) {
+      ctx.addNewFunction(s"${st.pfx}Rule$i",
+        s"""private byte ${st.pfx}Rule$i($row ed, boolean edNull, long eid, boolean eidNull) {
            |  $code
            |  return $v;
            |}""".stripMargin)
@@ -448,8 +454,8 @@ case class RuleDispatchExpr(eventData: Expression, eventId: Expression,
       val body = grp.map { case (fn, i) =>
         s"if ($fn(ed, edNull, eid, eidNull) == (byte)1) { acc[n++] = $i; }"
       }.mkString("\n  ")
-      ctx.addNewFunction(s"graftRuleBlock${grp.head._2 / BlockSize}",
-        s"""private int graftRuleBlock${grp.head._2 / BlockSize}(
+      ctx.addNewFunction(s"${st.pfx}Block${grp.head._2 / BlockSize}",
+        s"""private int ${st.pfx}Block${grp.head._2 / BlockSize}(
            |    $row ed, boolean edNull, long eid, boolean eidNull, int[] acc, int n) {
            |  $body
            |  return n;

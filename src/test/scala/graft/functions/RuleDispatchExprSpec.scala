@@ -181,6 +181,32 @@ class RuleDispatchExprSpec extends SparkSpec {
     assert(e25 == e1000, s"plan expressions grew with rules: $e25 -> $e1000")
   }
 
+  test("two batteries in ONE projection: distinct generated prefixes, codegen compiles") {
+    // regression: per-instance function names — two dispatch expressions
+    // in the same whole-stage class emitted colliding graftRule0/... and
+    // Janino failed, silently falling back to interpreted execution
+    val rnd = new Random(11)
+    val a = Seq.fill(10)(genPred(rnd, 2))
+    val b = Seq.fill(10)(genPred(rnd, 2))
+    val rows = mkRows(rnd, 30)
+    val df = structFrame(rows)
+    val both = df.select(col("rid"),
+      RuleDispatch.column(spark, a, col("event_data"), col("event_id")).as("fa"),
+      RuleDispatch.column(spark, b, col("event_data"), col("event_id")).as("fb"))
+    // jitDeadZone compiles every codegen stage — a duplicate-method
+    // collision raises out of here instead of passing silently
+    assert(graft.PlanAudit.jitDeadZone(both.queryExecution.executedPlan).isEmpty)
+    val got = both.collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Int](1).toSeq, r.getSeq[Int](2).toSeq)).toMap
+    for ((rid, eid, m) <- rows) {
+      val rowMap = m.getOrElse(fields.map(_ -> (null: String)).toMap)
+      def expect(ps: Seq[Pred]) = ps.zipWithIndex.collect {
+        case (p, i) if eval(p, rowMap, eid).contains(true) => i
+      }
+      assert(got(rid) == ((expect(a), expect(b))), s"rid=$rid")
+    }
+  }
+
   test("analysis errors: unknown battery key, missing field, non-long event_id") {
     RuleDispatch.register(spark)
     val df = structFrame(Seq((0L, Some(1L), Some(fields.map(_ -> "x").toMap))))
