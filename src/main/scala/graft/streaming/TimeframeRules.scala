@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
 
+import graft.functions.MinKCollectAgg
 import graft.rules.RuleDef
 
 /** Sigma `timeframe` (windowed-count) rules — the latent stateful operator
@@ -13,10 +14,14 @@ import graft.rules.RuleDef
   *
   * Semantics: events matching the rule predicate, grouped into tumbling
   * event-time windows per key; a window that accumulates >= threshold
-  * matches emits ONE alert whose event struct carries count=n,
-  * origin_ids=[all matched uuids], start/end=window bounds (the
-  * multi-event generalization of the reference's count=1/origin_ids=[uuid]
-  * single-event alerts).
+  * matches emits ONE alert whose event struct carries count=n (exact),
+  * origin_ids=[up to `originIdsCap` matched uuids, the lexicographically
+  * smallest — the full set whenever n ≤ cap], start/end=window bounds
+  * (the multi-event generalization of the reference's
+  * count=1/origin_ids=[uuid] single-event alerts; the sink schema's own
+  * pairing of `count BIGINT` with `origin_ids ARRAY<STRING>`,
+  * windows-process-access.sql:44-45, is what licenses the provenance
+  * array being a sample while count carries cardinality).
   *
   * The same builder serves batch (tests, oracle) and streaming: in
   * streaming, apply `withWatermark` on the source first and Spark runs this
@@ -24,12 +29,26 @@ import graft.rules.RuleDef
   * (SURVEY §2.9 T2/T3 — rows later than the watermark are dropped; that is
   * the documented chosen semantics). One hash shuffle on (key, window);
   * partial aggregation is map-side; state size is bounded by watermark ×
-  * key cardinality.
+  * key cardinality × O(originIdsCap) per cell — a hot key CANNOT grow a
+  * state cell past the cap ([[graft.functions.MinKCollectAgg]]).
   */
 object TimeframeRules {
 
   final case class TimeframeRule(
       base: RuleDef, windowLength: String, threshold: Long, keyCol: String)
+
+  /** Default provenance cap: `origin_ids` carries at most this many uuids
+    * (the k lexicographically-smallest — a deterministic sample). The
+    * paired `count` stays exact; see [[graft.functions.MinKCollectAgg]]
+    * for why the cap must bound the aggregation STATE, not the output. */
+  val DefaultOriginIdsCap = 256
+
+  /** Bounded provenance collect as an agg Column: min-K uuids, sorted
+    * ascending — identical to `array_sort(collect_list(uuid))` whenever
+    * the group has ≤ cap events, O(cap) state per group always. */
+  private def originIds(cap: Int): Column =
+    udaf(new MinKCollectAgg(cap), Encoders.STRING)(col("uuid"))
+      .getField("items")
 
   /** A BATTERY of timeframe rules in one stateful aggregation per
     * (windowLength, keyCol) group — the 1000-rule scale path for stateful
@@ -55,7 +74,8 @@ object TimeframeRules {
     * Output adds `rule_name` over [[alerts]]'s shape (a battery alert
     * must say which rule fired); semantics per rule are identical to
     * [[alerts]] — pinned by spec and by the tf_battery_counts oracle. */
-  def alertsBattery(sysmon: DataFrame, rules: Seq[TimeframeRule]): DataFrame = {
+  def alertsBattery(sysmon: DataFrame, rules: Seq[TimeframeRule],
+      originIdsCap: Int = DefaultOriginIdsCap): DataFrame = {
     require(rules.nonEmpty, "empty timeframe battery")
     rules.groupBy(r => (r.windowLength, r.keyCol)).toSeq.sortBy(_._1)
       .map { case ((len, key), grpSeq) =>
@@ -70,7 +90,7 @@ object TimeframeRules {
           .groupBy(col("rid"), window(col("timestamp"), len), col(key))
           .agg(
             count(lit(1)).as("n"),
-            array_sort(collect_list(col("uuid"))).as("origin_ids"),
+            originIds(originIdsCap).as("origin_ids"),
             min(col("host")).as("host"))
           .filter(col("n") >= element_at(thresholds, col("rid") + 1))
           .select(
@@ -91,13 +111,14 @@ object TimeframeRules {
   /** Windowed-count alerts over a sysmon frame (batch or pre-watermarked
     * streaming — identical logical plan, SURVEY §7 module 4). */
   def alerts(sysmon: DataFrame, rule: TimeframeRule,
-      field: String => Column = f => col("event_data").getField(f)): DataFrame = {
+      field: String => Column = f => col("event_data").getField(f),
+      originIdsCap: Int = DefaultOriginIdsCap): DataFrame = {
     val matched = sysmon.filter(rule.base.where.toColumn(field))
     matched
       .groupBy(window(col("timestamp"), rule.windowLength), col(rule.keyCol))
       .agg(
         count(lit(1)).as("n"),
-        array_sort(collect_list(col("uuid"))).as("origin_ids"),
+        originIds(originIdsCap).as("origin_ids"),
         min(col("host")).as("host"))
       .filter(col("n") >= rule.threshold)
       .select(

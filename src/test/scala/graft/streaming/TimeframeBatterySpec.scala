@@ -81,4 +81,64 @@ class TimeframeBatterySpec extends SparkSpec {
         s"expected 1 state operator, got ${q.lastProgress.stateOperators.length}")
     } finally q.stop()
   }
+
+  test("hot key: origin_ids capped, count exact (batch, both paths)") {
+    import graft.engine.AlertPipeline
+    val n = 10
+    val rows = (0 until n).map { i =>
+      Map[String, Any]("computer_name" -> "hot", "host" -> "h",
+        "uuid" -> f"u$i%02d", "ts_us" -> (1700000000000000L + i * 1000L),
+        "CallTrace" -> "UNKNOWN(x)", "event_id" -> 10L)
+    }
+    val src = AlertPipeline.sysmonFrame(spark, rows)
+    val rule = TimeframeRules.TimeframeRule(
+      graft.rules.ReferenceCorpus.directSyscall, "24 hours", 2L, "computer_name")
+    val cap = 4
+    for (df <- Seq(
+        TimeframeRules.alerts(src, rule, originIdsCap = cap),
+        TimeframeRules.alertsBattery(src, Seq(rule), originIdsCap = cap))) {
+      val r = df.select(col("event.count"), col("event.origin_ids")).collect()
+      assert(r.length == 1)
+      assert(r(0).getLong(0) == n.toLong) // count stays exact past the cap
+      assert(r(0).getSeq[String](1) == (0 until cap).map(i => f"u$i%02d"))
+    }
+    // below the cap the array is the FULL sorted list (oracle compatibility)
+    val full = TimeframeRules.alerts(src, rule).select(col("event.origin_ids"))
+      .collect()(0).getSeq[String](0)
+    assert(full == (0 until n).map(i => f"u$i%02d"))
+  }
+
+  test("hot key streaming: state cell and alert row stay bounded across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    val src = mem.toDF().toDF("uuid", "timestamp").select(
+      lit("hot").as("computer_name"), lit(10L).as("event_id"), lit("h").as("host"),
+      struct(Schemas.eventDataFields.map {
+        case "CallTrace" => lit("UNKNOWN(x)").as("CallTrace")
+        case f => lit(null).cast("string").as(f)
+      }: _*).as("event_data"),
+      col("uuid"), col("timestamp"))
+    val rule = TimeframeRules.TimeframeRule(
+      graft.rules.ReferenceCorpus.directSyscall, "10 minutes", 2L, "computer_name")
+    val alerts = TimeframeRules.alertsBattery(
+      src.withWatermark("timestamp", "5 seconds"), Seq(rule), originIdsCap = 4)
+    val q = alerts.writeStream.format("memory").queryName("tf_hotkey")
+      .outputMode("update").start()
+    try {
+      def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+      // the hot key arrives across TWO micro-batches: the second batch's
+      // merge into existing state must respect the cap, and smaller uuids
+      // arriving later must still displace larger ones (min-K, not first-K)
+      mem.addData((5 until 10).map(i => (f"u$i%02d", ts(i))): _*)
+      q.processAllAvailable()
+      mem.addData((0 until 5).map(i => (f"u$i%02d", ts(10 + i))): _*)
+      q.processAllAvailable()
+      val rows = spark.table("tf_hotkey")
+        .select(col("event.count"), col("event.origin_ids")).collect()
+      val last = rows.maxBy(_.getLong(0))
+      assert(last.getLong(0) == 10L)
+      assert(last.getSeq[String](1) == (0 until 4).map(i => f"u$i%02d"))
+    } finally q.stop()
+  }
 }
