@@ -50,6 +50,10 @@ object Bench {
     // round 13: the timeframe-rule battery (one stateful aggregation for
     // N windowed-count rules via rule_dispatch) — tracked round-over-round
     "tf_battery_counts")
+  // tf_battery_multigroup stays OUTSIDE the headline: it is two
+  // tf_battery_counts-shaped aggregations unioned (same rule_dispatch +
+  // windowed-count machinery, already a headline row) — a correctness pin
+  // for the union path, not a new perf signal.
   // text_ngram_novelty stays OUTSIDE the headline: its plan shape (fused
   // gram kernel explode + gram-keyed df agg + shuffle_hash join) is the
   // text_topk_ngrams + text_tfidf_topk machinery, both already headline

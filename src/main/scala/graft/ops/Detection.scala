@@ -276,6 +276,21 @@ object Detection {
             to_json(col("event.origin_ids")).as("origins"))
           .orderBy("rule_name", "start_us", "computer_name")
       }),
+      // Multi-GROUP battery (round 14): rules with DIFFERENT window
+      // lengths AND key columns in one battery — one aggregation per
+      // (windowLength, keyCol) group, unioned. Pins the union path the
+      // r13 oracle never exercised (both its per-group window arithmetic
+      // and the key-vs-min(host) name collision this round fixed).
+      "tf_battery_multigroup" -> ((s: SparkSession, dir: String) => {
+        import graft.streaming.TimeframeRules
+        TimeframeRules.alertsBattery(nested(s, dir), tfBatteryMulti)
+          .select(
+            col("rule_name"), col("computer_name"), col("host"),
+            col("event.count").as("n"),
+            unix_micros(col("event.start")).as("start_us"),
+            to_json(col("event.origin_ids")).as("origins"))
+          .orderBy("rule_name", "start_us", "computer_name")
+      }),
       // Sequence correlation (beyond-reference stateful operator, the
       // class main.py:194-195 rejects): cmdkey credential recon (creation)
       // followed within 72h by an lsass handle access on the same host —
@@ -343,6 +358,18 @@ object Detection {
       TimeframeRule(ReferenceCorpus.directSyscall, "24 hours", 2L, "computer_name"),
       TimeframeRule(ReferenceCorpus.mimikatzWinrm, "24 hours", 1L, "computer_name"),
       TimeframeRule(ReferenceCorpus.cmdkeyRecon, "24 hours", 3L, "computer_name"))
+  }
+
+  /** Two-GROUP battery: distinct (windowLength, keyCol) per rule, so
+    * alertsBattery builds one aggregation per group and unions — the path
+    * a single-group battery never exercises. */
+  private[graft] def tfBatteryMulti: Seq[graft.streaming.TimeframeRules.TimeframeRule] = {
+    import graft.streaming.TimeframeRules.TimeframeRule
+    Seq(
+      TimeframeRule(ReferenceCorpus.directSyscall, "24 hours", 2L, "computer_name"),
+      // threshold 1: the cmdkey group MUST contribute rows, or the oracle
+      // exercises only one side of the union
+      TimeframeRule(ReferenceCorpus.cmdkeyRecon, "12 hours", 1L, "host"))
   }
 
   /** The Sigma-wildcard translation main.py would have applied had the
@@ -443,6 +470,22 @@ object Detection {
       "SELECT * FROM (", " UNION ALL ",
       ") ORDER BY rule_name, start_us, computer_name")
 
+    val tfMultiSql = {
+      def grp(r: graft.streaming.TimeframeRules.TimeframeRule, winUs: Long) =
+        s"""SELECT ${Pred.sq(r.base.name)} AS rule_name,
+              ${duckField(r.keyCol)} AS computer_name,
+              min(host) AS host, count(*) AS n,
+              (epoch_us(ts) // $winUs) * $winUs AS start_us,
+              to_json(list(uuid ORDER BY uuid)) AS origins
+            FROM ($synthSql) WHERE ${r.base.where.toDuckDb(duckField)}
+            GROUP BY ${duckField(r.keyCol)}, (epoch_us(ts) // $winUs) * $winUs
+            HAVING count(*) >= ${r.threshold}"""
+      val Seq(r24, r12) = tfBatteryMulti
+      Seq(grp(r24, 86400000000L), grp(r12, 43200000000L)).mkString(
+        "SELECT * FROM (", " UNION ALL ",
+        ") ORDER BY rule_name, start_us, computer_name")
+    }
+
     val winrmMutant = {
       val values = winrmPlanted.map { case (eid, pi, im) =>
         s"(CAST($eid AS BIGINT), ${Pred.sq(pi)}, ${Pred.sq(im)})"
@@ -458,6 +501,7 @@ object Detection {
     perRule + ("sig_fanout_counts" -> fanout) + ("sig_fanout_merged" -> fanout) +
       ("sig_alert_shape" -> shape) + ("tf_windowed_count" -> tf) +
       ("sig_sequence_corr" -> seqCorr) + ("sig_winrm_mutant" -> winrmMutant) +
-      ("tf_battery_counts" -> tfBatterySql)
+      ("tf_battery_counts" -> tfBatterySql) +
+      ("tf_battery_multigroup" -> tfMultiSql)
   }
 }

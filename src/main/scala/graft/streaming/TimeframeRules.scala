@@ -65,11 +65,16 @@ object TimeframeRules {
     *
     * Rules with DIFFERENT window lengths or key columns cannot share a
     * tumbling-window aggregation; they group into one aggregation per
-    * distinct (windowLength, keyCol) and union. In streaming, a
-    * multi-group battery is subject to Spark's multiple-stateful-operator
-    * rules — the normal deployment shape is one battery per window/key
-    * configuration (TimeframeBatterySpec drives that shape end to end and
-    * pins stateOperators == 1).
+    * distinct (windowLength, keyCol) and union. In streaming a
+    * multi-group battery runs as ONE query with one state operator PER
+    * group (the union branches are stateful siblings, not chained — each
+    * sees the raw watermarked source, so the multiple-stateful-operator
+    * correctness caveats for chained aggregations don't apply);
+    * TimeframeBatterySpec drives a two-group battery end to end in BOTH
+    * update mode (per-batch refinements, cross-batch counts) and append
+    * mode (finalized windows) and pins stateOperators == groups. The
+    * single-group shape stays the latency-optimal deployment (one
+    * shuffle, one store commit per trigger).
     *
     * Output adds `rule_name` over [[alerts]]'s shape (a battery alert
     * must say which rule fired); semantics per rule are identical to
@@ -87,7 +92,10 @@ object TimeframeRules {
         val names = typedlit(g.map(_.base.name))
         val modules = typedlit(g.map(_.base.module))
         withRid
-          .groupBy(col("rid"), window(col("timestamp"), len), col(key))
+          // key aliased pre-agg: a keyCol of "host" would otherwise
+          // collide with the min(host) aggregate downstream
+          .groupBy(col("rid"), window(col("timestamp"), len),
+            col(key).as("__tf_key"))
           .agg(
             count(lit(1)).as("n"),
             originIds(originIdsCap).as("origin_ids"),
@@ -95,7 +103,7 @@ object TimeframeRules {
           .filter(col("n") >= element_at(thresholds, col("rid") + 1))
           .select(
             element_at(names, col("rid") + 1).as("rule_name"),
-            col(key).as("computer_name"),
+            col("__tf_key").as("computer_name"),
             col("host"),
             struct(
               lit("signal").as("kind"),
@@ -115,14 +123,15 @@ object TimeframeRules {
       originIdsCap: Int = DefaultOriginIdsCap): DataFrame = {
     val matched = sysmon.filter(rule.base.where.toColumn(field))
     matched
-      .groupBy(window(col("timestamp"), rule.windowLength), col(rule.keyCol))
+      .groupBy(window(col("timestamp"), rule.windowLength),
+        col(rule.keyCol).as("__tf_key"))
       .agg(
         count(lit(1)).as("n"),
         originIds(originIdsCap).as("origin_ids"),
         min(col("host")).as("host"))
       .filter(col("n") >= rule.threshold)
       .select(
-        col(rule.keyCol).as("computer_name"),
+        col("__tf_key").as("computer_name"),
         col("host"),
         struct(
           lit("signal").as("kind"),

@@ -82,6 +82,67 @@ class TimeframeBatterySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("multi-group battery streaming: one state operator per group, both modes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val battery = Seq(
+      TimeframeRules.TimeframeRule(
+        ReferenceCorpus.directSyscall, "10 minutes", 2L, "computer_name"),
+      TimeframeRules.TimeframeRule(
+        ReferenceCorpus.cmdkeyRecon, "5 minutes", 1L, "host"))
+    for (mode <- Seq("update", "append")) {
+      val mem = MemoryStream[(String, String, String, java.sql.Timestamp, String, String)]
+      val flat = mem.toDF()
+        .toDF("computer_name", "host", "uuid", "timestamp", "CallTrace", "CommandLine")
+      val src = flat.select(
+        col("computer_name"),
+        when(col("CallTrace").isNotNull, lit(10L)).otherwise(lit(1L)).as("event_id"),
+        col("host"),
+        struct(Schemas.eventDataFields.map {
+          case "CallTrace" => col("CallTrace").as("CallTrace")
+          case "CommandLine" => col("CommandLine").as("CommandLine")
+          case "Image" => when(col("CommandLine").isNotNull,
+            lit("""C:\Windows\System32\cmdkey.exe""")).as("Image")
+          case f => lit(null).cast("string").as(f)
+        }: _*).as("event_data"),
+        col("uuid"), col("timestamp"))
+      val alerts = TimeframeRules.alertsBattery(
+        src.withWatermark("timestamp", "5 seconds"), battery)
+      val q = alerts.writeStream.format("memory")
+        .queryName(s"tf_multigroup_$mode").outputMode(mode).start()
+      try {
+        def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+        // state must carry across micro-batches in BOTH groups
+        mem.addData(
+          ("pc1", "h1", "a1", ts(1), "UNKNOWN(1)", null),
+          ("pc2", "h2", "c1", ts(2), null, "cmdkey /list"))
+        q.processAllAvailable()
+        mem.addData(
+          ("pc1", "h1", "a2", ts(3), "UNKNOWN(2)", null),
+          ("pc2", "h2", "c2", ts(4), null, "cmdkey /list"))
+        q.processAllAvailable()
+        // watermark past both windows so append finalizes them
+        mem.addData(("pc9", "h9", "z1", ts(50), null, null))
+        q.processAllAvailable()
+        val out = spark.table(s"tf_multigroup_$mode")
+          .select(col("rule_name"), col("computer_name"), col("event.count"))
+          .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+        val finals = Set(
+          (ReferenceCorpus.directSyscall.name, "pc1", 2L),
+          (ReferenceCorpus.cmdkeyRecon.name, "h2", 2L))
+        if (mode == "append") assert(out == finals, s"$mode: $out")
+        else {
+          // update mode also emits the count=1 refinement from batch 1
+          assert(finals.subsetOf(out), s"$mode: $out")
+          assert(out.contains((ReferenceCorpus.cmdkeyRecon.name, "h2", 1L)), out)
+        }
+        assert(q.lastProgress.stateOperators.length == 2,
+          s"$mode: expected one state operator per group, " +
+            s"got ${q.lastProgress.stateOperators.length}")
+      } finally q.stop()
+    }
+  }
+
   test("hot key: origin_ids capped, count exact (batch, both paths)") {
     import graft.engine.AlertPipeline
     val n = 10
