@@ -353,6 +353,48 @@ object AlertPipeline {
       .option("topic", topic)
       .option("checkpointLocation", checkpoint)
 
+  /** Source parallelism of a streaming frame, when the source declares it
+    * (`numPartitions` on a DSv2 relation, e.g. the rate source; file/v1
+    * relations via their DataSource options). None when the source
+    * doesn't say — Kafka's partition count, for instance, only exists at
+    * runtime, so the caller passes it explicitly there. */
+  private[graft] def sourcePartitions(raw: DataFrame): Option[Int] =
+    raw.queryExecution.logical.collectFirst {
+      case r: org.apache.spark.sql.catalyst.streaming.StreamingRelationV2
+          if r.extraOptions.containsKey("numPartitions") =>
+        r.extraOptions.get("numPartitions").toInt
+      case r: org.apache.spark.sql.execution.streaming.runtime.StreamingRelation
+          if r.dataSource.options.contains("numPartitions") =>
+        r.dataSource.options("numPartitions").toInt
+    }
+
+  /** The full admission-to-alert chain as ONE streaming query: raw JSON →
+    * PERMISSIVE parse (corrupt records dropped) → watermarked
+    * bounded-state uuid dedup → merged rule dispatch.
+    *
+    * `statePartitions` sizes the stateful stage: paced per-trigger latency
+    * of a stateful query is dominated by the O(state partitions) fixed
+    * store-commit cost, so the right count is the SOURCE parallelism, not
+    * the batch shuffle default (measured on the r13 e2e bench: paced p50
+    * 3.06 s at the 32-partition default vs 912 ms at the source's 8 —
+    * capacity unaffected). Default: derived from the source when it
+    * declares `numPartitions`, else the session conf stands. Passing or
+    * deriving a value sets `spark.sql.shuffle.partitions` on the SESSION
+    * before the plan is built — Spark reads it at query start and pins
+    * the state partition count into the checkpoint from then on. */
+  def ingestChain(raw: DataFrame, rules: Seq[RuleDef],
+      dedupWatermark: String = "10 seconds",
+      statePartitions: Option[Int] = None): DataFrame = {
+    statePartitions.orElse(sourcePartitions(raw)).foreach { n =>
+      raw.sparkSession.conf.set("spark.sql.shuffle.partitions", n)
+    }
+    alertsMerged(
+      parseJson(raw)
+        .withWatermark("timestamp", dedupWatermark)
+        .dropDuplicatesWithinWatermark("uuid"),
+      rules)
+  }
+
   /** S7 statement-set alternative: the reference's 17-INSERT statement set
     * shares one source and one job (windows-process-access.sql:72-601).
     * Our primary mapping is the UNION ALL plan ([[alerts]]); when rules

@@ -516,9 +516,14 @@ object RuleDispatchExpr {
   * the predicates inlined as a constructor field. The key only exists
   * between Column construction and analysis ON THE DRIVER — executors
   * receive the resolved expression with the predicates serialized inside
-  * it, so cluster execution never touches the map. Entries are kept for
-  * the process lifetime: a long-lived service compiles a handful of
-  * batteries, each a few hundred KB of predicate AST.
+  * it, so cluster execution never touches the map. The map is a
+  * size-bounded LRU ([[RuleDispatch.MaxBatteries]] entries): a rules-hot-
+  * reload service that re-interns on every update can no longer grow it
+  * without bound. The bound is an invariant on USAGE, not just memory —
+  * a battery's Column must be analyzed (its query planned) before
+  * MaxBatteries further batteries are interned, or resolution of the
+  * stale key fails with the clear unknown-key error below; every call
+  * path in the library analyzes immediately after construction.
   */
 object RuleDispatch {
   import org.apache.spark.sql.{Column, SparkSession}
@@ -528,19 +533,55 @@ object RuleDispatch {
 
   val Name = "graft_rule_dispatch"
 
-  private val batteries =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[Pred]]()
+  /** LRU bound on interned batteries — far above any real concurrent
+    * working set (a battery is a whole rule fleet; the library analyzes
+    * each Column immediately after building it). */
+  private[graft] val MaxBatteries = 1024
 
-  /** Content key: size + MD5 over the predicate ASTs (case-class toString
-    * is deterministic; a 0-separator prevents concatenation collisions). */
+  private val batteries = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Seq[Pred]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Seq[Pred]]): Boolean =
+        size() > MaxBatteries
+    })
+
+  private[graft] def internedCount: Int = batteries.size()
+
+  /** Content key: size + MD5 over a STRUCTURAL encoding of the predicate
+    * ASTs — one tag byte per node, every string field length-prefixed —
+    * so distinct trees cannot render to the same bytes the way
+    * delimiter-free toString could (Eq("A","x,y") vs Eq("A,x","y")).
+    * Defense-in-depth: if a key is already interned for a DIFFERENT
+    * battery (a genuine 128-bit collision), fail loudly instead of
+    * silently dispatching another battery's rules. */
   private[graft] def intern(preds: Seq[Pred]): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    preds.foreach { p =>
-      md.update(p.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      md.update(0.toByte)
+    def str(s: String): Unit = {
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      md.update(java.nio.ByteBuffer.allocate(4).putInt(b.length).array())
+      md.update(b)
     }
+    def enc(p: Pred): Unit = p match {
+      case graft.compile.Eq(f, v)        => md.update(1.toByte); str(f); str(v)
+      case graft.compile.In(f, vs)       => md.update(2.toByte); str(f)
+        md.update(java.nio.ByteBuffer.allocate(4).putInt(vs.size).array())
+        vs.foreach(str)
+      case graft.compile.IsNull(f)       => md.update(3.toByte); str(f)
+      case graft.compile.Like(f, pat)    => md.update(4.toByte); str(f); str(pat)
+      case graft.compile.SimilarTo(f, p2) => md.update(5.toByte); str(f); str(p2)
+      case graft.compile.TopEq(c, v)     => md.update(6.toByte); str(c); str(v.toString)
+      case graft.compile.And(l, r)       => md.update(7.toByte); enc(l); enc(r)
+      case graft.compile.Or(l, r)        => md.update(8.toByte); enc(l); enc(r)
+      case graft.compile.Not(q)          => md.update(9.toByte); enc(q)
+    }
+    preds.foreach(enc)
     val key = s"${preds.size}-${md.digest().map("%02x".format(_)).mkString}"
-    batteries.putIfAbsent(key, preds)
+    batteries.synchronized {
+      val prev = batteries.put(key, preds) // put also refreshes LRU recency
+      if (prev != null && prev != preds)
+        throw new IllegalStateException(
+          s"rule_dispatch battery key '$key' already interned for a different battery")
+    }
     key
   }
 

@@ -372,19 +372,38 @@ object Detection {
       TimeframeRule(ReferenceCorpus.cmdkeyRecon, "12 hours", 1L, "host"))
   }
 
+  /** Regex-literal quoting for [[fixSigmaWildcards]]: backslash-escape
+    * every metacharacter EXCEPT `{`, which goes through a character class
+    * — Pred.fixRegex re-escapes any bare `{` not opening a quantifier, so
+    * a backslash-escaped one would double up to `\\{` (literal backslash
+    * + quantifier brace). */
+  private def regexLit(s: String): String = s.flatMap {
+    case '{' => "[{]"
+    case c if "\\^$.|?*+()[]}".indexOf(c) >= 0 => s"\\$c"
+    case c => c.toString
+  }
+
   /** The Sigma-wildcard translation main.py would have applied had the
     * reference's transpiler handled `*` in = / IN (it does not — the
     * winrmShells rule ships dead, windows-process-access.sql:225-252):
-    * an equality/IN value containing `*` becomes a LIKE with `%`. Used
+    * an equality/IN value containing `*` becomes an ANCHORED SimilarTo
+    * whose literal segments are regex-quoted — `*` is the only wildcard,
+    * exactly Sigma's semantics. (An earlier draft mapped `*`→`%` LIKE,
+    * which left any literal `%`/`_` already in the value live as LIKE
+    * wildcards — this engine's LIKE is the reference's no-escape Flink
+    * dialect, so quoting them is impossible there; advisor r13.) Used
     * ONLY by the sig_winrm_mutant control; the shipped corpus keeps the
     * quirk verbatim. */
   private[graft] def fixSigmaWildcards(p: Pred): Pred = {
     import graft.compile._
     p match {
-      case Eq(f, v) if v.contains("*") => Like(f, v.replace('*', '%'))
+      case Eq(f, v) if v.contains("*") =>
+        SimilarTo(f, v.split("\\*", -1).map(regexLit).mkString(".*"))
       case In(f, vs) if vs.exists(_.contains("*")) =>
         vs.map[Pred](v =>
-          if (v.contains("*")) Like(f, v.replace('*', '%')) else Eq(f, v))
+          if (v.contains("*"))
+            SimilarTo(f, v.split("\\*", -1).map(regexLit).mkString(".*"))
+          else Eq(f, v))
           .reduce(Or(_, _))
       case And(l, r) => And(fixSigmaWildcards(l), fixSigmaWildcards(r))
       case Or(l, r) => Or(fixSigmaWildcards(l), fixSigmaWildcards(r))

@@ -255,4 +255,26 @@ class BenchSpec extends AnyFunSuite {
     assert(detail.contains("\"sig_fanout_merged\":234.56"))
     assert(detail.contains("\"sig_fanout_merged\":345.67"))
   }
+
+  test("statsJson: steady tail fields separate JIT warm-up from the full window") {
+    // 10 slow warm-up triggers (JIT) then 10 fast steady ones — the shape
+    // of the r13 merged1000 row whose full-window p95 was warm-up-polluted
+    val slow = (1 to 10).map(_ => (50000L, 5000L))
+    val fast = (1 to 10).map(_ => (50000L, 100L))
+    val json = "{" + StreamBench.statsJson("m", slow ++ fast) + "}"
+    def num(k: String): Long =
+      ("\"m_" + k + "\":(-?\\d+)").r.findFirstMatchIn(json).get.group(1).toLong
+    assert(num("warmup_dropped") == 3)   // min(3, 20/2)
+    assert(num("batches") == 17)         // full post-drop window
+    assert(num("p95_ms") == 5000)        // polluted by the 7 remaining slow
+    assert(num("steady_batches") == 9)   // last half of the kept window
+    assert(num("steady_p50_ms") == 100)  // tail is past the JIT cliff
+    assert(num("steady_p95_ms") == 100)
+    assert(num("steady_eps") == 50000L * 9 * 1000 / (9 * 100)) // rows/time over tail
+    // inputFactor divides rows (per-branch numInputRows inflation)
+    val j2 = "{" + StreamBench.statsJson("m", fast, inputFactor = 10) + "}"
+    def num2(k: String): Long =
+      ("\"m_" + k + "\":(-?\\d+)").r.findFirstMatchIn(j2).get.group(1).toLong
+    assert(num2("eps") == num("steady_eps") / 10)
+  }
 }

@@ -207,6 +207,35 @@ class RuleDispatchExprSpec extends SparkSpec {
     }
   }
 
+  test("intern keys are structural: delimiter-embedding ASTs get distinct keys") {
+    // delimiter-free toString hashing rendered these identically
+    assert(RuleDispatch.intern(Seq(Eq("A", "x,y"))) !=
+      RuleDispatch.intern(Seq(Eq("A,x", "y"))))
+    assert(RuleDispatch.intern(Seq(graft.compile.In("A", Seq("x", "y")))) !=
+      RuleDispatch.intern(Seq(graft.compile.In("A", Seq("x,y")))))
+    // same battery → same key (interning is content-addressed)
+    assert(RuleDispatch.intern(Seq(Eq("A", "x"), Eq("B", "y"))) ==
+      RuleDispatch.intern(Seq(Eq("A", "x"), Eq("B", "y"))))
+  }
+
+  test("intern map is a bounded LRU: evicts, re-interns, re-resolves") {
+    val probe = Seq(Eq("A", "__lru_probe__"))
+    RuleDispatch.intern(probe)
+    // flood with MaxBatteries+ distinct batteries: the map must stay
+    // bounded and the probe's entry must age out
+    (0 until RuleDispatch.MaxBatteries + 8).foreach { i =>
+      RuleDispatch.intern(Seq(Eq("A", s"__flood_$i")))
+    }
+    assert(RuleDispatch.internedCount <= RuleDispatch.MaxBatteries)
+    // a fresh column() call re-interns the evicted battery and the whole
+    // path — analysis-time resolution included — works again
+    val df = structFrame(Seq((0L, Some(1L),
+      Some(fields.map(f => f -> (if (f == "A") "__lru_probe__" else "x")).toMap))))
+    val fired = df.select(RuleDispatch.column(spark, probe,
+      col("event_data"), col("event_id")).as("f")).collect()(0).getSeq[Int](0)
+    assert(fired == Seq(0))
+  }
+
   test("analysis errors: unknown battery key, missing field, non-long event_id") {
     RuleDispatch.register(spark)
     val df = structFrame(Seq((0L, Some(1L), Some(fields.map(_ -> "x").toMap))))

@@ -34,6 +34,27 @@ class OpsSpec extends SparkSpec {
       graft.rules.ReferenceCorpus.winrmShells.where.toColumn(col)).count() == 0)
   }
 
+  test("fixSigmaWildcards: only Sigma's `*` is a wildcard — literal % _ . are inert") {
+    import graft.compile.{Eq, In}
+    import spark.implicits._
+    val rows = Seq(
+      ("a", """100% discount"""), // literal % must not wildcard
+      ("b", """100x discount"""),
+      ("c", """snake_case"""),    // literal _ must not wildcard
+      ("d", """snakeXcase"""),
+      ("e", """v1.2 build 9"""),  // literal . must not regex-wildcard
+      ("f", """v1x2 build 9"""),
+      ("g", """pre middle post""")) // real Sigma * wildcard still works
+      .toDF("eid", "CommandLine")
+    def fired(p: graft.compile.Pred): Set[String] =
+      rows.filter(Detection.fixSigmaWildcards(p).toColumn(
+        f => col(f))).select("eid").collect().map(_.getString(0)).toSet
+    assert(fired(Eq("CommandLine", "100% disc*")) == Set("a"))
+    assert(fired(Eq("CommandLine", "snake_case")) == Set("c")) // no * → untouched Eq
+    assert(fired(Eq("CommandLine", "v1.2*9")) == Set("e"))
+    assert(fired(In("CommandLine", Seq("pre*post", "100% discount"))) == Set("a", "g"))
+  }
+
   test("dedup_exact finds exactly the planted byte-exact copies") {
     val out = Dedup.queries("dedup_exact")(spark, dir).collect()
     assert(out.nonEmpty)

@@ -154,12 +154,10 @@ class StreamingSpec extends SparkSpec {
     // no intermediate sink — the full admission-to-alert path the
     // reference runs as separate jobs, as a single Spark streaming plan.
     val mem = MemoryStream[(String, java.sql.Timestamp)]
-    val chain = {
-      val parsed = AlertPipeline.parseJson(mem.toDF().toDF("value", "timestamp"))
-      val deduped = parsed.withWatermark("timestamp", "10 seconds")
-        .dropDuplicatesWithinWatermark("uuid")
-      AlertPipeline.alertsMerged(deduped, ReferenceCorpus.active)
-    }
+    // the LIBRARY chain builder (same plan the r12 test built inline);
+    // MemoryStream declares no numPartitions → conf left untouched
+    val chain = AlertPipeline.ingestChain(
+      mem.toDF().toDF("value", "timestamp"), ReferenceCorpus.active)
     val q = chain
       .select(col("event.origin_ids")(0).as("uuid"), col("rule.name").as("rule"))
       .writeStream.format("memory").queryName("e2e_chain_t1")
@@ -186,6 +184,50 @@ class StreamingSpec extends SparkSpec {
         ("e1", "Cmdkey Cached Credentials Recon"),
         ("e3", "Cmdkey Cached Credentials Recon")), alerts.toString)
     } finally q.stop()
+  }
+
+  test("ingestChain sizes state partitions to source parallelism by default") {
+    import graft.ops.Detection
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      // a source that declares its parallelism (rate, numPartitions=5)
+      val stream = spark.readStream.format("rate")
+        .option("rowsPerSecond", "2000").option("numPartitions", "5").load()
+        .select(col("value").as("event_id"), col("timestamp").as("ts"))
+      val jsonified = Detection.nestedFrom(Detection.synthFrom(stream))
+        .select(
+          to_json(struct(col("computer_name"), col("event_id"), col("host"),
+            col("event_data"), col("uuid"))).as("value"),
+          col("timestamp"))
+      assert(AlertPipeline.sourcePartitions(jsonified).contains(5))
+      val chain = AlertPipeline.ingestChain(jsonified, ReferenceCorpus.active)
+      // building through the library flipped the session to the source's 5
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "5")
+      val q = chain.writeStream.format("noop").outputMode("append").start()
+      try {
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while ((q.lastProgress == null || q.lastProgress.stateOperators.isEmpty ||
+            q.lastProgress.stateOperators(0).numShufflePartitions == 0)
+            && System.nanoTime() < deadline) Thread.sleep(100)
+        // the dedup store actually RUNS at 5 partitions, not the batch 32
+        assert(q.lastProgress.stateOperators(0).numShufflePartitions == 5L,
+          s"state ran at ${q.lastProgress.stateOperators(0).numShufflePartitions}")
+      } finally q.stop()
+      // a source with undeclared parallelism leaves the session conf alone
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(String, java.sql.Timestamp)]
+      val raw = mem.toDF().toDF("value", "timestamp")
+      assert(AlertPipeline.sourcePartitions(raw).isEmpty)
+      AlertPipeline.ingestChain(raw, ReferenceCorpus.active)
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "32")
+      // and an explicit statePartitions always wins
+      AlertPipeline.ingestChain(raw, ReferenceCorpus.active,
+        statePartitions = Some(7))
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "7")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 
   test("streaming exact dedup: dropDuplicates on uuid within the watermark") {
