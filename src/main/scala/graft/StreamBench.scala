@@ -572,7 +572,73 @@ object StreamBench {
       s""""state_store":"rocksdb","input_corrected":true}""")
   }
 
+  /** Combined-job throughput (round 14 stretch #8): N stateless rules AND
+    * M timeframe rules from ONE source in ONE streaming query
+    * (AlertPipeline.alertsCombined) — the full SIEM deployment measured
+    * as one artifact. Run: sbt "runMain graft.StreamBench combined
+    * [nStateless] [nTf] [rps] [deadlineSec]" */
+  private def combinedBench(spark: SparkSession, nStateless: Int, nTf: Int,
+      rps: String, deadlineSec: Long): Unit = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stateless = cloneRules(ReferenceCorpus.active, nStateless)
+    val tfRules = cloneRules(ReferenceCorpus.active, nTf).map(r =>
+      TimeframeRules.TimeframeRule(r, "10 seconds", 2L, "computer_name"))
+    val samples = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val stateOps = new java.util.concurrent.atomic.AtomicInteger(-1)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val d = e.progress.durationMs.get("triggerExecution")
+        stateOps.set(e.progress.stateOperators.length)
+        if (e.progress.numInputRows > 0 && d != null)
+          samples.add((e.progress.numInputRows, d.toLong))
+      }
+    }
+    spark.streams.addListener(listener)
+    val stream = spark.readStream.format("rate")
+      .option("rowsPerSecond", rps)
+      .option("numPartitions", 8).load()
+      .select(col("value").as("event_id"), col("timestamp").as("ts"))
+    // numInputRows counts the shared source once per union branch (2 here:
+    // stateless + battery) — inputFactor corrects it
+    val q = graft.engine.AlertPipeline.alertsCombined(
+      Detection.nestedFrom(Detection.synthFrom(stream))
+        .withWatermark("timestamp", "5 seconds"), stateless, tfRules)
+      .writeStream.format("noop").outputMode("update").start()
+    try {
+      val deadline = System.nanoTime() + deadlineSec * 1000 * 1000 * 1000
+      while (samples.size < 28 && System.nanoTime() < deadline) Thread.sleep(200)
+    } finally { q.stop(); spark.streams.removeListener(listener) }
+    println(s"""{"metric":"combined_job_eps","stateless_rules":${stateless.size},""" +
+      s""""tf_rules":${tfRules.size},""" +
+      statsJson("comb", samples.toArray(Array.empty[(Long, Long)]).toSeq,
+        inputFactor = 2) + "," +
+      s""""state_operators":${stateOps.get},"rps":$rps,""" +
+      s""""origin_ids_cap":${TimeframeRules.DefaultOriginIdsCap},""" +
+      s""""state_store":"rocksdb","input_corrected":true}""")
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("combined")) {
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val spark = graft.engine.SessionDefaults(SparkSession.builder())
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      combinedBench(spark, args.lift(1).map(_.toInt).getOrElse(25),
+        args.lift(2).map(_.toInt).getOrElse(25),
+        args.lift(3).getOrElse("400000"),
+        args.lift(4).map(_.toLong).getOrElse(180L))
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("tfbattery")) {
       val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
       val spark = graft.engine.SessionDefaults(SparkSession.builder())

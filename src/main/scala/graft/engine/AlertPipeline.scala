@@ -353,6 +353,30 @@ object AlertPipeline {
       .option("topic", topic)
       .option("checkpointLocation", checkpoint)
 
+  /** BOTH rule classes from ONE source in ONE streaming query — the full
+    * SIEM deployment story (r13 verdict stretch #8): the merged stateless
+    * dispatch (per-event alerts, no state) unioned with a timeframe
+    * battery (windowed-count rules, one stateful aggregation per
+    * window/key group). The union is stateless-branch + stateful-sibling,
+    * not chained state, so update mode emits stateless alerts per batch
+    * and threshold refinements as they happen; append mode emits
+    * finalized windows only (stateless alerts ride through either).
+    * Output is the shared shape `rule_name, computer_name, host, event` —
+    * the stateless side's per-event alerts carry count=1 and
+    * origin_ids=[uuid], exactly the reference's single-event alert rows.
+    * One source scan feeds both classes; the plan is O(1) in BOTH rule
+    * counts (rule_dispatch on each side). */
+  def alertsCombined(sysmon: DataFrame, stateless: Seq[RuleDef],
+      timeframed: Seq[graft.streaming.TimeframeRules.TimeframeRule],
+      originIdsCap: Int = graft.streaming.TimeframeRules.DefaultOriginIdsCap)
+      : DataFrame = {
+    val perEvent = alertsMerged(sysmon, stateless).select(
+      col("rule.name").as("rule_name"), col("computer_name"),
+      col("host"), col("event"))
+    perEvent.unionAll(
+      graft.streaming.TimeframeRules.alertsBattery(sysmon, timeframed, originIdsCap))
+  }
+
   /** Source parallelism of a streaming frame, when the source declares it
     * (`numPartitions` on a DSv2 relation, e.g. the rate source; file/v1
     * relations via their DataSource options). None when the source

@@ -291,6 +291,19 @@ object Detection {
             to_json(col("event.origin_ids")).as("origins"))
           .orderBy("rule_name", "start_us", "computer_name")
       }),
+      // COMBINED job (round 14): stateless dispatch + timeframe battery
+      // from one source in one plan — per-event alerts (count=1,
+      // origin_ids=[uuid]) unioned with windowed-count alerts, the full
+      // SIEM deployment shape AlertPipeline.alertsCombined runs streaming.
+      "sig_tf_combined" -> ((s: SparkSession, dir: String) => {
+        AlertPipeline.alertsCombined(nested(s, dir), ReferenceCorpus.active, tfBattery)
+          .select(
+            col("rule_name"), col("computer_name"), col("host"),
+            col("event.count").as("n"),
+            unix_micros(col("event.start")).as("start_us"),
+            to_json(col("event.origin_ids")).as("origins"))
+          .orderBy("rule_name", "start_us", "computer_name", "origins")
+      }),
       // Sequence correlation (beyond-reference stateful operator, the
       // class main.py:194-195 rejects): cmdkey credential recon (creation)
       // followed within 72h by an lsass handle access on the same host —
@@ -505,6 +518,27 @@ object Detection {
         ") ORDER BY rule_name, start_us, computer_name")
     }
 
+    val combinedSql = {
+      val perEvent = ReferenceCorpus.active.map { r =>
+        s"""SELECT ${Pred.sq(r.name)} AS rule_name, computer_name, host,
+              CAST(1 AS BIGINT) AS n, epoch_us(ts) AS start_us,
+              to_json([uuid]) AS origins
+            FROM ($synthSql) WHERE ${r.where.toDuckDb(duckField)}"""
+      }
+      val tf = tfBattery.map { r =>
+        s"""SELECT ${Pred.sq(r.base.name)} AS rule_name, computer_name,
+              min(host) AS host, count(*) AS n,
+              (epoch_us(ts) // 86400000000) * 86400000000 AS start_us,
+              to_json(list(uuid ORDER BY uuid)) AS origins
+            FROM ($synthSql) WHERE ${r.base.where.toDuckDb(duckField)}
+            GROUP BY computer_name, (epoch_us(ts) // 86400000000) * 86400000000
+            HAVING count(*) >= ${r.threshold}"""
+      }
+      (perEvent ++ tf).mkString(
+        "SELECT * FROM (", " UNION ALL ",
+        ") ORDER BY rule_name, start_us, computer_name, origins")
+    }
+
     val winrmMutant = {
       val values = winrmPlanted.map { case (eid, pi, im) =>
         s"(CAST($eid AS BIGINT), ${Pred.sq(pi)}, ${Pred.sq(im)})"
@@ -521,6 +555,7 @@ object Detection {
       ("sig_alert_shape" -> shape) + ("tf_windowed_count" -> tf) +
       ("sig_sequence_corr" -> seqCorr) + ("sig_winrm_mutant" -> winrmMutant) +
       ("tf_battery_counts" -> tfBatterySql) +
-      ("tf_battery_multigroup" -> tfMultiSql)
+      ("tf_battery_multigroup" -> tfMultiSql) +
+      ("sig_tf_combined" -> combinedSql)
   }
 }

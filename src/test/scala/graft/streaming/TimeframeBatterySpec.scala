@@ -143,6 +143,58 @@ class TimeframeBatterySpec extends SparkSpec {
     }
   }
 
+  test("combined job: stateless dispatch + timeframe battery, ONE source, ONE query") {
+    import spark.implicits._
+    import graft.engine.AlertPipeline
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String, String, java.sql.Timestamp, String, String)]
+    val flat = mem.toDF()
+      .toDF("computer_name", "host", "uuid", "timestamp", "CallTrace", "CommandLine")
+    val src = flat.select(
+      col("computer_name"),
+      when(col("CallTrace").isNotNull, lit(10L)).otherwise(lit(1L)).as("event_id"),
+      col("host"),
+      struct(Schemas.eventDataFields.map {
+        case "CallTrace" => col("CallTrace").as("CallTrace")
+        case "CommandLine" => col("CommandLine").as("CommandLine")
+        case "Image" => when(col("CommandLine").isNotNull,
+          lit("""C:\Windows\System32\cmdkey.exe""")).as("Image")
+        case f => lit(null).cast("string").as(f)
+      }: _*).as("event_data"),
+      col("uuid"), col("timestamp"))
+    val tf = Seq(TimeframeRules.TimeframeRule(
+      ReferenceCorpus.directSyscall, "10 minutes", 2L, "computer_name"))
+    val combined = AlertPipeline.alertsCombined(
+      src.withWatermark("timestamp", "5 seconds"),
+      Seq(ReferenceCorpus.cmdkeyRecon), tf)
+    val q = combined.writeStream.format("memory").queryName("combined_t1")
+      .outputMode("update").start()
+    try {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+      // batch 1: a stateless hit (emits immediately) + first syscall
+      mem.addData(
+        ("pc1", "h", "c1", ts(1), null, "cmdkey /list"),
+        ("pc1", "h", "a1", ts(2), "UNKNOWN(1)", null))
+      q.processAllAvailable()
+      val afterB1 = spark.table("combined_t1")
+        .select("rule_name", "event.count").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(afterB1 == Set((ReferenceCorpus.cmdkeyRecon.name, 1L)), afterB1)
+      // batch 2: second syscall crosses the threshold IN STATE
+      mem.addData(("pc1", "h", "a2", ts(3), "UNKNOWN(2)", null))
+      q.processAllAvailable()
+      val out = spark.table("combined_t1")
+        .select(col("rule_name"), col("event.count"), col("event.origin_ids"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(out == Set(
+        (ReferenceCorpus.cmdkeyRecon.name, 1L),
+        (ReferenceCorpus.directSyscall.name, 2L)), out)
+      // stateless branch added NO state: one store total (the tf battery's)
+      assert(q.lastProgress.stateOperators.length == 1,
+        s"expected 1 state operator, got ${q.lastProgress.stateOperators.length}")
+    } finally q.stop()
+  }
+
   test("hot key: origin_ids capped, count exact (batch, both paths)") {
     import graft.engine.AlertPipeline
     val n = 10
