@@ -67,7 +67,10 @@ object ScaleProbe {
     "sim_cluster_quality", "text_gopher_rules", "mix_doremi",
     "sim_pagerank_incr", "text_length_outliers_approx",
     "agg_approx_sketch", "text_heavy_hitters_cms", "text_heavy_hitters_incr",
-    "sig_fanout_merged")
+    "sig_fanout_merged",
+    // round 14: the combined stateless+timeframe plan and the multi-group
+    // battery union — both scan the replicated events table
+    "sig_tf_combined", "tf_battery_multigroup")
 
   def main(args: Array[String]): Unit = {
     val spillMode = args.headOption.contains("spill")

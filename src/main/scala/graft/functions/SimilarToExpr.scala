@@ -253,6 +253,22 @@ object GraftFunctions {
           "actualNum" -> children.length.toString, "docroot" -> "-"))
     })
 
+  /** min_k_collect(v, k) — bounded-state sorted collect (provenance
+    * sampling; the analyzer wraps the returned AggregateFunction). */
+  val minKCollect: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("min_k_collect"),
+    new ExpressionInfo(classOf[MinKCollectExpr].getName, "min_k_collect"),
+    {
+      case Seq(c, kExpr) if kExpr.foldable && kExpr.eval() != null =>
+        MinKCollectExpr(c, kExpr.eval().asInstanceOf[Number].intValue())
+      case children => throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> "min_k_collect",
+          "expectedNum" -> "2 (value, literal k)",
+          "actualNum" -> children.length.toString, "docroot" -> "-"))
+    })
+
   /** quality_score_md5(words) — the fused linear-classifier score. */
   val qualityScore: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("quality_score_md5"),
@@ -321,6 +337,8 @@ object GraftFunctions {
       qualityScore._1, qualityScore._2, qualityScore._3)
     spark.sessionState.functionRegistry.registerFunction(
       winnowFps._1, winnowFps._2, winnowFps._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      minKCollect._1, minKCollect._2, minKCollect._3)
     spark.sessionState.functionRegistry.registerFunction(
       bloomProbe._1, bloomProbe._2, bloomProbe._3)
     spark.sessionState.functionRegistry.registerFunction(

@@ -1,9 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.MinKCollectAgg
 import graft.rules.RuleDef
 
 /** Sigma `timeframe` (windowed-count) rules — the latent stateful operator
@@ -30,7 +29,7 @@ import graft.rules.RuleDef
   * the documented chosen semantics). One hash shuffle on (key, window);
   * partial aggregation is map-side; state size is bounded by watermark ×
   * key cardinality × O(originIdsCap) per cell — a hot key CANNOT grow a
-  * state cell past the cap ([[graft.functions.MinKCollectAgg]]).
+  * state cell past the cap ([[graft.functions.MinKCollectExpr]]).
   */
 object TimeframeRules {
 
@@ -39,16 +38,21 @@ object TimeframeRules {
 
   /** Default provenance cap: `origin_ids` carries at most this many uuids
     * (the k lexicographically-smallest — a deterministic sample). The
-    * paired `count` stays exact; see [[graft.functions.MinKCollectAgg]]
+    * paired `count` stays exact; see [[graft.functions.MinKCollectExpr]]
     * for why the cap must bound the aggregation STATE, not the output. */
   val DefaultOriginIdsCap = 256
 
   /** Bounded provenance collect as an agg Column: min-K uuids, sorted
     * ascending — identical to `array_sort(collect_list(uuid))` whenever
-    * the group has ≤ cap events, O(cap) state per group always. */
+    * the group has ≤ cap events, O(cap) state per group always
+    * ([[graft.functions.MinKCollectExpr]], native aggregate).
+    * GRAFT_TF_UNCAPPED_AB=1 restores the r13 unbounded collect_list for
+    * A/B probes only. */
   private def originIds(cap: Int): Column =
-    udaf(new MinKCollectAgg(cap), Encoders.STRING)(col("uuid"))
-      .getField("items")
+    if (sys.env.contains("GRAFT_TF_UNCAPPED_AB"))
+      array_sort(collect_list(col("uuid")))
+    else
+      call_function("min_k_collect", col("uuid"), lit(cap))
 
   /** A BATTERY of timeframe rules in one stateful aggregation per
     * (windowLength, keyCol) group — the 1000-rule scale path for stateful
@@ -82,6 +86,7 @@ object TimeframeRules {
   def alertsBattery(sysmon: DataFrame, rules: Seq[TimeframeRule],
       originIdsCap: Int = DefaultOriginIdsCap): DataFrame = {
     require(rules.nonEmpty, "empty timeframe battery")
+    graft.functions.GraftFunctions.register(sysmon.sparkSession)
     rules.groupBy(r => (r.windowLength, r.keyCol)).toSeq.sortBy(_._1)
       .map { case ((len, key), grpSeq) =>
         val g = grpSeq.toIndexedSeq
@@ -121,6 +126,7 @@ object TimeframeRules {
   def alerts(sysmon: DataFrame, rule: TimeframeRule,
       field: String => Column = f => col("event_data").getField(f),
       originIdsCap: Int = DefaultOriginIdsCap): DataFrame = {
+    graft.functions.GraftFunctions.register(sysmon.sparkSession)
     val matched = sysmon.filter(rule.base.where.toColumn(field))
     matched
       .groupBy(window(col("timestamp"), rule.windowLength),
