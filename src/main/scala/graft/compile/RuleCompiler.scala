@@ -28,8 +28,9 @@ import graft.rules.RuleDef
   *  - C5 `severity_level` (main.py:180-187): critical/high/medium/low →
   *    9/7/5/3.
   *  - C7 `parse` (main.py:179-208): rules with `timeframe` are rejected
-  *    (returns None here; §2.4's streaming extension handles them
-  *    separately).
+  *    (returns None here — the parity default; [[compileTimeframe]] is the
+  *    documented EXTENDED mode that compiles them into runnable
+  *    [[graft.streaming.TimeframeRules.TimeframeRule]]s).
   *
   * Documented deviations (self-evident upstream bugs, recorded per SURVEY
   * §2.11 guidance): (1) numeric/boolean scalar values are stringified
@@ -200,8 +201,9 @@ object RuleCompiler {
   }
 
   /** C7 `parse`: full Sigma YAML document → RuleDef. Returns None for
-    * timeframe rules exactly like main.py:194-195 (the streaming timeframe
-    * extension compiles those separately — graft.streaming). */
+    * timeframe rules exactly like main.py:194-195 — the PARITY mode. The
+    * engine itself can run those rules ([[graft.streaming.TimeframeRules]]);
+    * [[compileTimeframe]] is the extended mode that compiles them. */
   def compile(yamlText: String): Option[RuleDef] = {
     val root = loadYaml(yamlText)
     val detectionAll = root.get("detection") match {
@@ -210,8 +212,13 @@ object RuleCompiler {
     }
     if (detectionAll.contains("timeframe")) return None
     val condition = detectionAll.getOrElse("condition", return None).toString
-    val detection = detectionAll - "condition" - "timeframe"
+    buildRuleDef(root, detectionAll, condition)
+  }
 
+  /** Shared metadata + predicate assembly for both compile modes. */
+  private def buildRuleDef(root: Map[String, Any],
+      detectionAll: Map[String, Any], condition: String): Option[RuleDef] = {
+    val detection = detectionAll - "condition" - "timeframe"
     val tags = root.get("tags") match {
       case Some(l: java.util.List[_]) => l.asScala.toSeq.map(_.toString)
       case _ => Seq.empty
@@ -235,6 +242,67 @@ object RuleCompiler {
       tactic = tactic, technique = technique, subtechnique = subtech,
       module = None,
       where = getWhere(logCate, detection, condition)))
+  }
+
+  /** Sigma `timeframe` durations (`15s`, `30m`, `12h`, `7d`) → Spark window
+    * lengths. Month-unit timeframes (`3M`) have no fixed-length tumbling
+    * window and are rejected. */
+  private val TfDuration = """^\s*(\d+)\s*([smhd])\s*$""".r
+  private[graft] def timeframeWindow(tf: String): Option[String] = tf match {
+    case TfDuration(n, u) =>
+      Some(u match {
+        case "s" => s"$n seconds"
+        case "m" => s"$n minutes"
+        case "h" => s"$n hours"
+        case "d" => s"$n days"
+      })
+    case _ => None
+  }
+
+  /** The aggregation pipe of a correlation condition: `count() > N` /
+    * `count() >= N` (the grammar the reference comments out,
+    * main.py:98-103). `count(field)`-style DISTINCT pipes are not
+    * windowed-count semantics and are rejected (None). Returns the
+    * >=-threshold [[graft.streaming.TimeframeRules.TimeframeRule]] uses:
+    * `> N` ⇒ N+1, `>= N` ⇒ N. */
+  private val AggPipe = """^\s*count\(\s*\)\s*(>=|>)\s*(\d+)\s*$""".r
+  private[graft] def aggThreshold(pipe: String): Option[Long] = pipe match {
+    case AggPipe(">", n) => Some(n.toLong + 1)
+    case AggPipe(">=", n) => Some(n.toLong)
+    case _ => None
+  }
+
+  /** EXTENDED (beyond-parity) mode: compile a Sigma rule WITH `timeframe`
+    * into the runnable stateful form — the capability the reference's
+    * transpiler skips (main.py:194-195 returns None; its own commented-out
+    * grammar at main.py:98-103 is `condition: <sel> | count() > N` +
+    * `timeframe: <dur>`, exactly what this accepts). The selection part
+    * left of the pipe goes through the SAME condition grammar/modifier
+    * translation as [[compile]]; the aggregation pipe becomes the window
+    * threshold; `timeframe` becomes the tumbling window length. `keyCol`
+    * defaults to `computer_name` (Sigma correlation rules group per host;
+    * the sink schema keys alerts on computer_name,
+    * windows-process-access.sql:41).
+    *
+    * Returns None when the document is not a timeframe rule, the duration
+    * unit is unsupported, or the pipe is not a plain `count()` comparison
+    * (e.g. `count(field)` distinct pipes) — callers fall back to [[compile]]
+    * for stateless rules. */
+  def compileTimeframe(yamlText: String, keyCol: String = "computer_name")
+      : Option[graft.streaming.TimeframeRules.TimeframeRule] = {
+    val root = loadYaml(yamlText)
+    val detectionAll = root.get("detection") match {
+      case Some(m: java.util.Map[_, _]) => m.asScala.map { case (k, v) => k.toString -> v.asInstanceOf[Any] }.toMap
+      case _ => return None
+    }
+    for {
+      tf <- detectionAll.get("timeframe").map(_.toString)
+      window <- timeframeWindow(tf)
+      condFull <- detectionAll.get("condition").map(_.toString)
+      parts = condFull.split("\\|", 2) if parts.length == 2
+      threshold <- aggThreshold(parts(1))
+      base <- buildRuleDef(root, detectionAll, parts(0).trim)
+    } yield graft.streaming.TimeframeRules.TimeframeRule(base, window, threshold, keyCol)
   }
 
   /** C6 `gen_flink_sql` analog: render one rule as a complete alert-shaped

@@ -192,7 +192,7 @@ object AlertPipeline {
     * planner a single pre-converted Literal node returns plan build to
     * the join-era ~0.5 s at 1000 rules with none of the join's broadcast
     * traffic. */
-  private def metaLiteral(rules: Seq[RuleDef]): Column =
+  private[graft] def metaLiteral(rules: Seq[RuleDef]): Column =
     typedlit(rules.map { r =>
       RuleMeta(r.name, r.author, r.category, r.severity, r.description,
         r.references, r.tactic, r.technique, r.subtechnique,
@@ -278,6 +278,29 @@ object AlertPipeline {
         StructField("__m", metaSchema))))
   }
 
+  /** The reference sink schema's `threat` struct from a rule-metadata
+    * struct `m` (windows-process-access.sql:50-55) — shared between the
+    * stateless shaping here and the timeframe battery's rid-indexed
+    * shaping ([[graft.streaming.TimeframeRules]]). */
+  private[graft] def threatStruct(m: Column): Column =
+    struct(
+      m.getField("tactic").as("tactic"),
+      m.getField("technique").as("technique"),
+      m.getField("subtechnique").as("subtechnique")).as("threat")
+
+  /** The reference sink schema's 8-field `rule` struct from a
+    * rule-metadata struct `m` (windows-process-access.sql:56-64). */
+  private[graft] def ruleStruct(m: Column): Column =
+    struct(
+      m.getField("name").as("name"),
+      m.getField("author").as("author"),
+      m.getField("category").as("category"),
+      m.getField("severity").as("severity"),
+      m.getField("description").as("description"),
+      m.getField("references").as("reference"),
+      m.getField("version").as("version"),
+      m.getField("source").as("source")).as("rule")
+
   /** Shared alert shaping over the merged dispatch: `m` is the fired
     * rule's metadata struct (literal-array lookup or joined column). */
   private def shapeMerged(withFired: DataFrame, m: Column): DataFrame =
@@ -292,19 +315,8 @@ object AlertPipeline {
         col("timestamp").as("start"),
         col("timestamp").as("end"),
         col("timestamp").as("time")).as("event"),
-      struct(
-        m.getField("tactic").as("tactic"),
-        m.getField("technique").as("technique"),
-        m.getField("subtechnique").as("subtechnique")).as("threat"),
-      struct(
-        m.getField("name").as("name"),
-        m.getField("author").as("author"),
-        m.getField("category").as("category"),
-        m.getField("severity").as("severity"),
-        m.getField("description").as("description"),
-        m.getField("references").as("reference"),
-        m.getField("version").as("version"),
-        m.getField("source").as("source")).as("rule"))
+      threatStruct(m),
+      ruleStruct(m))
 
   /** Build an in-memory sysmon DataFrame from (field → value) maps —
     * fixture entry point for tests and the oracle harness. */
@@ -361,18 +373,22 @@ object AlertPipeline {
     * not chained state, so update mode emits stateless alerts per batch
     * and threshold refinements as they happen; append mode emits
     * finalized windows only (stateless alerts ride through either).
-    * Output is the shared shape `rule_name, computer_name, host, event` —
-    * the stateless side's per-event alerts carry count=1 and
-    * origin_ids=[uuid], exactly the reference's single-event alert rows.
-    * One source scan feeds both classes; the plan is O(1) in BOTH rule
-    * counts (rule_dispatch on each side). */
+    * Output is the FULL reference alert shape for BOTH classes —
+    * `rule_name, computer_name, host, event, threat, rule` (the sink
+    * schema's three structs, windows-process-access.sql:50-64, plus the
+    * leading rule_name a mixed battery needs): the stateless side's
+    * per-event alerts carry count=1 and origin_ids=[uuid] exactly like
+    * the reference's single-event alert rows; the timeframe side carries
+    * windowed counts with its threat/rule metadata riding rid-indexed
+    * plan literals. One source scan feeds both classes; the plan is O(1)
+    * in BOTH rule counts (rule_dispatch on each side). */
   def alertsCombined(sysmon: DataFrame, stateless: Seq[RuleDef],
       timeframed: Seq[graft.streaming.TimeframeRules.TimeframeRule],
       originIdsCap: Int = graft.streaming.TimeframeRules.DefaultOriginIdsCap)
       : DataFrame = {
     val perEvent = alertsMerged(sysmon, stateless).select(
       col("rule.name").as("rule_name"), col("computer_name"),
-      col("host"), col("event"))
+      col("host"), col("event"), col("threat"), col("rule"))
     perEvent.unionAll(
       graft.streaming.TimeframeRules.alertsBattery(sysmon, timeframed, originIdsCap))
   }
@@ -394,29 +410,57 @@ object AlertPipeline {
 
   /** The full admission-to-alert chain as ONE streaming query: raw JSON →
     * PERMISSIVE parse (corrupt records dropped) → watermarked
-    * bounded-state uuid dedup → merged rule dispatch.
-    *
-    * `statePartitions` sizes the stateful stage: paced per-trigger latency
-    * of a stateful query is dominated by the O(state partitions) fixed
-    * store-commit cost, so the right count is the SOURCE parallelism, not
-    * the batch shuffle default (measured on the r13 e2e bench: paced p50
-    * 3.06 s at the 32-partition default vs 912 ms at the source's 8 —
-    * capacity unaffected). Default: derived from the source when it
-    * declares `numPartitions`, else the session conf stands. Passing or
-    * deriving a value sets `spark.sql.shuffle.partitions` on the SESSION
-    * before the plan is built — Spark reads it at query start and pins
-    * the state partition count into the checkpoint from then on. */
+    * bounded-state uuid dedup → merged rule dispatch. Pure plan builder —
+    * no session state touched; state-partition sizing happens at START
+    * time via [[startIngestChain]] (r14 verdict: the old builder set
+    * `spark.sql.shuffle.partitions` on the shared session as a build-time
+    * side effect, silently re-sizing every co-resident batch query). */
   def ingestChain(raw: DataFrame, rules: Seq[RuleDef],
-      dedupWatermark: String = "10 seconds",
-      statePartitions: Option[Int] = None): DataFrame = {
-    statePartitions.orElse(sourcePartitions(raw)).foreach { n =>
-      raw.sparkSession.conf.set("spark.sql.shuffle.partitions", n)
-    }
+      dedupWatermark: String = "10 seconds"): DataFrame =
     alertsMerged(
       parseJson(raw)
         .withWatermark("timestamp", dedupWatermark)
         .dropDuplicatesWithinWatermark("uuid"),
       rules)
+
+  /** Start an [[ingestChain]] with the stateful stage sized to the SOURCE
+    * parallelism, scoped to this query only.
+    *
+    * Why size it at all: paced per-trigger latency of a stateful query is
+    * dominated by the O(state partitions) fixed store-commit cost, so the
+    * right count is the source parallelism, not the batch shuffle default
+    * (measured on the r13 e2e bench: paced p50 3.06 s at the 32-partition
+    * default vs 912 ms at the source's 8 — capacity unaffected).
+    * `statePartitions` overrides; else derived from the source when it
+    * declares `numPartitions`; else the session conf stands.
+    *
+    * Why scoped here instead of set by the plan builder: Spark reads
+    * `spark.sql.shuffle.partitions` when the query STARTS (StreamExecution
+    * clones the session synchronously inside `start()` and pins the value
+    * into the checkpoint), so set → start → restore gives the stream its
+    * partition count WITHOUT leaving the shared session re-sized for
+    * co-resident batch work (r14 verdict #4 / advisor). The restore is
+    * a finally: an exception in start() cannot leak the override either.
+    * Concurrent query BUILDS on the same session during the start window
+    * see the override — starts, like the old build-time mutation, are
+    * driver-side and momentary; serialize starts if that matters. */
+  def startIngestChain(raw: DataFrame, rules: Seq[RuleDef],
+      dedupWatermark: String = "10 seconds",
+      statePartitions: Option[Int] = None)(
+      writer: DataFrame => DataStreamWriter[Row]): StreamingQuery = {
+    val chain = ingestChain(raw, rules, dedupWatermark)
+    statePartitions.orElse(sourcePartitions(raw)) match {
+      case Some(n) =>
+        val conf = raw.sparkSession.conf
+        val prior = conf.getOption("spark.sql.shuffle.partitions")
+        conf.set("spark.sql.shuffle.partitions", n)
+        try writer(chain).start()
+        finally prior match {
+          case Some(v) => conf.set("spark.sql.shuffle.partitions", v)
+          case None => conf.unset("spark.sql.shuffle.partitions")
+        }
+      case None => writer(chain).start()
+    }
   }
 
   /** S7 statement-set alternative: the reference's 17-INSERT statement set

@@ -69,11 +69,25 @@ case class MinKCollectExpr(child: Expression, k: Int,
     b
   }
 
+  /** O(k) linear merge of two SORTED buffers (vs k binary inserts at
+    * O(k log k) + shift cost). No re-copying: both sides' elements are
+    * already owned — `b`'s were deep-copied on [[insert]], `other`'s come
+    * from [[deserialize]] (the framework deserializes a fresh input buffer
+    * per merge call), so references can move between lists safely. */
   override def merge(b: java.util.ArrayList[UTF8String],
       other: java.util.ArrayList[UTF8String]): java.util.ArrayList[UTF8String] = {
-    var i = 0
-    while (i < other.size) { insert(b, other.get(i)); i += 1 }
-    b
+    if (other.isEmpty) return b
+    if (b.isEmpty && other.size <= k) return other
+    val out = new java.util.ArrayList[UTF8String](
+      math.min(k, b.size + other.size))
+    var i = 0; var j = 0
+    while (out.size < k && (i < b.size || j < other.size)) {
+      if (j >= other.size ||
+          (i < b.size && b.get(i).compareTo(other.get(j)) <= 0)) {
+        out.add(b.get(i)); i += 1
+      } else { out.add(other.get(j)); j += 1 }
+    }
+    out
   }
 
   override def eval(b: java.util.ArrayList[UTF8String]): Any =

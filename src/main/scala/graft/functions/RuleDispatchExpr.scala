@@ -519,11 +519,13 @@ object RuleDispatchExpr {
   * it, so cluster execution never touches the map. The map is a
   * size-bounded LRU ([[RuleDispatch.MaxBatteries]] entries): a rules-hot-
   * reload service that re-interns on every update can no longer grow it
-  * without bound. The bound is an invariant on USAGE, not just memory —
-  * a battery's Column must be analyzed (its query planned) before
-  * MaxBatteries further batteries are interned, or resolution of the
-  * stale key fails with the clear unknown-key error below; every call
-  * path in the library analyzes immediately after construction.
+  * without bound. Entries are PINNED from intern until their first
+  * resolution, and eviction prefers unpinned entries — a caller that
+  * pre-builds Columns and analyzes them later no longer races the LRU
+  * (advisor r14). The one remaining way to lose a key is interning
+  * MaxBatteries MORE never-analyzed batteries on top of an unanalyzed
+  * one (the bound must stay hard — abandoned Columns must not leak the
+  * map); resolution then fails with the clear unknown-key error below.
   */
 object RuleDispatch {
   import org.apache.spark.sql.{Column, SparkSession}
@@ -538,14 +540,41 @@ object RuleDispatch {
     * each Column immediately after building it). */
   private[graft] val MaxBatteries = 1024
 
-  private val batteries = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[String, Seq[Pred]](64, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, Seq[Pred]]): Boolean =
-        size() > MaxBatteries
-    })
+  /** Access-ordered map + a PINNED set: an entry is pinned from intern
+    * until its first resolution, and eviction skips pinned entries — so a
+    * caller that builds a battery Column and only analyzes it after many
+    * further interns can no longer have its key evicted out from under the
+    * unanalyzed Column (advisor r14: the plain LRU made that a
+    * nondeterministic unknown-key failure under churn). Pinned entries
+    * that are NEVER analyzed are the one leak this could create, so the
+    * bound stays hard: when every entry is pinned, the eldest pinned one
+    * is evicted anyway (back to the loud unknown-key error — bounded
+    * memory beats an unbounded map held by abandoned Columns). */
+  private val batteries =
+    new java.util.LinkedHashMap[String, Seq[Pred]](64, 0.75f, true)
+  private val pinnedKeys = new java.util.HashSet[String]()
 
-  private[graft] def internedCount: Int = batteries.size()
+  private[graft] def internedCount: Int =
+    batteries.synchronized(batteries.size())
+  private[graft] def pinnedCount: Int =
+    batteries.synchronized(pinnedKeys.size())
+
+  /** Evict past-bound entries, least-recently-used first, unpinned first.
+    * Call only while holding the `batteries` lock. */
+  private def evictLocked(): Unit = {
+    while (batteries.size() > MaxBatteries) {
+      val it = batteries.keySet().iterator()
+      var victim: String = null
+      while (victim == null && it.hasNext) {
+        val k = it.next()
+        if (!pinnedKeys.contains(k)) victim = k
+      }
+      // all pinned: drop the eldest pinned entry to keep the bound hard
+      val k = if (victim != null) victim else batteries.keySet().iterator().next()
+      batteries.remove(k)
+      pinnedKeys.remove(k)
+    }
+  }
 
   /** Content key: size + MD5 over a STRUCTURAL encoding of the predicate
     * ASTs — one tag byte per node, every string field length-prefixed —
@@ -581,6 +610,8 @@ object RuleDispatch {
       if (prev != null && prev != preds)
         throw new IllegalStateException(
           s"rule_dispatch battery key '$key' already interned for a different battery")
+      pinnedKeys.add(key) // pinned until the Column's first resolution
+      evictLocked()
     }
     key
   }
@@ -588,7 +619,11 @@ object RuleDispatch {
   private[graft] val builder: Seq[Expression] => Expression = {
     case Seq(k, ed, eid) if k.foldable =>
       val key = String.valueOf(k.eval())
-      val preds = batteries.get(key)
+      val preds = batteries.synchronized {
+        val p = batteries.get(key) // access refreshes LRU recency
+        if (p != null) pinnedKeys.remove(key) // resolved: evictable again
+        p
+      }
       if (preds == null)
         throw new org.apache.spark.sql.AnalysisException(
           errorClass = "INVALID_PARAMETER_VALUE.NULL",

@@ -46,13 +46,16 @@ object TimeframeRules {
     * ascending — identical to `array_sort(collect_list(uuid))` whenever
     * the group has ≤ cap events, O(cap) state per group always
     * ([[graft.functions.MinKCollectExpr]], native aggregate).
-    * GRAFT_TF_UNCAPPED_AB=1 restores the r13 unbounded collect_list for
-    * A/B probes only. */
-  private def originIds(cap: Int): Column =
-    if (sys.env.contains("GRAFT_TF_UNCAPPED_AB"))
-      array_sort(collect_list(col("uuid")))
-    else
-      call_function("min_k_collect", col("uuid"), lit(cap))
+    *
+    * `uncapped` restores the r13 unbounded collect_list shape — reachable
+    * ONLY through [[alertsBatteryAB]], i.e. only when bench code asks for
+    * it explicitly. It must never ride ambient config in the library path:
+    * an env var set in a real deployment would silently drop the state
+    * bound, and restarting a checkpointed query with the flag toggled
+    * swaps the aggregate and corrupts the checkpoint (advisor r14). */
+  private def originIds(cap: Int, uncapped: Boolean): Column =
+    if (uncapped) array_sort(collect_list(col("uuid")))
+    else call_function("min_k_collect", col("uuid"), lit(cap))
 
   /** A BATTERY of timeframe rules in one stateful aggregation per
     * (windowLength, keyCol) group — the 1000-rule scale path for stateful
@@ -80,13 +83,27 @@ object TimeframeRules {
     * single-group shape stays the latency-optimal deployment (one
     * shuffle, one store commit per trigger).
     *
-    * Output adds `rule_name` over [[alerts]]'s shape (a battery alert
-    * must say which rule fired); semantics per rule are identical to
-    * [[alerts]] — pinned by spec and by the tf_battery_counts oracle. */
+    * Output is the FULL reference alert row — `rule_name, computer_name,
+    * host, event, threat, rule` (the sink schema's three structs,
+    * windows-process-access.sql:50-64, with rule_name leading so a battery
+    * alert says which rule fired without opening the struct). The
+    * threat/rule metadata rides the SAME rid-indexed pre-folded literal
+    * the stateless dispatch uses ([[graft.engine.AlertPipeline]]
+    * metaLiteral), so the plan stays O(1) in rule count; semantics per
+    * rule are identical to [[alerts]] — pinned by spec and by the
+    * tf_battery_counts / sig_tf_combined_shape oracles. */
   def alertsBattery(sysmon: DataFrame, rules: Seq[TimeframeRule],
-      originIdsCap: Int = DefaultOriginIdsCap): DataFrame = {
+      originIdsCap: Int = DefaultOriginIdsCap): DataFrame =
+    alertsBatteryAB(sysmon, rules, originIdsCap, uncapped = false)
+
+  /** [[alertsBattery]] with the r13 unbounded-collect_list escape hatch —
+    * BENCH-ONLY (same-session capped-vs-uncapped A/B); the flag is an
+    * explicit parameter precisely so no deployment config can reach it. */
+  private[graft] def alertsBatteryAB(sysmon: DataFrame, rules: Seq[TimeframeRule],
+      originIdsCap: Int = DefaultOriginIdsCap, uncapped: Boolean = false): DataFrame = {
     require(rules.nonEmpty, "empty timeframe battery")
     graft.functions.GraftFunctions.register(sysmon.sparkSession)
+    import graft.engine.AlertPipeline
     rules.groupBy(r => (r.windowLength, r.keyCol)).toSeq.sortBy(_._1)
       .map { case ((len, key), grpSeq) =>
         val g = grpSeq.toIndexedSeq
@@ -94,8 +111,7 @@ object TimeframeRules {
           explode(graft.functions.RuleDispatch.column(sysmon.sparkSession,
             g.map(_.base.where), col("event_data"), col("event_id"))))
         val thresholds = typedlit(g.map(_.threshold))
-        val names = typedlit(g.map(_.base.name))
-        val modules = typedlit(g.map(_.base.module))
+        val m = element_at(AlertPipeline.metaLiteral(g.map(_.base)), col("rid") + 1)
         withRid
           // key aliased pre-agg: a keyCol of "host" would otherwise
           // collide with the min(host) aggregate downstream
@@ -103,37 +119,44 @@ object TimeframeRules {
             col(key).as("__tf_key"))
           .agg(
             count(lit(1)).as("n"),
-            originIds(originIdsCap).as("origin_ids"),
+            originIds(originIdsCap, uncapped).as("origin_ids"),
             min(col("host")).as("host"))
           .filter(col("n") >= element_at(thresholds, col("rid") + 1))
           .select(
-            element_at(names, col("rid") + 1).as("rule_name"),
+            m.getField("name").as("rule_name"),
             col("__tf_key").as("computer_name"),
             col("host"),
             struct(
               lit("signal").as("kind"),
-              element_at(modules, col("rid") + 1).as("module"),
+              m.getField("module").as("module"),
               col("origin_ids"),
               col("n").as("count"),
               col("window.start").as("start"),
               col("window.end").as("end"),
-              col("window.end").as("time")).as("event"))
+              col("window.end").as("time")).as("event"),
+            AlertPipeline.threatStruct(m),
+            AlertPipeline.ruleStruct(m))
       }.reduce(_ unionAll _)
   }
 
   /** Windowed-count alerts over a sysmon frame (batch or pre-watermarked
-    * streaming — identical logical plan, SURVEY §7 module 4). */
+    * streaming — identical logical plan, SURVEY §7 module 4). Emits the
+    * same `computer_name, host, event, threat, rule` shape as the
+    * per-event [[graft.engine.AlertPipeline.ruleAlerts]], so a timeframe
+    * rule's alerts land in the reference sink unchanged. */
   def alerts(sysmon: DataFrame, rule: TimeframeRule,
       field: String => Column = f => col("event_data").getField(f),
       originIdsCap: Int = DefaultOriginIdsCap): DataFrame = {
     graft.functions.GraftFunctions.register(sysmon.sparkSession)
+    import graft.engine.AlertPipeline
     val matched = sysmon.filter(rule.base.where.toColumn(field))
+    val m = element_at(AlertPipeline.metaLiteral(Seq(rule.base)), lit(1))
     matched
       .groupBy(window(col("timestamp"), rule.windowLength),
         col(rule.keyCol).as("__tf_key"))
       .agg(
         count(lit(1)).as("n"),
-        originIds(originIdsCap).as("origin_ids"),
+        originIds(originIdsCap, uncapped = false).as("origin_ids"),
         min(col("host")).as("host"))
       .filter(col("n") >= rule.threshold)
       .select(
@@ -146,6 +169,8 @@ object TimeframeRules {
           col("n").as("count"),
           col("window.start").as("start"),
           col("window.end").as("end"),
-          col("window.end").as("time")).as("event"))
+          col("window.end").as("time")).as("event"),
+        AlertPipeline.threatStruct(m),
+        AlertPipeline.ruleStruct(m))
   }
 }

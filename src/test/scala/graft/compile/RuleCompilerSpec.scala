@@ -102,6 +102,61 @@ class RuleCompilerSpec extends AnyFunSuite {
     assert(compile(y).isEmpty)
   }
 
+  test("extended mode compiles the timeframe fixture; parity mode still skips it (r15)") {
+    val yaml = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/test/resources/sigma/timeframe_rule.yml")), "UTF-8")
+    // parity default: the reference rejects timeframe rules (main.py:194-195)
+    assert(compile(yaml).isEmpty)
+    // extended mode: the commented-out grammar (main.py:98-103) compiles
+    val tf = compileTimeframe(yaml).get
+    assert(tf.windowLength == "5 minutes")
+    assert(tf.threshold == 11L) // count() > 10 ⇒ >= 11
+    assert(tf.keyCol == "computer_name")
+    assert(tf.base.name == "Many Process Accesses In Short Time")
+    assert(tf.base.severity == 7)
+    // the selection left of the pipe went through the normal grammar,
+    // including the logsource event_id gate
+    assert(tf.base.where == And(TopEq("event_id", 10),
+      Like("TargetImage", """%\lsass.exe""")))
+  }
+
+  test("extended mode rejects what it cannot run (r15)") {
+    def tfYaml(timeframe: String, condition: String): String = yamlRule(
+      s"""  selection:
+         |    F: v
+         |  timeframe: $timeframe
+         |  condition: $condition""".stripMargin)
+    // count(field) distinct pipes are not windowed-count semantics
+    assert(compileTimeframe(tfYaml("5m", "selection | count(TargetUser) > 3")).isEmpty)
+    // month-unit timeframes have no fixed-length tumbling window
+    assert(compileTimeframe(tfYaml("3M", "selection | count() > 3")).isEmpty)
+    // no aggregation pipe at all
+    assert(compileTimeframe(tfYaml("5m", "selection")).isEmpty)
+    // a stateless rule is not a timeframe rule
+    assert(compileTimeframe(yamlRule(
+      """  selection:
+        |    F: v
+        |  condition: selection""".stripMargin)).isEmpty)
+    // duration units + threshold comparison forms
+    assert(compileTimeframe(tfYaml("30s", "selection | count() >= 3")).get.threshold == 3L)
+    assert(compileTimeframe(tfYaml("30s", "selection | count() >= 3")).get.windowLength == "30 seconds")
+    assert(compileTimeframe(tfYaml("12h", "selection | count() > 0")).get.windowLength == "12 hours")
+    assert(compileTimeframe(tfYaml("7d", "selection | count() > 0")).get.windowLength == "7 days")
+  }
+
+  test("the in-main compiled-rule YAML stays in lockstep with the spec fixture's grammar (r15)") {
+    // the oracle query tf_compiled_rule embeds a YAML in main (test
+    // resources aren't on graft.Verify's classpath); it must keep
+    // exercising the same grammar shape as the fixture
+    val tf = compileTimeframe(graft.ops.Detection.compiledTfYaml).get
+    assert(tf.windowLength == "1 days" && tf.threshold == 2L)
+    assert(tf.base.where == And(TopEq("event_id", 10),
+      Like("TargetImage", """%\lsass.exe""")))
+    assert(tf.base.tactic == Seq("attack.credential_access"))
+    assert(tf.base.technique == Seq("t1003"))
+    assert(tf.base.subtechnique == Seq("attack.t1003.001"))
+  }
+
   test("null value maps to IS NULL; numeric scalars stringify") {
     val r = compile(yamlRule(
       """  selection:

@@ -236,6 +236,26 @@ class RuleDispatchExprSpec extends SparkSpec {
     assert(fired == Seq(0))
   }
 
+  test("unanalyzed batteries are pinned: LRU churn cannot strand their Columns (r15)") {
+    // the r14 LRU made "build a Column, intern 1024 more, THEN analyze" a
+    // nondeterministic unknown-key failure (advisor): entries are now
+    // pinned from intern until first resolution, and eviction takes
+    // unpinned entries first
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    def resolve(k: String) =
+      RuleDispatch.builder(Seq(Literal(k), Literal("d"), Literal(1L)))
+    val key = RuleDispatch.intern(Seq(Eq("A", "__pin_probe__"))) // pinned
+    // churn far past the bound with batteries that resolve immediately
+    // (the library's own usage pattern) — each is unpinned on resolution
+    (0 until RuleDispatch.MaxBatteries + 8).foreach { i =>
+      resolve(RuleDispatch.intern(Seq(Eq("A", s"__pin_flood_$i"))))
+    }
+    assert(RuleDispatch.internedCount <= RuleDispatch.MaxBatteries)
+    // the probe out-survived >MaxBatteries resolved interns and its (late)
+    // first analysis still finds it
+    assert(resolve(key).isInstanceOf[RuleDispatchExpr])
+  }
+
   test("analysis errors: unknown battery key, missing field, non-long event_id") {
     RuleDispatch.register(spark)
     val df = structFrame(Seq((0L, Some(1L), Some(fields.map(_ -> "x").toMap))))

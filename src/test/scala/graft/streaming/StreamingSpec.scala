@@ -186,7 +186,7 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("ingestChain sizes state partitions to source parallelism by default") {
+  test("startIngestChain sizes state to source parallelism, scoped to the query (r15)") {
     import graft.ops.Detection
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     try {
@@ -201,32 +201,43 @@ class StreamingSpec extends SparkSpec {
             col("event_data"), col("uuid"))).as("value"),
           col("timestamp"))
       assert(AlertPipeline.sourcePartitions(jsonified).contains(5))
-      val chain = AlertPipeline.ingestChain(jsonified, ReferenceCorpus.active)
-      // building through the library flipped the session to the source's 5
-      assert(spark.conf.get("spark.sql.shuffle.partitions") == "5")
-      val q = chain.writeStream.format("noop").outputMode("append").start()
+      // building the chain is PURE — no session mutation (r14 advisor: the
+      // old build-time conf set silently re-sized co-resident batch work)
+      AlertPipeline.ingestChain(jsonified, ReferenceCorpus.active)
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "32")
+      val q = AlertPipeline.startIngestChain(jsonified, ReferenceCorpus.active)(
+        _.writeStream.format("noop").outputMode("append"))
       try {
+        // the session conf is already restored by the time start() returns…
+        assert(spark.conf.get("spark.sql.shuffle.partitions") == "32",
+          "startIngestChain leaked the shuffle-partitions override")
         val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
         while ((q.lastProgress == null || q.lastProgress.stateOperators.isEmpty ||
             q.lastProgress.stateOperators(0).numShufflePartitions == 0)
             && System.nanoTime() < deadline) Thread.sleep(100)
-        // the dedup store actually RUNS at 5 partitions, not the batch 32
+        // …and the dedup store still RUNS at the source's 5, not the batch 32
         assert(q.lastProgress.stateOperators(0).numShufflePartitions == 5L,
           s"state ran at ${q.lastProgress.stateOperators(0).numShufflePartitions}")
       } finally q.stop()
-      // a source with undeclared parallelism leaves the session conf alone
-      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "32")
+      // a source with undeclared parallelism starts under the session conf
       import spark.implicits._
       implicit val sqlCtx = spark.sqlContext
       val mem = MemoryStream[(String, java.sql.Timestamp)]
       val raw = mem.toDF().toDF("value", "timestamp")
       assert(AlertPipeline.sourcePartitions(raw).isEmpty)
-      AlertPipeline.ingestChain(raw, ReferenceCorpus.active)
-      assert(spark.conf.get("spark.sql.shuffle.partitions") == "32")
-      // and an explicit statePartitions always wins
-      AlertPipeline.ingestChain(raw, ReferenceCorpus.active,
-        statePartitions = Some(7))
-      assert(spark.conf.get("spark.sql.shuffle.partitions") == "7")
+      // an explicit statePartitions wins over the (absent) source hint and
+      // is likewise scoped: conf unchanged after start
+      val q2 = AlertPipeline.startIngestChain(raw, ReferenceCorpus.active,
+        statePartitions = Some(7))(
+        _.writeStream.format("noop").outputMode("append"))
+      try {
+        assert(spark.conf.get("spark.sql.shuffle.partitions") == "32")
+        mem.addData(("{not json", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+        q2.processAllAvailable()
+        assert(q2.lastProgress.stateOperators(0).numShufflePartitions == 7L,
+          s"state ran at ${q2.lastProgress.stateOperators(0).numShufflePartitions}")
+      } finally q2.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 

@@ -195,6 +195,50 @@ class TimeframeBatterySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("battery + combined emit the FULL reference sink schema (threat + rule structs, r15)") {
+    import graft.engine.AlertPipeline
+    import org.apache.spark.sql.types.StructType
+    val src = Detection.nested(spark, "/root/testdata/sf0.001")
+    val battery = Detection.tfBattery
+    val out = TimeframeRules.alertsBattery(src, battery)
+    // the r14 battery emitted only (rule_name, computer_name, host, event),
+    // dropping the sink schema's threat/rule structs
+    // (windows-process-access.sql:50-64) — now every alert carries them
+    assert(out.columns.toSeq ==
+      Seq("rule_name", "computer_name", "host", "event", "threat", "rule"))
+    assert(out.schema("threat").dataType.asInstanceOf[StructType].fieldNames.toSeq
+      == Seq("tactic", "technique", "subtechnique"))
+    assert(out.schema("rule").dataType.asInstanceOf[StructType].fieldNames.toSeq
+      == Seq("name", "author", "category", "severity", "description",
+        "reference", "version", "source"))
+    // a battery alert's metadata structs are byte-equal to the stateless
+    // projection's for the same rule (both ride the same RuleDef fields);
+    // use a rule that actually crossed its threshold at this SF
+    val fired = out.select("rule_name").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(fired.nonEmpty, "no battery rule fired at sf0.001")
+    val r0 = battery.map(_.base).find(b => fired(b.name)).get
+    val viaBattery = out.filter(col("rule_name") === r0.name)
+      .select(to_json(col("threat")), to_json(col("rule")))
+      .distinct().collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val viaStateless = AlertPipeline.ruleAlerts(src, r0)
+      .select(to_json(col("threat")), to_json(col("rule")))
+      .distinct().collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(viaBattery.length == 1 && viaBattery == viaStateless)
+    // combined: the per-event side is the COMPLETE ruleAlerts row (plus the
+    // leading rule_name), no longer projected down to the event struct
+    val laz = ReferenceCorpus.lazagne
+    val combined = AlertPipeline.alertsCombined(src, Seq(laz), battery)
+    assert(combined.columns.toSeq ==
+      Seq("rule_name", "computer_name", "host", "event", "threat", "rule"))
+    def canon(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select(to_json(struct(col("computer_name"), col("host"),
+        col("event"), col("threat"), col("rule"))))
+        .collect().map(_.getString(0)).toSet
+    val perEvent = canon(combined.filter(col("rule_name") === laz.name))
+    assert(perEvent.nonEmpty && perEvent == canon(AlertPipeline.ruleAlerts(src, laz)))
+  }
+
   test("hot key: origin_ids capped, count exact (batch, both paths)") {
     import graft.engine.AlertPipeline
     val n = 10
