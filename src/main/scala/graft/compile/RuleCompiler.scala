@@ -333,15 +333,41 @@ object RuleCompiler {
   }
 
   /** C8 `walk_path`: compile every YAML file under a directory. */
-  def compileDir(path: String): Seq[RuleDef] = {
+  def compileDir(path: String): Seq[RuleDef] =
+    yamlFiles(path).flatMap(compile)
+
+  /** C8, EXTENDED: compile a MIXED rule directory — stateless rules
+    * through the parity [[compile]], `timeframe` rules through
+    * [[compileTimeframe]] — so one Sigma repo deploys as one combined job
+    * ([[graft.engine.AlertPipeline.alertsCombined]]: stateless dispatch +
+    * timeframe battery, one source, one query). Documents neither mode
+    * accepts (e.g. `count(field)` pipes) are skipped, exactly like
+    * [[compileDir]] skips what `parse` rejects. */
+  def compileDirAll(path: String)
+      : (Seq[RuleDef], Seq[graft.streaming.TimeframeRules.TimeframeRule]) = {
+    val (stateless, timeframed) = yamlFiles(path).foldLeft(
+      (Vector.empty[RuleDef],
+        Vector.empty[graft.streaming.TimeframeRules.TimeframeRule])) {
+      case ((s, t), yaml) =>
+        compile(yaml) match {
+          case Some(r) => (s :+ r, t)
+          case None => compileTimeframe(yaml) match {
+            case Some(tf) => (s, t :+ tf)
+            case None => (s, t)
+          }
+        }
+    }
+    (stateless, timeframed)
+  }
+
+  private def yamlFiles(path: String): Seq[String] = {
     val root = new java.io.File(path)
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName).flatMap(walk)
       else if (f.getName.endsWith(".yml") || f.getName.endsWith(".yaml")) Seq(f)
       else Seq.empty
-    walk(root).flatMap { f =>
-      compile(new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
-    }
+    walk(root).map(f =>
+      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
   }
 
   private def loadYaml(text: String): Map[String, Any] = {

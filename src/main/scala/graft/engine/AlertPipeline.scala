@@ -496,6 +496,37 @@ object AlertPipeline {
       .trigger(trigger)
       .start()
   }
+
+  /** [[start]] for a MIXED rule set: the full combined deployment —
+    * stateless dispatch + timeframe battery from one source in ONE
+    * streaming query ([[alertsCombined]]), from resolved config. Pairs
+    * with [[graft.compile.RuleCompiler.compileDirAll]]: a Sigma repo with
+    * correlation rules deploys in one call. `outputMode` conf: "update"
+    * (default — per-batch threshold refinements; Kafka sink) or "append"
+    * (finalized windows only; required by the files/parquet sink).
+    * Timeframe rules need event-time state, so the source watermark conf
+    * applies (default 5 seconds); an empty `timeframed` degrades to the
+    * stateless-only plan shape with no state operator. */
+  def startCombined(spark: SparkSession, stateless: Seq[RuleDef],
+      timeframed: Seq[graft.streaming.TimeframeRules.TimeframeRule],
+      conf: Map[String, String]): StreamingQuery = {
+    val src = Sources.source(spark, conf)
+    val watermarked = src.withWatermark("timestamp", conf.getOrElse("watermark", "5 seconds"))
+    val combined =
+      if (timeframed.isEmpty)
+        alertsMerged(watermarked, stateless).select(
+          col("rule.name").as("rule_name"), col("computer_name"),
+          col("host"), col("event"), col("threat"), col("rule"))
+      else alertsCombined(watermarked, stateless, timeframed)
+    val trigger = conf.getOrElse("trigger", "0 seconds") match {
+      case "availableNow" => Trigger.AvailableNow()
+      case interval => Trigger.ProcessingTime(interval)
+    }
+    Sources.sink(combined, conf)
+      .outputMode(conf.getOrElse("outputMode", "update"))
+      .trigger(trigger)
+      .start()
+  }
 }
 
 /** `${var}` substitution for deploy-time config, the Spark-side equivalent

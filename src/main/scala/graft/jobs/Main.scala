@@ -21,6 +21,11 @@ import graft.rules.ReferenceCorpus
   * deployment shape, windows-process-access.sql:28-30). `--rules builtin`
   * runs the transcribed 25-rule reference corpus; a directory compiles
   * every Sigma YAML file through [[RuleCompiler]] (C8, main.py:211-229).
+  * `--extended` additionally compiles `timeframe` correlation rules
+  * ([[RuleCompiler.compileTimeframe]] — the grammar the reference comments
+  * out) and deploys BOTH classes as one combined streaming query
+  * ([[AlertPipeline.startCombined]]); without it, parity: timeframe rules
+  * are skipped exactly like main.py:194-195.
   * `--conf spark.*=...` pairs pass through to the SparkSession builder
   * (the spark-submit `--conf` shape; e.g. `spark.master=local[8]` to run
   * outside a cluster). `--conf trigger=availableNow` replays everything
@@ -33,11 +38,18 @@ object Main {
   def main(args: Array[String]): Unit = {
     val parsed = parseArgs(args.toList)
     val conf = parsed.conf.map { case (k, v) => k -> Templating.resolve(v, parsed.conf) }
-    val rules = parsed.rules match {
-      case "builtin" => ReferenceCorpus.active
-      case dir => RuleCompiler.compileDir(dir)
+    // --extended: compile the directory in the EXTENDED mode too —
+    // timeframe rules (RuleCompiler.compileTimeframe) deploy alongside the
+    // stateless ones as ONE combined query (AlertPipeline.startCombined).
+    // Default stays parity: timeframe rules are skipped like main.py.
+    val (rules, timeframed) = parsed.rules match {
+      case "builtin" => (ReferenceCorpus.active,
+        Seq.empty[graft.streaming.TimeframeRules.TimeframeRule])
+      case dir if parsed.extended => RuleCompiler.compileDirAll(dir)
+      case dir => (RuleCompiler.compileDir(dir),
+        Seq.empty[graft.streaming.TimeframeRules.TimeframeRule])
     }
-    require(rules.nonEmpty, "no rules compiled")
+    require(rules.nonEmpty || timeframed.nonEmpty, "no rules compiled")
 
     val spark = conf.filter { case (k, _) => k.startsWith("spark.") }
       .foldLeft(graft.engine.SessionDefaults(SparkSession.builder())
@@ -50,14 +62,18 @@ object Main {
         case (b, (k, v)) => b.config(k, v)
       }
       .getOrCreate()
-    val query = AlertPipeline.start(spark, rules, conf)
+    val query =
+      if (timeframed.nonEmpty) AlertPipeline.startCombined(spark, rules, timeframed, conf)
+      else AlertPipeline.start(spark, rules, conf)
     query.awaitTermination()
   }
 
-  final case class Args(rules: String = "builtin", conf: Map[String, String] = Map.empty)
+  final case class Args(rules: String = "builtin", conf: Map[String, String] = Map.empty,
+      extended: Boolean = false)
 
   def parseArgs(args: List[String], acc: Args = Args()): Args = args match {
     case "--rules" :: v :: rest => parseArgs(rest, acc.copy(rules = v))
+    case "--extended" :: rest => parseArgs(rest, acc.copy(extended = true))
     case "--conf" :: kv :: rest =>
       kv.split("=", 2) match {
         case Array(k, v) => parseArgs(rest, acc.copy(conf = acc.conf + (k -> v)))

@@ -50,6 +50,31 @@ class CompileDirSpec extends AnyFunSuite {
     }
   }
 
+  test("compileDirAll splits a mixed repo: stateless == compileDir, timeframe compiled (r15)") {
+    val (stateless, timeframed) = RuleCompiler.compileDirAll(dir)
+    // the stateless side is EXACTLY what parity compileDir produces
+    assert(stateless.map(_.name) == RuleCompiler.compileDir(dir).map(_.name))
+    // the timeframe fixture lands on the stateful side, fully compiled
+    assert(timeframed.map(_.base.name) == Seq("Many Process Accesses In Short Time"))
+    assert(timeframed.head.windowLength == "5 minutes" && timeframed.head.threshold == 11L)
+    // a document NEITHER mode accepts is skipped, like compileDir skips
+    // what parse rejects
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mixed-yaml")
+    java.nio.file.Files.write(tmp.resolve("distinct_pipe.yml"),
+      """title: Distinct Pipe
+        |level: low
+        |logsource:
+        |  category: process_access
+        |detection:
+        |  selection:
+        |    F: v
+        |  timeframe: 5m
+        |  condition: selection | count(TargetUser) > 3
+        |""".stripMargin.getBytes("UTF-8"))
+    val (s2, t2) = RuleCompiler.compileDirAll(tmp.toString)
+    assert(s2.isEmpty && t2.isEmpty)
+  }
+
   test("fan-out probe's synthetic rule corpus compiles through the directory path") {
     // the 1000-rule probe's YAML must exercise the REAL compileDir
     // pipeline — pin here that the generated document compiles to the
