@@ -602,8 +602,13 @@ object StreamBench {
       val deadline = System.nanoTime() + deadlineSec * 1000 * 1000 * 1000
       while (samples.size < 28 && System.nanoTime() < deadline) Thread.sleep(200)
     } finally { q.stop(); spark.streams.removeListener(listener) }
+    // ONE protocol, carried round-over-round (r14 verdict #6): pace at the
+    // last committed ~1.0x-capacity rps, commit tfb_steady_eps, require
+    // >=10 steady batches. A run that cannot keep up at that pacing
+    // (batches compounding, steady_batches < 10) is a host-health failure
+    // — re-run on an idle window, don't adjudicate in prose.
     println(s"""{"metric":"tf_battery_eps","rules":${rules.size},""" +
-      s""""uncapped_ab":$uncapped,""" +
+      s""""protocol":"paced_fixed_rps_steady_eps","uncapped_ab":$uncapped,""" +
       statsJson("tfb", samples.toArray(Array.empty[(Long, Long)]).toSeq) + "," +
       s""""state_operators":${stateOps.get},"rps":$rps,""" +
       s""""origin_ids_cap":${TimeframeRules.DefaultOriginIdsCap},""" +
