@@ -368,6 +368,22 @@ object Detection {
             col("rule.severity").as("severity"))
           .orderBy("start_us", "computer_name")
       }),
+      // Multi-rule COMPILED battery: two YAML-compiled timeframe rules
+      // (bare selection; list-valued selection via `1 of sel_*` left of
+      // the pipe) sharing ONE stateful aggregation — the compile loop at
+      // battery scale, distinct thresholds exercising the per-rid lookup.
+      "tf_compiled_battery" -> ((s: SparkSession, dir: String) => {
+        import graft.streaming.TimeframeRules
+        TimeframeRules.alertsBattery(nested(s, dir), compiledTfBattery)
+          .select(
+            col("rule_name"), col("computer_name"), col("host"),
+            col("event.count").as("n"),
+            unix_micros(col("event.start")).as("start_us"),
+            to_json(col("event.origin_ids")).as("origins"),
+            to_json(col("threat")).as("threat"),
+            col("rule.severity").as("severity"))
+          .orderBy("rule_name", "start_us", "computer_name")
+      }),
       // FULL-SCHEMA combined job (round 15, r14 verdict #2): both rule
       // classes through alertsCombined, asserting the complete reference
       // alert row — event scalars, the threat struct, and all 8 rule-struct
@@ -456,6 +472,35 @@ object Detection {
       |    timeframe: 1d
       |    condition: selection | count() > 1
       |""".stripMargin
+
+  /** Second compiled-rule document for the BATTERY oracle: a list-valued
+    * selection reached through a `1 of sel_*` condition left of the pipe
+    * — the compile path tf_compiled_rule's single bare selection never
+    * exercises. Same window/key as [[compiledTfYaml]], so the two
+    * compiled rules share ONE stateful aggregation in alertsBattery. */
+  private[graft] val compiledTfYaml2: String =
+    """title: Suspicious Access Mask Burst
+      |description: second compiled correlation rule, list selection + 1-of condition
+      |author: graft
+      |level: medium
+      |logsource:
+      |    category: process_access
+      |tags:
+      |    - attack.credential_access
+      |    - attack.t1003
+      |detection:
+      |    sel_mask:
+      |        GrantedAccess:
+      |            - '0x1FFFFF'
+      |            - '0x1fffff'
+      |    timeframe: 1d
+      |    condition: 1 of sel_* | count() >= 3
+      |""".stripMargin
+
+  private[graft] def compiledTfBattery: Seq[graft.streaming.TimeframeRules.TimeframeRule] =
+    Seq(compiledTfYaml, compiledTfYaml2).map(y =>
+      graft.compile.RuleCompiler.compileTimeframe(y)
+        .getOrElse(sys.error("extended compile of a timeframe YAML failed")))
 
   /** Regex-literal quoting for [[fixSigmaWildcards]]: backslash-escape
     * every metacharacter EXCEPT `{`, which goes through a character class
@@ -644,6 +689,19 @@ object Detection {
           ORDER BY start_us, computer_name"""
     }
 
+    val tfCompiledBatterySql = compiledTfBattery.map { r =>
+      s"""SELECT ${Pred.sq(r.base.name)} AS rule_name, computer_name,
+            min(host) AS host, count(*) AS n,
+            (epoch_us(ts) // 86400000000) * 86400000000 AS start_us,
+            to_json(list_slice(list(uuid ORDER BY uuid), 1, $originCap)) AS origins,
+            ${threatJson(r.base)} AS threat, ${r.base.severity} AS severity
+          FROM ($synthSql) WHERE ${r.base.where.toDuckDb(duckField)}
+          GROUP BY computer_name, (epoch_us(ts) // 86400000000) * 86400000000
+          HAVING count(*) >= ${r.threshold}"""
+    }.mkString(
+      "SELECT * FROM (", " UNION ALL ",
+      ") ORDER BY rule_name, start_us, computer_name")
+
     // the full 3-struct alert row for BOTH classes of the combined job:
     // per-event constants and the tf battery's grouped rows each carry the
     // complete rule metadata
@@ -698,6 +756,7 @@ object Detection {
       ("tf_battery_multigroup" -> tfMultiSql) +
       ("sig_tf_combined" -> combinedSql) +
       ("tf_compiled_rule" -> tfCompiledSql) +
+      ("tf_compiled_battery" -> tfCompiledBatterySql) +
       ("sig_tf_combined_shape" -> combinedShapeSql)
   }
 }

@@ -155,6 +155,15 @@ class RuleCompilerSpec extends AnyFunSuite {
     assert(tf.base.tactic == Seq("attack.credential_access"))
     assert(tf.base.technique == Seq("t1003"))
     assert(tf.base.subtechnique == Seq("attack.t1003.001"))
+    // the second battery document: a list-valued selection reached through
+    // `1 of sel_*` LEFT of the pipe — the condition grammar composes with
+    // the aggregation pipe
+    val tf2 = compileTimeframe(graft.ops.Detection.compiledTfYaml2).get
+    assert(tf2.windowLength == "1 days" && tf2.threshold == 3L)
+    assert(tf2.base.where == And(TopEq("event_id", 10),
+      In("GrantedAccess", Seq("0x1FFFFF", "0x1fffff"))))
+    assert(tf2.base.severity == 5)
+    assert(tf2.base.technique == Seq("attack.t1003") && tf2.base.subtechnique.isEmpty)
   }
 
   test("null value maps to IS NULL; numeric scalars stringify") {
