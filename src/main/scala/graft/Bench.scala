@@ -129,13 +129,14 @@ object Bench {
   // the growth guard tripped (by design — growth must raise this
   // CONSCIOUSLY); raised 1800 → 1880 in round 9 at 69 queries, then
   // 1880 → 1920 at 71 queries + the calib_mt field, then 1920 → 1940 in
-  // round 12 for the 17-byte "protocol" field (realistic line: ~1898
-  // bytes). Margin math: the driver's tail capture keeps the LAST ~2 KB
-  // and the compact line prints last, so 1 940 leaves 108 bytes for
-  // sbt's trailing "[success] …" line (~75 bytes); the r6 loss was
-  // a 3.4 KB line. The headline list is effectively FULL at this cap —
+  // round 12 for the 17-byte "protocol" field, then 1940 → 1956 in round
+  // 16 for the ~21-byte health-gate fields (hok/hrej — realistic line:
+  // ~1946 bytes, measured). Margin math: the driver's tail capture keeps
+  // the LAST ~2 KB and the compact line prints last, so 1 956 leaves 92
+  // bytes for sbt's trailing "[success] …" line (~75 bytes); the r6 loss
+  // was a 3.4 KB line. The headline list is effectively FULL at this cap —
   // the next operator family goes to the scale probe, not the headline.
-  private[graft] val lineCap = 1940
+  private[graft] val lineCap = 1956
   private[graft] def compactLine(results: Seq[Timing], reps: Int, sf: String,
       extra: String = ""): String = {
     val total = results.map(_._2).sum
@@ -211,6 +212,85 @@ object Bench {
     }
     threads.foreach(_.join())
     (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Health-gate verdict for one bench run: per-pass calib_mt BRACKETS
+    * (one multi-core calibration reading immediately before and one
+    * immediately after each timed rotation) for the accepted and the
+    * rejected passes, plus the gate they were judged against. */
+  private[graft] final case class Health(ok: Boolean, gate: Double,
+      accepted: Seq[(Double, Double)], rejected: Seq[(Double, Double)])
+
+  /** Default calib_mt ceiling for an acceptable pass. The clean-host norm
+    * on the round-13..15 records is 0.10–0.13 s (single-thread calib
+    * 0.098–0.137); every contended window the r14/r15 verdicts had to
+    * adjudicate in prose read 0.19–0.43. 0.165 sits above the norm with
+    * ~30% margin and below every contaminated reading ever recorded —
+    * overridable via GRAFT_BENCH_HEALTH_MAX for a host with a different
+    * norm (the gate is a host property, not an engine property). */
+  private[graft] val HealthGateDefault = 0.165
+
+  /** Extra rotations the gate may spend replacing rejected passes before
+    * the RECORD itself is marked failed (hok:false). Bounded: a
+    * persistently contended host must produce a red record, not spin. */
+  private[graft] val MaxExtraPasses = 4
+
+  /** The self-gating measurement loop (r15 verdict #1: the official
+    * record must carry its own health evidence — BENCH_r15.json was taken
+    * on a host at load 5.0 and flagged an untouched query at 11.56×,
+    * and only out-of-band clean re-runs could adjudicate it). Each pass
+    * (one full iw1 rotation of the fleet) is BRACKETED by the multi-core
+    * calibration loop; a pass whose bracket max exceeds `gate` is
+    * rejected — its samples are discarded, `settle` runs (lets a
+    * transient co-tenant burst drain, mirroring the pinned tf-battery
+    * protocol's settle-and-retry), and the pass re-runs, up to `maxExtra`
+    * extra rotations. If the retry budget runs out before `reps` clean
+    * passes exist, the rejected samples fill in so a record still emits,
+    * but it carries hok:false — A CONTENDED HOST CAN NO LONGER PRODUCE A
+    * GREEN-LOOKING HEADLINE. calib_mt is the bracket metric (not calib):
+    * round 9 proved core contention can leave the single-thread loop
+    * normal while 32-thread queries inflate ~1.5–2×; calib_mt stretches
+    * by exactly that oversubscription factor. Injectable calib/run/settle
+    * so BenchSpec can drive the gate with synthetic readings. */
+  private[graft] def gatedPasses(reps: Int, gate: Double, maxExtra: Int,
+      calibFn: () => Double, runPass: () => Array[Double],
+      settle: () => Unit = () => Thread.sleep(20000))
+      : (IndexedSeq[Array[Double]], Health) = {
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[(Array[Double], (Double, Double))]
+    val rejected = scala.collection.mutable.ArrayBuffer.empty[(Array[Double], (Double, Double))]
+    var attempts = 0
+    while (accepted.size < reps && attempts < reps + maxExtra) {
+      val pre = calibFn()
+      val samples = runPass()
+      val post = calibFn()
+      if (math.max(pre, post) <= gate) accepted += ((samples, (pre, post)))
+      else {
+        rejected += ((samples, (pre, post)))
+        System.err.println(
+          f"bench: pass rejected (calib_mt bracket [$pre%.3f,$post%.3f] > gate $gate%.3f), settling")
+        if (accepted.size < reps && attempts + 1 < reps + maxExtra) settle()
+      }
+      attempts += 1
+    }
+    val fill = rejected.take(reps - accepted.size)
+    ((accepted.map(_._1) ++ fill.map(_._1)).toIndexedSeq,
+      Health(fill.isEmpty, gate, accepted.map(_._2).toSeq, rejected.map(_._2).toSeq))
+  }
+
+  /** Health fields for the compact driver line (~21 bytes): pass/fail and
+    * the rejected-pass count. hok:true certifies every accepted pass's
+    * calib_mt bracket sat at-or-under the gate — the numeric brackets
+    * themselves ride the detail file, where size is free (the compact
+    * line budget is the binding constraint; see lineCap). */
+  private[graft] def healthCompact(h: Health): String =
+    s""","hok":${h.ok},"hrej":${h.rejected.size}"""
+
+  /** Full health block for the detail file: every bracket, accepted and
+    * rejected, plus the gate — the record's own evidence. */
+  private[graft] def healthJson(h: Health): String = {
+    def br(b: Seq[(Double, Double)]): String =
+      b.map { case (p, q) => f"[$p%.3f,$q%.3f]" }.mkString("[", ",", "]")
+    f""""health":{"ok":${h.ok},"gate":${h.gate}%.3f,"accepted_brackets":${br(h.accepted)},"rejected_brackets":${br(h.rejected)}}"""
   }
 
   /** Full per-query detail — min/med/max maps plus the same headline
@@ -360,28 +440,40 @@ object Bench {
     // middle.
     val reps = 3
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-    calibSecs() // JIT-warm the calibration loop before anything is timed
+    calibSecs(); calibMtSecs() // JIT-warm both calibration loops
     val load0 = osBean.getSystemLoadAverage
     val resolved = headline.flatMap(n => all.get(n).map(n -> _))
-    val samples = Array.fill(resolved.size, reps)(0.0)
-    val passOf = Array.fill(resolved.size)(0)
-    for ((qi, timed) <- schedule(resolved.size, reps)) {
-      val fn = resolved(qi)._2
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      if (timed) {
-        samples(qi)(passOf(qi)) = (System.nanoTime() - t0) / 1e9
-        passOf(qi) += 1
+    // One pass = one full iw1 rotation (the schedule with reps=1): per
+    // query, an untimed warm execution then the timed one. Passes are
+    // health-gated individually (gatedPasses above) — the per-query
+    // min-across-ACCEPTED-passes is the steady-state number.
+    def runPass(): Array[Double] = {
+      val out = Array.fill(resolved.size)(0.0)
+      for ((qi, timed) <- schedule(resolved.size, 1)) {
+        val fn = resolved(qi)._2
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        if (timed) out(qi) = (System.nanoTime() - t0) / 1e9
       }
+      out
     }
+    val gate = sys.env.get("GRAFT_BENCH_HEALTH_MAX")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption)
+      .getOrElse(HealthGateDefault)
+    val (passes, health) = gatedPasses(reps, gate, MaxExtraPasses,
+      () => calibMtSecs(), () => runPass())
+    if (!health.ok)
+      System.err.println(
+        s"bench: HEALTH GATE FAILED — ${health.rejected.size} contended passes, " +
+          "record carries hok:false; re-run on a quiet host")
     val results: Seq[Timing] = resolved.zipWithIndex.map { case ((name, _), qi) =>
-      val times = samples(qi).sorted
-      (name, times.head, times(reps / 2), times.last)
+      val times = passes.map(_(qi)).sorted
+      (name, times.head, times(times.size / 2), times.last)
     }
     val load1 = osBean.getSystemLoadAverage
     val calib = calibSecs()
     val calibMt = calibMtSecs()
-    val extra = comparability(load0, load1, calib, calibMt)
+    val extra = comparability(load0, load1, calib, calibMt) + healthCompact(health)
     val sf = sfOf(sfDir)
     // normalized cross-round comparison, same-sf prior records only (a
     // local sf0.001 smoke must not "compare" against the sf0.1 record)
@@ -392,8 +484,9 @@ object Bench {
       else vsPrior(results, calib, calibMt, f.getName, pq, pc, pcm)
     }.getOrElse("")
     val detailPath = sys.env.getOrElse("GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    val detailExtra = Seq(vs, healthJson(health)).filter(_.nonEmpty).mkString(",\n")
     try Files.write(Paths.get(detailPath),
-      detailJson(results, reps, sf, vs).getBytes(StandardCharsets.UTF_8))
+      detailJson(results, reps, sf, detailExtra).getBytes(StandardCharsets.UTF_8))
     catch { case e: Throwable =>
       // detail is best-effort; the driver record must still be emitted
       System.err.println(s"bench: could not write $detailPath: $e")

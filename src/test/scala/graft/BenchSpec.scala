@@ -61,12 +61,60 @@ class BenchSpec extends AnyFunSuite {
   }
 
   test("the REAL headline list at realistic timings omits nothing") {
-    // with the comparability fields riding the line, as the real run emits
+    // with the comparability AND health fields riding the line, exactly
+    // as the real run emits them (r16: the health gate added ~34 bytes)
     val rs = Bench.headline.map(nm => (nm, 9.99, 9.99, 9.99))
+    val health = Bench.Health(ok = false, gate = 0.165,
+      accepted = Seq((0.123, 0.131), (0.118, 0.126)),
+      rejected = Seq((0.412, 0.387)))
     val line = Bench.compactLine(rs, reps = 3, sf = "0.1",
-      Bench.comparability(31.22, 30.85, 0.187, 0.374))
+      Bench.comparability(31.22, 30.85, 0.187, 0.374) +
+        Bench.healthCompact(health))
     assert(!line.contains("queries_omitted"),
       "the current real list must fit the cap without truncation")
+    assert(line.contains(""","hok":false,"hrej":1"""))
+  }
+
+  test("health gate: clean passes accept, a contended pass rejects and retries") {
+    // synthetic calib readings: the bracket around pass 2 is contended
+    // (0.40), so that pass's samples must be discarded and re-measured
+    val calib = Iterator(0.12, 0.11, /*pass2*/ 0.11, 0.40, /*retry*/ 0.12, 0.13)
+    var pass = 0
+    val (samples, h) = Bench.gatedPasses(reps = 2, gate = 0.165, maxExtra = 4,
+      calibFn = () => calib.next(),
+      runPass = () => { pass += 1; Array(pass.toDouble) },
+      settle = () => ())
+    assert(h.ok && h.rejected == Seq((0.11, 0.40)))
+    assert(h.accepted == Seq((0.12, 0.11), (0.12, 0.13)))
+    // pass 2's samples (the contended rotation) are NOT in the record
+    assert(samples.map(_(0)).toSeq == Seq(1.0, 3.0))
+  }
+
+  test("health gate: a persistently contended host yields hok:false, never spins") {
+    var calls = 0
+    val (samples, h) = Bench.gatedPasses(reps = 3, gate = 0.165, maxExtra = 4,
+      calibFn = () => { calls += 1; 0.5 }, // every bracket contended
+      runPass = () => Array(1.0),
+      settle = () => ())
+    assert(!h.ok && h.accepted.isEmpty && h.rejected.size == 7) // reps+maxExtra
+    assert(samples.size == 3, "rejected passes fill in so a record still emits")
+    assert(calls == 14, "bounded: exactly two calib readings per attempted pass")
+    val compact = Bench.healthCompact(h)
+    assert(compact == ""","hok":false,"hrej":7""")
+  }
+
+  test("health json: detail block carries every bracket and parses as JSON") {
+    val h = Bench.Health(ok = true, gate = 0.165,
+      accepted = Seq((0.12, 0.13), (0.11, 0.12), (0.125, 0.118)),
+      rejected = Seq.empty)
+    val j = Bench.healthJson(h)
+    assert(j.startsWith("\"health\":{"))
+    assert(j.contains(""""ok":true,"gate":0.165"""))
+    assert(j.contains(""""accepted_brackets":[[0.120,0.130],[0.110,0.120],[0.125,0.118]]"""))
+    assert(j.contains(""""rejected_brackets":[]"""))
+    // embedded in the detail file it must still be one valid JSON object
+    val detail = Bench.detailJson(Seq(("q1", 1.0, 1.1, 1.2)), 3, "0.1", j)
+    assert(detail.contains("\"health\":"))
   }
 
   test("comparability fields render compactly, parse as JSON, and survive the cap") {
