@@ -647,10 +647,11 @@ object StreamBench {
       .select(col("value").as("event_id"), col("timestamp").as("ts"))
     // numInputRows counts the shared source once per union branch:
     // 1 stateless + one battery aggregation PER distinct (windowLength,
-    // keyCol) group. Derive the factor from the rule set rather than
-    // hardcoding 2 — a multi-group tf fleet would otherwise silently
-    // overstate eps by (1+G)/2 (advisor r14).
-    val tfGroups = tfRules.groupBy(r => (r.windowLength, r.keyCol)).size
+    // keyCol, distinctField) group — the same grouping alertsBattery
+    // plans. Derive the factor from the rule set rather than hardcoding
+    // 2 — a multi-group tf fleet would otherwise silently overstate eps
+    // by (1+G)/2 (advisor r14).
+    val tfGroups = tfRules.groupBy(r => (r.windowLength, r.keyCol, r.distinctField)).size
     val inputFactor = 1L + tfGroups
     val q = graft.engine.AlertPipeline.alertsCombined(
       Detection.nestedFrom(Detection.synthFrom(stream))

@@ -259,18 +259,40 @@ object RuleCompiler {
     case _ => None
   }
 
-  /** The aggregation pipe of a correlation condition: `count() > N` /
-    * `count() >= N` (the grammar the reference comments out,
-    * main.py:98-103). `count(field)`-style DISTINCT pipes are not
-    * windowed-count semantics and are rejected (None). Returns the
-    * >=-threshold [[graft.streaming.TimeframeRules.TimeframeRule]] uses:
-    * `> N` ⇒ N+1, `>= N` ⇒ N. */
-  private val AggPipe = """^\s*count\(\s*\)\s*(>=|>)\s*(\d+)\s*$""".r
-  private[graft] def aggThreshold(pipe: String): Option[Long] = pipe match {
-    case AggPipe(">", n) => Some(n.toLong + 1)
-    case AggPipe(">=", n) => Some(n.toLong)
+  /** Parsed aggregation pipe of a correlation condition: the >=-threshold
+    * [[graft.streaming.TimeframeRules.TimeframeRule]] uses (`> N` ⇒ N+1,
+    * `>= N` ⇒ N), the optional `by` group key, and the optional
+    * distinct-count field (`count(field)` — threshold compares the number
+    * of DISTINCT values of that field per key per window, Sigma's
+    * value_count correlation). */
+  private[graft] final case class AggSpec(
+      threshold: Long, byField: Option[String], distinctField: Option[String])
+
+  /** The aggregation-pipe grammar of a correlation condition — the full
+    * family the reference comments out at main.py:98-103:
+    *   `count() > N`                    events per key per window
+    *   `count() by <field> > N`         same, keyed on <field> from the YAML
+    *   `count(<field>) > N`             DISTINCT values of <field> per window
+    *   `count(<field>) by <key> > N`    both
+    * (`>=` accepted everywhere.) Field names are bare identifiers —
+    * Sigma's own field grammar; anything else fails the parse (None). */
+  private val AggPipe =
+    """^\s*count\(\s*([A-Za-z0-9_]*)\s*\)\s*(?:by\s+([A-Za-z0-9_]+)\s+)?(>=|>)\s*(\d+)\s*$""".r
+  private[graft] def aggSpec(pipe: String): Option[AggSpec] = pipe match {
+    case AggPipe(distinct, by, op, n) =>
+      val thr = if (op == ">") n.toLong + 1 else n.toLong
+      Some(AggSpec(thr, Option(by).filter(_.nonEmpty),
+        Option(distinct).filter(_.nonEmpty)))
     case _ => None
   }
+
+  /** A pipe field name → the engine column that carries it. The sink
+    * schema's own keys (`computer_name`, `host`) are top-level columns of
+    * the sysmon frame; every other Sigma field lives in the `event_data`
+    * struct — the same mapping get_where applies to predicate fields
+    * (main.py renders `event_data.<field>`). */
+  private[graft] def resolveField(f: String): String =
+    if (f == "computer_name" || f == "host") f else s"event_data.$f"
 
   /** EXTENDED (beyond-parity) mode: compile a Sigma rule WITH `timeframe`
     * into the runnable stateful form — the capability the reference's
@@ -279,15 +301,20 @@ object RuleCompiler {
     * `timeframe: <dur>`, exactly what this accepts). The selection part
     * left of the pipe goes through the SAME condition grammar/modifier
     * translation as [[compile]]; the aggregation pipe becomes the window
-    * threshold; `timeframe` becomes the tumbling window length. `keyCol`
-    * defaults to `computer_name` (Sigma correlation rules group per host;
-    * the sink schema keys alerts on computer_name,
-    * windows-process-access.sql:41).
+    * threshold; `timeframe` becomes the tumbling window length. The group
+    * key comes from the pipe's `by` clause when present ([[aggSpec]] —
+    * resolved through [[resolveField]], so `by ComputerName` keys on
+    * `event_data.ComputerName` while `by host` keys on the top-level
+    * column); without one, `keyCol` defaults to `computer_name` (Sigma
+    * correlation rules group per host; the sink schema keys alerts on
+    * computer_name, windows-process-access.sql:41). A `count(field)` pipe
+    * compiles to a DISTINCT-count rule: the threshold compares the number
+    * of distinct values of that field per key per window, counted exactly
+    * under a bounded state cap ([[graft.streaming.TimeframeRules]]).
     *
     * Returns None when the document is not a timeframe rule, the duration
-    * unit is unsupported, or the pipe is not a plain `count()` comparison
-    * (e.g. `count(field)` distinct pipes) — callers fall back to [[compile]]
-    * for stateless rules. */
+    * unit is unsupported, or the pipe is outside the [[aggSpec]] grammar —
+    * callers fall back to [[compile]] for stateless rules. */
   def compileTimeframe(yamlText: String, keyCol: String = "computer_name")
       : Option[graft.streaming.TimeframeRules.TimeframeRule] = {
     val root = loadYaml(yamlText)
@@ -300,9 +327,12 @@ object RuleCompiler {
       window <- timeframeWindow(tf)
       condFull <- detectionAll.get("condition").map(_.toString)
       parts = condFull.split("\\|", 2) if parts.length == 2
-      threshold <- aggThreshold(parts(1))
+      spec <- aggSpec(parts(1))
       base <- buildRuleDef(root, detectionAll, parts(0).trim)
-    } yield graft.streaming.TimeframeRules.TimeframeRule(base, window, threshold, keyCol)
+    } yield graft.streaming.TimeframeRules.TimeframeRule(
+      base, window, spec.threshold,
+      spec.byField.map(resolveField).getOrElse(keyCol),
+      spec.distinctField.map(resolveField))
   }
 
   /** C6 `gen_flink_sql` analog: render one rule as a complete alert-shaped

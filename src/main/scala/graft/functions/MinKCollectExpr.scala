@@ -13,6 +13,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * elements (multiset: duplicates retained, result sorted ascending in
   * UTF8 binary order, Spark's own string order). Equals the full sorted
   * list whenever the group has ≤ k elements; always O(k) state per group.
+  * With `distinct = true` (registered as `min_k_distinct`) the buffer is
+  * instead a SET of the k smallest distinct values —
+  * `slice(array_sort(collect_set(v)), 1, k)` with capped state — so
+  * `size(min_k_distinct(v, cap))` is the exact distinct count saturated
+  * at cap: the bounded distinct-count a Sigma `count(field)` correlation
+  * pipe thresholds on ([[graft.streaming.TimeframeRules]]).
   *
   * Why this exists: the timeframe-rule alert schema pairs an exact
   * `count BIGINT` with an `origin_ids ARRAY<STRING>` provenance list
@@ -33,12 +39,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * once a hot key saturates the cap.
   */
 case class MinKCollectExpr(child: Expression, k: Int,
+    distinct: Boolean = false,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[java.util.ArrayList[UTF8String]]
   with UnaryLike[Expression] {
   require(k > 0, s"min_k_collect needs k > 0, got $k")
 
-  override def prettyName: String = "min_k_collect"
+  override def prettyName: String =
+    if (distinct) "min_k_distinct" else "min_k_collect"
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -49,7 +57,11 @@ case class MinKCollectExpr(child: Expression, k: Int,
     * (the incoming UTF8String may point into a reused row buffer — and
     * `copy()`, not `clone()`: clone is SHALLOW when the string exactly
     * fits its backing array, spec-pinned). Upper-bound insertion point
-    * keeps duplicate arrival order stable. */
+    * keeps duplicate arrival order stable. In `distinct` mode a value
+    * already present is dropped (O(log k), no copy) — the buffer is then
+    * a SET of the k smallest distinct values, so `size(min_k_distinct(v,
+    * cap))` is the exact distinct count saturated at cap: the bounded
+    * distinct-count a Sigma `count(field)` pipe thresholds on. */
   private def insert(b: java.util.ArrayList[UTF8String], v: UTF8String): Unit = {
     val n = b.size
     if (n >= k && v.compareTo(b.get(n - 1)) >= 0) return
@@ -58,6 +70,7 @@ case class MinKCollectExpr(child: Expression, k: Int,
       val mid = (lo + hi) >>> 1
       if (b.get(mid).compareTo(v) <= 0) lo = mid + 1 else hi = mid
     }
+    if (distinct && lo > 0 && b.get(lo - 1).compareTo(v) == 0) return
     b.add(lo, v.copy())
     if (b.size > k) b.remove(b.size - 1)
   }
@@ -84,7 +97,11 @@ case class MinKCollectExpr(child: Expression, k: Int,
     while (out.size < k && (i < b.size || j < other.size)) {
       if (j >= other.size ||
           (i < b.size && b.get(i).compareTo(other.get(j)) <= 0)) {
-        out.add(b.get(i)); i += 1
+        val v = b.get(i); i += 1
+        // distinct: each side holds no internal duplicates (insert drops
+        // them), so at most ONE equal partner can sit at other(j)
+        if (distinct && j < other.size && v.compareTo(other.get(j)) == 0) j += 1
+        out.add(v)
       } else { out.add(other.get(j)); j += 1 }
     }
     out

@@ -269,6 +269,24 @@ object GraftFunctions {
           "actualNum" -> children.length.toString, "docroot" -> "-"))
     })
 
+  /** min_k_distinct(v, k) — the k smallest DISTINCT values, bounded state
+    * (`size(...)` = exact distinct count saturated at k; the Sigma
+    * `count(field)` correlation pipe's aggregate). */
+  val minKDistinct: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("min_k_distinct"),
+    new ExpressionInfo(classOf[MinKCollectExpr].getName, "min_k_distinct"),
+    {
+      case Seq(c, kExpr) if kExpr.foldable && kExpr.eval() != null =>
+        MinKCollectExpr(c, kExpr.eval().asInstanceOf[Number].intValue(),
+          distinct = true)
+      case children => throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> "min_k_distinct",
+          "expectedNum" -> "2 (value, literal k)",
+          "actualNum" -> children.length.toString, "docroot" -> "-"))
+    })
+
   /** quality_score_md5(words) — the fused linear-classifier score. */
   val qualityScore: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("quality_score_md5"),
@@ -339,6 +357,8 @@ object GraftFunctions {
       winnowFps._1, winnowFps._2, winnowFps._3)
     spark.sessionState.functionRegistry.registerFunction(
       minKCollect._1, minKCollect._2, minKCollect._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      minKDistinct._1, minKDistinct._2, minKDistinct._3)
     spark.sessionState.functionRegistry.registerFunction(
       bloomProbe._1, bloomProbe._2, bloomProbe._3)
     spark.sessionState.functionRegistry.registerFunction(

@@ -384,6 +384,46 @@ object Detection {
             col("rule.severity").as("severity"))
           .orderBy("rule_name", "start_us", "computer_name")
       }),
+      // Sigma `by`-clause group key (round 16, r15 verdict #2): a
+      // YAML-compiled rule whose pipe names the group key — `count() by
+      // host > N` — runs through alertsBattery keyed on the NON-default
+      // column. The oracle groups by host on the DuckDB side, so a
+      // compiler that drops or mis-resolves the by-clause hash-fails.
+      "tf_compiled_groupby" -> ((s: SparkSession, dir: String) => {
+        import graft.streaming.TimeframeRules
+        val rule = graft.compile.RuleCompiler.compileTimeframe(compiledTfGroupByYaml)
+          .getOrElse(sys.error("extended compile of the by-clause YAML failed"))
+        TimeframeRules.alertsBattery(nested(s, dir), Seq(rule))
+          .select(
+            col("rule_name"), col("computer_name"), col("host"),
+            col("event.count").as("n"),
+            unix_micros(col("event.start")).as("start_us"),
+            to_json(col("event.origin_ids")).as("origins"),
+            to_json(col("threat")).as("threat"),
+            col("rule.severity").as("severity"))
+          .orderBy("start_us", "computer_name")
+      }),
+      // Sigma `count(field)` DISTINCT pipe (round 16, r15 verdict #7): a
+      // YAML-compiled rule thresholding on the number of distinct values
+      // of a field per key per window — the bounded min_k_distinct
+      // aggregate. The DuckDB side mirrors the cap exactly
+      // (least(count(DISTINCT f), cap)), so equality holds at ANY group
+      // size, and the HAVING uses the uncapped distinct count (identical
+      // decision because cap >= threshold).
+      "tf_compiled_distinct" -> ((s: SparkSession, dir: String) => {
+        import graft.streaming.TimeframeRules
+        val rule = graft.compile.RuleCompiler.compileTimeframe(compiledTfDistinctYaml)
+          .getOrElse(sys.error("extended compile of the distinct-pipe YAML failed"))
+        TimeframeRules.alertsBattery(nested(s, dir), Seq(rule))
+          .select(
+            col("rule_name"), col("computer_name"), col("host"),
+            col("event.count").as("n"),
+            unix_micros(col("event.start")).as("start_us"),
+            to_json(col("event.origin_ids")).as("origins"),
+            to_json(col("threat")).as("threat"),
+            col("rule.severity").as("severity"))
+          .orderBy("start_us", "computer_name")
+      }),
       // FULL-SCHEMA combined job (round 15, r14 verdict #2): both rule
       // classes through alertsCombined, asserting the complete reference
       // alert row — event scalars, the threat struct, and all 8 rule-struct
@@ -501,6 +541,50 @@ object Detection {
     Seq(compiledTfYaml, compiledTfYaml2).map(y =>
       graft.compile.RuleCompiler.compileTimeframe(y)
         .getOrElse(sys.error("extended compile of a timeframe YAML failed")))
+
+  /** By-clause correlation document (tf_compiled_groupby): the pipe names
+    * the group key — `count() by host > 1` — so the compiled rule keys its
+    * windows on `host`, not the computer_name default (Sigma's
+    * `count() by <field>` grammar, the second form of the family the
+    * reference comments out at main.py:98-103). */
+  private[graft] val compiledTfGroupByYaml: String =
+    """title: Lsass Access Burst Per Host
+      |description: by-clause correlation rule, grouped on host
+      |author: graft
+      |level: high
+      |logsource:
+      |    category: process_access
+      |tags:
+      |    - attack.credential_access
+      |    - attack.t1003.001
+      |detection:
+      |    selection:
+      |        TargetImage|endswith: '\lsass.exe'
+      |    timeframe: 1d
+      |    condition: selection | count() by host > 1
+      |""".stripMargin
+
+  /** Distinct-count correlation document (tf_compiled_distinct): the pipe
+    * counts DISTINCT values of a field — `count(SourceImage) >= 2` — per
+    * key per window (Sigma's `count(<field>)` value-count form; rejected
+    * by the r15 compiler, compiled since r16 via the bounded
+    * min_k_distinct aggregate). */
+  private[graft] val compiledTfDistinctYaml: String =
+    """title: Lsass Access Tool Diversity
+      |description: distinct-count correlation rule over the accessing image
+      |author: graft
+      |level: medium
+      |logsource:
+      |    category: process_access
+      |tags:
+      |    - attack.credential_access
+      |    - attack.t1003
+      |detection:
+      |    selection:
+      |        TargetImage|endswith: '\lsass.exe'
+      |    timeframe: 1d
+      |    condition: selection | count(SourceImage) >= 2
+      |""".stripMargin
 
   /** Regex-literal quoting for [[fixSigmaWildcards]]: backslash-escape
     * every metacharacter EXCEPT `{`, which goes through a character class
@@ -689,6 +773,53 @@ object Detection {
           ORDER BY start_us, computer_name"""
     }
 
+    // Engine column name → DuckDB column over the flat synth projection:
+    // the synth table carries event_data fields as top-level columns, so
+    // the `event_data.` prefix a compiled by/distinct field resolves to
+    // just strips off (the same flattening duckField applies to predicate
+    // fields).
+    def duckCol(engineCol: String): String =
+      duckField(engineCol.stripPrefix("event_data."))
+
+    // r16: the by-clause oracle groups by the COMPILED rule's key — the
+    // output's computer_name column carries the by-field's values, exactly
+    // like alertsBattery's __tf_key
+    val tfCompiledGroupBySql = {
+      val r = graft.compile.RuleCompiler.compileTimeframe(compiledTfGroupByYaml)
+        .getOrElse(sys.error("extended compile of the by-clause YAML failed"))
+      val key = duckCol(r.keyCol)
+      s"""SELECT ${Pred.sq(r.base.name)} AS rule_name, $key AS computer_name,
+            min(host) AS host, count(*) AS n,
+            (epoch_us(ts) // 86400000000) * 86400000000 AS start_us,
+            to_json(list_slice(list(uuid ORDER BY uuid), 1, $originCap)) AS origins,
+            ${threatJson(r.base)} AS threat, ${r.base.severity} AS severity
+          FROM ($synthSql) WHERE ${r.base.where.toDuckDb(duckField)}
+          GROUP BY $key, (epoch_us(ts) // 86400000000) * 86400000000
+          HAVING count(*) >= ${r.threshold}
+          ORDER BY start_us, computer_name"""
+    }
+
+    // r16: the distinct-pipe oracle mirrors the Spark side's bounded
+    // count exactly — n = least(count(DISTINCT f), cap) equals
+    // size(min_k_distinct(f, cap)) at ANY group size; the HAVING decision
+    // is identical on both sides because cap >= threshold
+    val tfCompiledDistinctSql = {
+      val r = graft.compile.RuleCompiler.compileTimeframe(compiledTfDistinctYaml)
+        .getOrElse(sys.error("extended compile of the distinct-pipe YAML failed"))
+      val f = duckCol(r.distinctField.getOrElse(
+        sys.error("distinct-pipe YAML compiled without a distinct field")))
+      val cap = math.max(originCap.toLong, r.threshold)
+      s"""SELECT ${Pred.sq(r.base.name)} AS rule_name, computer_name,
+            min(host) AS host, CAST(least(count(DISTINCT $f), $cap) AS BIGINT) AS n,
+            (epoch_us(ts) // 86400000000) * 86400000000 AS start_us,
+            to_json(list_slice(list(uuid ORDER BY uuid), 1, $originCap)) AS origins,
+            ${threatJson(r.base)} AS threat, ${r.base.severity} AS severity
+          FROM ($synthSql) WHERE ${r.base.where.toDuckDb(duckField)}
+          GROUP BY computer_name, (epoch_us(ts) // 86400000000) * 86400000000
+          HAVING count(DISTINCT $f) >= ${r.threshold}
+          ORDER BY start_us, computer_name"""
+    }
+
     val tfCompiledBatterySql = compiledTfBattery.map { r =>
       s"""SELECT ${Pred.sq(r.base.name)} AS rule_name, computer_name,
             min(host) AS host, count(*) AS n,
@@ -757,6 +888,8 @@ object Detection {
       ("sig_tf_combined" -> combinedSql) +
       ("tf_compiled_rule" -> tfCompiledSql) +
       ("tf_compiled_battery" -> tfCompiledBatterySql) +
+      ("tf_compiled_groupby" -> tfCompiledGroupBySql) +
+      ("tf_compiled_distinct" -> tfCompiledDistinctSql) +
       ("sig_tf_combined_shape" -> combinedShapeSql)
   }
 }

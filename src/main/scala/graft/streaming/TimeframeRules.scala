@@ -33,8 +33,16 @@ import graft.rules.RuleDef
   */
 object TimeframeRules {
 
+  /** One windowed-count rule. `distinctField` (Sigma `count(field)`
+    * pipes): when set, the threshold compares the number of DISTINCT
+    * values of that column per key per window instead of the event count
+    * — counted by the bounded `min_k_distinct` aggregate, so it is EXACT
+    * up to the state cap and saturates there (the cap always covers the
+    * threshold, so the fire/no-fire decision is exact at ANY group size;
+    * only the reported count saturates). */
   final case class TimeframeRule(
-      base: RuleDef, windowLength: String, threshold: Long, keyCol: String)
+      base: RuleDef, windowLength: String, threshold: Long, keyCol: String,
+      distinctField: Option[String] = None)
 
   /** Default provenance cap: `origin_ids` carries at most this many uuids
     * (the k lexicographically-smallest — a deterministic sample). The
@@ -70,9 +78,10 @@ object TimeframeRules {
     * and modules ride plan literals indexed by rid, so the plan is O(1)
     * in rule count like the stateless dispatch.
     *
-    * Rules with DIFFERENT window lengths or key columns cannot share a
-    * tumbling-window aggregation; they group into one aggregation per
-    * distinct (windowLength, keyCol) and union. In streaming a
+    * Rules with DIFFERENT window lengths, key columns, or distinct-count
+    * fields cannot share a tumbling-window aggregation; they group into
+    * one aggregation per distinct (windowLength, keyCol, distinctField)
+    * and union. In streaming a
     * multi-group battery runs as ONE query with one state operator PER
     * group (the union branches are stateful siblings, not chained — each
     * sees the raw watermarked source, so the multiple-stateful-operator
@@ -104,21 +113,37 @@ object TimeframeRules {
     require(rules.nonEmpty, "empty timeframe battery")
     graft.functions.GraftFunctions.register(sysmon.sparkSession)
     import graft.engine.AlertPipeline
-    rules.groupBy(r => (r.windowLength, r.keyCol)).toSeq.sortBy(_._1)
-      .map { case ((len, key), grpSeq) =>
+    rules.groupBy(r => (r.windowLength, r.keyCol, r.distinctField)).toSeq
+      .sortBy(_._1)
+      .map { case ((len, key, distinctField), grpSeq) =>
         val g = grpSeq.toIndexedSeq
         val withRid = sysmon.withColumn("rid",
           explode(graft.functions.RuleDispatch.column(sysmon.sparkSession,
             g.map(_.base.where), col("event_data"), col("event_id"))))
         val thresholds = typedlit(g.map(_.threshold))
         val m = element_at(AlertPipeline.metaLiteral(g.map(_.base)), col("rid") + 1)
+        // n: event count, or — for a distinct-count group (Sigma
+        // `count(field)` pipes) — the number of DISTINCT values of the
+        // field, via the bounded min_k_distinct set. The cap covers every
+        // threshold in the group plus the provenance default, so the
+        // >=-threshold decision below is EXACT at any group size (only a
+        // reported count past the cap saturates); state stays O(cap).
+        val nCol = distinctField match {
+          case None => count(lit(1))
+          case Some(f) =>
+            val maxThr = g.map(_.threshold).max
+            require(maxThr <= (1 << 20),
+              s"distinct-count threshold $maxThr would need >1M state per cell")
+            val cap = math.max(originIdsCap.toLong, maxThr).toInt
+            size(call_function("min_k_distinct", col(f), lit(cap))).cast("long")
+        }
         withRid
           // key aliased pre-agg: a keyCol of "host" would otherwise
           // collide with the min(host) aggregate downstream
           .groupBy(col("rid"), window(col("timestamp"), len),
             col(key).as("__tf_key"))
           .agg(
-            count(lit(1)).as("n"),
+            nCol.as("n"),
             originIds(originIdsCap, uncapped).as("origin_ids"),
             min(col("host")).as("host"))
           .filter(col("n") >= element_at(thresholds, col("rid") + 1))
@@ -151,11 +176,19 @@ object TimeframeRules {
     import graft.engine.AlertPipeline
     val matched = sysmon.filter(rule.base.where.toColumn(field))
     val m = element_at(AlertPipeline.metaLiteral(Seq(rule.base)), lit(1))
+    // same n semantics as the battery: event count, or bounded-exact
+    // distinct count of the rule's field (see alertsBattery)
+    val nCol = rule.distinctField match {
+      case None => count(lit(1))
+      case Some(f) =>
+        val cap = math.max(originIdsCap.toLong, rule.threshold).toInt
+        size(call_function("min_k_distinct", col(f), lit(cap))).cast("long")
+    }
     matched
       .groupBy(window(col("timestamp"), rule.windowLength),
         col(rule.keyCol).as("__tf_key"))
       .agg(
-        count(lit(1)).as("n"),
+        nCol.as("n"),
         originIds(originIdsCap, uncapped = false).as("origin_ids"),
         min(col("host")).as("host"))
       .filter(col("n") >= rule.threshold)

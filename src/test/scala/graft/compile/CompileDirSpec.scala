@@ -58,8 +58,23 @@ class CompileDirSpec extends AnyFunSuite {
     assert(timeframed.map(_.base.name) == Seq("Many Process Accesses In Short Time"))
     assert(timeframed.head.windowLength == "5 minutes" && timeframed.head.threshold == 11L)
     // a document NEITHER mode accepts is skipped, like compileDir skips
-    // what parse rejects
+    // what parse rejects (distinct pipes COMPILE since r16, so the
+    // skip-probe is now a non-count aggregation pipe)
     val tmp = java.nio.file.Files.createTempDirectory("graft-mixed-yaml")
+    java.nio.file.Files.write(tmp.resolve("max_pipe.yml"),
+      """title: Max Pipe
+        |level: low
+        |logsource:
+        |  category: process_access
+        |detection:
+        |  selection:
+        |    F: v
+        |  timeframe: 5m
+        |  condition: selection | max(Score) > 3
+        |""".stripMargin.getBytes("UTF-8"))
+    val (s2, t2) = RuleCompiler.compileDirAll(tmp.toString)
+    assert(s2.isEmpty && t2.isEmpty)
+    // a distinct-pipe document lands on the stateful side since r16
     java.nio.file.Files.write(tmp.resolve("distinct_pipe.yml"),
       """title: Distinct Pipe
         |level: low
@@ -71,8 +86,9 @@ class CompileDirSpec extends AnyFunSuite {
         |  timeframe: 5m
         |  condition: selection | count(TargetUser) > 3
         |""".stripMargin.getBytes("UTF-8"))
-    val (s2, t2) = RuleCompiler.compileDirAll(tmp.toString)
-    assert(s2.isEmpty && t2.isEmpty)
+    val (s3, t3) = RuleCompiler.compileDirAll(tmp.toString)
+    assert(s3.isEmpty && t3.map(_.base.name) == Seq("Distinct Pipe"))
+    assert(t3.head.distinctField.contains("event_data.TargetUser"))
   }
 
   test("fan-out probe's synthetic rule corpus compiles through the directory path") {

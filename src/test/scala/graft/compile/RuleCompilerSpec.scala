@@ -126,8 +126,6 @@ class RuleCompilerSpec extends AnyFunSuite {
          |    F: v
          |  timeframe: $timeframe
          |  condition: $condition""".stripMargin)
-    // count(field) distinct pipes are not windowed-count semantics
-    assert(compileTimeframe(tfYaml("5m", "selection | count(TargetUser) > 3")).isEmpty)
     // month-unit timeframes have no fixed-length tumbling window
     assert(compileTimeframe(tfYaml("3M", "selection | count() > 3")).isEmpty)
     // no aggregation pipe at all
@@ -137,11 +135,52 @@ class RuleCompilerSpec extends AnyFunSuite {
       """  selection:
         |    F: v
         |  condition: selection""".stripMargin)).isEmpty)
+    // pipes OUTSIDE the aggSpec grammar still fail the parse loudly
+    assert(compileTimeframe(tfYaml("5m", "selection | max(Score) > 3")).isEmpty)
+    assert(compileTimeframe(tfYaml("5m", "selection | count() by > 3")).isEmpty)
     // duration units + threshold comparison forms
     assert(compileTimeframe(tfYaml("30s", "selection | count() >= 3")).get.threshold == 3L)
     assert(compileTimeframe(tfYaml("30s", "selection | count() >= 3")).get.windowLength == "30 seconds")
     assert(compileTimeframe(tfYaml("12h", "selection | count() > 0")).get.windowLength == "12 hours")
     assert(compileTimeframe(tfYaml("7d", "selection | count() > 0")).get.windowLength == "7 days")
+  }
+
+  test("by-clause and distinct-count pipes compile (r16 — the rest of main.py:98-103's family)") {
+    def tfYaml(condition: String): String = yamlRule(
+      s"""  selection:
+         |    F: v
+         |  timeframe: 5m
+         |  condition: $condition""".stripMargin)
+    // `count() by <field>`: the pipe names the group key; top-level sink
+    // columns stay top-level, event fields resolve into event_data
+    assert(compileTimeframe(tfYaml("selection | count() by host > 2")).get.keyCol == "host")
+    assert(compileTimeframe(tfYaml("selection | count() by computer_name >= 1")).get.keyCol == "computer_name")
+    val evKey = compileTimeframe(tfYaml("selection | count() by TargetUser > 2")).get
+    assert(evKey.keyCol == "event_data.TargetUser" && evKey.threshold == 3L)
+    assert(evKey.distinctField.isEmpty)
+    // `count(<field>)`: distinct-count semantics (rejected through r15;
+    // compiled since r16 via the bounded min_k_distinct aggregate)
+    val dc = compileTimeframe(tfYaml("selection | count(TargetUser) > 3")).get
+    assert(dc.distinctField.contains("event_data.TargetUser"))
+    assert(dc.threshold == 4L && dc.keyCol == "computer_name")
+    // both clauses together
+    val both = compileTimeframe(tfYaml("selection | count(SourceImage) by host >= 2")).get
+    assert(both.distinctField.contains("event_data.SourceImage"))
+    assert(both.keyCol == "host" && both.threshold == 2L)
+    // the plain form is unchanged
+    val plain = compileTimeframe(tfYaml("selection | count() > 10")).get
+    assert(plain.distinctField.isEmpty && plain.keyCol == "computer_name" &&
+      plain.threshold == 11L)
+  }
+
+  test("the in-main groupby/distinct YAMLs compile to the shapes their oracles replay (r16)") {
+    val gb = compileTimeframe(graft.ops.Detection.compiledTfGroupByYaml).get
+    assert(gb.keyCol == "host" && gb.threshold == 2L && gb.distinctField.isEmpty)
+    assert(gb.windowLength == "1 days")
+    val dc = compileTimeframe(graft.ops.Detection.compiledTfDistinctYaml).get
+    assert(dc.distinctField.contains("event_data.SourceImage"))
+    assert(dc.keyCol == "computer_name" && dc.threshold == 2L)
+    assert(dc.windowLength == "1 days")
   }
 
   test("the in-main compiled-rule YAML stays in lockstep with the spec fixture's grammar (r15)") {

@@ -83,4 +83,40 @@ class MinKCollectExprSpec extends AnyFunSuite {
     java.util.Arrays.fill(bytes, 'z'.toByte) // the row buffer gets reused
     assert(items(b) == Seq("uuid-aaa"))
   }
+
+  // ---- distinct mode (min_k_distinct, r16: Sigma count(field) pipes) ----
+
+  private val dagg =
+    MinKCollectExpr(BoundReference(0, StringType, nullable = true), k,
+      distinct = true)
+  private def dreduce(xs: Seq[String]): java.util.ArrayList[UTF8String] =
+    xs.foldLeft(dagg.createAggregationBuffer())((b, s) => dagg.update(b, row(s)))
+  private def dexpected(xs: List[String]): Seq[String] =
+    xs.distinct.sorted.take(k)
+
+  test("distinct mode: the k smallest DISTINCT values under any split/merge/serde") {
+    cases(4).foreach { xs =>
+      assert(items(dreduce(xs)) == dexpected(xs), xs)
+      val rnd = new Random(xs.hashCode)
+      val cut = if (xs.isEmpty) 0 else rnd.nextInt(xs.length + 1)
+      val (a, b) = xs.splitAt(cut)
+      val merged = dagg.merge(dreduce(a), dagg.deserialize(dagg.serialize(dreduce(b))))
+      assert(items(merged) == dexpected(xs), xs)
+      // size(min_k_distinct) == the distinct count saturated at k — the
+      // thresholding property the Sigma count(field) compile relies on
+      assert(merged.size == math.min(xs.distinct.size, k), xs)
+    }
+  }
+
+  test("distinct mode: hot-key dup storm keeps O(k) state and one copy per distinct value") {
+    var b = dagg.createAggregationBuffer()
+    (0 until 50000).foreach { i =>
+      b = dagg.update(b, row(s"uuid-${i % 3}"))
+      assert(b.size <= 3)
+    }
+    assert(items(b) == Seq("uuid-0", "uuid-1", "uuid-2"))
+    // merge of self cannot double-count
+    assert(items(dagg.merge(b, dagg.deserialize(dagg.serialize(b)))) ==
+      Seq("uuid-0", "uuid-1", "uuid-2"))
+  }
 }
