@@ -386,11 +386,21 @@ object AlertPipeline {
       timeframed: Seq[graft.streaming.TimeframeRules.TimeframeRule],
       originIdsCap: Int = graft.streaming.TimeframeRules.DefaultOriginIdsCap)
       : DataFrame = {
-    val perEvent = alertsMerged(sysmon, stateless).select(
-      col("rule.name").as("rule_name"), col("computer_name"),
-      col("host"), col("event"), col("threat"), col("rule"))
-    perEvent.unionAll(
-      graft.streaming.TimeframeRules.alertsBattery(sysmon, timeframed, originIdsCap))
+    // An empty class contributes NO branch (advisor r15: a timeframe-only
+    // repo must not route through a zero-rule dispatch — an untested
+    // empty-literal codegen edge — and a stateless-only repo must not pay
+    // an empty battery). Both empty is a caller error.
+    require(stateless.nonEmpty || timeframed.nonEmpty,
+      "alertsCombined needs at least one rule of either class")
+    val branches = Seq(
+      Option.when(stateless.nonEmpty)(
+        alertsMerged(sysmon, stateless).select(
+          col("rule.name").as("rule_name"), col("computer_name"),
+          col("host"), col("event"), col("threat"), col("rule"))),
+      Option.when(timeframed.nonEmpty)(
+        graft.streaming.TimeframeRules.alertsBattery(sysmon, timeframed, originIdsCap))
+    ).flatten
+    branches.reduce(_ unionAll _)
   }
 
   /** Source parallelism of a streaming frame, when the source declares it
@@ -506,18 +516,23 @@ object AlertPipeline {
     * (finalized windows only; required by the files/parquet sink).
     * Timeframe rules need event-time state, so the source watermark conf
     * applies (default 5 seconds); an empty `timeframed` degrades to the
-    * stateless-only plan shape with no state operator. */
+    * stateless-only plan shape with no state operator, and an empty
+    * `stateless` to the battery-only shape (a timeframe-only Sigma repo).
+    *
+    * SINK SCHEMA is the reference's 5-column alert row — `computer_name,
+    * host, event, threat, rule` (windows-process-access.sql:50-64) — the
+    * SAME schema [[start]] writes: [[alertsCombined]]'s convenience
+    * `rule_name` column is dropped before the sink so toggling
+    * `--extended` (or adding one correlation rule to a repo) can never
+    * change the schema written to an existing sink path/table (advisor
+    * r15); rule identity at the sink is `rule.name`, as in the reference. */
   def startCombined(spark: SparkSession, stateless: Seq[RuleDef],
       timeframed: Seq[graft.streaming.TimeframeRules.TimeframeRule],
       conf: Map[String, String]): StreamingQuery = {
     val src = Sources.source(spark, conf)
     val watermarked = src.withWatermark("timestamp", conf.getOrElse("watermark", "5 seconds"))
-    val combined =
-      if (timeframed.isEmpty)
-        alertsMerged(watermarked, stateless).select(
-          col("rule.name").as("rule_name"), col("computer_name"),
-          col("host"), col("event"), col("threat"), col("rule"))
-      else alertsCombined(watermarked, stateless, timeframed)
+    val combined = alertsCombined(watermarked, stateless, timeframed)
+      .drop("rule_name")
     val trigger = conf.getOrElse("trigger", "0 seconds") match {
       case "availableNow" => Trigger.AvailableNow()
       case interval => Trigger.ProcessingTime(interval)

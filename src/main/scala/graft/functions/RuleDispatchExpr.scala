@@ -519,13 +519,16 @@ object RuleDispatchExpr {
   * it, so cluster execution never touches the map. The map is a
   * size-bounded LRU ([[RuleDispatch.MaxBatteries]] entries): a rules-hot-
   * reload service that re-interns on every update can no longer grow it
-  * without bound. Entries are PINNED from intern until their first
-  * resolution, and eviction prefers unpinned entries — a caller that
-  * pre-builds Columns and analyzes them later no longer races the LRU
-  * (advisor r14). The one remaining way to lose a key is interning
-  * MaxBatteries MORE never-analyzed batteries on top of an unanalyzed
-  * one (the bound must stay hard — abandoned Columns must not leak the
-  * map); resolution then fails with the clear unknown-key error below.
+  * without bound. Entries are PIN-REFCOUNTED — +1 per intern, -1 per
+  * resolution — and eviction prefers unpinned entries, so a caller that
+  * pre-builds Columns (even several sharing one interned key) and
+  * analyzes them later no longer races the LRU (advisors r14/r15). Two
+  * remaining edges, documented not defended: interning MaxBatteries MORE
+  * never-analyzed batteries on top of a pending one still evicts it (the
+  * bound must stay hard — abandoned Columns must not leak the map), and
+  * re-analyzing one Column releases a pin per analysis (the builder sees
+  * resolutions, not Column identities) — both end in the clear
+  * unknown-key error below, never silent wrong dispatch.
   */
 object RuleDispatch {
   import org.apache.spark.sql.{Column, SparkSession}
@@ -540,24 +543,31 @@ object RuleDispatch {
     * each Column immediately after building it). */
   private[graft] val MaxBatteries = 1024
 
-  /** Access-ordered map + a PINNED set: an entry is pinned from intern
-    * until its first resolution, and eviction skips pinned entries — so a
-    * caller that builds a battery Column and only analyzes it after many
-    * further interns can no longer have its key evicted out from under the
+  /** Access-ordered map + pin REFCOUNTS: every intern of a key increments
+    * its pin count and every first resolution of a Column decrements it,
+    * and eviction skips keys with a positive count — so a caller that
+    * builds a battery Column and only analyzes it after many further
+    * interns can no longer have its key evicted out from under the
     * unanalyzed Column (advisor r14: the plain LRU made that a
-    * nondeterministic unknown-key failure under churn). Pinned entries
-    * that are NEVER analyzed are the one leak this could create, so the
-    * bound stays hard: when every entry is pinned, the eldest pinned one
-    * is evicted anyway (back to the loud unknown-key error — bounded
-    * memory beats an unbounded map held by abandoned Columns). */
+    * nondeterministic unknown-key failure under churn), and two pending
+    * Columns SHARING an interned key each hold their own pin — the first
+    * one resolving no longer exposes the second to eviction (advisor
+    * r15: the boolean pin unpinned on first resolution, weakening the
+    * guarantee for shared-key double-builds). Pinned entries that are
+    * NEVER analyzed are the one leak this could create, so the bound
+    * stays hard: when every entry is pinned, the eldest pinned one is
+    * evicted anyway (back to the loud unknown-key error — bounded memory
+    * beats an unbounded map held by abandoned Columns). */
   private val batteries =
     new java.util.LinkedHashMap[String, Seq[Pred]](64, 0.75f, true)
-  private val pinnedKeys = new java.util.HashSet[String]()
+  private val pinCounts = new java.util.HashMap[String, Integer]()
 
   private[graft] def internedCount: Int =
     batteries.synchronized(batteries.size())
   private[graft] def pinnedCount: Int =
-    batteries.synchronized(pinnedKeys.size())
+    batteries.synchronized(pinCounts.size())
+  private[graft] def pinCount(key: String): Int =
+    batteries.synchronized(Option(pinCounts.get(key)).fold(0)(_.intValue))
 
   /** Evict past-bound entries, least-recently-used first, unpinned first.
     * Call only while holding the `batteries` lock. */
@@ -567,12 +577,12 @@ object RuleDispatch {
       var victim: String = null
       while (victim == null && it.hasNext) {
         val k = it.next()
-        if (!pinnedKeys.contains(k)) victim = k
+        if (!pinCounts.containsKey(k)) victim = k
       }
       // all pinned: drop the eldest pinned entry to keep the bound hard
       val k = if (victim != null) victim else batteries.keySet().iterator().next()
       batteries.remove(k)
-      pinnedKeys.remove(k)
+      pinCounts.remove(k)
     }
   }
 
@@ -610,7 +620,8 @@ object RuleDispatch {
       if (prev != null && prev != preds)
         throw new IllegalStateException(
           s"rule_dispatch battery key '$key' already interned for a different battery")
-      pinnedKeys.add(key) // pinned until the Column's first resolution
+      // one pin PER intern: each pending Column holds its own (refcount)
+      pinCounts.merge(key, 1, (a, b) => a + b)
       evictLocked()
     }
     key
@@ -621,7 +632,10 @@ object RuleDispatch {
       val key = String.valueOf(k.eval())
       val preds = batteries.synchronized {
         val p = batteries.get(key) // access refreshes LRU recency
-        if (p != null) pinnedKeys.remove(key) // resolved: evictable again
+        if (p != null)
+          // one resolution releases ONE pin; the key stays pinned while
+          // other not-yet-analyzed Columns still hold theirs
+          pinCounts.computeIfPresent(key, (_, c) => if (c > 1) c - 1 else null)
         p
       }
       if (preds == null)

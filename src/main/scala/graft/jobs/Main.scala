@@ -23,9 +23,13 @@ import graft.rules.ReferenceCorpus
   * every Sigma YAML file through [[RuleCompiler]] (C8, main.py:211-229).
   * `--extended` additionally compiles `timeframe` correlation rules
   * ([[RuleCompiler.compileTimeframe]] — the grammar the reference comments
-  * out) and deploys BOTH classes as one combined streaming query
-  * ([[AlertPipeline.startCombined]]); without it, parity: timeframe rules
-  * are skipped exactly like main.py:194-195.
+  * out, including `count() by <field>` group keys and `count(<field>)`
+  * distinct pipes) and deploys BOTH classes as one combined streaming
+  * query ([[AlertPipeline.startCombined]]); without it, parity: timeframe
+  * rules are skipped exactly like main.py:194-195. The sink schema is
+  * IDENTICAL in both modes — the reference's 5-column alert row — so
+  * toggling `--extended` never breaks downstream consumers of an
+  * existing sink.
   * `--conf spark.*=...` pairs pass through to the SparkSession builder
   * (the spark-submit `--conf` shape; e.g. `spark.master=local[8]` to run
   * outside a cluster). `--conf trigger=availableNow` replays everything

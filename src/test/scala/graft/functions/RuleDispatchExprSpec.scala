@@ -256,6 +256,28 @@ class RuleDispatchExprSpec extends SparkSpec {
     assert(resolve(key).isInstanceOf[RuleDispatchExpr])
   }
 
+  test("pins are refcounted: shared-key double-builds survive the first resolution (r16)") {
+    // advisor r15: with a boolean pin, two pending Columns sharing one
+    // interned key lost their protection when the FIRST resolved; a pin
+    // per intern (+1) released per resolution (-1) keeps the second
+    // Column covered until its own analysis
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    def resolve(k: String) =
+      RuleDispatch.builder(Seq(Literal(k), Literal("d"), Literal(1L)))
+    val preds = Seq(Eq("A", "__refcount_probe__"))
+    val key = RuleDispatch.intern(preds)
+    assert(RuleDispatch.intern(preds) == key) // second pending Column, same key
+    assert(RuleDispatch.pinCount(key) == 2)
+    resolve(key) // first Column analyzes
+    assert(RuleDispatch.pinCount(key) == 1, "second Column's pin must survive")
+    // churn past the bound: the still-pinned key must not be evicted
+    (0 until RuleDispatch.MaxBatteries + 8).foreach { i =>
+      resolve(RuleDispatch.intern(Seq(Eq("A", s"__rc_flood_$i"))))
+    }
+    assert(resolve(key).isInstanceOf[RuleDispatchExpr]) // second analysis OK
+    assert(RuleDispatch.pinCount(key) == 0) // fully released, evictable
+  }
+
   test("analysis errors: unknown battery key, missing field, non-long event_id") {
     RuleDispatch.register(spark)
     val df = structFrame(Seq((0L, Some(1L), Some(fields.map(_ -> "x").toMap))))

@@ -459,12 +459,84 @@ class StreamingSpec extends SparkSpec {
     assert(q.lastProgress.stateOperators.length == 1,
       s"expected the tf battery's state operator, got ${q.lastProgress.stateOperators.length}")
     val out = spark.read.parquet(outDir)
+    // the sink schema is the reference's 5-column alert row — the SAME
+    // schema start() writes, so enabling --extended cannot change the
+    // contract of an existing sink (advisor r15); rule identity at the
+    // sink is rule.name
     assert(out.columns.toSeq ==
-      Seq("rule_name", "computer_name", "host", "event", "threat", "rule"))
-    val rows = out.select(col("rule_name"), col("event.origin_ids")(0),
+      Seq("computer_name", "host", "event", "threat", "rule"))
+    val rows = out.select(col("rule.name"), col("event.origin_ids")(0),
       col("rule.severity")).collect()
       .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
     assert(rows == Set(("Cmdkey Cached Credentials Recon", "e-1", 5)), rows.toString)
+  }
+
+  test("timeframe-ONLY repo deploys through startCombined: no zero-rule dispatch branch (advisor r15)") {
+    // stateless empty: the combined plan must be the battery ALONE — the
+    // previous shape unioned a zero-predicate RuleDispatch battery in,
+    // exercising an untested empty-literal codegen edge
+    import spark.implicits._
+    import graft.streaming.TimeframeRules.TimeframeRule
+    val tf = Seq(TimeframeRule(
+      graft.rules.ReferenceCorpus.cmdkeyRecon, "1 seconds", 2L, "computer_name"))
+    // batch side: a stateless-empty combined plan carries NO Union node
+    // (single battery branch) and yields exactly the battery's alerts
+    val batch = Seq(
+      ("pc1", 1L, "h1", "t-1", java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+      ("pc1", 1L, "h1", "t-2", java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      .toDF("computer_name", "event_id", "host", "uuid", "timestamp")
+      .withColumn("event_data", struct(
+        lit("C:\\Windows\\System32\\cmdkey.exe").as("Image"),
+        lit("cmdkey /list").as("CommandLine")))
+    val combined = graft.engine.AlertPipeline.alertsCombined(batch, Seq.empty, tf)
+    assert(combined.queryExecution.optimizedPlan.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }.isEmpty, "stateless-empty combined plan must not union a zero-rule dispatch branch")
+    val rows = combined.select(col("rule_name"), col("event.count"),
+      to_json(col("event.origin_ids"))).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(rows == Seq(("Cmdkey Cached Credentials Recon", 2L, """["t-1","t-2"]""")),
+      rows.toString)
+    // streaming side: the deployment entry point runs the battery-only
+    // topology end to end (one state operator, reference 5-col sink
+    // schema once a window finalizes — ingest-time windows, so a second
+    // availableNow run past the watermark bound closes run 1's window)
+    val in = java.nio.file.Files.createTempDirectory("graft-tfonly-in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-tfonly-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-tfonly-ckpt").toString
+    def cmdkeyJson(uuid: String, cn: String): String =
+      s"""{"computer_name":"$cn","event_id":1,"host":"h1","uuid":"$uuid","event_data":{"Image":"C:\\\\Windows\\\\System32\\\\cmdkey.exe","CommandLine":"cmdkey /list"}}"""
+    val conf = Map(
+      "source.type" -> "files", "source.path" -> in,
+      "source.maxFilesPerTrigger" -> "1",
+      "sink.type" -> "files", "sink.path" -> outDir, "checkpoint" -> ckpt,
+      "outputMode" -> "append", "trigger" -> "availableNow")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/batch1.json"),
+      Seq(cmdkeyJson("t-1", "pc1"), cmdkeyJson("t-2", "pc1"))
+        .mkString("\n").getBytes("UTF-8"))
+    val q1 = graft.engine.AlertPipeline.startCombined(spark, Seq.empty, tf, conf)
+    try assert(q1.awaitTermination(120000)) finally if (q1.isActive) q1.stop()
+    assert(q1.lastProgress.stateOperators.length == 1)
+    Thread.sleep(7000) // ingest-time watermark (5s) must clear run 1's 1s window
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/batch2.json"),
+      cmdkeyJson("noise-1", "pc9").getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/batch3.json"),
+      cmdkeyJson("noise-2", "pc9").getBytes("UTF-8"))
+    val q2 = graft.engine.AlertPipeline.startCombined(spark, Seq.empty, tf, conf)
+    try assert(q2.awaitTermination(120000)) finally if (q2.isActive) q2.stop()
+    val out = spark.read.parquet(outDir)
+    assert(out.columns.toSeq ==
+      Seq("computer_name", "host", "event", "threat", "rule"))
+    val emitted = out.select(col("rule.name"), col("event.count"),
+      to_json(col("event.origin_ids"))).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(emitted == Set(("Cmdkey Cached Credentials Recon", 2L, """["t-1","t-2"]""")),
+      emitted.toString)
+    // and both classes empty is a loud caller error, not a broken plan
+    intercept[IllegalArgumentException] {
+      graft.engine.AlertPipeline.alertsCombined(
+        spark.emptyDataFrame, Seq.empty, Seq.empty)
+    }
   }
 
   test("sequence correlation: A-state persists across micro-batches (flatMapGroupsWithState)") {
@@ -540,6 +612,74 @@ class StreamingSpec extends SparkSpec {
       .select(org.apache.spark.sql.functions.element_at(col("event.origin_ids"), 1))
       .collect().map(_.getString(0)).sorted
     assert(uuids.toSeq == Seq("u1", "u2")) // u1 exactly once — offsets replayed, not re-read
+  }
+
+  test("combined query restarts from checkpoint: battery window state + min-K buffers restore (T5, r16)") {
+    // The stateful-side restart the r15 verdict asked for: run 1 feeds a
+    // PARTIAL window into startCombined's battery (RocksDB store — the
+    // 100 TB state option — holding the windowed count and the
+    // MinKCollect origin_ids buffer), stops, and run 2 restarts from the
+    // SAME checkpoint. The window finalizes in run 2 and its count and
+    // origin_ids must be exactly what a single uninterrupted run would
+    // emit — possible only if run 1's aggregation state (including the
+    // serialized min-K buffer) was restored, not recomputed: run 2 never
+    // sees run 1's events (offsets are committed).
+    import graft.streaming.TimeframeRules.TimeframeRule
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stateless = Seq(graft.rules.ReferenceCorpus.mimikatzWinrm)
+    // 1-second window: the files source stamps event time at micro-batch
+    // planning (ingest-time semantics), so run 2's batches — seconds
+    // later — advance the watermark past run 1's window and finalize it
+    val tf = Seq(TimeframeRule(
+      graft.rules.ReferenceCorpus.cmdkeyRecon, "1 seconds", 2L, "computer_name"))
+    val in = java.nio.file.Files.createTempDirectory("graft-crs-in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-crs-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-crs-ckpt").toString
+    val conf = Map(
+      "source.type" -> "files", "source.path" -> in,
+      "source.maxFilesPerTrigger" -> "1", // one file per micro-batch: run 2's
+      // second batch plans AFTER the first advanced the watermark, so the
+      // finalized window emits deterministically (no no-data-batch reliance)
+      "sink.type" -> "files", "sink.path" -> outDir, "checkpoint" -> ckpt,
+      "outputMode" -> "append", "trigger" -> "availableNow")
+    def cmdkey(uuid: String): String =
+      s"""{"computer_name":"pc1","event_id":1,"host":"h1","uuid":"$uuid","event_data":{"Image":"C:\\\\Windows\\\\System32\\\\cmdkey.exe","CommandLine":"cmdkey /list"}}"""
+    try {
+      // run 1: one stateless hit + TWO battery events in one micro-batch
+      // (one file = one batch = one shared ingest timestamp = one window)
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/batch1.json"),
+        (Seq(json("s-1", "C:\\\\Windows\\\\System32\\\\lsass.exe")) ++
+          Seq(cmdkey("t-1"), cmdkey("t-2"))).mkString("\n").getBytes("UTF-8"))
+      val q1 = graft.engine.AlertPipeline.startCombined(spark, stateless, tf, conf)
+      try assert(q1.awaitTermination(120000)) finally if (q1.isActive) q1.stop()
+      val afterRun1 = spark.read.parquet(outDir)
+      // the stateless alert flowed through; the battery window is OPEN —
+      // its count/min-K live only in the checkpointed state store
+      assert(afterRun1.count() == 1)
+      assert(afterRun1.select(col("event.origin_ids")(0)).head.getString(0) == "s-1")
+      // run 2, SAME checkpoint, ≥7s later: ingest-time watermark (5s
+      // bound) must clear run 1's 1s window so it can finalize
+      Thread.sleep(7000)
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/batch2.json"),
+        cmdkey("t-3").getBytes("UTF-8"))
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/batch3.json"),
+        s"""{"computer_name":"pc9","event_id":1,"host":"h9","uuid":"noise","event_data":{"Image":"x","CommandLine":"y"}}""".getBytes("UTF-8"))
+      val q2 = graft.engine.AlertPipeline.startCombined(spark, stateless, tf, conf)
+      try assert(q2.awaitTermination(120000)) finally if (q2.isActive) q2.stop()
+      val out = spark.read.parquet(outDir)
+      assert(out.columns.toSeq ==
+        Seq("computer_name", "host", "event", "threat", "rule"))
+      val battery = out.filter(col("event.count") >= 2)
+        .select(col("rule.name"), col("event.count"),
+          to_json(col("event.origin_ids"))).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+      // exactly the single-run result: count spans run 1's two events,
+      // origin_ids is run 1's serialized min-K buffer — restored intact
+      assert(battery == Seq(("Cmdkey Cached Credentials Recon", 2L, """["t-1","t-2"]""")),
+        battery.toString)
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
   test("late data beyond watermark is dropped in append mode (T3 semantics)") {
