@@ -82,6 +82,58 @@ class TimeframeBatterySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming distinct-count rule: cross-batch distinct via min_k_distinct state (r16)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String, String, java.sql.Timestamp, String, String)]
+    val flat = mem.toDF()
+      .toDF("computer_name", "host", "uuid", "timestamp", "CallTrace", "CommandLine")
+    val src = flat.select(
+      col("computer_name"), lit(10L).as("event_id"), col("host"),
+      struct(Schemas.eventDataFields.map {
+        case "CallTrace" => col("CallTrace").as("CallTrace")
+        case "CommandLine" => col("CommandLine").as("CommandLine")
+        case f => lit(null).cast("string").as(f)
+      }: _*).as("event_data"),
+      col("uuid"), col("timestamp"))
+    // Sigma `count(CommandLine) >= 2`: the threshold compares DISTINCT
+    // CommandLine values per key per window, not the event count — the
+    // distinct set lives in min_k_distinct's bounded state and must merge
+    // correctly ACROSS micro-batches (dups arriving in different batches)
+    val rule = TimeframeRules.TimeframeRule(
+      ReferenceCorpus.directSyscall, "10 minutes", 2L, "computer_name",
+      distinctField = Some("event_data.CommandLine"))
+    val alerts = TimeframeRules.alertsBattery(
+      src.withWatermark("timestamp", "5 seconds"), Seq(rule))
+    val q = alerts.writeStream.format("memory").queryName("tf_distinct_t1")
+      .outputMode("update").start()
+    try {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+      // batch 1: TWO events, ONE distinct value — below threshold
+      mem.addData(
+        ("pc1", "h", "d1", ts(1), "UNKNOWN(1)", "cmd-A"),
+        ("pc1", "h", "d2", ts(2), "UNKNOWN(2)", "cmd-A"))
+      q.processAllAvailable()
+      assert(spark.table("tf_distinct_t1").isEmpty,
+        "2 events / 1 distinct value must NOT fire a >=2-distinct rule")
+      // batch 2: a second distinct value — fires with n = 2 (distinct),
+      // the cross-batch merge of the distinct set
+      mem.addData(("pc1", "h", "d3", ts(3), "UNKNOWN(3)", "cmd-B"))
+      q.processAllAvailable()
+      // batch 3: a DUPLICATE value in a later batch — n must stay 2
+      // while provenance still collects the event
+      mem.addData(("pc1", "h", "d4", ts(4), "UNKNOWN(4)", "cmd-A"))
+      q.processAllAvailable()
+      val rows = spark.table("tf_distinct_t1")
+        .select(col("event.count"), size(col("event.origin_ids"))).collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+      assert(rows.nonEmpty && rows.forall(_._1 == 2L), rows.mkString(","))
+      // the last update carries all 4 events' uuids with the count still 2:
+      // count = distinct cardinality, origin_ids = event provenance
+      assert(rows.map(_._2).max == 4, rows.mkString(","))
+    } finally q.stop()
+  }
+
   test("multi-group battery streaming: one state operator per group, both modes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
