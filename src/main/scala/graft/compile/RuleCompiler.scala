@@ -340,9 +340,6 @@ object RuleCompiler {
     * INSERT template, minus the INSERT — the engine unions the SELECTs).
     * Proven equivalent to the Column path in RuleCompilerSpec. */
   def renderSql(r: RuleDef, from: String): String = {
-    def arr(vs: Seq[String]): String =
-      if (vs.isEmpty) "CAST(array() AS ARRAY<STRING>)"
-      else vs.map(Pred.ssq).mkString("array(", ", ", ")")
     val module = r.module.map(Pred.ssq).getOrElse("CAST(NULL AS STRING)")
     val where = r.where.toSparkSql(f => s"event_data.`$f`")
     s"""SELECT computer_name, host,
@@ -350,16 +347,72 @@ object RuleCompiler {
        |    'kind', 'signal', 'module', $module, 'origin_ids', array(uuid),
        |    'count', CAST(1 AS BIGINT),
        |    'start', timestamp, 'end', timestamp, 'time', timestamp) AS event,
-       |  named_struct(
-       |    'tactic', ${arr(r.tactic)}, 'technique', ${arr(r.technique)},
-       |    'subtechnique', ${arr(r.subtechnique)}) AS threat,
-       |  named_struct(
+       |  ${threatStructSql(r)},
+       |  ${ruleStructSql(r)}
+       |FROM $from WHERE $where""".stripMargin
+  }
+
+  private def sqlArr(vs: Seq[String]): String =
+    if (vs.isEmpty) "CAST(array() AS ARRAY<STRING>)"
+    else vs.map(Pred.ssq).mkString("array(", ", ", ")")
+
+  private def threatStructSql(r: RuleDef): String =
+    s"""named_struct(
+       |    'tactic', ${sqlArr(r.tactic)}, 'technique', ${sqlArr(r.technique)},
+       |    'subtechnique', ${sqlArr(r.subtechnique)}) AS threat""".stripMargin
+
+  private def ruleStructSql(r: RuleDef): String =
+    s"""named_struct(
        |    'name', ${Pred.ssq(r.name)}, 'author', ${Pred.ssq(r.author)},
        |    'category', ${Pred.ssq(r.category)}, 'severity', ${r.severity},
        |    'description', ${Pred.ssq(r.description)},
-       |    'reference', ${arr(r.references)}, 'version', ${Pred.ssq(r.version)},
-       |    'source', ${Pred.ssq(r.source)}) AS rule
-       |FROM $from WHERE $where""".stripMargin
+       |    'reference', ${sqlArr(r.references)}, 'version', ${Pred.ssq(r.version)},
+       |    'source', ${Pred.ssq(r.source)}) AS rule""".stripMargin
+
+  /** C6 analog for the EXTENDED mode: render a compiled timeframe rule as
+    * one complete alert-shaped Spark SQL SELECT — the windowed GROUP BY
+    * form of [[renderSql]]'s per-event SELECT, so a correlation rule can
+    * deploy through a SQL gateway exactly like the reference deploys its
+    * stateless rules. Semantics are [[graft.streaming.TimeframeRules.alerts]]
+    * verbatim: tumbling `window(timestamp, len)` per key, `count(1)` (or
+    * the bounded-exact `min_k_distinct` cardinality for distinct rules)
+    * thresholded at >= N, `min_k_collect`-capped provenance, the full
+    * threat/rule structs — RuleCompilerSpec pins `spark.sql(rendered)` ≡
+    * the Column path row-for-row. The `min_k_*` aggregates resolve
+    * through the function registry: call
+    * [[graft.functions.GraftFunctions.register]] on the session first
+    * (every engine entry point already does). */
+  def renderTimeframeSql(r: graft.streaming.TimeframeRules.TimeframeRule,
+      from: String): String = {
+    // a compiled key/distinct column is either a top-level sink column or
+    // `event_data.<field>` (resolveField); quote the struct field
+    def colExpr(c: String): String = c.split("\\.", 2) match {
+      case Array(p, f) => s"$p.`$f`"
+      case _ => c
+    }
+    val cap = math.max(
+      graft.streaming.TimeframeRules.DefaultOriginIdsCap.toLong, r.threshold)
+    val nExpr = r.distinctField match {
+      case None => "count(1)"
+      case Some(f) => s"CAST(size(min_k_distinct(${colExpr(f)}, $cap)) AS BIGINT)"
+    }
+    val module = r.base.module.map(Pred.ssq).getOrElse("CAST(NULL AS STRING)")
+    val where = r.base.where.toSparkSql(f => s"event_data.`$f`")
+    s"""SELECT computer_name, host,
+       |  named_struct(
+       |    'kind', 'signal', 'module', $module, 'origin_ids', origin_ids,
+       |    'count', n, 'start', w.start, 'end', w.end, 'time', w.end) AS event,
+       |  ${threatStructSql(r.base)},
+       |  ${ruleStructSql(r.base)}
+       |FROM (
+       |  SELECT ${colExpr(r.keyCol)} AS computer_name, min(host) AS host,
+       |    window(timestamp, '${r.windowLength}') AS w,
+       |    $nExpr AS n,
+       |    min_k_collect(uuid, ${graft.streaming.TimeframeRules.DefaultOriginIdsCap}) AS origin_ids
+       |  FROM $from WHERE $where
+       |  GROUP BY ${colExpr(r.keyCol)}, window(timestamp, '${r.windowLength}')
+       |)
+       |WHERE n >= ${r.threshold}""".stripMargin
   }
 
   /** C8 `walk_path`: compile every YAML file under a directory. */

@@ -81,6 +81,43 @@ class AlertPipelineSpec extends SparkSpec {
     }
   }
 
+  test("C6 extended: timeframe SQL render ≡ windowed Column path (plain, by-key, distinct) (r16)") {
+    // the SQL-gateway deployment path for COMPILED correlation rules:
+    // renderTimeframeSql's windowed GROUP BY SELECT must produce the
+    // same alert rows as TimeframeRules.alerts for every pipe form
+    import graft.ops.Detection
+    val lsass = """C:\Windows\System32\lsass.exe"""
+    def at(h: Long) = 1700000000000000L / 86400000000L * 86400000000L + h * 3600000000L
+    val events = Seq(
+      ev("uuid" -> "u1", "TargetImage" -> lsass, "SourceImage" -> "A", "ts_us" -> at(1)),
+      ev("uuid" -> "u2", "TargetImage" -> lsass, "SourceImage" -> "A", "ts_us" -> at(2)),
+      ev("uuid" -> "u3", "TargetImage" -> lsass, "SourceImage" -> "B", "ts_us" -> at(3)),
+      ev("uuid" -> "u4", "computer_name" -> "pc2", "TargetImage" -> lsass,
+        "SourceImage" -> "A", "ts_us" -> at(4)),
+      ev("uuid" -> "u5", "computer_name" -> "pc3", "host" -> "h2",
+        "TargetImage" -> lsass, "SourceImage" -> "C", "ts_us" -> at(30)), // next day
+      ev("uuid" -> "u6", "TargetImage" -> """C:\x\notepad.exe""", "ts_us" -> at(5)))
+    val df = AlertPipeline.sysmonFrame(spark, events)
+    df.createOrReplaceTempView("tf_sql_fixture")
+    graft.functions.GraftFunctions.register(spark)
+    def canon(d: org.apache.spark.sql.DataFrame): Seq[String] =
+      d.select(to_json(struct(col("computer_name"), col("host"), col("event"),
+        col("threat"), col("rule")))).collect().map(_.getString(0)).sorted.toSeq
+    val rules = Seq(
+      Detection.compiledTfYaml,       // count() > 1, key computer_name
+      Detection.compiledTfGroupByYaml, // count() by host > 1
+      Detection.compiledTfDistinctYaml) // count(SourceImage) >= 2
+      .map(y => graft.compile.RuleCompiler.compileTimeframe(y).get)
+    for (rule <- rules) {
+      val viaSql = canon(spark.sql(
+        graft.compile.RuleCompiler.renderTimeframeSql(rule, "tf_sql_fixture")))
+      val viaColumn = canon(graft.streaming.TimeframeRules.alerts(df, rule,
+        f => col("event_data").getField(f)))
+      assert(viaSql.nonEmpty, s"${rule.base.name}: fixture must fire")
+      assert(viaSql == viaColumn, s"${rule.base.name}:\n$viaSql\nvs\n$viaColumn")
+    }
+  }
+
   test("merged dispatch emits exactly the same alerts as the union fan-out") {
     val events = Seq(
       ev( // fires directSyscall + credDumpTools
