@@ -70,7 +70,13 @@ object ScaleProbe {
     "sig_fanout_merged",
     // round 14: the combined stateless+timeframe plan and the multi-group
     // battery union — both scan the replicated events table
-    "sig_tf_combined", "tf_battery_multigroup")
+    "sig_tf_combined", "tf_battery_multigroup",
+    // round 16: the compiled-rule battery plans (r15 verdict #5 carried
+    // probes) + the full-schema combined row + the new by-key/distinct
+    // compiled pipes — all alertsBattery/alertsCombined shapes over the
+    // replicated events table
+    "tf_compiled_battery", "sig_tf_combined_shape",
+    "tf_compiled_groupby", "tf_compiled_distinct")
 
   def main(args: Array[String]): Unit = {
     val spillMode = args.headOption.contains("spill")
