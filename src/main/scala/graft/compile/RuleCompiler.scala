@@ -204,8 +204,11 @@ object RuleCompiler {
     * timeframe rules exactly like main.py:194-195 — the PARITY mode. The
     * engine itself can run those rules ([[graft.streaming.TimeframeRules]]);
     * [[compileTimeframe]] is the extended mode that compiles them. */
-  def compile(yamlText: String): Option[RuleDef] = {
-    val root = loadYaml(yamlText)
+  def compile(yamlText: String): Option[RuleDef] = compileRoot(loadYaml(yamlText))
+
+  /** [[compile]] on an already-parsed YAML document (multi-document files
+    * parse once and route each document here). */
+  private[graft] def compileRoot(root: Map[String, Any]): Option[RuleDef] = {
     val detectionAll = root.get("detection") match {
       case Some(m: java.util.Map[_, _]) => m.asScala.map { case (k, v) => k.toString -> v.asInstanceOf[Any] }.toMap
       case _ => return None
@@ -316,8 +319,13 @@ object RuleCompiler {
     * unit is unsupported, or the pipe is outside the [[aggSpec]] grammar —
     * callers fall back to [[compile]] for stateless rules. */
   def compileTimeframe(yamlText: String, keyCol: String = "computer_name")
+      : Option[graft.streaming.TimeframeRules.TimeframeRule] =
+    compileTimeframeRoot(loadYaml(yamlText), keyCol)
+
+  /** [[compileTimeframe]] on an already-parsed document. */
+  private[graft] def compileTimeframeRoot(root: Map[String, Any],
+      keyCol: String = "computer_name")
       : Option[graft.streaming.TimeframeRules.TimeframeRule] = {
-    val root = loadYaml(yamlText)
     val detectionAll = root.get("detection") match {
       case Some(m: java.util.Map[_, _]) => m.asScala.map { case (k, v) => k.toString -> v.asInstanceOf[Any] }.toMap
       case _ => return None
@@ -432,15 +440,124 @@ object RuleCompiler {
       (Vector.empty[RuleDef],
         Vector.empty[graft.streaming.TimeframeRules.TimeframeRule])) {
       case ((s, t), yaml) =>
-        compile(yaml) match {
-          case Some(r) => (s :+ r, t)
-          case None => compileTimeframe(yaml) match {
-            case Some(tf) => (s, t :+ tf)
-            case None => (s, t)
+        val docs = loadAllDocs(yaml)
+        if (docs.exists(_.contains("correlation")))
+          compileCorrelationDocs(docs) match {
+            case Some((gen, corr)) => (s ++ gen, t ++ corr)
+            case None => (s, t) // malformed correlation file: skipped, like parse rejects
+          }
+        else docs.foldLeft((s, t)) { case ((s2, t2), root) =>
+          compileRoot(root) match {
+            case Some(r) => (s2 :+ r, t2)
+            case None => compileTimeframeRoot(root) match {
+              case Some(tf) => (s2, t2 :+ tf)
+              case None => (s2, t2)
+            }
           }
         }
     }
     (stateless, timeframed)
+  }
+
+  /** The MODERN Sigma correlation format (the public Sigma meta-rule /
+    * correlations specification — the successor of the legacy
+    * `condition: sel | count() > N` pipe this compiler also accepts): a
+    * multi-document YAML file where base detection rules are followed by
+    * a document carrying a `correlation:` block —
+    * {{{
+    * correlation:
+    *     type: event_count          # or value_count
+    *     rules: [base_rule_name]    # refs by the base doc's name:/title:
+    *     group-by: [host]           # optional; default computer_name
+    *     timespan: 10m
+    *     condition:
+    *         gte: 10                # or gt
+    *     field: TargetUser          # value_count only
+    *     generate: true             # optional: ALSO deploy the base rules
+    * }}}
+    * Compiles to the same [[graft.streaming.TimeframeRules.TimeframeRule]]
+    * the legacy pipe grammar produces: the windowed predicate is the OR of
+    * the referenced rules' compiled predicates, `event_count` thresholds
+    * the event count, `value_count` the bounded-exact distinct count of
+    * `field`, and the group key resolves through [[resolveField]]. This
+    * engine deploys ONLY the correlation alerts unless `generate: true`
+    * names the referenced rules for stateless deployment too (the spec's
+    * generate attribute). Documented limits, rejected loudly as None:
+    * multi-field `group-by` (the engine keys windows on one column),
+    * correlation types other than event_count/value_count (temporal
+    * sequences run through [[graft.streaming.SequenceRules]], not this
+    * compiler), and refs that don't resolve within the same file. */
+  def compileCorrelationFile(yamlText: String)
+      : Option[(Seq[RuleDef], Seq[graft.streaming.TimeframeRules.TimeframeRule])] =
+    compileCorrelationDocs(loadAllDocs(yamlText))
+
+  private def compileCorrelationDocs(docs: Seq[Map[String, Any]])
+      : Option[(Seq[RuleDef], Seq[graft.streaming.TimeframeRules.TimeframeRule])] = {
+    import graft.streaming.TimeframeRules.TimeframeRule
+    val (corrDocs, baseDocs) = docs.partition(_.contains("correlation"))
+    if (corrDocs.isEmpty || baseDocs.isEmpty) return None
+    // base rules indexed by the Sigma `name:` attribute (correlation refs
+    // use it), falling back to the title
+    val byName: Map[String, RuleDef] = baseDocs.flatMap { d =>
+      compileRoot(d).map(r =>
+        d.getOrElse("name", d.getOrElse("title", "")).toString -> r)
+    }.toMap
+    def strList(v: Any): Seq[String] = v match {
+      case l: java.util.List[_] => l.asScala.toSeq.map(_.toString)
+      case s => Seq(s.toString)
+    }
+    var generateBases = false
+    val compiled = corrDocs.flatMap { cdoc =>
+      for {
+        c <- docMap(cdoc("correlation"))
+        typ = c.getOrElse("type", "").toString
+        if typ == "event_count" || typ == "value_count"
+        refs <- c.get("rules").map(strList) if refs.nonEmpty
+        bases = refs.flatMap(byName.get) if bases.size == refs.size
+        window <- c.get("timespan").map(_.toString).flatMap(timeframeWindow)
+        cond <- c.get("condition").flatMap(docMap)
+        threshold <- cond.get("gte").map(_.toString.toLong)
+          .orElse(cond.get("gt").map(_.toString.toLong + 1))
+        groupBy = c.get("group-by").map(strList).getOrElse(Seq.empty)
+        if groupBy.size <= 1 // engine windows key on ONE column
+        distinctField <- typ match {
+          case "value_count" => c.get("field").map(f => Some(resolveField(f.toString)))
+          case _ => Some(Option.empty[String])
+        }
+      } yield {
+        if (c.get("generate").exists(_.toString == "true")) generateBases = true
+        val tags = cdoc.get("tags").map(strList).getOrElse(Seq.empty)
+        val (tactic, technique, subtech) = attackTech(tags)
+        val meta = RuleDef(
+          name = cdoc.getOrElse("title", "").toString,
+          author = cdoc.getOrElse("author", "").toString,
+          severity = severity(cdoc.getOrElse("level", "").toString),
+          description = cdoc.getOrElse("description", "").toString,
+          references = cdoc.get("references").map(strList).getOrElse(Seq.empty),
+          tactic = tactic, technique = technique, subtechnique = subtech,
+          module = None,
+          // a multi-ref correlation counts events matching ANY referenced
+          // rule — the OR of their compiled predicates
+          where = bases.map(_.where).reduce[Pred](Or(_, _)))
+        TimeframeRule(meta, window, threshold,
+          groupBy.headOption.map(resolveField).getOrElse("computer_name"),
+          distinctField)
+      }
+    }
+    if (compiled.isEmpty) None
+    else Some((if (generateBases) byName.values.toSeq else Seq.empty, compiled))
+  }
+
+  private def docMap(obj: Any): Option[Map[String, Any]] = obj match {
+    case m: java.util.Map[_, _] =>
+      Some(m.asScala.map { case (k, v) => k.toString -> v.asInstanceOf[Any] }.toMap)
+    case _ => None
+  }
+
+  /** Every document of a (possibly multi-document) YAML text. */
+  private[graft] def loadAllDocs(text: String): Seq[Map[String, Any]] = {
+    val yaml = new org.yaml.snakeyaml.Yaml()
+    yaml.loadAll(text).asScala.toSeq.flatMap(docMap)
   }
 
   private def yamlFiles(path: String): Seq[String] = {

@@ -424,6 +424,24 @@ object Detection {
             col("rule.severity").as("severity"))
           .orderBy("start_us", "computer_name")
       }),
+      // Modern Sigma correlation FORMAT (round 16): a multi-document YAML
+      // meta-rule (correlation: event_count over two referenced base
+      // rules, group-by host) compiles through compileCorrelationFile and
+      // runs through the same battery plan. The oracle replays the
+      // compiled artifact — the OR of the two base predicates, the
+      // by-host key, and the gte threshold all come from the compile.
+      "tf_correlation_doc" -> ((s: SparkSession, dir: String) => {
+        import graft.streaming.TimeframeRules
+        TimeframeRules.alertsBattery(nested(s, dir), Seq(compiledCorrelationRule))
+          .select(
+            col("rule_name"), col("computer_name"), col("host"),
+            col("event.count").as("n"),
+            unix_micros(col("event.start")).as("start_us"),
+            to_json(col("event.origin_ids")).as("origins"),
+            to_json(col("threat")).as("threat"),
+            col("rule.severity").as("severity"))
+          .orderBy("start_us", "computer_name")
+      }),
       // FULL-SCHEMA combined job (round 15, r14 verdict #2): both rule
       // classes through alertsCombined, asserting the complete reference
       // alert row — event scalars, the threat struct, and all 8 rule-struct
@@ -585,6 +603,57 @@ object Detection {
       |    timeframe: 1d
       |    condition: selection | count(SourceImage) >= 2
       |""".stripMargin
+
+  /** Modern multi-document correlation file (tf_correlation_doc): two
+    * base rules + a `correlation:` meta-rule document — the public Sigma
+    * correlations format, the successor of the legacy pipe grammar. The
+    * compiled rule counts events matching EITHER base (OR of their
+    * predicates) per host per day, threshold 4. */
+  private[graft] val compiledCorrelationYaml: String =
+    """title: Lsass Touch
+      |name: lsass_touch
+      |level: high
+      |logsource:
+      |    category: process_access
+      |detection:
+      |    selection:
+      |        TargetImage|endswith: '\lsass.exe'
+      |    condition: selection
+      |---
+      |title: Full Access Mask
+      |name: full_access_mask
+      |level: medium
+      |logsource:
+      |    category: process_access
+      |detection:
+      |    selection:
+      |        GrantedAccess:
+      |            - '0x1FFFFF'
+      |            - '0x1fffff'
+      |    condition: selection
+      |---
+      |title: Credential Access Pressure Per Host
+      |description: correlation meta-rule over two base rules
+      |author: graft
+      |level: critical
+      |tags:
+      |    - attack.credential_access
+      |    - attack.t1003
+      |correlation:
+      |    type: event_count
+      |    rules:
+      |        - lsass_touch
+      |        - full_access_mask
+      |    group-by:
+      |        - host
+      |    timespan: 1d
+      |    condition:
+      |        gte: 4
+      |""".stripMargin
+
+  private[graft] def compiledCorrelationRule: graft.streaming.TimeframeRules.TimeframeRule =
+    graft.compile.RuleCompiler.compileCorrelationFile(compiledCorrelationYaml)
+      .getOrElse(sys.error("correlation-file compile failed"))._2.head
 
   /** Regex-literal quoting for [[fixSigmaWildcards]]: backslash-escape
     * every metacharacter EXCEPT `{`, which goes through a character class
@@ -820,6 +889,23 @@ object Detection {
           ORDER BY start_us, computer_name"""
     }
 
+    // r16: the modern correlation meta-rule — the oracle replays the
+    // compiled artifact's OR-of-bases predicate, by-host key, and gte
+    // threshold, same generation as the by-clause oracle
+    val tfCorrelationSql = {
+      val r = compiledCorrelationRule
+      val key = duckCol(r.keyCol)
+      s"""SELECT ${Pred.sq(r.base.name)} AS rule_name, $key AS computer_name,
+            min(host) AS host, count(*) AS n,
+            (epoch_us(ts) // 86400000000) * 86400000000 AS start_us,
+            to_json(list_slice(list(uuid ORDER BY uuid), 1, $originCap)) AS origins,
+            ${threatJson(r.base)} AS threat, ${r.base.severity} AS severity
+          FROM ($synthSql) WHERE ${r.base.where.toDuckDb(duckField)}
+          GROUP BY $key, (epoch_us(ts) // 86400000000) * 86400000000
+          HAVING count(*) >= ${r.threshold}
+          ORDER BY start_us, computer_name"""
+    }
+
     val tfCompiledBatterySql = compiledTfBattery.map { r =>
       s"""SELECT ${Pred.sq(r.base.name)} AS rule_name, computer_name,
             min(host) AS host, count(*) AS n,
@@ -890,6 +976,7 @@ object Detection {
       ("tf_compiled_battery" -> tfCompiledBatterySql) +
       ("tf_compiled_groupby" -> tfCompiledGroupBySql) +
       ("tf_compiled_distinct" -> tfCompiledDistinctSql) +
+      ("tf_correlation_doc" -> tfCorrelationSql) +
       ("sig_tf_combined_shape" -> combinedShapeSql)
   }
 }

@@ -91,6 +91,34 @@ class CompileDirSpec extends AnyFunSuite {
     assert(t3.head.distinctField.contains("event_data.TargetUser"))
   }
 
+  test("compileDirAll routes modern correlation FILES: meta-rule to the battery, generate respected (r16)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-corr-yaml")
+    java.nio.file.Files.write(tmp.resolve("corr.yml"),
+      graft.ops.Detection.compiledCorrelationYaml.getBytes("UTF-8"))
+    val (stateless, timeframed) = RuleCompiler.compileDirAll(tmp.toString)
+    // without generate: true the base rules deploy ONLY through the
+    // correlation's OR-predicate battery
+    assert(stateless.isEmpty)
+    assert(timeframed.map(_.base.name) == Seq("Credential Access Pressure Per Host"))
+    assert(timeframed.head.keyCol == "host" && timeframed.head.threshold == 4L)
+    // flip generate on: the referenced rules ALSO deploy stateless
+    java.nio.file.Files.write(tmp.resolve("corr.yml"),
+      graft.ops.Detection.compiledCorrelationYaml
+        .replace("correlation:", "correlation:\n    generate: true")
+        .getBytes("UTF-8"))
+    val (s2, t2) = RuleCompiler.compileDirAll(tmp.toString)
+    assert(s2.map(_.name).toSet == Set("Lsass Touch", "Full Access Mask"))
+    assert(t2.size == 1)
+    // a multi-document file WITHOUT a correlation compiles each document
+    // independently (multi-rule files)
+    java.nio.file.Files.write(tmp.resolve("corr.yml"),
+      graft.ops.Detection.compiledCorrelationYaml
+        .split("(?m)^---$").take(2).mkString("---")
+        .getBytes("UTF-8"))
+    val (s4, t4) = RuleCompiler.compileDirAll(tmp.toString)
+    assert(s4.map(_.name).toSet == Set("Lsass Touch", "Full Access Mask") && t4.isEmpty)
+  }
+
   test("fan-out probe's synthetic rule corpus compiles through the directory path") {
     // the 1000-rule probe's YAML must exercise the REAL compileDir
     // pipeline — pin here that the generated document compiles to the

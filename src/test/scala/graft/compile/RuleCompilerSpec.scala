@@ -173,6 +173,98 @@ class RuleCompilerSpec extends AnyFunSuite {
       plain.threshold == 11L)
   }
 
+  test("modern correlation documents compile: event_count, value_count, generate, rejections (r16)") {
+    def corrFile(correlation: String): String =
+      s"""title: Base A
+         |name: base_a
+         |level: high
+         |logsource:
+         |  category: process_access
+         |detection:
+         |  selection:
+         |    TargetImage|endswith: '\\lsass.exe'
+         |  condition: selection
+         |---
+         |title: Base B
+         |name: base_b
+         |level: low
+         |logsource:
+         |  category: process_access
+         |detection:
+         |  selection:
+         |    GrantedAccess: '0x1FFFFF'
+         |  condition: selection
+         |---
+         |title: Corr Rule
+         |level: critical
+         |tags:
+         |  - attack.credential_access
+         |  - attack.t1003
+         |correlation:
+         |$correlation
+         |""".stripMargin
+    // event_count over BOTH refs, keyed on host
+    val ec = compileCorrelationFile(corrFile(
+      """  type: event_count
+        |  rules:
+        |    - base_a
+        |    - base_b
+        |  group-by:
+        |    - host
+        |  timespan: 12h
+        |  condition:
+        |    gte: 4""".stripMargin)).get
+    assert(ec._1.isEmpty, "without generate: true the base rules do not deploy stateless")
+    val Seq(r) = ec._2
+    assert(r.windowLength == "12 hours" && r.threshold == 4L && r.keyCol == "host")
+    assert(r.distinctField.isEmpty && r.base.name == "Corr Rule" && r.base.severity == 9)
+    // multi-ref = OR of the compiled base predicates (each with its gate)
+    assert(r.base.where == Or(
+      And(TopEq("event_id", 10), Like("TargetImage", """%\lsass.exe""")),
+      And(TopEq("event_id", 10), Eq("GrantedAccess", "0x1FFFFF"))))
+    // value_count: field -> distinctField; gt N => N+1; default key
+    val vc = compileCorrelationFile(corrFile(
+      """  type: value_count
+        |  field: SourceImage
+        |  rules: [base_a]
+        |  timespan: 1d
+        |  condition:
+        |    gt: 2""".stripMargin)).get._2.head
+    assert(vc.distinctField.contains("event_data.SourceImage"))
+    assert(vc.threshold == 3L && vc.keyCol == "computer_name")
+    // generate: true ALSO deploys the referenced rules stateless
+    val gen = compileCorrelationFile(corrFile(
+      """  type: event_count
+        |  rules: [base_a]
+        |  generate: true
+        |  timespan: 1h
+        |  condition:
+        |    gte: 2""".stripMargin)).get
+    assert(gen._1.map(_.name).toSet == Set("Base A", "Base B"))
+    // rejections: multi-field group-by, temporal type, unresolved ref
+    assert(compileCorrelationFile(corrFile(
+      """  type: event_count
+        |  rules: [base_a]
+        |  group-by: [host, computer_name]
+        |  timespan: 1h
+        |  condition:
+        |    gte: 2""".stripMargin)).isEmpty)
+    assert(compileCorrelationFile(corrFile(
+      """  type: temporal
+        |  rules: [base_a, base_b]
+        |  timespan: 1h
+        |  condition:
+        |    gte: 2""".stripMargin)).isEmpty)
+    assert(compileCorrelationFile(corrFile(
+      """  type: event_count
+        |  rules: [no_such_rule]
+        |  timespan: 1h
+        |  condition:
+        |    gte: 2""".stripMargin)).isEmpty)
+    // a single-document (non-correlation) text is not a correlation file
+    assert(compileCorrelationFile("title: X\ndetection:\n  selection:\n    F: v\n  condition: selection\n").isEmpty)
+  }
+
   test("the in-main groupby/distinct YAMLs compile to the shapes their oracles replay (r16)") {
     val gb = compileTimeframe(graft.ops.Detection.compiledTfGroupByYaml).get
     assert(gb.keyCol == "host" && gb.threshold == 2L && gb.distinctField.isEmpty)
