@@ -262,6 +262,34 @@ object RuleCompiler {
     case _ => None
   }
 
+  /** The same durations as event-time MICROS — the gap unit of a compiled
+    * temporal correlation ([[graft.streaming.SequenceRules.SequenceRule]]). */
+  private[graft] def timeframeMicros(tf: String): Option[Long] = tf match {
+    case TfDuration(n, u) =>
+      val unit = u match {
+        case "s" => 1000000L
+        case "m" => 60L * 1000000
+        case "h" => 3600L * 1000000
+        case "d" => 86400L * 1000000
+      }
+      Some(n.toLong * unit)
+    case _ => None
+  }
+
+  /** A correlation `group-by` list → the engine key expression. One field
+    * resolves like a pipe by-field; MULTIPLE fields (e.g. `[User,
+    * Computer]` — routine in real Sigma correlation rules) become ONE
+    * composite string key, `concat_ws('|', f1, f2, …)`, so the battery
+    * still windows on a single column and the alert's `computer_name`
+    * carries the composite key deterministically (field order = document
+    * order, '|'-separated; concat_ws skips NULL fields on both engines).
+    * Empty list = the sink default, per-host correlation. */
+  private[graft] def groupByKey(fields: Seq[String]): String = fields match {
+    case Seq() => "computer_name"
+    case Seq(f) => resolveField(f)
+    case fs => fs.map(resolveField).mkString("concat_ws('|', ", ", ", ")")
+  }
+
   /** Parsed aggregation pipe of a correlation condition: the >=-threshold
     * [[graft.streaming.TimeframeRules.TimeframeRule]] uses (`> N` ⇒ N+1,
     * `>= N` ⇒ N), the optional `by` group key, and the optional
@@ -277,15 +305,27 @@ object RuleCompiler {
     *   `count() by <field> > N`         same, keyed on <field> from the YAML
     *   `count(<field>) > N`             DISTINCT values of <field> per window
     *   `count(<field>) by <key> > N`    both
-    * (`>=` accepted everywhere.) Field names are bare identifiers —
-    * Sigma's own field grammar; anything else fails the parse (None). */
+    * (`>=` accepted everywhere; whitespace between the by-field and the
+    * comparator is optional — `count() by host>1` parses.) Field names are
+    * bare identifiers — Sigma's own field grammar. A pipe that IS a
+    * `count(...)` form but falls outside the grammar (dotted/hyphenated
+    * field, missing by-field) throws rather than silently degrading the
+    * rule (r16 verdict: a silent None here made compileDirAll drop the
+    * rule with no trace — detection coverage loss). NON-count pipes
+    * (`max(Score) > 3`) still return None: they are a different
+    * aggregation class this engine doesn't claim, skipped exactly like
+    * parse skips what it rejects. */
   private val AggPipe =
-    """^\s*count\(\s*([A-Za-z0-9_]*)\s*\)\s*(?:by\s+([A-Za-z0-9_]+)\s+)?(>=|>)\s*(\d+)\s*$""".r
+    """^\s*count\(\s*([A-Za-z0-9_]*)\s*\)\s*(?:by\s+([A-Za-z0-9_]+)\s*)?(>=|>)\s*(\d+)\s*$""".r
   private[graft] def aggSpec(pipe: String): Option[AggSpec] = pipe match {
     case AggPipe(distinct, by, op, n) =>
       val thr = if (op == ">") n.toLong + 1 else n.toLong
       Some(AggSpec(thr, Option(by).filter(_.nonEmpty),
         Option(distinct).filter(_.nonEmpty)))
+    case _ if pipe.trim.startsWith("count(") =>
+      throw new IllegalArgumentException(
+        s"malformed count() aggregation pipe: '${pipe.trim}' — expected " +
+          "count([field]) [by <field>] >|>= N with bare-identifier fields")
     case _ => None
   }
 
@@ -392,12 +432,22 @@ object RuleCompiler {
     * (every engine entry point already does). */
   def renderTimeframeSql(r: graft.streaming.TimeframeRules.TimeframeRule,
       from: String): String = {
-    // a compiled key/distinct column is either a top-level sink column or
-    // `event_data.<field>` (resolveField); quote the struct field
-    def colExpr(c: String): String = c.split("\\.", 2) match {
-      case Array(p, f) => s"$p.`$f`"
-      case _ => c
+    // same state-cap guard as alertsBattery (advisor r16): a distinct rule
+    // with a pathological threshold must be refused here too, not rendered
+    // into a min_k_distinct literal the registry would int-truncate
+    r.distinctField.foreach { _ =>
+      require(r.threshold <= (1 << 20),
+        s"distinct-count threshold ${r.threshold} would need >1M state per cell")
     }
+    // a compiled key/distinct column is either a top-level sink column,
+    // `event_data.<field>` (resolveField — quote the struct field), or a
+    // composite concat_ws expression (multi-field group-by) passed verbatim
+    def colExpr(c: String): String =
+      if (c.contains("(")) c
+      else c.split("\\.", 2) match {
+        case Array(p, f) => s"$p.`$f`"
+        case _ => c
+      }
     val cap = math.max(
       graft.streaming.TimeframeRules.DefaultOriginIdsCap.toLong, r.threshold)
     val nExpr = r.distinctField match {
@@ -427,37 +477,48 @@ object RuleCompiler {
   def compileDir(path: String): Seq[RuleDef] =
     yamlFiles(path).flatMap(compile)
 
+  /** Everything a Sigma repo compiles to — the three deployment classes:
+    * stateless dispatch rules, windowed-count (timeframe/event_count/
+    * value_count) rules, and temporal pair-correlation rules. */
+  final case class CompiledRepo(
+      stateless: Seq[RuleDef],
+      timeframe: Seq[graft.streaming.TimeframeRules.TimeframeRule],
+      sequence: Seq[graft.streaming.SequenceRules.SequenceRule]) {
+    def isEmpty: Boolean = stateless.isEmpty && timeframe.isEmpty && sequence.isEmpty
+    def ++(o: CompiledRepo): CompiledRepo =
+      CompiledRepo(stateless ++ o.stateless, timeframe ++ o.timeframe,
+        sequence ++ o.sequence)
+  }
+  object CompiledRepo {
+    val empty: CompiledRepo = CompiledRepo(Seq.empty, Seq.empty, Seq.empty)
+  }
+
   /** C8, EXTENDED: compile a MIXED rule directory — stateless rules
     * through the parity [[compile]], `timeframe` rules through
-    * [[compileTimeframe]] — so one Sigma repo deploys as one combined job
-    * ([[graft.engine.AlertPipeline.alertsCombined]]: stateless dispatch +
-    * timeframe battery, one source, one query). Documents neither mode
-    * accepts (e.g. `count(field)` pipes) are skipped, exactly like
-    * [[compileDir]] skips what `parse` rejects. */
-  def compileDirAll(path: String)
-      : (Seq[RuleDef], Seq[graft.streaming.TimeframeRules.TimeframeRule]) = {
-    val (stateless, timeframed) = yamlFiles(path).foldLeft(
-      (Vector.empty[RuleDef],
-        Vector.empty[graft.streaming.TimeframeRules.TimeframeRule])) {
-      case ((s, t), yaml) =>
-        val docs = loadAllDocs(yaml)
-        if (docs.exists(_.contains("correlation")))
-          compileCorrelationDocs(docs) match {
-            case Some((gen, corr)) => (s ++ gen, t ++ corr)
-            case None => (s, t) // malformed correlation file: skipped, like parse rejects
-          }
-        else docs.foldLeft((s, t)) { case ((s2, t2), root) =>
-          compileRoot(root) match {
-            case Some(r) => (s2 :+ r, t2)
-            case None => compileTimeframeRoot(root) match {
-              case Some(tf) => (s2, t2 :+ tf)
-              case None => (s2, t2)
-            }
+    * [[compileTimeframe]], correlation files through
+    * [[compileCorrelationFile]] — so one Sigma repo deploys in one call
+    * ([[graft.engine.AlertPipeline.alertsCombined]] for the first two
+    * classes; [[graft.streaming.SequenceRules.alertsFor]] per temporal
+    * rule). Documents no mode accepts (e.g. `max()` pipes) are skipped,
+    * exactly like [[compileDir]] skips what `parse` rejects. */
+  def compileDirAll(path: String): CompiledRepo =
+    yamlFiles(path).foldLeft(CompiledRepo.empty) { case (acc, yaml) =>
+      val docs = loadAllDocs(yaml)
+      if (docs.exists(_.contains("correlation")))
+        compileCorrelationDocs(docs) match {
+          case Some(repo) => acc ++ repo
+          case None => acc // malformed correlation file: skipped, like parse rejects
+        }
+      else docs.foldLeft(acc) { case (a, root) =>
+        compileRoot(root) match {
+          case Some(r) => a.copy(stateless = a.stateless :+ r)
+          case None => compileTimeframeRoot(root) match {
+            case Some(tf) => a.copy(timeframe = a.timeframe :+ tf)
+            case None => a
           }
         }
+      }
     }
-    (stateless, timeframed)
-  }
 
   /** The MODERN Sigma correlation format (the public Sigma meta-rule /
     * correlations specification — the successor of the legacy
@@ -475,77 +536,134 @@ object RuleCompiler {
     *     field: TargetUser          # value_count only
     *     generate: true             # optional: ALSO deploy the base rules
     * }}}
-    * Compiles to the same [[graft.streaming.TimeframeRules.TimeframeRule]]
-    * the legacy pipe grammar produces: the windowed predicate is the OR of
-    * the referenced rules' compiled predicates, `event_count` thresholds
-    * the event count, `value_count` the bounded-exact distinct count of
-    * `field`, and the group key resolves through [[resolveField]]. This
-    * engine deploys ONLY the correlation alerts unless `generate: true`
-    * names the referenced rules for stateless deployment too (the spec's
-    * generate attribute). Documented limits, rejected loudly as None:
-    * multi-field `group-by` (the engine keys windows on one column),
-    * correlation types other than event_count/value_count (temporal
-    * sequences run through [[graft.streaming.SequenceRules]], not this
-    * compiler), and refs that don't resolve within the same file. */
-  def compileCorrelationFile(yamlText: String)
-      : Option[(Seq[RuleDef], Seq[graft.streaming.TimeframeRules.TimeframeRule])] =
+    * Compiles `event_count`/`value_count` to the same
+    * [[graft.streaming.TimeframeRules.TimeframeRule]] the legacy pipe
+    * grammar produces: the windowed predicate is the OR of the referenced
+    * rules' compiled predicates, `event_count` thresholds the event count,
+    * `value_count` the bounded-exact distinct count of `field`. The
+    * `temporal` / `temporal_ordered` types (exactly two refs) compile to
+    * a [[graft.streaming.SequenceRules.SequenceRule]] — first-ref event
+    * and second-ref event on the same key within `timespan`, order
+    * enforced only by the `_ordered` variant. The group key resolves
+    * through [[resolveField]]; a MULTI-field `group-by` becomes one
+    * composite `concat_ws('|', …)` key ([[groupByKey]]) carried through
+    * the alert's computer_name.
+    *
+    * Deployment semantics per the Sigma correlations spec: a base rule
+    * REFERENCED by a correlation is suppressed from stateless deployment
+    * unless that correlation says `generate: true` (then its OWN refs
+    * also deploy stateless); a base rule referenced by NO correlation in
+    * the file is an ordinary co-resident rule and always deploys (r16
+    * verdict/advisor: the old all-or-nothing generate silently disabled
+    * unreferenced siblings). Documented limits, rejected as None:
+    * temporal correlations with ref counts other than 2 (ordered ≥3-rule
+    * chains), correlation types beyond the four above, non-numeric
+    * thresholds, timespans without a fixed length, and refs that don't
+    * resolve within the same file. */
+  def compileCorrelationFile(yamlText: String): Option[CompiledRepo] =
     compileCorrelationDocs(loadAllDocs(yamlText))
 
+  private def strList(v: Any): Seq[String] = v match {
+    case l: java.util.List[_] => l.asScala.toSeq.map(_.toString)
+    case s => Seq(s.toString)
+  }
+
+  /** The correlation doc's own metadata as the compiled rule's RuleDef,
+    * with the given windowed/pair predicate. */
+  private def corrMeta(cdoc: Map[String, Any], where: Pred): RuleDef = {
+    val tags = cdoc.get("tags").map(strList).getOrElse(Seq.empty)
+    val (tactic, technique, subtech) = attackTech(tags)
+    RuleDef(
+      name = cdoc.getOrElse("title", "").toString,
+      author = cdoc.getOrElse("author", "").toString,
+      severity = severity(cdoc.getOrElse("level", "").toString),
+      description = cdoc.getOrElse("description", "").toString,
+      references = cdoc.get("references").map(strList).getOrElse(Seq.empty),
+      tactic = tactic, technique = technique, subtechnique = subtech,
+      module = None, where = where)
+  }
+
+  /** One compiled correlation doc + its referenced rule names + its
+    * generate flag — the unit [[compileCorrelationDocs]] assembles. */
+  private final case class CompiledCorr(
+      refs: Seq[String], generate: Boolean,
+      timeframe: Option[graft.streaming.TimeframeRules.TimeframeRule],
+      sequence: Option[graft.streaming.SequenceRules.SequenceRule])
+
+  private def compileOneCorrelation(cdoc: Map[String, Any],
+      byName: Map[String, RuleDef]): Option[CompiledCorr] = {
+    import graft.streaming.{SequenceRules, TimeframeRules}
+    for {
+      c <- docMap(cdoc("correlation"))
+      typ = c.getOrElse("type", "").toString
+      refs <- c.get("rules").map(strList) if refs.nonEmpty
+      bases = refs.flatMap(byName.get) if bases.size == refs.size
+      timespan <- c.get("timespan").map(_.toString)
+      keyCol = groupByKey(c.get("group-by").map(strList).getOrElse(Seq.empty))
+      generate = c.get("generate").exists(_.toString == "true")
+      corr <- typ match {
+        case "event_count" | "value_count" =>
+          for {
+            window <- timeframeWindow(timespan)
+            cond <- c.get("condition").flatMap(docMap)
+            // non-numeric condition values reject as None like every other
+            // guard — one malformed doc must not crash the directory walk
+            // (advisor r16)
+            threshold <- cond.get("gte")
+              .flatMap(v => scala.util.Try(v.toString.toLong).toOption)
+              .orElse(cond.get("gt")
+                .flatMap(v => scala.util.Try(v.toString.toLong).toOption)
+                .map(_ + 1))
+            distinctField <- typ match {
+              case "value_count" => c.get("field").map(f => Some(resolveField(f.toString)))
+              case _ => Some(Option.empty[String])
+            }
+          } yield CompiledCorr(refs, generate,
+            // a multi-ref correlation counts events matching ANY referenced
+            // rule — the OR of their compiled predicates
+            Some(TimeframeRules.TimeframeRule(
+              corrMeta(cdoc, bases.map(_.where).reduce[Pred](Or(_, _))),
+              window, threshold, keyCol, distinctField)),
+            None)
+        case "temporal" | "temporal_ordered" =>
+          for {
+            gapUs <- timeframeMicros(timespan)
+            // the pair correlator holds exactly two slots; ≥3-rule chains
+            // are the documented unimplemented surface
+            if refs.size == 2
+          } yield CompiledCorr(refs, generate, None,
+            Some(SequenceRules.SequenceRule(
+              corrMeta(cdoc, bases.map(_.where).reduce[Pred](Or(_, _))),
+              bases(0), bases(1), gapUs, keyCol,
+              ordered = typ == "temporal_ordered")))
+        case _ => None
+      }
+    } yield corr
+  }
+
   private def compileCorrelationDocs(docs: Seq[Map[String, Any]])
-      : Option[(Seq[RuleDef], Seq[graft.streaming.TimeframeRules.TimeframeRule])] = {
-    import graft.streaming.TimeframeRules.TimeframeRule
+      : Option[CompiledRepo] = {
     val (corrDocs, baseDocs) = docs.partition(_.contains("correlation"))
     if (corrDocs.isEmpty || baseDocs.isEmpty) return None
     // base rules indexed by the Sigma `name:` attribute (correlation refs
-    // use it), falling back to the title
-    val byName: Map[String, RuleDef] = baseDocs.flatMap { d =>
+    // use it), falling back to the title — insertion-ordered so deployment
+    // order is document order
+    val byName: Seq[(String, RuleDef)] = baseDocs.flatMap { d =>
       compileRoot(d).map(r =>
         d.getOrElse("name", d.getOrElse("title", "")).toString -> r)
-    }.toMap
-    def strList(v: Any): Seq[String] = v match {
-      case l: java.util.List[_] => l.asScala.toSeq.map(_.toString)
-      case s => Seq(s.toString)
     }
-    var generateBases = false
-    val compiled = corrDocs.flatMap { cdoc =>
-      for {
-        c <- docMap(cdoc("correlation"))
-        typ = c.getOrElse("type", "").toString
-        if typ == "event_count" || typ == "value_count"
-        refs <- c.get("rules").map(strList) if refs.nonEmpty
-        bases = refs.flatMap(byName.get) if bases.size == refs.size
-        window <- c.get("timespan").map(_.toString).flatMap(timeframeWindow)
-        cond <- c.get("condition").flatMap(docMap)
-        threshold <- cond.get("gte").map(_.toString.toLong)
-          .orElse(cond.get("gt").map(_.toString.toLong + 1))
-        groupBy = c.get("group-by").map(strList).getOrElse(Seq.empty)
-        if groupBy.size <= 1 // engine windows key on ONE column
-        distinctField <- typ match {
-          case "value_count" => c.get("field").map(f => Some(resolveField(f.toString)))
-          case _ => Some(Option.empty[String])
-        }
-      } yield {
-        if (c.get("generate").exists(_.toString == "true")) generateBases = true
-        val tags = cdoc.get("tags").map(strList).getOrElse(Seq.empty)
-        val (tactic, technique, subtech) = attackTech(tags)
-        val meta = RuleDef(
-          name = cdoc.getOrElse("title", "").toString,
-          author = cdoc.getOrElse("author", "").toString,
-          severity = severity(cdoc.getOrElse("level", "").toString),
-          description = cdoc.getOrElse("description", "").toString,
-          references = cdoc.get("references").map(strList).getOrElse(Seq.empty),
-          tactic = tactic, technique = technique, subtechnique = subtech,
-          module = None,
-          // a multi-ref correlation counts events matching ANY referenced
-          // rule — the OR of their compiled predicates
-          where = bases.map(_.where).reduce[Pred](Or(_, _)))
-        TimeframeRule(meta, window, threshold,
-          groupBy.headOption.map(resolveField).getOrElse("computer_name"),
-          distinctField)
-      }
+    val compiled = corrDocs.flatMap(compileOneCorrelation(_, byName.toMap))
+    if (compiled.isEmpty) return None
+    // per the spec: refs of a correlation are suppressed stateless unless
+    // THAT correlation generates; unreferenced co-resident rules always
+    // deploy stateless
+    val referenced = compiled.flatMap(_.refs).toSet
+    val generated = compiled.filter(_.generate).flatMap(_.refs).toSet
+    val stateless = byName.collect {
+      case (n, r) if !referenced(n) || generated(n) => r
     }
-    if (compiled.isEmpty) None
-    else Some((if (generateBases) byName.values.toSeq else Seq.empty, compiled))
+    Some(CompiledRepo(stateless,
+      compiled.flatMap(_.timeframe), compiled.flatMap(_.sequence)))
   }
 
   private def docMap(obj: Any): Option[Map[String, Any]] = obj match {

@@ -542,6 +542,39 @@ object AlertPipeline {
       .trigger(trigger)
       .start()
   }
+
+  /** [[start]] for ONE compiled temporal correlation
+    * ([[graft.streaming.SequenceRules.SequenceRule]] — the modern Sigma
+    * `temporal`/`temporal_ordered` types). A pair correlator is a
+    * flatMapGroupsWithState operator, a different stateful class than the
+    * battery's windowed aggregation, so each sequence rule runs as its own
+    * append-mode query rather than a union sibling inside the combined
+    * plan (Spark's multiple-stateful-operator support covers unions of
+    * window aggregations, not arbitrary fMGWS siblings). The sink row is
+    * the SAME invariant 5-column alert schema ([[startCombined]]) —
+    * `rule_name` dropped at the sink; `idx` suffixes the checkpoint (and a
+    * files sink's path) so co-deployed sequence queries never share state
+    * or metadata directories. */
+  def startSequence(spark: SparkSession,
+      rule: graft.streaming.SequenceRules.SequenceRule,
+      conf: Map[String, String], idx: Int = 0): StreamingQuery = {
+    val c2 = conf ++
+      conf.get("checkpoint").map(c => "checkpoint" -> s"$c/seq-$idx") ++
+      (if (conf.get("sink.type").contains("files"))
+        conf.get("sink.path").map(p => "sink.path" -> s"$p/seq-$idx")
+      else None)
+    val src = Sources.source(spark, c2)
+    val alerts = graft.streaming.SequenceRules.alertsFor(src, rule)
+      .drop("rule_name")
+    val trigger = c2.getOrElse("trigger", "0 seconds") match {
+      case "availableNow" => Trigger.AvailableNow()
+      case interval => Trigger.ProcessingTime(interval)
+    }
+    Sources.sink(alerts, c2)
+      .outputMode("append")
+      .trigger(trigger)
+      .start()
+  }
 }
 
 /** `${var}` substitution for deploy-time config, the Spark-side equivalent

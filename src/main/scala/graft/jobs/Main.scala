@@ -24,8 +24,11 @@ import graft.rules.ReferenceCorpus
   * `--extended` additionally compiles `timeframe` correlation rules
   * ([[RuleCompiler.compileTimeframe]] — the grammar the reference comments
   * out, including `count() by <field>` group keys and `count(<field>)`
-  * distinct pipes) and deploys BOTH classes as one combined streaming
-  * query ([[AlertPipeline.startCombined]]); without it, parity: timeframe
+  * distinct pipes) plus modern correlation FILES (event_count/value_count
+  * meta-rules into the battery; temporal/temporal_ordered into pair
+  * correlators, one query each) and deploys the stateless + windowed
+  * classes as one combined streaming query
+  * ([[AlertPipeline.startCombined]]); without it, parity: timeframe
   * rules are skipped exactly like main.py:194-195. The sink schema is
   * IDENTICAL in both modes — the reference's 5-column alert row — so
   * toggling `--extended` never breaks downstream consumers of an
@@ -46,14 +49,15 @@ object Main {
     // timeframe rules (RuleCompiler.compileTimeframe) deploy alongside the
     // stateless ones as ONE combined query (AlertPipeline.startCombined).
     // Default stays parity: timeframe rules are skipped like main.py.
-    val (rules, timeframed) = parsed.rules match {
-      case "builtin" => (ReferenceCorpus.active,
-        Seq.empty[graft.streaming.TimeframeRules.TimeframeRule])
+    val compiled: RuleCompiler.CompiledRepo = parsed.rules match {
+      case "builtin" =>
+        RuleCompiler.CompiledRepo(ReferenceCorpus.active, Seq.empty, Seq.empty)
       case dir if parsed.extended => RuleCompiler.compileDirAll(dir)
-      case dir => (RuleCompiler.compileDir(dir),
-        Seq.empty[graft.streaming.TimeframeRules.TimeframeRule])
+      case dir =>
+        RuleCompiler.CompiledRepo(RuleCompiler.compileDir(dir), Seq.empty, Seq.empty)
     }
-    require(rules.nonEmpty || timeframed.nonEmpty, "no rules compiled")
+    val RuleCompiler.CompiledRepo(rules, timeframed, sequenced) = compiled
+    require(!compiled.isEmpty, "no rules compiled")
 
     val spark = conf.filter { case (k, _) => k.startsWith("spark.") }
       .foldLeft(graft.engine.SessionDefaults(SparkSession.builder())
@@ -66,10 +70,18 @@ object Main {
         case (b, (k, v)) => b.config(k, v)
       }
       .getOrCreate()
-    val query =
-      if (timeframed.nonEmpty) AlertPipeline.startCombined(spark, rules, timeframed, conf)
-      else AlertPipeline.start(spark, rules, conf)
-    query.awaitTermination()
+    // the stateless + windowed classes share ONE combined query; each
+    // compiled temporal correlation is its own pair-correlator query
+    // (AlertPipeline.startSequence — a different stateful operator class),
+    // all writing the same 5-column alert schema
+    val queries = Seq(
+      Option.when(rules.nonEmpty || timeframed.nonEmpty)(
+        if (timeframed.nonEmpty) AlertPipeline.startCombined(spark, rules, timeframed, conf)
+        else AlertPipeline.start(spark, rules, conf))
+    ).flatten ++ sequenced.zipWithIndex.map { case (r, i) =>
+      AlertPipeline.startSequence(spark, r, conf, i)
+    }
+    queries.foreach(_.awaitTermination())
   }
 
   final case class Args(rules: String = "builtin", conf: Map[String, String] = Map.empty,

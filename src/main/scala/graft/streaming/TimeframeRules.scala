@@ -139,9 +139,12 @@ object TimeframeRules {
         }
         withRid
           // key aliased pre-agg: a keyCol of "host" would otherwise
-          // collide with the min(host) aggregate downstream
+          // collide with the min(host) aggregate downstream. expr(), not
+          // col(): a compiled multi-field group-by arrives as ONE
+          // composite concat_ws expression (RuleCompiler.groupByKey) —
+          // plain column names parse identically
           .groupBy(col("rid"), window(col("timestamp"), len),
-            col(key).as("__tf_key"))
+            expr(key).as("__tf_key"))
           .agg(
             nCol.as("n"),
             originIds(originIdsCap, uncapped).as("origin_ids"),
@@ -186,7 +189,7 @@ object TimeframeRules {
     }
     matched
       .groupBy(window(col("timestamp"), rule.windowLength),
-        col(rule.keyCol).as("__tf_key"))
+        expr(rule.keyCol).as("__tf_key"))
       .agg(
         nCol.as("n"),
         originIds(originIdsCap, uncapped = false).as("origin_ids"),

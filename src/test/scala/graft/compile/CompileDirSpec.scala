@@ -51,12 +51,14 @@ class CompileDirSpec extends AnyFunSuite {
   }
 
   test("compileDirAll splits a mixed repo: stateless == compileDir, timeframe compiled (r15)") {
-    val (stateless, timeframed) = RuleCompiler.compileDirAll(dir)
+    val RuleCompiler.CompiledRepo(stateless, timeframed, sequenced) =
+      RuleCompiler.compileDirAll(dir)
     // the stateless side is EXACTLY what parity compileDir produces
     assert(stateless.map(_.name) == RuleCompiler.compileDir(dir).map(_.name))
     // the timeframe fixture lands on the stateful side, fully compiled
     assert(timeframed.map(_.base.name) == Seq("Many Process Accesses In Short Time"))
     assert(timeframed.head.windowLength == "5 minutes" && timeframed.head.threshold == 11L)
+    assert(sequenced.isEmpty)
     // a document NEITHER mode accepts is skipped, like compileDir skips
     // what parse rejects (distinct pipes COMPILE since r16, so the
     // skip-probe is now a non-count aggregation pipe)
@@ -72,8 +74,8 @@ class CompileDirSpec extends AnyFunSuite {
         |  timeframe: 5m
         |  condition: selection | max(Score) > 3
         |""".stripMargin.getBytes("UTF-8"))
-    val (s2, t2) = RuleCompiler.compileDirAll(tmp.toString)
-    assert(s2.isEmpty && t2.isEmpty)
+    val r2 = RuleCompiler.compileDirAll(tmp.toString)
+    assert(r2.isEmpty)
     // a distinct-pipe document lands on the stateful side since r16
     java.nio.file.Files.write(tmp.resolve("distinct_pipe.yml"),
       """title: Distinct Pipe
@@ -86,37 +88,72 @@ class CompileDirSpec extends AnyFunSuite {
         |  timeframe: 5m
         |  condition: selection | count(TargetUser) > 3
         |""".stripMargin.getBytes("UTF-8"))
-    val (s3, t3) = RuleCompiler.compileDirAll(tmp.toString)
-    assert(s3.isEmpty && t3.map(_.base.name) == Seq("Distinct Pipe"))
-    assert(t3.head.distinctField.contains("event_data.TargetUser"))
+    val r3 = RuleCompiler.compileDirAll(tmp.toString)
+    assert(r3.stateless.isEmpty && r3.timeframe.map(_.base.name) == Seq("Distinct Pipe"))
+    assert(r3.timeframe.head.distinctField.contains("event_data.TargetUser"))
   }
 
   test("compileDirAll routes modern correlation FILES: meta-rule to the battery, generate respected (r16)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-corr-yaml")
     java.nio.file.Files.write(tmp.resolve("corr.yml"),
       graft.ops.Detection.compiledCorrelationYaml.getBytes("UTF-8"))
-    val (stateless, timeframed) = RuleCompiler.compileDirAll(tmp.toString)
-    // without generate: true the base rules deploy ONLY through the
-    // correlation's OR-predicate battery
-    assert(stateless.isEmpty)
-    assert(timeframed.map(_.base.name) == Seq("Credential Access Pressure Per Host"))
-    assert(timeframed.head.keyCol == "host" && timeframed.head.threshold == 4L)
+    val repo = RuleCompiler.compileDirAll(tmp.toString)
+    // every base is referenced and generate is absent: the bases deploy
+    // ONLY through the correlation's OR-predicate battery
+    assert(repo.stateless.isEmpty)
+    assert(repo.timeframe.map(_.base.name) == Seq("Credential Access Pressure Per Host"))
+    assert(repo.timeframe.head.keyCol == "host" && repo.timeframe.head.threshold == 4L)
     // flip generate on: the referenced rules ALSO deploy stateless
     java.nio.file.Files.write(tmp.resolve("corr.yml"),
       graft.ops.Detection.compiledCorrelationYaml
         .replace("correlation:", "correlation:\n    generate: true")
         .getBytes("UTF-8"))
-    val (s2, t2) = RuleCompiler.compileDirAll(tmp.toString)
-    assert(s2.map(_.name).toSet == Set("Lsass Touch", "Full Access Mask"))
-    assert(t2.size == 1)
+    val r2 = RuleCompiler.compileDirAll(tmp.toString)
+    assert(r2.stateless.map(_.name).toSet == Set("Lsass Touch", "Full Access Mask"))
+    assert(r2.timeframe.size == 1)
     // a multi-document file WITHOUT a correlation compiles each document
     // independently (multi-rule files)
     java.nio.file.Files.write(tmp.resolve("corr.yml"),
       graft.ops.Detection.compiledCorrelationYaml
         .split("(?m)^---$").take(2).mkString("---")
         .getBytes("UTF-8"))
-    val (s4, t4) = RuleCompiler.compileDirAll(tmp.toString)
-    assert(s4.map(_.name).toSet == Set("Lsass Touch", "Full Access Mask") && t4.isEmpty)
+    val r4 = RuleCompiler.compileDirAll(tmp.toString)
+    assert(r4.stateless.map(_.name).toSet == Set("Lsass Touch", "Full Access Mask")
+      && r4.timeframe.isEmpty)
+  }
+
+  test("correlation files: unreferenced co-resident rules always deploy; generate is per-correlation (r17)") {
+    // a 3-document file: the correlation references ONLY lsass_touch, so
+    // full_access_mask is an ordinary co-resident rule — it must deploy
+    // stateless even with generate absent (r16 advisor: the old semantics
+    // silently disabled it — detection coverage loss)
+    val oneRef = graft.ops.Detection.compiledCorrelationYaml
+      .replace("        - lsass_touch\n        - full_access_mask",
+        "        - lsass_touch")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-corr-gen-yaml")
+    java.nio.file.Files.write(tmp.resolve("corr.yml"), oneRef.getBytes("UTF-8"))
+    val repo = RuleCompiler.compileDirAll(tmp.toString)
+    assert(repo.stateless.map(_.name) == Seq("Full Access Mask"))
+    assert(repo.timeframe.size == 1)
+    // generate: true on that correlation additionally deploys ITS ref
+    java.nio.file.Files.write(tmp.resolve("corr.yml"),
+      oneRef.replace("correlation:", "correlation:\n    generate: true")
+        .getBytes("UTF-8"))
+    val r2 = RuleCompiler.compileDirAll(tmp.toString)
+    assert(r2.stateless.map(_.name).toSet == Set("Lsass Touch", "Full Access Mask"))
+  }
+
+  test("compileDirAll routes temporal correlation files to SequenceRules deployments (r17)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-corr-temp-yaml")
+    java.nio.file.Files.write(tmp.resolve("temporal.yml"),
+      graft.ops.Detection.compiledTemporalYaml.getBytes("UTF-8"))
+    val repo = RuleCompiler.compileDirAll(tmp.toString)
+    assert(repo.stateless.isEmpty && repo.timeframe.isEmpty)
+    val Seq(sq) = repo.sequence
+    assert(sq.meta.name == "Recon Near Credential Access")
+    assert(sq.first.name == "Cmdkey Recon" && sq.second.name == "Lsass Handle")
+    assert(sq.gapUs == 12L * 3600 * 1000000 && sq.keyCol == "computer_name")
+    assert(!sq.ordered && sq.meta.severity == 9)
   }
 
   test("fan-out probe's synthetic rule corpus compiles through the directory path") {

@@ -135,9 +135,17 @@ class RuleCompilerSpec extends AnyFunSuite {
       """  selection:
         |    F: v
         |  condition: selection""".stripMargin)).isEmpty)
-    // pipes OUTSIDE the aggSpec grammar still fail the parse loudly
+    // a NON-count pipe is a different aggregation class: quietly None,
+    // skipped like parse skips what it rejects
     assert(compileTimeframe(tfYaml("5m", "selection | max(Score) > 3")).isEmpty)
-    assert(compileTimeframe(tfYaml("5m", "selection | count() by > 3")).isEmpty)
+    // but a count() pipe OUTSIDE the grammar throws — r16 verdict #7: a
+    // malformed count pipe must not silently drop the rule
+    assertThrows[IllegalArgumentException](
+      compileTimeframe(tfYaml("5m", "selection | count() by > 3")))
+    assertThrows[IllegalArgumentException](
+      compileTimeframe(tfYaml("5m", "selection | count(a.b) > 3")))
+    assertThrows[IllegalArgumentException](
+      compileTimeframe(tfYaml("5m", "selection | count() by some-field > 3")))
     // duration units + threshold comparison forms
     assert(compileTimeframe(tfYaml("30s", "selection | count() >= 3")).get.threshold == 3L)
     assert(compileTimeframe(tfYaml("30s", "selection | count() >= 3")).get.windowLength == "30 seconds")
@@ -171,6 +179,10 @@ class RuleCompilerSpec extends AnyFunSuite {
     val plain = compileTimeframe(tfYaml("selection | count() > 10")).get
     assert(plain.distinctField.isEmpty && plain.keyCol == "computer_name" &&
       plain.threshold == 11L)
+    // whitespace before the comparator is optional after a by-field
+    // (advisor r16: `count()>1` parsed while `count() by host>1` didn't)
+    val tight = compileTimeframe(tfYaml("selection | count() by host>1")).get
+    assert(tight.keyCol == "host" && tight.threshold == 2L)
   }
 
   test("modern correlation documents compile: event_count, value_count, generate, rejections (r16)") {
@@ -214,25 +226,32 @@ class RuleCompilerSpec extends AnyFunSuite {
         |  timespan: 12h
         |  condition:
         |    gte: 4""".stripMargin)).get
-    assert(ec._1.isEmpty, "without generate: true the base rules do not deploy stateless")
-    val Seq(r) = ec._2
+    assert(ec.stateless.isEmpty,
+      "every base is referenced: without generate none deploys stateless")
+    val Seq(r) = ec.timeframe
     assert(r.windowLength == "12 hours" && r.threshold == 4L && r.keyCol == "host")
     assert(r.distinctField.isEmpty && r.base.name == "Corr Rule" && r.base.severity == 9)
     // multi-ref = OR of the compiled base predicates (each with its gate)
     assert(r.base.where == Or(
       And(TopEq("event_id", 10), Like("TargetImage", """%\lsass.exe""")),
       And(TopEq("event_id", 10), Eq("GrantedAccess", "0x1FFFFF"))))
-    // value_count: field -> distinctField; gt N => N+1; default key
-    val vc = compileCorrelationFile(corrFile(
+    // value_count: field -> distinctField; gt N => N+1; default key.
+    // base_b is referenced by NO correlation here, so it stays an ordinary
+    // co-resident rule and deploys stateless (r16 advisor: the old
+    // behavior silently disabled it)
+    val vcr = compileCorrelationFile(corrFile(
       """  type: value_count
         |  field: SourceImage
         |  rules: [base_a]
         |  timespan: 1d
         |  condition:
-        |    gt: 2""".stripMargin)).get._2.head
+        |    gt: 2""".stripMargin)).get
+    assert(vcr.stateless.map(_.name) == Seq("Base B"))
+    val vc = vcr.timeframe.head
     assert(vc.distinctField.contains("event_data.SourceImage"))
     assert(vc.threshold == 3L && vc.keyCol == "computer_name")
-    // generate: true ALSO deploys the referenced rules stateless
+    // generate: true ALSO deploys the correlation's own refs stateless
+    // (Base A); Base B deploys because it is unreferenced
     val gen = compileCorrelationFile(corrFile(
       """  type: event_count
         |  rules: [base_a]
@@ -240,24 +259,56 @@ class RuleCompilerSpec extends AnyFunSuite {
         |  timespan: 1h
         |  condition:
         |    gte: 2""".stripMargin)).get
-    assert(gen._1.map(_.name).toSet == Set("Base A", "Base B"))
-    // rejections: multi-field group-by, temporal type, unresolved ref
-    assert(compileCorrelationFile(corrFile(
+    assert(gen.stateless.map(_.name).toSet == Set("Base A", "Base B"))
+    // multi-field group-by compiles to ONE composite concat_ws key (r17;
+    // rejected through r16) — field order is document order
+    val mk = compileCorrelationFile(corrFile(
       """  type: event_count
         |  rules: [base_a]
-        |  group-by: [host, computer_name]
+        |  group-by: [host, TargetUser]
         |  timespan: 1h
         |  condition:
-        |    gte: 2""".stripMargin)).isEmpty)
-    assert(compileCorrelationFile(corrFile(
+        |    gte: 2""".stripMargin)).get.timeframe.head
+    assert(mk.keyCol == "concat_ws('|', host, event_data.TargetUser)")
+    // temporal compiles to a SequenceRules pair correlator (r17; rejected
+    // through r16): refs in order, timespan as micros, unordered
+    val tc = compileCorrelationFile(corrFile(
       """  type: temporal
         |  rules: [base_a, base_b]
-        |  timespan: 1h
-        |  condition:
-        |    gte: 2""".stripMargin)).isEmpty)
+        |  group-by: [host]
+        |  timespan: 1h""".stripMargin)).get
+    assert(tc.timeframe.isEmpty && tc.stateless.isEmpty)
+    val Seq(sq) = tc.sequence
+    assert(sq.first.name == "Base A" && sq.second.name == "Base B")
+    assert(sq.gapUs == 3600000000L && sq.keyCol == "host" && !sq.ordered)
+    assert(sq.meta.name == "Corr Rule" && sq.meta.severity == 9)
+    // temporal_ordered sets the order flag
+    assert(compileCorrelationFile(corrFile(
+      """  type: temporal_ordered
+        |  rules: [base_a, base_b]
+        |  timespan: 30m""".stripMargin)).get.sequence.head.ordered)
+    // rejections: 3-rule temporal chains (two state slots), unresolved
+    // ref, non-numeric threshold (advisor r16: must reject as None, not
+    // crash the directory walk), unknown type
+    assert(compileCorrelationFile(corrFile(
+      """  type: temporal
+        |  rules: [base_a, base_b, base_a]
+        |  timespan: 1h""".stripMargin)).isEmpty)
     assert(compileCorrelationFile(corrFile(
       """  type: event_count
         |  rules: [no_such_rule]
+        |  timespan: 1h
+        |  condition:
+        |    gte: 2""".stripMargin)).isEmpty)
+    assert(compileCorrelationFile(corrFile(
+      """  type: event_count
+        |  rules: [base_a]
+        |  timespan: 1h
+        |  condition:
+        |    gte: ten""".stripMargin)).isEmpty)
+    assert(compileCorrelationFile(corrFile(
+      """  type: value_sum
+        |  rules: [base_a]
         |  timespan: 1h
         |  condition:
         |    gte: 2""".stripMargin)).isEmpty)

@@ -434,7 +434,7 @@ class StreamingSpec extends SparkSpec {
   test("mixed Sigma repo deploys as ONE combined query: compileDirAll -> startCombined (r15)") {
     // the full user story the r14 verdict asked for: a rule repo with a
     // real correlation rule deploys without hand-building TimeframeRules
-    val (stateless, timeframed) =
+    val graft.compile.RuleCompiler.CompiledRepo(stateless, timeframed, _) =
       graft.compile.RuleCompiler.compileDirAll("src/test/resources/sigma")
     assert(stateless.nonEmpty && timeframed.nonEmpty)
     val in = java.nio.file.Files.createTempDirectory("graft-comb-in").toString
