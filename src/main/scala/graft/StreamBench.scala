@@ -218,6 +218,52 @@ object StreamBench {
     * The line carries load/calib/calib_mt and a vs_prior block against
     * the newest committed STREAMBENCH_r*.json so the record is tracked
     * round-over-round with the same discipline as the batch headline. */
+  /** Per-row health verdict for the streaming record: the calib_mt
+    * brackets of every attempt (last one is the kept row's) and whether
+    * the kept row's bracket sat at-or-under the gate. */
+  private[graft] final case class RowHealth(ok: Boolean,
+      brackets: Seq[(Double, Double)])
+
+  /** The batch bench's self-gating (Bench.gatedPasses) ported to ONE
+    * streaming record row (r16 verdict #6: STREAMBENCH records relied on
+    * prose caveats + vs_prior ratios where the batch bench already
+    * self-certified). The row measurement runs bracketed by the
+    * multi-core calibration; a bracket above the gate discards the row,
+    * settles, and re-runs — bounded by `retries` (streaming rows cost
+    * 2–10 min each, so the budget is shared across the record, not 4 per
+    * pass like the 85 s batch rotations). When the budget runs out the
+    * last attempt's row is kept but stamped hok:false — a contended host
+    * cannot produce a green-looking streaming record. Injectable
+    * calib/run/settle for StreamBenchGateSpec. */
+  private[graft] def gatedRow(gate: Double, retries: Int,
+      calibFn: () => Double, run: () => String,
+      settle: () => Unit): (String, RowHealth, Int) = {
+    var used = 0
+    var brackets = Vector.empty[(Double, Double)]
+    var row = ""
+    var ok = false
+    var again = true
+    while (again) {
+      val pre = calibFn(); row = run(); val post = calibFn()
+      brackets :+= ((pre, post))
+      ok = math.max(pre, post) <= gate
+      again = !ok && used < retries
+      if (again) { used += 1; settle() }
+    }
+    (row, RowHealth(ok, brackets), used)
+  }
+
+  /** Stamp a row's health into its JSON: fragments (the `"name_eps":…`
+    * shape statsJson emits) get suffixed `name_bracket`/`name_hok`
+    * fields; full objects (the sharded rows) get them injected before the
+    * closing brace. */
+  private[graft] def stampRow(row: String, name: String, h: RowHealth): String = {
+    val Seq(pre, post) = Seq(h.brackets.last._1, h.brackets.last._2)
+    val fields = f""""${name}_bracket":[$pre%.3f,$post%.3f],"${name}_hok":${h.ok}"""
+    if (row.startsWith("{")) row.dropRight(1) + s",$fields}"
+    else s"$row,$fields"
+  }
+
   private def record(spark: SparkSession, n: Long): Unit = {
     // fail BEFORE the ~25 min measurement: without the current round the
     // vs_prior search can compare this run against its own already-written
@@ -402,11 +448,28 @@ object StreamBench {
         s""""min_shard_steady_batches":$minSteady}"""
     }
 
-    val mergedS = sustained("merged",
-      s => AlertPipeline.alertsMerged(Detection.nestedFrom(Detection.synthFrom(s)), rules))
-    val unionS = sustained("union",
+    // ---- per-row health gate (r16 verdict #6, Bench.gatedPasses ported):
+    // every row below runs inside gatedRow — calib_mt brackets stamped
+    // into the row, contended rows retried from a SHARED budget (rows
+    // cost minutes; unbounded per-row retries could double a ~25 min
+    // record), and the record line carries hok/hrej like the batch bench.
+    val gate = sys.env.get("GRAFT_BENCH_HEALTH_MAX").map(_.toDouble)
+      .getOrElse(Bench.HealthGateDefault)
+    var retryBudget = 3
+    val rowHealth = scala.collection.mutable.ArrayBuffer.empty[(String, RowHealth)]
+    def gated(name: String)(run: => String): String = {
+      val (row, h, used) = gatedRow(gate, retryBudget, () => Bench.calibMtSecs(),
+        () => run, () => { System.gc(); Thread.sleep(20000) })
+      retryBudget -= used
+      rowHealth += ((name, h))
+      stampRow(row, name, h)
+    }
+
+    val mergedS = gated("merged")(sustained("merged",
+      s => AlertPipeline.alertsMerged(Detection.nestedFrom(Detection.synthFrom(s)), rules)))
+    val unionS = gated("union")(sustained("union",
       s => AlertPipeline.alerts(Detection.nestedFrom(Detection.synthFrom(s)), rules),
-      inputFactor = rules.size)
+      inputFactor = rules.size))
     // the stateful row: a windowed-count timeframe rule whose predicate
     // matches the svchost pool values (~2/17 of events), 10 s tumbling
     // window per computer_name, 5 s watermark — keyed state in RocksDB
@@ -414,11 +477,11 @@ object StreamBench {
       rules.head.copy(name = "record timeframe probe",
         where = Like("CommandLine", "%svchost%")),
       "10 seconds", 1L, "computer_name")
-    val statefulS = sustained("stateful", s =>
+    val statefulS = gated("stateful")(sustained("stateful", s =>
       TimeframeRules.alerts(
         Detection.nestedFrom(Detection.synthFrom(s))
           .withWatermark("timestamp", "5 seconds"),
-        tfRule))
+        tfRule)))
 
     // ---- rules-scaling table (r11 verdict task #3): the merged path
     // exists FOR the 1000-rule configuration, so measure it there, in
@@ -445,13 +508,16 @@ object StreamBench {
         val cloned = cloneRules(rules, nr)
         def run(s: org.apache.spark.sql.DataFrame) = AlertPipeline.alertsMerged(
           Detection.nestedFrom(Detection.synthFrom(s)), cloned)
-        Seq(sustained(s"merged${nr}", run, dl, rps = satRps, targetSamples = 16),
-          sustained(s"merged${nr}_lat", run, dl, rps = "50000", paced = true))
+        Seq(
+          gated(s"merged${nr}")(
+            sustained(s"merged${nr}", run, dl, rps = satRps, targetSamples = 16)),
+          gated(s"merged${nr}_lat")(
+            sustained(s"merged${nr}_lat", run, dl, rps = "50000", paced = true)))
       }
 
     val shardedRows = Seq((4, 250, 240L), (8, 250, 240L),
       (4, 1000, 480L), (8, 1000, 480L)).map { case (k, nr, dl) =>
-      sharded(k, nr, dl)
+      gated(s"sharded_k${k}_r${nr}")(sharded(k, nr, dl))
     }
 
     val load1 = osBean.getSystemLoadAverage
@@ -478,6 +544,11 @@ object StreamBench {
       }
       s""","vs_prior":{"record":"${f.getName}",${ratios.mkString(",")}}"""
     }.getOrElse("")
+    // record-level verdict: green ONLY when every row's kept bracket sat
+    // under the gate — the streaming analog of the batch line's hok/hrej
+    val hok = rowHealth.forall(_._2.ok)
+    val hrej = rowHealth.map(_._2.brackets.size - 1).sum +
+      rowHealth.count(!_._2.ok)
     println(s"""{"metric":"stream_record_eps","rules":${rules.size},""" +
       s""""dispatch":"rule_dispatch",""" +
       f""""batch_merged_eps":${(n / mergedBatchSec).toLong},""" +
@@ -485,6 +556,7 @@ object StreamBench {
       s"""$mergedS,$unionS,$statefulS,${scalingS.mkString(",")},""" +
       s""""sharded":[${shardedRows.mkString(",")}],""" +
       f""""load":[$load0%.2f,$load1%.2f],"calib":$calib%.3f,"calib_mt":$calibMt%.3f""" +
+      f""","hok":$hok,"hrej":$hrej,"hgate":$gate%.3f""" +
       s"""$vs,"input_corrected":true,"state_store":"rocksdb"}""")
   }
 
