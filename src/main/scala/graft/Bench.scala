@@ -460,7 +460,16 @@ object Bench {
     val gate = sys.env.get("GRAFT_BENCH_HEALTH_MAX")
       .flatMap(s => scala.util.Try(s.toDouble).toOption)
       .getOrElse(HealthGateDefault)
-    val (passes, health) = gatedPasses(reps, gate, MaxExtraPasses,
+    // the retry budget is a WALL-CLOCK knob, not a standards knob: more
+    // extra rotations only buy more chances to land `reps` clean-bracket
+    // passes inside a bursty window — hok:true still requires every
+    // counted pass's bracket at-or-under the UNCHANGED gate. Override for
+    // a host whose co-tenant bursts recur faster than 7 rotations drain
+    // (the r17 host: clean 40% of brackets, bursts every 2-4 min).
+    val maxExtra = sys.env.get("GRAFT_BENCH_MAX_EXTRA")
+      .flatMap(s => scala.util.Try(s.toInt).toOption)
+      .getOrElse(MaxExtraPasses)
+    val (passes, health) = gatedPasses(reps, gate, maxExtra,
       () => calibMtSecs(), () => runPass())
     if (!health.ok)
       System.err.println(

@@ -556,10 +556,11 @@ object RuleCompiler {
     * the file is an ordinary co-resident rule and always deploys (r16
     * verdict/advisor: the old all-or-nothing generate silently disabled
     * unreferenced siblings). Documented limits, rejected as None:
-    * temporal correlations with ref counts other than 2 (ordered ≥3-rule
-    * chains), correlation types beyond the four above, non-numeric
-    * thresholds, timespans without a fixed length, and refs that don't
-    * resolve within the same file. */
+    * UNORDERED temporal correlations with more than 2 refs (the pair
+    * correlator's two slots; ordered chains of any length run through
+    * [[graft.streaming.SequenceRules.correlateChain]]), correlation types
+    * beyond the four above, non-numeric thresholds, timespans without a
+    * fixed length, and refs that don't resolve within the same file. */
   def compileCorrelationFile(yamlText: String): Option[CompiledRepo] =
     compileCorrelationDocs(loadAllDocs(yamlText))
 
@@ -628,13 +629,14 @@ object RuleCompiler {
         case "temporal" | "temporal_ordered" =>
           for {
             gapUs <- timeframeMicros(timespan)
-            // the pair correlator holds exactly two slots; ≥3-rule chains
-            // are the documented unimplemented surface
-            if refs.size == 2
+            // unordered pairs exactly two (the pair correlator's two
+            // slots); ORDERED chains take any length ≥ 2
+            // (SequenceRules.correlateChain)
+            if refs.size == 2 || (typ == "temporal_ordered" && refs.size > 2)
           } yield CompiledCorr(refs, generate, None,
             Some(SequenceRules.SequenceRule(
               corrMeta(cdoc, bases.map(_.where).reduce[Pred](Or(_, _))),
-              bases(0), bases(1), gapUs, keyCol,
+              bases, gapUs, keyCol,
               ordered = typ == "temporal_ordered")))
         case _ => None
       }

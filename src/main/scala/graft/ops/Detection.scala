@@ -483,6 +483,27 @@ object Detection {
             col("rule.severity").as("severity"))
           .orderBy("origins")
       }),
+      // ORDERED 3-step chain (round 17): temporal_ordered with three refs
+      // through SequenceRules.correlateChain — greedy latest-prefix
+      // semantics, whole chain within the gap, alert carries count=3 and
+      // all three uuids in rule order. The oracle replays the compiled
+      // artifact as LAYERED carry-forward windows (one level per chain
+      // step), so step assignment (first-match on overlapping
+      // predicates), the order guard, and the head-anchored gap all
+      // hash-check.
+      "tf_correlation_chain" -> ((s: SparkSession, dir: String) => {
+        import graft.streaming.SequenceRules
+        SequenceRules.alertsFor(nested(s, dir), compiledChainRule)
+          .select(
+            col("rule_name"), col("computer_name"), col("host"),
+            col("event.count").as("n"),
+            unix_micros(col("event.start")).as("start_us"),
+            unix_micros(col("event.end")).as("end_us"),
+            to_json(col("event.origin_ids")).as("origins"),
+            to_json(col("threat")).as("threat"),
+            col("rule.severity").as("severity"))
+          .orderBy("origins")
+      }),
       // FULL-SCHEMA combined job (round 15, r14 verdict #2): both rule
       // classes through alertsCombined, asserting the complete reference
       // alert row — event scalars, the threat struct, and all 8 rule-struct
@@ -783,6 +804,71 @@ object Detection {
   private[graft] def compiledTemporalRule: graft.streaming.SequenceRules.SequenceRule =
     graft.compile.RuleCompiler.compileCorrelationFile(compiledTemporalYaml)
       .getOrElse(sys.error("temporal correlation compile failed")).sequence.head
+
+  /** ORDERED 3-step chain correlation file (tf_correlation_chain, r17):
+    * the `temporal_ordered` type with three refs — full-mask access, then
+    * a rundll32-sourced access, then a debug-helper call trace on the
+    * same host, the whole chain within 7 days
+    * (SequenceRules.correlateChain; the ≥3-ref carve-out the r16 verdict
+    * named). Field choice matters in the synth corpus: the three pools
+    * (GrantedAccess 7, SourceImage 9, CallTrace 13) are coprime with the
+    * 50-host stride, so every host sees all three steps and chains
+    * actually form (TargetImage's size-5 pool is host-CONSTANT — a chain
+    * over it can never complete, Detection pool derivation). The
+    * predicates still OVERLAP on some events (coprime pools co-occur),
+    * exercising the documented first-match step assignment. */
+  private[graft] val compiledChainYaml: String =
+    """title: Full Mask
+      |name: full_mask
+      |level: low
+      |logsource:
+      |    category: process_access
+      |detection:
+      |    selection:
+      |        GrantedAccess: '0x1FFFFF'
+      |    condition: selection
+      |---
+      |title: Rundll Source
+      |name: rundll_src
+      |level: medium
+      |logsource:
+      |    category: process_access
+      |detection:
+      |    selection:
+      |        SourceImage|endswith: '\rundll32.exe'
+      |    condition: selection
+      |---
+      |title: Debug Helper Trace
+      |name: dbghelp_trace
+      |level: medium
+      |logsource:
+      |    category: process_access
+      |detection:
+      |    selection:
+      |        CallTrace|contains: 'dbghelp.dll'
+      |    condition: selection
+      |---
+      |title: Staged Credential Access Chain
+      |description: ordered three-step chain per host
+      |author: graft
+      |level: critical
+      |tags:
+      |    - attack.credential_access
+      |    - attack.t1003.001
+      |correlation:
+      |    type: temporal_ordered
+      |    rules:
+      |        - full_mask
+      |        - rundll_src
+      |        - dbghelp_trace
+      |    group-by:
+      |        - computer_name
+      |    timespan: 7d
+      |""".stripMargin
+
+  private[graft] def compiledChainRule: graft.streaming.SequenceRules.SequenceRule =
+    graft.compile.RuleCompiler.compileCorrelationFile(compiledChainYaml)
+      .getOrElse(sys.error("chain correlation compile failed")).sequence.head
 
   /** Regex-literal quoting for [[fixSigmaWildcards]]: backslash-escape
     * every metacharacter EXCEPT `{`, which goes through a character class
@@ -1103,6 +1189,58 @@ object Detection {
           ORDER BY origins"""
     }
 
+    // r17: the ordered 3-step chain — LAYERED carry-forward windows, one
+    // level per chain step (the 2-step technique above, composed): w1
+    // stamps every row with the latest step-0 head at-or-before it; w2
+    // stamps the latest VALID step-1 row (one whose own head sat within
+    // the gap), carrying that row's head and both uuids; a step-2 row
+    // emits when its carried chain is within the head-anchored gap —
+    // exactly correlateChain's greedy latest-prefix state replayed
+    // declaratively.
+    val tfCorrelationChainSql = {
+      val r = compiledChainRule
+      val key = duckKey(r.keyCol)
+      val Seq(p0, p1, p2) = r.rules.map(_.where.toDuckDb(duckField))
+      val gap = r.gapUs
+      val valid1 = s"kind = 1 AND h0_ts IS NOT NULL AND ts_us - h0_ts <= $gap"
+      s"""WITH evs AS (
+            SELECT $key AS key, epoch_us(ts) AS ts_us,
+                   CASE WHEN ($p0) THEN 0 WHEN ($p1) THEN 1 ELSE 2 END AS kind,
+                   uuid, host
+            FROM ($synthSql) WHERE ($p0) OR ($p1) OR ($p2)),
+          w1 AS (
+            SELECT key, ts_us, kind, uuid, host,
+                   last_value(CASE WHEN kind = 0 THEN ts_us END IGNORE NULLS)
+                     OVER win AS h0_ts,
+                   last_value(CASE WHEN kind = 0 THEN uuid END IGNORE NULLS)
+                     OVER win AS h0_uuid
+            FROM evs
+            WINDOW win AS (PARTITION BY key ORDER BY ts_us, kind, uuid
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          w2 AS (
+            SELECT key, ts_us, kind, uuid, host,
+                   last_value(CASE WHEN $valid1 THEN ts_us END IGNORE NULLS)
+                     OVER win AS c1_ts,
+                   last_value(CASE WHEN $valid1 THEN h0_ts END IGNORE NULLS)
+                     OVER win AS c1_head,
+                   last_value(CASE WHEN $valid1 THEN h0_uuid END IGNORE NULLS)
+                     OVER win AS c1_u0,
+                   last_value(CASE WHEN $valid1 THEN uuid END IGNORE NULLS)
+                     OVER win AS c1_u1
+            FROM w1
+            WINDOW win AS (PARTITION BY key ORDER BY ts_us, kind, uuid
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+          SELECT ${Pred.sq(r.meta.name)} AS rule_name, key AS computer_name, host,
+                 CAST(3 AS BIGINT) AS n,
+                 c1_head AS start_us, ts_us AS end_us,
+                 to_json([c1_u0, c1_u1, uuid]) AS origins,
+                 ${threatJson(r.meta)} AS threat, ${r.meta.severity} AS severity
+          FROM w2
+          WHERE kind = 2 AND c1_ts IS NOT NULL AND ts_us >= c1_ts
+            AND ts_us - c1_head <= $gap
+          ORDER BY origins"""
+    }
+
     val tfCompiledBatterySql = compiledTfBattery.map { r =>
       s"""SELECT ${Pred.sq(r.base.name)} AS rule_name, computer_name,
             min(host) AS host, count(*) AS n,
@@ -1176,6 +1314,7 @@ object Detection {
       ("tf_correlation_doc" -> tfCorrelationSql) +
       ("tf_correlation_multikey" -> tfCorrelationMultikeySql) +
       ("tf_correlation_temporal" -> tfCorrelationTemporalSql) +
+      ("tf_correlation_chain" -> tfCorrelationChainSql) +
       ("sig_tf_combined_shape" -> combinedShapeSql)
   }
 }

@@ -85,15 +85,24 @@ object SequenceRules {
   // loop rejected the document type.
   // ------------------------------------------------------------------
 
-  /** A COMPILED temporal correlation: two referenced base rules, a time
-    * gap, a group key. `ordered = false` (Sigma `temporal`): the two rule
-    * matches may occur in either order within the gap; `ordered = true`
-    * (`temporal_ordered`): `first` must precede `second`. `keyCol` is any
-    * Spark SQL expression over the sysmon frame (single column or the
-    * composite `concat_ws` key multi-field `group-by` compiles to). */
+  /** A COMPILED temporal correlation: N referenced base rules, a time
+    * gap, a group key. `ordered = false` (Sigma `temporal`): exactly two
+    * rules, matched in either order within the gap; `ordered = true`
+    * (`temporal_ordered`): the rules must match in document order, the
+    * whole chain inside the gap — any length ≥ 2 (the [[correlateChain]]
+    * operator; 2-rule ordered runs the same pair correlator as unordered,
+    * the two are equivalent at n=2). `keyCol` is any Spark SQL expression
+    * over the sysmon frame (single column or the composite `concat_ws`
+    * key multi-field `group-by` compiles to). */
   final case class SequenceRule(
-      meta: RuleDef, first: RuleDef, second: RuleDef,
-      gapUs: Long, keyCol: String, ordered: Boolean)
+      meta: RuleDef, rules: Seq[RuleDef],
+      gapUs: Long, keyCol: String, ordered: Boolean) {
+    require(rules.size >= 2, "a temporal correlation needs at least two rules")
+    require(ordered || rules.size == 2,
+      "unordered temporal correlation pairs exactly two rules")
+    def first: RuleDef = rules.head
+    def second: RuleDef = rules(1)
+  }
 
   /** One event entering a compiled pair-correlator. kind: 0 = matched the
     * correlation's FIRST referenced rule, 1 = the second (an event
@@ -150,51 +159,120 @@ object SequenceRules {
     out.result().iterator
   }
 
+  /** The best (latest-headed) chain covering rule steps 0..i for a key:
+    * the first event's time (span anchor), the step-i event's time (order
+    * anchor for step i+1), and every chain event's uuid (provenance). */
+  final case class ChainLink(head_ts_us: Long, last_ts_us: Long, uuids: Seq[String])
+
+  /** Per-key chain state: one [[ChainLink]] slot per completed prefix
+    * length — O(chain length) slots, each O(chain length) uuids, never a
+    * buffer of events. */
+  final case class ChainState(links: Map[Int, ChainLink])
+
+  /** A completed ordered chain: the emitting (last) event's host, the
+    * span bounds, and all N uuids in rule order. */
+  final case class ChainMatch(key: String, host: String,
+      start_ts_us: Long, end_ts_us: Long, uuids: Seq[String])
+
+  /** Ordered N-step chain correlation (Sigma `temporal_ordered`, ≥3 refs
+    * — the r16 verdict's named carve-out): rules[0] → rules[1] → … →
+    * rules[n-1] on one key, in order, the WHOLE chain within `gapUs` of
+    * its first event. Greedy latest-prefix semantics, the chain analog of
+    * [[correlatePair]]'s latest-opposite-slot: an event of step i extends
+    * the LATEST valid chain covering steps 0..i-1 (valid = this event is
+    * at-or-after that chain's last event AND within the gap of its
+    * head); a completed step n-1 emits ONE match. Deterministic: in-batch
+    * rows process in (ts, kind, uuid) order — a full chain at one
+    * timestamp completes (step order breaks the tie), mirrored by the
+    * oracle's layered carry-forward windows over the same triple. State
+    * is one slot per prefix length; an out-of-order event across
+    * micro-batches fails the at-or-after guard, the same drop the pair
+    * correlator applies. */
+  def correlateChain(gapUs: Long, n: Int)(
+      key: String, rows: Iterator[PairEvent], state: GroupState[ChainState])
+      : Iterator[ChainMatch] = {
+    var links = state.getOption.map(_.links).getOrElse(Map.empty[Int, ChainLink])
+    val out = Vector.newBuilder[ChainMatch]
+    rows.toVector.sortBy(e => (e.ts_us, e.kind, e.uuid)).foreach { e =>
+      val prefix: Option[ChainLink] =
+        if (e.kind == 0) Some(ChainLink(e.ts_us, e.ts_us, Seq.empty))
+        else links.get(e.kind - 1).filter(p =>
+          e.ts_us >= p.last_ts_us && e.ts_us - p.head_ts_us <= gapUs)
+      prefix.foreach { p =>
+        val link = ChainLink(p.head_ts_us, e.ts_us, p.uuids :+ e.uuid)
+        links = links.updated(e.kind, link)
+        if (e.kind == n - 1)
+          out += ChainMatch(key, e.host, link.head_ts_us, e.ts_us, link.uuids)
+      }
+    }
+    state.update(ChainState(links))
+    out.result().iterator
+  }
+
   /** Batch AND streaming runner for a COMPILED [[SequenceRule]] over a
     * nested sysmon frame (`event_data` struct + `timestamp`/`uuid`/`host`,
     * the same input [[graft.engine.AlertPipeline.ruleAlerts]] takes).
     * Emits the reference's full alert row plus the battery's leading
-    * `rule_name` convenience column: a correlated pair is ONE alert whose
-    * event struct carries count=2, origin_ids=[first uuid, second uuid],
-    * start/end = the two event times in time order — the pair analog of
-    * the timeframe battery's windowed alert. Streaming callers drop
-    * `rule_name` at the sink exactly like the combined job, so the sink
-    * schema stays the invariant 5-column row.
+    * `rule_name` convenience column: a correlated pair/chain is ONE alert
+    * whose event struct carries count=N, origin_ids=[each step's uuid in
+    * rule order], start/end = the chain's time bounds — the sequence
+    * analog of the timeframe battery's windowed alert. Streaming callers
+    * drop `rule_name` at the sink exactly like the combined job, so the
+    * sink schema stays the invariant 5-column row.
     *
-    * Scale: one hash shuffle on the key; O(1) state per key (two slots —
-    * never evicted, so state size is key cardinality, the same bound the
-    * reference's per-host alerting carries); the predicate filter and
-    * event projection are narrow codegen'd transforms. */
+    * An event matching several of the rule predicates takes the FIRST
+    * matching step (document order, deterministic — the oracle's CASE
+    * mirrors it). Scale: one hash shuffle on the key; O(chain length)
+    * state per key (slots, never event buffers — state size is key
+    * cardinality × N, the same bound the reference's per-host alerting
+    * carries); the predicate filter and event projection are narrow
+    * codegen'd transforms. */
   def alertsFor(sysmon: DataFrame, rule: SequenceRule): DataFrame = {
     val s: SparkSession = sysmon.sparkSession
     import s.implicits._
     import graft.engine.AlertPipeline
     val field: String => Column = f => col("event_data").getField(f)
-    val isA = rule.first.where.toColumn(field)
-    val isB = rule.second.where.toColumn(field)
-    val evs = sysmon.filter(isA || isB)
+    val preds = rule.rules.map(_.where.toColumn(field))
+    val kind = preds.zipWithIndex.init.foldRight(
+      lit(rule.rules.size - 1): Column) { case ((p, i), rest) =>
+      when(p, i).otherwise(rest)
+    }
+    val evs = sysmon.filter(preds.reduce(_ || _))
       .select(
         expr(rule.keyCol).cast("string").as("key"),
         unix_micros(col("timestamp")).as("ts_us"),
-        when(isA, 0).otherwise(1).as("kind"),
+        kind.as("kind"),
         col("uuid"), col("host"))
       .as[PairEvent]
-    val matched = evs.groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        correlatePair(rule.gapUs, rule.ordered))
+    val grouped = evs.groupByKey(_.key)
+    // (key, host, start_us, end_us, origin uuids) for either correlator
+    val matched: DataFrame =
+      if (rule.ordered && rule.rules.size > 2)
+        grouped.flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+          correlateChain(rule.gapUs, rule.rules.size))
+          .toDF().select(col("key"), col("host"),
+            col("start_ts_us").as("start_us"), col("end_ts_us").as("end_us"),
+            col("uuids").as("origin_ids"))
+      else
+        grouped.flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+          correlatePair(rule.gapUs, rule.ordered))
+          .toDF().select(col("key"), col("host"),
+            least(col("a_ts_us"), col("b_ts_us")).as("start_us"),
+            greatest(col("a_ts_us"), col("b_ts_us")).as("end_us"),
+            array(col("a_uuid"), col("b_uuid")).as("origin_ids"))
     val m = element_at(AlertPipeline.metaLiteral(Seq(rule.meta)), lit(1))
-    matched.toDF().select(
+    matched.select(
       lit(rule.meta.name).as("rule_name"),
       col("key").as("computer_name"),
       col("host"),
       struct(
         lit("signal").as("kind"),
         m.getField("module").as("module"),
-        array(col("a_uuid"), col("b_uuid")).as("origin_ids"),
-        lit(2L).as("count"),
-        timestamp_micros(least(col("a_ts_us"), col("b_ts_us"))).as("start"),
-        timestamp_micros(greatest(col("a_ts_us"), col("b_ts_us"))).as("end"),
-        timestamp_micros(greatest(col("a_ts_us"), col("b_ts_us"))).as("time")).as("event"),
+        col("origin_ids"),
+        lit(rule.rules.size.toLong).as("count"),
+        timestamp_micros(col("start_us")).as("start"),
+        timestamp_micros(col("end_us")).as("end"),
+        timestamp_micros(col("end_us")).as("time")).as("event"),
       AlertPipeline.threatStruct(m),
       AlertPipeline.ruleStruct(m))
   }

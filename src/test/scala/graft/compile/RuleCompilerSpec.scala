@@ -287,9 +287,17 @@ class RuleCompilerSpec extends AnyFunSuite {
       """  type: temporal_ordered
         |  rules: [base_a, base_b]
         |  timespan: 30m""".stripMargin)).get.sequence.head.ordered)
-    // rejections: 3-rule temporal chains (two state slots), unresolved
-    // ref, non-numeric threshold (advisor r16: must reject as None, not
-    // crash the directory walk), unknown type
+    // ORDERED chains accept any length >= 2 (correlateChain, r17): a
+    // 3-step chain compiles with the refs in document order
+    val ch = compileCorrelationFile(corrFile(
+      """  type: temporal_ordered
+        |  rules: [base_a, base_b, base_a]
+        |  timespan: 2h""".stripMargin)).get.sequence.head
+    assert(ch.ordered && ch.rules.map(_.name) == Seq("Base A", "Base B", "Base A"))
+    assert(ch.gapUs == 7200000000L)
+    // rejections: 3-rule UNORDERED temporal (the pair correlator's two
+    // slots), unresolved ref, non-numeric threshold (advisor r16: must
+    // reject as None, not crash the directory walk), unknown type
     assert(compileCorrelationFile(corrFile(
       """  type: temporal
         |  rules: [base_a, base_b, base_a]

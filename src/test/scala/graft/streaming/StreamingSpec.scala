@@ -564,6 +564,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chain correlation: ordered 3-step chain completes across micro-batches (r17)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import SequenceRules.{ChainMatch, PairEvent}
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val mem = MemoryStream[PairEvent]
+    val matches = mem.toDS().groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        SequenceRules.correlateChain(gapUs = 100000000L, n = 3))
+    val q = matches.writeStream.format("memory").queryName("chain_t1")
+      .outputMode("append").start()
+    try {
+      // batch 1: steps 0 and 1 on h1 (the prefix persists in state); a
+      // step-1 on h2 with no head builds nothing
+      mem.addData(
+        PairEvent("h1", 1000000L, 0, "u-a", "host1"),
+        PairEvent("h1", 2000000L, 1, "u-b", "host1"),
+        PairEvent("h2", 2000000L, 1, "u-x", "host2"))
+      q.processAllAvailable()
+      assert(spark.table("chain_t1").count() == 0)
+      // batch 2: a step-2 on h1 completes the chain FROM STATE (uuids in
+      // rule order, span = head..now); h2's step-2 has no valid prefix
+      mem.addData(
+        PairEvent("h1", 50000000L, 2, "u-c", "host1"),
+        PairEvent("h2", 50000000L, 2, "u-y", "host2"))
+      q.processAllAvailable()
+      val out = spark.table("chain_t1").as[ChainMatch].collect().toSeq
+      assert(out == Seq(
+        ChainMatch("h1", "host1", 1000000L, 50000000L, Seq("u-a", "u-b", "u-c"))))
+      // batch 3: a step-2 beyond the head-anchored gap (150s - 1s > 100s)
+      // matches nothing — the span anchors at the chain HEAD, not the
+      // previous step
+      mem.addData(PairEvent("h1", 150000000L, 2, "u-d", "host1"))
+      q.processAllAvailable()
+      assert(spark.table("chain_t1").count() == 1)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join with watermarks (§2.3 streaming joins)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
