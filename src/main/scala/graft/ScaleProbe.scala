@@ -76,7 +76,12 @@ object ScaleProbe {
     // compiled pipes — all alertsBattery/alertsCombined shapes over the
     // replicated events table
     "tf_compiled_battery", "sig_tf_combined_shape",
-    "tf_compiled_groupby", "tf_compiled_distinct")
+    "tf_compiled_groupby", "tf_compiled_distinct",
+    // round 17: the composite-key battery plan and the two pair/chain
+    // correlators (flatMapGroupsWithState over the replicated events
+    // table — the state shuffle + per-key slot state is what scales)
+    "tf_correlation_multikey", "tf_correlation_temporal",
+    "tf_correlation_chain")
 
   def main(args: Array[String]): Unit = {
     val spillMode = args.headOption.contains("spill")
