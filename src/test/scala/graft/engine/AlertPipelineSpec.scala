@@ -107,7 +107,11 @@ class AlertPipelineSpec extends SparkSpec {
       Detection.compiledTfYaml,       // count() > 1, key computer_name
       Detection.compiledTfGroupByYaml, // count() by host > 1
       Detection.compiledTfDistinctYaml) // count(SourceImage) >= 2
-      .map(y => graft.compile.RuleCompiler.compileTimeframe(y).get)
+      .map(y => graft.compile.RuleCompiler.compileTimeframe(y).get) :+
+      // r17: the composite multi-field group-by key renders verbatim into
+      // the GROUP BY (colExpr passes expressions through) — u1/u2 share
+      // (host, SourceImage) within the day, so the rule fires
+      Detection.compiledMultikeyRule
     for (rule <- rules) {
       val viaSql = canon(spark.sql(
         graft.compile.RuleCompiler.renderTimeframeSql(rule, "tf_sql_fixture")))
