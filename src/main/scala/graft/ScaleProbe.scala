@@ -81,7 +81,10 @@ object ScaleProbe {
     // correlators (flatMapGroupsWithState over the replicated events
     // table — the state shuffle + per-key slot state is what scales)
     "tf_correlation_multikey", "tf_correlation_temporal",
-    "tf_correlation_chain")
+    "tf_correlation_chain",
+    // round 18: the any-order n-slot correlator (same stateful shape,
+    // per-kind latest slots)
+    "tf_correlation_anyorder")
 
   def main(args: Array[String]): Unit = {
     val spillMode = args.headOption.contains("spill")

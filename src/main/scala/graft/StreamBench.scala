@@ -453,7 +453,11 @@ object StreamBench {
     // into the row, contended rows retried from a SHARED budget (rows
     // cost minutes; unbounded per-row retries could double a ~25 min
     // record), and the record line carries hok/hrej like the batch bench.
-    val gate = sys.env.get("GRAFT_BENCH_HEALTH_MAX").map(_.toDouble)
+    // same Try-guarded read as Bench's consumer of this env var (advisor
+    // r17): a malformed value degrades to the default gate on BOTH
+    // consumers instead of crashing a ~25-minute record run here
+    val gate = sys.env.get("GRAFT_BENCH_HEALTH_MAX")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption)
       .getOrElse(Bench.HealthGateDefault)
     var retryBudget = 3
     val rowHealth = scala.collection.mutable.ArrayBuffer.empty[(String, RowHealth)]

@@ -504,6 +504,28 @@ object Detection {
             col("rule.severity").as("severity"))
           .orderBy("origins")
       }),
+      // ANY-ORDER 3-ref temporal (round 18, r17 verdict #3): the modern
+      // Sigma `temporal` type with three refs — all three signals on one
+      // host, any order, within the timespan — through
+      // SequenceRules.correlateAnyOrder (one latest-slot per kind, emit
+      // when all kinds land within the gap of the oldest participating
+      // slot). The oracle replays the compiled artifact as per-kind
+      // carry-forward windows over the same (ts, kind, uuid) order, so
+      // slot semantics, the oldest-anchored gap, and kind assignment
+      // (first-match on overlapping predicates) all hash-check.
+      "tf_correlation_anyorder" -> ((s: SparkSession, dir: String) => {
+        import graft.streaming.SequenceRules
+        SequenceRules.alertsFor(nested(s, dir), compiledAnyOrderRule)
+          .select(
+            col("rule_name"), col("computer_name"), col("host"),
+            col("event.count").as("n"),
+            unix_micros(col("event.start")).as("start_us"),
+            unix_micros(col("event.end")).as("end_us"),
+            to_json(col("event.origin_ids")).as("origins"),
+            to_json(col("threat")).as("threat"),
+            col("rule.severity").as("severity"))
+          .orderBy("origins")
+      }),
       // FULL-SCHEMA combined job (round 15, r14 verdict #2): both rule
       // classes through alertsCombined, asserting the complete reference
       // alert row — event scalars, the threat struct, and all 8 rule-struct
@@ -870,6 +892,69 @@ object Detection {
     graft.compile.RuleCompiler.compileCorrelationFile(compiledChainYaml)
       .getOrElse(sys.error("chain correlation compile failed")).sequence.head
 
+  /** ANY-ORDER 3-ref temporal correlation file (tf_correlation_anyorder,
+    * r18 — the r17 verdict's named grammar gap): the modern Sigma
+    * `temporal` type with THREE refs, all observed on the same host in
+    * ANY order within 3 days (SequenceRules.correlateAnyOrder — one
+    * latest-slot per kind, the chain state minus the order guard).
+    * Same three coprime-pool predicates as the chain fixture (GrantedAccess
+    * 7, SourceImage 9, CallTrace 13 — every host sees all three kinds),
+    * but a SHORTER timespan than the chain's 7d so the gap guard actually
+    * prunes some would-be matches, and no order requirement — the two
+    * queries' outputs differ structurally, not just in metadata. */
+  private[graft] val compiledAnyOrderYaml: String =
+    """title: Full Mask
+      |name: full_mask
+      |level: low
+      |logsource:
+      |    category: process_access
+      |detection:
+      |    selection:
+      |        GrantedAccess: '0x1FFFFF'
+      |    condition: selection
+      |---
+      |title: Rundll Source
+      |name: rundll_src
+      |level: medium
+      |logsource:
+      |    category: process_access
+      |detection:
+      |    selection:
+      |        SourceImage|endswith: '\rundll32.exe'
+      |    condition: selection
+      |---
+      |title: Debug Helper Trace
+      |name: dbghelp_trace
+      |level: medium
+      |logsource:
+      |    category: process_access
+      |detection:
+      |    selection:
+      |        CallTrace|contains: 'dbghelp.dll'
+      |    condition: selection
+      |---
+      |title: Converging Credential Access Signals
+      |description: three signals on one host in any order
+      |author: graft
+      |level: critical
+      |tags:
+      |    - attack.credential_access
+      |    - attack.t1003
+      |correlation:
+      |    type: temporal
+      |    rules:
+      |        - full_mask
+      |        - rundll_src
+      |        - dbghelp_trace
+      |    group-by:
+      |        - computer_name
+      |    timespan: 3d
+      |""".stripMargin
+
+  private[graft] def compiledAnyOrderRule: graft.streaming.SequenceRules.SequenceRule =
+    graft.compile.RuleCompiler.compileCorrelationFile(compiledAnyOrderYaml)
+      .getOrElse(sys.error("any-order correlation compile failed")).sequence.head
+
   /** Regex-literal quoting for [[fixSigmaWildcards]]: backslash-escape
     * every metacharacter EXCEPT `{`, which goes through a character class
     * — Pred.fixRegex re-escapes any bare `{` not opening a quantifier, so
@@ -1065,14 +1150,19 @@ object Detection {
     def duckCol(engineCol: String): String =
       duckField(engineCol.stripPrefix("event_data."))
 
-    // A compiled KEY expression → DuckDB: plain columns through duckCol;
-    // a composite multi-field key (concat_ws('|', …) from
-    // RuleCompiler.groupByKey) re-assembles from the same parts — DuckDB's
-    // concat_ws has identical NULL-skipping semantics
-    def duckKey(keyCol: String): String =
-      if (keyCol.startsWith("concat_ws('|', "))
-        keyCol.stripPrefix("concat_ws('|', ").stripSuffix(")")
-          .split(", ").map(duckCol).mkString("concat_ws('|', ", ", ", ")")
+    // A compiled KEY → DuckDB: plain columns through duckCol; a composite
+    // multi-field key re-assembles from the rule's carried `keyParts`
+    // (advisor r17: derived from the field list, never re-parsed from the
+    // rendered expression) with the SAME per-part escape
+    // RuleCompiler.groupByKey applies — backslashes doubled first, then
+    // '|' → '\|' (collision-free composite, r17 verdict #5). DuckDB's
+    // concat_ws has identical NULL-skipping semantics; its plain string
+    // literals carry backslashes verbatim where Spark's parser unescapes
+    // them, hence the different literal spellings for the same values.
+    def duckKey(keyCol: String, parts: Seq[String]): String =
+      if (parts.nonEmpty)
+        parts.map(p => s"replace(replace(${duckCol(p)}, '\\', '\\\\'), '|', '\\|')")
+          .mkString("concat_ws('|', ", ", ", ")")
       else duckCol(keyCol)
 
     // r16: the by-clause oracle groups by the COMPILED rule's key — the
@@ -1136,7 +1226,7 @@ object Detection {
     // key's field set, order, and separator all hash-check
     val tfCorrelationMultikeySql = {
       val r = compiledMultikeyRule
-      val key = duckKey(r.keyCol)
+      val key = duckKey(r.keyCol, r.keyParts)
       s"""SELECT ${Pred.sq(r.base.name)} AS rule_name, $key AS computer_name,
             min(host) AS host, count(*) AS n,
             (epoch_us(ts) // 86400000000) * 86400000000 AS start_us,
@@ -1158,7 +1248,7 @@ object Detection {
     // identically on both engines.
     val tfCorrelationTemporalSql = {
       val r = compiledTemporalRule
-      val key = duckKey(r.keyCol)
+      val key = duckKey(r.keyCol, r.keyParts)
       val predA = r.first.where.toDuckDb(duckField)
       val predB = r.second.where.toDuckDb(duckField)
       s"""WITH evs AS (
@@ -1199,7 +1289,7 @@ object Detection {
     // declaratively.
     val tfCorrelationChainSql = {
       val r = compiledChainRule
-      val key = duckKey(r.keyCol)
+      val key = duckKey(r.keyCol, r.keyParts)
       val Seq(p0, p1, p2) = r.rules.map(_.where.toDuckDb(duckField))
       val gap = r.gapUs
       val valid1 = s"kind = 1 AND h0_ts IS NOT NULL AND ts_us - h0_ts <= $gap"
@@ -1238,6 +1328,45 @@ object Detection {
           FROM w2
           WHERE kind = 2 AND c1_ts IS NOT NULL AND ts_us >= c1_ts
             AND ts_us - c1_head <= $gap
+          ORDER BY origins"""
+    }
+
+    // r18: the any-order 3-ref temporal — per-kind carry-forward windows
+    // (the pair technique, one lane per kind): each row sees the latest
+    // event of EVERY kind at-or-before it in (ts, kind, uuid) order
+    // (itself included for its own kind — exactly correlateAnyOrder's
+    // update-then-check); it emits when all three lanes are populated and
+    // the span back to the oldest lane is within the gap.
+    val tfCorrelationAnyOrderSql = {
+      val r = compiledAnyOrderRule
+      val key = duckKey(r.keyCol, r.keyParts)
+      val Seq(p0, p1, p2) = r.rules.map(_.where.toDuckDb(duckField))
+      val gap = r.gapUs
+      val lanes = (0 to 2).map { k =>
+        s"""last_value(CASE WHEN kind = $k THEN ts_us END IGNORE NULLS)
+                     OVER win AS k${k}_ts,
+                   last_value(CASE WHEN kind = $k THEN uuid END IGNORE NULLS)
+                     OVER win AS k${k}_uuid"""
+      }.mkString(",\n                   ")
+      s"""WITH evs AS (
+            SELECT $key AS key, epoch_us(ts) AS ts_us,
+                   CASE WHEN ($p0) THEN 0 WHEN ($p1) THEN 1 ELSE 2 END AS kind,
+                   uuid, host
+            FROM ($synthSql) WHERE ($p0) OR ($p1) OR ($p2)),
+          w AS (
+            SELECT key, ts_us, kind, uuid, host,
+                   $lanes
+            FROM evs
+            WINDOW win AS (PARTITION BY key ORDER BY ts_us, kind, uuid
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+          SELECT ${Pred.sq(r.meta.name)} AS rule_name, key AS computer_name, host,
+                 CAST(3 AS BIGINT) AS n,
+                 least(k0_ts, k1_ts, k2_ts) AS start_us, ts_us AS end_us,
+                 to_json([k0_uuid, k1_uuid, k2_uuid]) AS origins,
+                 ${threatJson(r.meta)} AS threat, ${r.meta.severity} AS severity
+          FROM w
+          WHERE k0_ts IS NOT NULL AND k1_ts IS NOT NULL AND k2_ts IS NOT NULL
+            AND ts_us - least(k0_ts, k1_ts, k2_ts) <= $gap
           ORDER BY origins"""
     }
 
@@ -1315,6 +1444,7 @@ object Detection {
       ("tf_correlation_multikey" -> tfCorrelationMultikeySql) +
       ("tf_correlation_temporal" -> tfCorrelationTemporalSql) +
       ("tf_correlation_chain" -> tfCorrelationChainSql) +
+      ("tf_correlation_anyorder" -> tfCorrelationAnyOrderSql) +
       ("sig_tf_combined_shape" -> combinedShapeSql)
   }
 }

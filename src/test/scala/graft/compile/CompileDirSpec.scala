@@ -156,6 +156,75 @@ class CompileDirSpec extends AnyFunSuite {
     assert(!sq.ordered && sq.meta.severity == 9)
   }
 
+  test("compileDirAll routes any-order temporal files; unsupported correlations skip with a warning, not silently (r18)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-corr-any-yaml")
+    java.nio.file.Files.write(tmp.resolve("anyorder.yml"),
+      graft.ops.Detection.compiledAnyOrderYaml.getBytes("UTF-8"))
+    val repo = RuleCompiler.compileDirAll(tmp.toString)
+    assert(repo.stateless.isEmpty && repo.timeframe.isEmpty)
+    val Seq(sq) = repo.sequence
+    assert(sq.meta.name == "Converging Credential Access Signals")
+    assert(sq.rules.map(_.name) == Seq("Full Mask", "Rundll Source", "Debug Helper Trace"))
+    assert(!sq.ordered && sq.gapUs == 3L * 86400 * 1000000)
+    // an UNSUPPORTED correlation type in the same directory is skipped
+    // WITH a stderr warning naming the file (advisor r17: the old silent
+    // None was the same coverage-loss class as silent count-pipe drops)
+    java.nio.file.Files.write(tmp.resolve("value_sum.yml"),
+      graft.ops.Detection.compiledAnyOrderYaml
+        .replace("type: temporal", "type: value_sum").getBytes("UTF-8"))
+    val err = new java.io.ByteArrayOutputStream()
+    val prev = System.err
+    System.setErr(new java.io.PrintStream(err, true, "UTF-8"))
+    val r2 = try RuleCompiler.compileDirAll(tmp.toString)
+             finally System.setErr(prev)
+    assert(r2.sequence.size == 1) // the good file still deploys
+    val msg = err.toString("UTF-8")
+    assert(msg.contains("value_sum.yml") && msg.contains("not deployed"), msg)
+  }
+
+  test("one throwing rule cannot take down the directory walk: compileDirAll logs and continues (r18, advisor r17)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bad-rule-yaml")
+    // a count() pipe outside the bare-identifier grammar THROWS in aggSpec
+    // (the loud reject r16 asked for) — e.g. a dotted ECS-style by-field
+    java.nio.file.Files.write(tmp.resolve("a_bad.yml"),
+      """title: Dotted By Field
+        |level: low
+        |logsource:
+        |  category: process_access
+        |detection:
+        |  selection:
+        |    F: v
+        |  timeframe: 5m
+        |  condition: selection | count() by user.name > 3
+        |""".stripMargin.getBytes("UTF-8"))
+    java.nio.file.Files.write(tmp.resolve("b_good.yml"),
+      """title: Good Rule
+        |level: low
+        |logsource:
+        |  category: process_access
+        |detection:
+        |  selection:
+        |    F: v
+        |  condition: selection
+        |""".stripMargin.getBytes("UTF-8"))
+    // aggSpec still throws when called directly — the loud signal stands
+    intercept[IllegalArgumentException] {
+      RuleCompiler.compileTimeframe(new String(java.nio.file.Files.readAllBytes(
+        tmp.resolve("a_bad.yml")), "UTF-8"))
+    }
+    // ...but the DIRECTORY walk survives it: the bad file is logged with
+    // its path and the good rule still deploys
+    val err = new java.io.ByteArrayOutputStream()
+    val prev = System.err
+    System.setErr(new java.io.PrintStream(err, true, "UTF-8"))
+    val repo = try RuleCompiler.compileDirAll(tmp.toString)
+               finally System.setErr(prev)
+    assert(repo.stateless.map(_.name) == Seq("Good Rule"))
+    assert(repo.timeframe.isEmpty && repo.sequence.isEmpty)
+    val msg = err.toString("UTF-8")
+    assert(msg.contains("a_bad.yml") && msg.contains("not deployed"), msg)
+  }
+
   test("fan-out probe's synthetic rule corpus compiles through the directory path") {
     // the 1000-rule probe's YAML must exercise the REAL compileDir
     // pipeline — pin here that the generated document compiles to the

@@ -261,7 +261,11 @@ class RuleCompilerSpec extends AnyFunSuite {
         |    gte: 2""".stripMargin)).get
     assert(gen.stateless.map(_.name).toSet == Set("Base A", "Base B"))
     // multi-field group-by compiles to ONE composite concat_ws key (r17;
-    // rejected through r16) — field order is document order
+    // rejected through r16) — field order is document order; r18: each
+    // part is backtick-quoted and separator-escaped (backslashes doubled
+    // FIRST, then '|' → '\|') so a field value containing '|' cannot
+    // collide two distinct key tuples, and the resolved parts ride
+    // keyParts so oracles rebuild the key without re-parsing the text
     val mk = compileCorrelationFile(corrFile(
       """  type: event_count
         |  rules: [base_a]
@@ -269,7 +273,10 @@ class RuleCompilerSpec extends AnyFunSuite {
         |  timespan: 1h
         |  condition:
         |    gte: 2""".stripMargin)).get.timeframe.head
-    assert(mk.keyCol == "concat_ws('|', host, event_data.TargetUser)")
+    assert(mk.keyCol ==
+      "concat_ws('|', replace(replace(host, '\\\\', '\\\\\\\\'), '|', '\\\\|'), " +
+        "replace(replace(event_data.`TargetUser`, '\\\\', '\\\\\\\\'), '|', '\\\\|'))")
+    assert(mk.keyParts == Seq("host", "event_data.TargetUser"))
     // temporal compiles to a SequenceRules pair correlator (r17; rejected
     // through r16): refs in order, timespan as micros, unordered
     val tc = compileCorrelationFile(corrFile(
@@ -295,12 +302,20 @@ class RuleCompilerSpec extends AnyFunSuite {
         |  timespan: 2h""".stripMargin)).get.sequence.head
     assert(ch.ordered && ch.rules.map(_.name) == Seq("Base A", "Base B", "Base A"))
     assert(ch.gapUs == 7200000000L)
-    // rejections: 3-rule UNORDERED temporal (the pair correlator's two
-    // slots), unresolved ref, non-numeric threshold (advisor r16: must
-    // reject as None, not crash the directory walk), unknown type
-    assert(compileCorrelationFile(corrFile(
+    // 3-ref UNORDERED temporal compiles to the any-order correlator
+    // (r18 — rejected through r17, the r17 verdict's named grammar gap)
+    val ao = compileCorrelationFile(corrFile(
       """  type: temporal
         |  rules: [base_a, base_b, base_a]
+        |  timespan: 1h""".stripMargin)).get.sequence.head
+    assert(!ao.ordered && ao.rules.map(_.name) == Seq("Base A", "Base B", "Base A"))
+    assert(ao.gapUs == 3600000000L)
+    // rejections: single-ref temporal, unresolved ref, non-numeric
+    // threshold (advisor r16: must reject as None, not crash the
+    // directory walk), unknown type
+    assert(compileCorrelationFile(corrFile(
+      """  type: temporal
+        |  rules: [base_a]
         |  timespan: 1h""".stripMargin)).isEmpty)
     assert(compileCorrelationFile(corrFile(
       """  type: event_count

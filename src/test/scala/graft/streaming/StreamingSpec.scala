@@ -602,6 +602,132 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sequence-correlator state expires once the watermark passes the gap; in-gap pairs still match across the boundary (r18)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import SequenceRules.{SeqAlert, SeqEvent}
+    val mem = MemoryStream[SeqEvent]
+    // gap 20s, zero-delay watermark: streaming input routes through the
+    // EventTimeTimeout expiry path inside SequenceRules.alerts (r18)
+    val alerts = SequenceRules.alerts(mem.toDS(), gapUs = 20000000L,
+      watermarkDelay = "0 seconds")
+    val q = alerts.writeStream.format("memory").queryName("seq_exp")
+      .outputMode("append").start()
+    try {
+      // batch 1: an A on k-stale at t=10s → one state row; wm := 10s
+      mem.addData(SeqEvent("k-stale", 1L, 10000000L, 0))
+      q.processAllAvailable()
+      // batch 2: a B on k-stale at t=25s pairs FROM STATE across the
+      // boundary (gap 15s ≤ 20s — the timeout, armed for t=30s, has not
+      // fired yet); an A on k-live at t=100s; wm := 100s afterwards
+      mem.addData(SeqEvent("k-stale", 2L, 25000000L, 1),
+        SeqEvent("k-live", 3L, 100000000L, 0))
+      q.processAllAvailable()
+      assert(spark.table("seq_exp").as[SeqAlert].collect().toSeq ==
+        Seq(SeqAlert("k-stale", 2L, 1L, 15000000L)))
+      // batch 3 runs with wm=100s, past k-stale's timeout (A@10s + gap
+      // 20s): the stale key's state DROPS; k-live still pairs its own B
+      mem.addData(SeqEvent("k-live", 4L, 110000000L, 1))
+      q.processAllAvailable()
+      assert(spark.table("seq_exp").count() == 2)
+      val st = q.lastProgress.stateOperators
+      assert(st.length == 1 && st(0).numRowsTotal == 1) // only k-live survives
+      // batch 4: a LATE B on k-stale inside what was the gap window — the
+      // state is gone (and the row is behind the watermark): no alert
+      mem.addData(SeqEvent("k-stale", 5L, 28000000L, 1))
+      q.processAllAvailable()
+      assert(spark.table("seq_exp").count() == 2)
+    } finally q.stop()
+  }
+
+  test("any-order correlation: 3 refs complete in any order across micro-batches, stale keys expire (r18)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import SequenceRules.{ChainMatch, PairEvent}
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val mem = MemoryStream[PairEvent]
+    val matches = mem.toDS()
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "0 seconds")
+      .as[PairEvent]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        SequenceRules.correlateAnyOrder(gapUs = 100000000L, n = 3, expire = true))
+    val q = matches.writeStream.format("memory").queryName("any_t1")
+      .outputMode("append").start()
+    try {
+      // batch 1: kinds 2 and 0 land OUT of document order on h1 (slots
+      // park); a lone kind-1 on h2 parks a slot that will go stale
+      mem.addData(
+        PairEvent("h1", 1000000L, 2, "u-c", "host1"),
+        PairEvent("h1", 2000000L, 0, "u-a", "host1"),
+        PairEvent("h2", 2000000L, 1, "u-x", "host2"))
+      q.processAllAvailable()
+      assert(spark.table("any_t1").count() == 0)
+      // batch 2: kind 1 completes h1 FROM STATE — uuids in RULE order,
+      // span = oldest slot .. this event (49s ≤ 100s gap)
+      mem.addData(PairEvent("h1", 50000000L, 1, "u-b", "host1"))
+      q.processAllAvailable()
+      assert(spark.table("any_t1").as[ChainMatch].collect().toSeq == Seq(
+        ChainMatch("h1", "host1", 1000000L, 50000000L, Seq("u-a", "u-b", "u-c"))))
+      // batches 3-4: far-future h1 events walk the watermark past h2's
+      // (slot + gap) timeout → h2's parked slot expires; h1 re-arms and
+      // survives (its span 399s > gap also emits nothing new)
+      mem.addData(PairEvent("h1", 400000000L, 0, "u-d", "host1"))
+      q.processAllAvailable()
+      mem.addData(PairEvent("h1", 410000000L, 0, "u-e", "host1"))
+      q.processAllAvailable()
+      assert(spark.table("any_t1").count() == 1)
+      val st = q.lastProgress.stateOperators
+      assert(st.length == 1 && st(0).numRowsTotal == 1) // h2 expired; h1 alive
+    } finally q.stop()
+  }
+
+  test("compiled temporal rule deploys with event-time expiry: watermarked sysmon source under EventTimeTimeout (r18)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // (computer_name, host, uuid, event_id, CommandLine, TargetImage, timestamp)
+    val mem = MemoryStream[(String, String, String, Long, String, String, java.sql.Timestamp)]
+    val src = mem.toDF()
+      .toDF("computer_name", "host", "uuid", "event_id", "cl", "ti", "timestamp")
+      .withColumn("event_data",
+        struct(col("cl").as("CommandLine"), col("ti").as("TargetImage")))
+      .drop("cl", "ti")
+      .withWatermark("timestamp", "0 seconds")
+    // the compiled Sigma `temporal` artifact (cmdkey recon + lsass access
+    // per computer_name within 12h) — the same rule tf_correlation_temporal
+    // oracle-checks in batch, here running the streaming expiry path
+    val alerts = SequenceRules.alertsFor(src, graft.ops.Detection.compiledTemporalRule)
+    val q = alerts.writeStream.format("memory").queryName("seq_dep")
+      .outputMode("append").start()
+    def ts(t: String) = java.sql.Timestamp.valueOf(t)
+    val lsass = "C:\\Windows\\System32\\lsass.exe"
+    try {
+      // batch 1: recon on pcA
+      mem.addData(("pcA", "hA", "u1", 1L, "cmdkey /list", "", ts("2024-01-01 00:00:00")))
+      q.processAllAvailable()
+      // batch 2: lsass access on pcA 30 min later → ONE alert from state,
+      // count=2, both uuids
+      mem.addData(("pcA", "hA", "u2", 10L, "", lsass, ts("2024-01-01 00:30:00")))
+      q.processAllAvailable()
+      val out = spark.table("seq_dep").collect()
+      assert(out.length == 1)
+      assert(out(0).getAs[String]("computer_name") == "pcA")
+      assert(out(0).getAs[Row]("event").getAs[Long]("count") == 2L)
+      // batches 3-4: pcB recon 26h later walks the watermark past pcA's
+      // (last event + 12h gap) timeout → pcA's slots expire; pcB's fresh
+      // state is the only survivor (proves EventTimeTimeout engaged, not
+      // the NoTimeout fallback)
+      mem.addData(("pcB", "hB", "u3", 1L, "cmdkey /list", "", ts("2024-01-02 02:30:00")))
+      q.processAllAvailable()
+      mem.addData(("pcB", "hB", "u4", 1L, "cmdkey /list", "", ts("2024-01-02 03:00:00")))
+      q.processAllAvailable()
+      val st = q.lastProgress.stateOperators
+      assert(st.length == 1 && st(0).numRowsTotal == 1)
+      assert(spark.table("seq_dep").count() == 1)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join with watermarks (§2.3 streaming joins)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
