@@ -201,6 +201,22 @@ object GraftFunctions {
           "actualNum" -> children.length.toString, "docroot" -> "-"))
     })
 
+  /** md5_grams(words, width) — fused positional binary-md5 gram array;
+    * width must be a literal (baked into the kernel at plan-build time). */
+  val md5Grams: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("md5_grams"),
+    new ExpressionInfo(classOf[Md5GramsExpr].getName, "md5_grams"),
+    {
+      case Seq(arr, w) =>
+        Md5GramsExpr(arr,
+          foldableArg("md5_grams", "width", "INT", w).asInstanceOf[Number].intValue())
+      case children => throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> "md5_grams", "expectedNum" -> "2 (array, literal width)",
+          "actualNum" -> children.length.toString, "docroot" -> "-"))
+    })
+
   /** bloom_might_contain(key, bytes) — the filter bytes must be a literal
     * (deserialized once at plan build, attached to codegen as a reference
     * object). */
@@ -349,6 +365,8 @@ object GraftFunctions {
       shingleFnv._1, shingleFnv._2, shingleFnv._3)
     spark.sessionState.functionRegistry.registerFunction(
       ngramsWs._1, ngramsWs._2, ngramsWs._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      md5Grams._1, md5Grams._2, md5Grams._3)
     spark.sessionState.functionRegistry.registerFunction(
       wordIds._1, wordIds._2, wordIds._3)
     spark.sessionState.functionRegistry.registerFunction(

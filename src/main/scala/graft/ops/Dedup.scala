@@ -420,9 +420,18 @@ object Dedup {
           concat_ws(" ", concat(expr("slice(w, 31, 10)"), expr("slice(w, 1, 30)"))).as("text"))
       val docs = base.unionAll(planted)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
+      graft.functions.GraftFunctions.register(s)
       val grams = docs.filter(size(col("w")) >= L)
-        .select(col("doc_id"), posexplode(expr(
-          s"transform(sequence(0, size(w) - $L), i -> md5(concat_ws(' ', slice(w, i + 1, $L))))"))
+        // gram key via the fused md5_grams kernel: the 16-byte BINARY
+        // digest per start position — bit-identical dup decisions to the
+        // former `transform(sequence…, i -> md5(concat_ws(' ', slice…)))`
+        // spelling (Md5GramsExprSpec pins the equivalence), but the
+        // lambda ran on the interpreted HOF path and every gram paid a
+        // slice() allocation + a concat string build + a hex encode; the
+        // kernel streams word bytes into one incremental digest. The
+        // binary key also halves the checkpoint and both gram-keyed
+        // shuffles vs the 32-char hex string (guide §2.3 narrower types).
+        .select(col("doc_id"), posexplode(expr(s"md5_grams(w, $L)"))
           .as(Seq("i", "g")))
         .localCheckpoint() // 2 consumers: global count + marking
       // NO broadcast hint on the dup set: it scales with the CORPUS'S

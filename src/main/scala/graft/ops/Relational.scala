@@ -26,13 +26,22 @@ object Relational {
     // reference exposes (CREATE TEMPORARY VIEW + SQL text). TPC-H Q3 shape.
     "sql_q3_shipping" -> ((s, dir) => {
       Tables.registerAll(s, dir)
+      // The filtered customer⋈orders side (a few % of orders) is the
+      // broadcast side; without the hint Spark's size estimate put the
+      // pruned LINEITEM scan under autoBroadcastJoinThreshold and
+      // collected the whole fact table to the driver (r18 plan audit:
+      // BroadcastExchange over lineitem, BuildRight) — backwards at any
+      // scale. The hint pins the scale-correct shape: lineitem streams,
+      // the dim side broadcasts. Same joins, same rows out.
       s.sql("""
-        SELECT l_orderkey AS okey,
+        SELECT /*+ BROADCAST(co) */ l_orderkey AS okey,
                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
                unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS odate_us
-        FROM customer JOIN orders ON c_custkey = o_custkey
-                      JOIN lineitem ON l_orderkey = o_orderkey
-        WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1997-01-01'
+        FROM (SELECT o_orderkey, o_orderdate
+              FROM customer JOIN orders ON c_custkey = o_custkey
+              WHERE c_mktsegment = 'BUILDING'
+                AND o_orderdate < TIMESTAMP '1997-01-01') co
+        JOIN lineitem ON l_orderkey = o_orderkey
         GROUP BY l_orderkey, o_orderdate
         ORDER BY revenue DESC, okey LIMIT 10""")
     }),
@@ -44,17 +53,23 @@ object Relational {
     // classic Q5 trap (it constrains supplier nation = customer nation).
     "sql_q5_local_supplier" -> ((s, dir) => {
       Tables.registerAll(s, dir)
+      // Same broadcast-side fix as sql_q3_shipping: the date-filtered
+      // customer⋈orders side broadcasts (bounded by the order count in
+      // the window, not the fact table), lineitem streams. Without the
+      // hint the r18 plan audit showed the whole 4-column lineitem scan
+      // as the build side of a BroadcastHashJoin.
       s.sql("""
-        SELECT n_name AS nation,
+        SELECT /*+ BROADCAST(co) */ n_name AS nation,
                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-        FROM customer
-          JOIN orders   ON c_custkey = o_custkey
+        FROM (SELECT o_orderkey, c_nationkey
+              FROM customer JOIN orders ON c_custkey = o_custkey
+              WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+                AND o_orderdate < TIMESTAMP '1997-01-01') co
           JOIN lineitem ON l_orderkey = o_orderkey
           JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
           JOIN nation   ON s_nationkey = n_nationkey
           JOIN region   ON n_regionkey = r_regionkey
-        WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1995-01-01'
-          AND o_orderdate < TIMESTAMP '1997-01-01'
+        WHERE r_name = 'ASIA'
         GROUP BY n_name
         ORDER BY revenue DESC, nation""")
     }),

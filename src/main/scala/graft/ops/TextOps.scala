@@ -996,6 +996,10 @@ object TextOps {
             bm25Terms.zipWithIndex.map { case (t, i) =>
               (size(col("toks")) - size(array_remove(col("toks"), t))).as(s"tf$i")
             }: _*)
+        .localCheckpoint() // 2 consumers (stats agg + scoring): one split +
+        // per-term tf pass over the corpus instead of two — the narrow
+        // (doc_id, dl, tf0..tfN) int frame is far cheaper to materialize
+        // than the token split is to recompute
       val stats = docs.agg(
         count(lit(1)).as("n"),
         avg(col("dl")).as("avgdl") +:
@@ -1028,6 +1032,7 @@ object TextOps {
             bm25Terms.zipWithIndex.map { case (t, i) =>
               (size(col("toks")) - size(array_remove(col("toks"), t))).as(s"tf$i")
             }: _*)
+        .localCheckpoint() // 2 consumers, same rationale as text_bm25_topk
       val stats = docs.agg(
         count(lit(1)).as("n"),
         avg(col("dl")).as("avgdl") +:
@@ -1675,6 +1680,10 @@ object TextOps {
       val tf = Tables(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
         .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+        .localCheckpoint() // 2 consumers: the df/idf aggregate + the score
+        // probe — without the checkpoint the full explode + (doc, word)
+        // aggregation ran TWICE (r18 plan audit: two Generate+HashAggregate
+        // chains over documents.parquet in one plan)
       val nd = Tables(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
       val idf = tf.groupBy("word").agg(count(lit(1)).as("df"))
         .crossJoin(broadcast(nd))
