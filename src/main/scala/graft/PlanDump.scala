@@ -4,7 +4,6 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.debug.codegenStringSeq
 
 /** Dump `.explain("formatted")` for a comma-separated list of registry
   * queries (or `all`) into one file per query — the plan evidence the

@@ -383,16 +383,26 @@ object GraftFunctions {
       bpeApply._1, bpeApply._2, bpeApply._3)
     // bounded-state distributed top-k: topkN_ids(score, id) → struct(ids).
     // k=3 is the ANN result size; k=8 is the quantized-scan candidate pool
-    // reranked exactly by sim_q8_rerank.
-    spark.udf.register("topk3_ids",
-      org.apache.spark.sql.functions.udaf(new TopKAgg(3),
-        org.apache.spark.sql.Encoders.product[ScoredId]))
-    spark.udf.register("topk8_ids",
-      org.apache.spark.sql.functions.udaf(new TopKAgg(8),
-        org.apache.spark.sql.Encoders.product[ScoredId]))
-    spark.udf.register("topk3_scored",
-      org.apache.spark.sql.functions.udaf(new TopKScoredAgg(3),
-        org.apache.spark.sql.Encoders.product[ScoredId]))
+    // reranked exactly by sim_q8_rerank. Native TypedImperativeAggregate
+    // (TopKIdsExpr) since r18 — the udaf Aggregator wrapper paid a
+    // Catalyst→Scala conversion plus an immutable-Seq rebuild per
+    // candidate row (the MinKCollectExpr lesson); TopKAggSpec pins parity
+    // against the retained Aggregator reference implementation.
+    def topk(name: String, k: Int, withScores: Boolean): Unit =
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[TopKIdsExpr].getName, name),
+        {
+          case Seq(s, i) => TopKIdsExpr(s, i, k, withScores)
+          case children => throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> name, "expectedNum" -> "2",
+              "actualNum" -> children.length.toString, "docroot" -> "-"))
+        })
+    topk("topk3_ids", 3, withScores = false)
+    topk("topk8_ids", 8, withScores = false)
+    topk("topk3_scored", 3, withScores = true)
     // KMV distinct-count sketch over 52-bit md5-derived hashes: bounded
     // mergeable state (≤64 longs per group), replayable bit-for-bit by the
     // DuckDB oracle — see KmvSketchAgg for the full rationale.

@@ -28,9 +28,13 @@ object Detection {
 
   final case class Pool(field: String, off: Int, values: Seq[String]) {
     def size: Int = values.size
-    /** Spark side: element_at over a literal array, 1-based. */
+    /** Spark side: element_at over a literal array, 1-based. The array is
+      * a typedlit — ONE pre-folded Literal node, not |values| Literal
+      * children under an array() the optimizer must constant-fold on
+      * every plan build (the AlertPipeline.metaLiteral lesson; matters
+      * because the fan-out queries inline one copy per union branch). */
     def column: Column =
-      element_at(array(values.map(lit): _*),
+      element_at(typedlit(values),
         ((col("event_id") + off) % size + 1).cast("int"))
     /** DuckDB side: list_extract over the same literals, 1-based. */
     def duckExpr: String =
@@ -231,6 +235,12 @@ object Detection {
         // scan + synth projection here). Materializing the shared input
         // restores the statement-set cost model while keeping the
         // N-branch plan shape. (alertsMerged is the 1000-rule scale path.)
+        // (r18 A/B, rejected: checkpointing only the narrow (event_id, ts)
+        // source and deriving the pool fields per branch cut the
+        // materialization job 0.22→0.10 s but grew the per-invocation
+        // DRIVER planning ~0.7 s — each of the 25 branches then carries
+        // the full synth projection for the optimizer to push its filter
+        // through. The wide checkpoint keeps the branch plans flat.)
         val src = nested(s, dir).localCheckpoint()
         val alerts = AlertPipeline.alerts(src, ReferenceCorpus.active)
         alerts.groupBy(col("rule.name").as("rule_name"))

@@ -51,4 +51,35 @@ class TopKAggSpec extends AnyFunSuite {
       assert(buf.items.lengthCompare(k) <= 0)
     }
   }
+
+  // ---- native TypedImperativeAggregate (TopKIdsExpr, r18) parity ----
+  // The registered topkN_ids / topk3_scored functions now run the native
+  // buffer; the Aggregator above stays as the reference implementation.
+
+  private def nativeTopK(xs: List[ScoredId], kk: Int,
+      split: Int): (Seq[Long], Seq[Double]) = {
+    val e = TopKIdsExpr(null, null, kk, withScores = true)
+    val (a, b) = xs.splitAt(split)
+    def fill(part: List[ScoredId]): TopKBuffer = {
+      val buf = e.createAggregationBuffer()
+      part.foreach(s => buf.insert(s.score, s.id))
+      buf
+    }
+    // round-trip one side through serialize/deserialize like a real
+    // partial-merge would
+    val merged = e.merge(fill(a), e.deserialize(e.serialize(fill(b))))
+    (merged.ids.take(merged.n).toSeq, merged.scores.take(merged.n).toSeq)
+  }
+
+  test("native buffer matches the Aggregator reference on every split") {
+    for (kk <- Seq(3, 8); xs <- cases(4)) {
+      val want = xs.sortBy(s => (-s.score, s.id)).take(kk)
+      val rnd = new Random(xs.hashCode ^ kk)
+      val cut = if (xs.isEmpty) 0 else rnd.nextInt(xs.length + 1)
+      val (ids, scores) = nativeTopK(xs, kk, cut)
+      assert(ids == want.map(_.id), (kk, xs, cut))
+      assert(scores == want.map(_.score), (kk, xs, cut))
+      assert(ids.size <= kk)
+    }
+  }
 }
