@@ -58,6 +58,18 @@ object AlertPipeline {
   private def strArray(vs: Seq[String]): Column =
     if (vs.isEmpty) array().cast("array<string>") else array(vs.map(lit): _*)
 
+  /** Pre-folded constant shapes for [[ruleAlerts]]'s per-rule threat/rule
+    * structs (field names = the reference sink schema). One Literal node
+    * each instead of ~15 foldable children per struct per union branch —
+    * the metaLiteral lesson applied to the statement-set fan-out, where
+    * the optimizer re-folds every branch's projection on every plan
+    * build. */
+  private case class ThreatLit(tactic: Seq[String], technique: Seq[String],
+      subtechnique: Seq[String])
+  private case class RuleLit(name: String, author: String, category: String,
+      severity: Int, description: String, reference: Seq[String],
+      version: String, source: String)
+
   /** One rule's alert projection (the outer SELECT of each reference INSERT,
     * windows-process-access.sql:77-89): constant threat/rule structs +
     * per-event `event` struct with kind='signal', origin_ids=[uuid],
@@ -74,19 +86,11 @@ object AlertPipeline {
         col("timestamp").as("start"),
         col("timestamp").as("end"),
         col("timestamp").as("time")).as("event"),
-      struct(
-        strArray(rule.tactic).as("tactic"),
-        strArray(rule.technique).as("technique"),
-        strArray(rule.subtechnique).as("subtechnique")).as("threat"),
-      struct(
-        lit(rule.name).as("name"),
-        lit(rule.author).as("author"),
-        lit(rule.category).as("category"),
-        lit(rule.severity).as("severity"),
-        lit(rule.description).as("description"),
-        strArray(rule.references).as("reference"),
-        lit(rule.version).as("version"),
-        lit(rule.source).as("source")).as("rule"))
+      typedlit(ThreatLit(rule.tactic, rule.technique, rule.subtechnique))
+        .as("threat"),
+      typedlit(RuleLit(rule.name, rule.author, rule.category, rule.severity,
+        rule.description, rule.references, rule.version, rule.source))
+        .as("rule"))
 
   /** The full fan-out: UNION ALL of every rule's filter→project. Bag
     * semantics — an event matching k rules emits k alerts, exactly like
