@@ -124,25 +124,42 @@ object Bench {
     * and the complete map lives in the detail file regardless. This is
     * what makes the record robust to list growth rather than tuned to the
     * current size (the r1/r6 lesson); BenchSpec asserts the cap holds at
-    * the current headline size + 5 with worst-case timings. */
+    * the current headline size + 5 with worst-case timings.
+    *
+    * FIELD ORDER is part of the robustness story since round 19: the
+    * driver keeps only the LAST ~2 KB of output, and when the line plus
+    * sbt's trailing "[success] …" overflows that window it is the line's
+    * HEAD that falls off (BENCH_r17: head clipped mid-token → `parsed:
+    * null`; BENCH_r18: clipped 15 bytes and only a lenient regex saved
+    * it). So the droppable metadata (reps/protocol/cpus/health) renders
+    * FIRST and the fields the driver contract actually needs — value,
+    * queries, sf — render LAST: a clip eats self-description before it
+    * can touch the record. The full headline list cannot fit a hard
+    * ≤1800-byte line (72 query names alone render to 1,846 bytes and the
+    * contract forbids dropping entries), so the defense is layered:
+    * total line small enough to fit the window with a normal trailer,
+    * AND the critical suffix deep enough inside the window to survive an
+    * abnormal one (BenchSpec pins both budgets). */
   // Raised 1450 → 1800 in round 8 when the headline hit 57 queries and
   // the growth guard tripped (by design — growth must raise this
   // CONSCIOUSLY); raised 1800 → 1880 in round 9 at 69 queries, then
   // 1880 → 1920 at 71 queries + the calib_mt field, then 1920 → 1940 in
   // round 12 for the 17-byte "protocol" field, then 1940 → 1956 in round
   // 16 for the ~21-byte health-gate fields (hok/hrej — realistic line:
-  // ~1946 bytes, measured). Margin math: the driver's tail capture keeps
-  // the LAST ~2 KB and the compact line prints last, so 1 956 leaves 92
-  // bytes for sbt's trailing "[success] …" line (~75 bytes); the r6 loss
-  // was a 3.4 KB line. The headline list is effectively FULL at this cap —
-  // the next operator family goes to the scale probe, not the headline.
-  private[graft] val lineCap = 1956
+  // ~1946 bytes, measured). Round 19 (after the r17 record's head was
+  // clipped at 1,946 + a long trailer): lowered to 1930 by moving `load`
+  // and `calib` to the detail file (calib_mt is the binding health
+  // metric; hok/hrej summarize the gate) while ADDING `cpus` so a
+  // scaling record self-describes. Realistic line ≈ 1,919 bytes; the
+  // headline list is effectively FULL at this cap — the next operator
+  // family goes to the scale probe, not the headline.
+  private[graft] val lineCap = 1930
   private[graft] def compactLine(results: Seq[Timing], reps: Int, sf: String,
       extra: String = ""): String = {
     val total = results.map(_._2).sum
     def render(rs: Seq[Timing], omitted: Int): String = {
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","reps":$reps,"protocol":"$Protocol","queries":${jmap(rs)(_._2)}$om$extra,"sf":$sf}"""
+      f"""{"metric":"headline_total","unit":"sec","reps":$reps,"protocol":"$Protocol"$extra,"value":$total%.3f,"queries":${jmap(rs)(_._2)}$om,"sf":$sf}"""
     }
     var kept = results
     var line = render(kept, 0)
@@ -154,21 +171,39 @@ object Bench {
     line
   }
 
-  /** Host-comparability fields (~60 bytes) for the record line: the 1-min
-    * system load average read before and after the timed reps, the wall
-    * time of a FIXED single-thread CPU loop, and the wall time of the
-    * SAME loop run on every core at once (calib_mt). The r8 official
-    * record was load-inflated ~35% and only a full judge re-run could
-    * tell; round 9 then hit the OTHER failure mode — single-thread calib
-    * normal (0.11 s) while a multi-process probe measured only ~19.5 of
-    * 32 effective cores (co-tenant contention), inflating every 32-thread
-    * query ~1.5-2× uniformly. calib_mt sees exactly that: on a healthy
-    * host it ≈ calib; under core contention it stretches by the
-    * oversubscription factor. With all three, any reader can normalize a
-    * record against another round's without re-running the bench. */
-  private[graft] def comparability(load0: Double, load1: Double,
-      calib: Double, calibMt: Double): String =
-    f""","load":[$load0%.2f,$load1%.2f],"calib":$calib%.3f,"calib_mt":$calibMt%.3f"""
+  /** Byte budget for the suffix the driver's parser actually needs —
+    * `"value":…,"queries":{…},"sf":…}` plus the worst trailer ever
+    * observed — inside the driver's ~2 KB end-kept window. BenchSpec
+    * asserts the realistic line satisfies it. */
+  private[graft] val TailWindow = 2000
+  private[graft] val TrailerAllowance = 170
+  private[graft] def criticalSuffix(line: String): String =
+    line.substring(line.indexOf(""","value":""") + 1)
+
+  /** Host-comparability fields. The COMPACT line carries only the two
+    * that adjudication needs per record — the core count the session ran
+    * with (r18 verdict: `suspect_cpus_ignored` could not be judged from
+    * the record alone) and calib_mt, the binding health metric (round 9:
+    * single-thread calib normal while core contention inflated every
+    * 32-thread query 1.5-2× — calib_mt stretches by exactly that factor).
+    * The FULL set (1-min load averages bracketing the reps, single-thread
+    * calib, calib_mt) rides the detail file via [[comparabilityFull]],
+    * where size is free — the compact line's byte budget is the binding
+    * constraint (see lineCap; `load`/`calib` moved off the line in round
+    * 19 after the r17 record's head was clipped). */
+  private[graft] def comparability(cpus: String, calibMt: Double): String =
+    f""","cpus":${cpusJson(cpus)}%s,"calib_mt":$calibMt%.3f"""
+
+  /** Every host-comparability reading, for the detail file. */
+  private[graft] def comparabilityFull(cpus: String, load0: Double,
+      load1: Double, calib: Double, calibMt: Double): String =
+    f""""cpus":${cpusJson(cpus)}%s,"load":[$load0%.2f,$load1%.2f],"calib":$calib%.3f,"calib_mt":$calibMt%.3f"""
+
+  /** $SPARK_GRAFT_CPUS as a JSON value — a number when numeric (the
+    * driver contract), quoted otherwise (e.g. a manual "*" run must not
+    * make the record unparseable — the round-1 sf-field lesson). */
+  private def cpusJson(cpus: String): String =
+    if (cpus.matches("[0-9]+")) cpus else "\"" + cpus.replace("\"", "") + "\""
 
   // sink defeats dead-code elimination of the calibration loop
   @volatile private var calibSink = 0L
@@ -482,7 +517,7 @@ object Bench {
     val load1 = osBean.getSystemLoadAverage
     val calib = calibSecs()
     val calibMt = calibMtSecs()
-    val extra = comparability(load0, load1, calib, calibMt) + healthCompact(health)
+    val extra = comparability(cpus, calibMt) + healthCompact(health)
     val sf = sfOf(sfDir)
     // normalized cross-round comparison, same-sf prior records only (a
     // local sf0.001 smoke must not "compare" against the sf0.1 record)
@@ -493,7 +528,9 @@ object Bench {
       else vsPrior(results, calib, calibMt, f.getName, pq, pc, pcm)
     }.getOrElse("")
     val detailPath = sys.env.getOrElse("GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
-    val detailExtra = Seq(vs, healthJson(health)).filter(_.nonEmpty).mkString(",\n")
+    val detailExtra = Seq(
+      comparabilityFull(cpus, load0, load1, calib, calibMt),
+      vs, healthJson(health)).filter(_.nonEmpty).mkString(",\n")
     try Files.write(Paths.get(detailPath),
       detailJson(results, reps, sf, detailExtra).getBytes(StandardCharsets.UTF_8))
     catch { case e: Throwable =>

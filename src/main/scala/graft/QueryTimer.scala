@@ -48,11 +48,45 @@ object QueryTimer {
       spark.stop()
       return
     }
+    // GRAFT_PHASES=1 (round 19, VERDICT r18 #1): per-rep DRIVER-side
+    // breakdown. Splits each rep into plan-BUILD time (the query fn —
+    // every intermediate Dataset's eager analysis, localCheckpoint
+    // materialization included) vs the action, prints each executed
+    // query's Catalyst phase durations (analysis/optimization/planning)
+    // from its QueryPlanningTracker, and dumps the per-rule Catalyst
+    // time aggregated over the rep (RuleExecutor metering, reset at rep
+    // start) so the worst re-folded trees are attributable by NAME.
+    val phases = sys.env.contains("GRAFT_PHASES")
+    if (phases) {
+      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+          val ph = qe.tracker.phases.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"$k=${v.durationMs}ms" }.mkString(" ")
+          println(f"    exec[$funcName] ${durationNs / 1e9}%.3f s  $ph")
+        }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+      })
+    }
     val forceAll = sys.env.get("GRAFT_FORCE").contains("all")
     def force(): Long = {
+      if (phases) org.apache.spark.sql.catalyst.rules.RuleExecutor.resetMetrics()
+      val b0 = System.nanoTime()
       val df = fn(spark, dir)
-      if (forceAll) { df.write.format("noop").mode("overwrite").save(); -1L }
-      else df.count()
+      if (phases) println(f"    build: ${(System.nanoTime() - b0) / 1e9}%.3f s")
+      val n =
+        if (forceAll) { df.write.format("noop").mode("overwrite").save(); -1L }
+        else df.count()
+      if (phases) {
+        // top Catalyst rules by time over this rep (build + action)
+        val dump = org.apache.spark.sql.catalyst.rules.RuleExecutor.dumpTimeSpent()
+        val rows = dump.linesIterator
+          .filter(l => l.contains("org.apache.spark") && l.trim.nonEmpty)
+          .toSeq
+        rows.take(12).foreach(l => println("    " + l.trim.take(140)))
+      }
+      n
     }
     // warm-up: JIT, parquet footers, memoized stats — but ALSO the build
     // of any session-memoized index the query resolves through, so its

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -52,11 +52,18 @@ final class TopKBuffer(val k: Int) {
 case class TopKIdsExpr(score: Expression, id: Expression, k: Int,
     withScores: Boolean,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TopKBuffer] with BinaryLike[Expression] {
+  extends TypedImperativeAggregate[TopKBuffer] with BinaryLike[Expression]
+  with ImplicitCastInputTypes {
   require(k > 0, s"topk needs k > 0, got $k")
 
   override def left: Expression = score
   override def right: Expression = id
+  // the replaced udaf got encoder-driven coercion (an int score without a
+  // CAST worked); without declared input types a wrong-typed argument
+  // passed analysis and ClassCastException'd at execution (ADVICE r18)
+  // (Seq[DataType] — the declared Seq[AbstractDataType] supertype is
+  // private[sql]; covariant override)
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, LongType)
   override def prettyName: String =
     if (withScores) s"topk${k}_scored" else s"topk${k}_ids"
   override def nullable: Boolean = false

@@ -75,12 +75,27 @@ object IndexRefresh {
     Plan("dedup_sid_index", "documents", "dedup_incremental"),
     Plan("dedup_band_index", "documents", "dedup_incremental"),
     Plan("ngram_posting_index", "documents", "dedup_ngram_jaccard"),
-    Plan("decontam_bloom", "documents", "text_decontaminate_bloom"),
+    // the bench gid set is the UPSTREAM the bloom (and the exact
+    // verification join) is built from — registered since round 19
+    // (ADVICE r18: an unregistered gid set left a refreshed bloom rebuilt
+    // from STALE benchmark grams); the derivedFrom edge forces the bloom
+    // to rebuild whenever the gid set does for a non-fingerprint reason
+    // (e.g. its path missing), the shared source fingerprint covers the
+    // ordinary corpus-refresh case for both
+    Plan("decontam_bench_gids", "documents", "text_decontaminate_bloom"),
+    Plan("decontam_bloom", "documents", "text_decontaminate_bloom",
+      derivedFrom = Some("decontam_bench_gids")),
     Plan("bpe_merges", "documents", "text_bpe_tokens_fused"),
     Plan("bm25_postings", "documents", "text_bm25_multi"),
     Plan("bm25_dfs", "documents", "text_bm25_multi"),
     Plan("bm25_stats", "documents", "text_bm25_multi"),
     Plan("winnow_pair_index", "documents", "dedup_winnowing_pairs"),
+    // per-fp document frequencies of the pair index (ADVICE r18, same
+    // registration gap): derived metadata — a rebuilt posting index with
+    // adopted stale dfs would df-cap with frequencies inconsistent with
+    // the new postings
+    Plan("winnow_pair_dfs", "documents", "dedup_winnowing_pairs",
+      derivedFrom = Some("winnow_pair_index")),
     Plan("winnow_base_index", "documents", "dedup_winnowing_incr"),
     Plan("winnow_base_dfs", "documents", "dedup_winnowing_incr"),
     Plan("phash_sig_index", "documents", "mm_dedup_phash_incr"),

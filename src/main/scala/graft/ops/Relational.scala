@@ -31,8 +31,19 @@ object Relational {
       // pruned LINEITEM scan under autoBroadcastJoinThreshold and
       // collected the whole fact table to the driver (r18 plan audit:
       // BroadcastExchange over lineitem, BuildRight) — backwards at any
-      // scale. The hint pins the scale-correct shape: lineitem streams,
-      // the dim side broadcasts. Same joins, same rows out.
+      // scale. The hint pins the direction: lineitem streams, the dim
+      // side broadcasts. Same joins, same rows out.
+      // CEILING, documented (ADVICE r18): co is a constant FRACTION of
+      // orders (~15-30% under TPC-H distributions), not a key-domain-
+      // bounded dim — the forced hint stops being safe once co outgrows
+      // executor memory (roughly SF ≳ 100 at 16-byte rows ≈ several GB;
+      // the hard broadcast cap is 8 GB / 512M rows). A deployment at that
+      // scale drops the hint and corrects the ESTIMATE instead — ANALYZE
+      // TABLE statistics or spark.sql.adaptive.autoBroadcastJoinThreshold,
+      // so AQE picks the build side from co's ACTUAL post-filter size —
+      // which needs session-level conf, not a plan-level rewrite (why the
+      // hint stays here: the conf belongs to the deployment, and mutating
+      // the shared session at plan-build time is the r14 side-effect bug).
       s.sql("""
         SELECT /*+ BROADCAST(co) */ l_orderkey AS okey,
                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
@@ -54,10 +65,12 @@ object Relational {
     "sql_q5_local_supplier" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       // Same broadcast-side fix as sql_q3_shipping: the date-filtered
-      // customer⋈orders side broadcasts (bounded by the order count in
-      // the window, not the fact table), lineitem streams. Without the
-      // hint the r18 plan audit showed the whole 4-column lineitem scan
-      // as the build side of a BroadcastHashJoin.
+      // customer⋈orders side broadcasts — a FRACTION of orders (the
+      // 2-year window ≈ 30%), far smaller than lineitem but NOT
+      // key-domain-bounded; the same documented ceiling and deployment
+      // alternative as q3 applies. Without the hint the r18 plan audit
+      // showed the whole 4-column lineitem scan as the build side of a
+      // BroadcastHashJoin.
       s.sql("""
         SELECT /*+ BROADCAST(co) */ n_name AS nation,
                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

@@ -68,11 +68,42 @@ class BenchSpec extends AnyFunSuite {
       accepted = Seq((0.123, 0.131), (0.118, 0.126)),
       rejected = Seq((0.412, 0.387)))
     val line = Bench.compactLine(rs, reps = 3, sf = "0.1",
-      Bench.comparability(31.22, 30.85, 0.187, 0.374) +
-        Bench.healthCompact(health))
+      Bench.comparability("32", 0.374) + Bench.healthCompact(health))
     assert(!line.contains("queries_omitted"),
       "the current real list must fit the cap without truncation")
     assert(line.contains(""","hok":false,"hrej":1"""))
+    assert(line.contains(""","cpus":32,"""),
+      "scaling records must self-describe their core count (r18 verdict #2)")
+  }
+
+  test("r17 regression: line and critical suffix fit the driver's tail window") {
+    // The driver keeps the LAST ~2 KB of stdout; the r17 record lost its
+    // head to that window (parsed: null). Two budgets, both pinned:
+    //  (a) the whole realistic line + a NORMAL sbt trailer (~76 B) fits,
+    //      so a strict head-anchored parse sees the complete line;
+    //  (b) the suffix the driver contract needs — "value":…,"queries":…,
+    //      "sf":… — plus an ABNORMALLY long trailer (170 B) still fits,
+    //      so even a deep clip only eats self-description metadata
+    //      (reps/protocol/cpus/health), never the record itself.
+    val health = Bench.Health(ok = true, gate = 0.165,
+      accepted = Seq((0.123, 0.131), (0.118, 0.126), (0.120, 0.129)),
+      rejected = Seq.empty)
+    val rs = Bench.headline.map(nm => (nm, 9.99, 9.99, 9.99))
+    val line = Bench.compactLine(rs, reps = 3, sf = "0.1",
+      Bench.comparability("32", 0.177) + Bench.healthCompact(health))
+    val bytes = line.getBytes("UTF-8").length
+    assert(bytes <= Bench.lineCap, s"realistic line is $bytes bytes")
+    assert(bytes + 76 <= Bench.TailWindow,
+      s"line ($bytes B) + normal trailer must fit the ${Bench.TailWindow} B window")
+    val suffix = Bench.criticalSuffix(line).getBytes("UTF-8").length
+    assert(suffix + Bench.TrailerAllowance <= Bench.TailWindow,
+      s"critical suffix ($suffix B) + ${Bench.TrailerAllowance} B trailer " +
+        s"must fit the ${Bench.TailWindow} B window")
+    // the suffix really is the contract: value, full queries map, sf
+    val s = Bench.criticalSuffix(line)
+    assert(s.startsWith(""""value":""") && s.endsWith(""","sf":0.1}"""))
+    assert(Bench.parseRecord(s"noise${line.drop(40)}")._1.size == Bench.headline.size,
+      "a head-clipped line must still regex-parse the full queries map")
   }
 
   test("health gate: clean passes accept, a contended pass rejects and retries") {
@@ -118,15 +149,21 @@ class BenchSpec extends AnyFunSuite {
   }
 
   test("comparability fields render compactly, parse as JSON, and survive the cap") {
-    val extra = Bench.comparability(1.5, 2.25, 0.125, 0.25)
-    assert(extra == ""","load":[1.50,2.25],"calib":0.125,"calib_mt":0.250""")
-    // unavailable load average (-1 per the JDK contract) still renders as
-    // a valid JSON number
-    assert(Bench.comparability(-1.0, -1.0, 0.1, 0.2).contains("[-1.00,-1.00]"))
+    val extra = Bench.comparability("32", 0.25)
+    assert(extra == ""","cpus":32,"calib_mt":0.250""")
+    // a non-numeric cpu spec (manual local[*] run) must still render as
+    // valid JSON, not break the record (the round-1 sf-field lesson)
+    assert(Bench.comparability("*", 0.25) == ""","cpus":"*","calib_mt":0.250""")
+    // the detail file keeps the full set, including an unavailable load
+    // average (-1 per the JDK contract) as a valid JSON number
+    val full = Bench.comparabilityFull("32", -1.0, 2.25, 0.125, 0.25)
+    assert(full == """"cpus":32,"load":[-1.00,2.25],"calib":0.125,"calib_mt":0.250""")
     val line = Bench.compactLine(syntheticResults(Bench.headline.size + 5),
       reps = 3, sf = "0.1", extra)
     assert(line.getBytes("UTF-8").length < 1960)
-    assert(line.contains(""","load":[1.50,2.25],"calib":0.125,"calib_mt":0.250,"sf":0.1}"""))
+    // metadata renders BEFORE value/queries/sf (clip-robust field order)
+    assert(line.contains(""","cpus":32,"calib_mt":0.250,"value":"""))
+    assert(line.endsWith(""","sf":0.1}"""))
     // the calibration loops run and report plausible times. The MT run
     // here is CAPPED at 4 threads (the full-core loop belongs to the
     // real bench path only — in-test it adds cores × loop-time of wall
@@ -144,11 +181,15 @@ class BenchSpec extends AnyFunSuite {
 
   test("compact line carries the contract fields and only ONE per-query map") {
     val line = Bench.compactLine(syntheticResults(35), reps = 3, sf = "0.01")
-    assert(line.startsWith("""{"metric":"headline_total","value":"""))
+    assert(line.startsWith("""{"metric":"headline_total","unit":"sec""""))
     // the protocol field keeps cross-round totals comparable-or-labeled:
     // r10 (consecutive) vs r11 (interleaved, no warm) differed 1.54× on
     // identical code with nothing in either record saying why
-    assert(line.contains(""","unit":"sec","reps":3,"protocol":"iw1","queries":{"""))
+    assert(line.contains(""","reps":3,"protocol":"iw1""""))
+    // contract fields LAST (clip-robust order since round 19): a tail
+    // window that loses the head loses reps/protocol/cpus, never these
+    assert(line.contains(""","value":""") &&
+      line.indexOf(""","value":""") < line.indexOf(""""queries":{"""))
     assert(line.endsWith(""","sf":0.01}"""))
     // exactly one map: qmed/qmax belong to the detail FILE, not stdout
     assert(!line.contains("\"qmed\"") && !line.contains("\"qmax\""))

@@ -34,6 +34,9 @@ class DurableIndexSpec extends SparkSpec {
   // and ngram_posting_index (durable since round 6 but never round-
   // tripped here; IndexRefresh's registry audit surfaced the gap)
   // round-11: the mergeable CMS bigram profile (cms_bigram_base)
+  // round-19 (ADVICE r18): the r18 metadata artifacts — the winnowing
+  // pair-index dfs and the decontamination benchmark gid set — round-trip
+  // too, now that IndexRefresh registers them
   private val keys =
     Seq("dedup_sid_index", "dedup_band_index", "ivf_label_centarr", "q8_index",
       "semdedup_centarr", "semdedup_blocks", "decontam_bloom", "bpe_merges",
@@ -41,7 +44,8 @@ class DurableIndexSpec extends SparkSpec {
       "bm25_postings", "bm25_dfs", "bm25_stats",
       "winnow_base_index", "winnow_base_dfs", "knn_cluster_centarr",
       "knn_pagerank", "knn_edges_deg", "phash_sig_index", "card_by_lang",
-      "domain_decisions", "ngram_posting_index", "cms_bigram_base")
+      "domain_decisions", "ngram_posting_index", "cms_bigram_base",
+      "winnow_pair_dfs", "decontam_bench_gids")
 
   test("second session serves index-backed queries from the store with zero rebuilds") {
     val root = Files.createTempDirectory("graft-idx-root").toString

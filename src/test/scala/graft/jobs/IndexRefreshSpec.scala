@@ -43,8 +43,12 @@ class IndexRefreshSpec extends SparkSpec {
       val embKeys = keys.filter(_.source == "embeddings").map(_.key).toSet
       val gated = keys.filter(_.centroidGated).map(_.key).toSet
       // gated rows whose upstream is per-row rebuild WITH it (the
-      // derived-artifact promotion): knn_cluster_centarr
-      val derived = keys.filter(_.derivedFrom.nonEmpty).map(_.key).toSet
+      // derived-artifact promotion): knn_cluster_centarr. Scoped to the
+      // embeddings source — the documents-sourced derived rows
+      // (winnow_pair_dfs, decontam_bloom since r19) ride phase 3's
+      // ordinary docKeys assertions and get their own promotion phase 7.
+      val derived = keys.filter(a =>
+        a.derivedFrom.nonEmpty && a.source == "embeddings").map(_.key).toSet
       val adoptable = gated -- derived
 
       // replace a table file with a mutated parquet DIRECTORY of the same
@@ -156,6 +160,27 @@ class IndexRefreshSpec extends SparkSpec {
         s"missing-fp gated artifact with a fresh canary: ${r6("ivf_label_centarr")}")
       (keys.map(_.key).toSet - "bm25_postings" - "ivf_label_centarr").foreach(k =>
         assert(r6(k) == "fresh", s"$k: ${r6(k)}"))
+
+      // ---- phase 7 (ADVICE r18): a missing UPSTREAM metadata artifact
+      // forces its derived artifact to rebuild with it — the bloom (and
+      // the df-capped pair query) must never serve rows keyed by a bench
+      // gid set / posting index that was rebuilt out from under them ----
+      def deleteArtifact(k: String): Unit = {
+        val p = new org.apache.hadoop.fs.Path(Tables.storePath(root, data, k))
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      deleteArtifact("decontam_bench_gids")
+      deleteArtifact("winnow_pair_index")
+      val bloomBefore = buildCount(root, data, "decontam_bloom")
+      val dfsBefore = buildCount(root, data, "winnow_pair_dfs")
+      val r7 = IndexRefresh.refresh(spark.newSession(), data).toMap
+      assert(r7("decontam_bench_gids") == "built" && r7("winnow_pair_index") == "built")
+      assert(r7("decontam_bloom") == "rebuilt",
+        s"bloom must rebuild with its gid set: ${r7("decontam_bloom")}")
+      assert(r7("winnow_pair_dfs") == "rebuilt",
+        s"dfs must rebuild with its posting index: ${r7("winnow_pair_dfs")}")
+      assert(buildCount(root, data, "decontam_bloom") == bloomBefore + 1)
+      assert(buildCount(root, data, "winnow_pair_dfs") == dfsBefore + 1)
     } finally Tables.indexDirOverride = None
   }
 
