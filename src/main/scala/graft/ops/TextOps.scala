@@ -445,8 +445,18 @@ object TextOps {
       winnowFps(Tables(s, dir, "documents").select(col("doc_id"), col("text"))))
     val dfs = Tables.cachedFrame(s, dir, "winnow_base_dfs")(
       idx.groupBy("fp").agg(count(lit(1)).as("df")))
-    idx.join(dfs.filter(col("df") <= MaxFpDf), "fp")
-      .select(col("fp"), col("doc_id"))
+    // the CAPPED posting table is itself index metadata (round 19): the
+    // df-cap join was re-run on every probe — a full index scan + join
+    // per batch arrival — although its inputs are both already-durable
+    // artifacts and the result is exactly the probe-side table a
+    // deployment stores (stop fingerprints never serve anything). Same
+    // convention as winnow_pair_dfs/bm25_dfs; registered in IndexRefresh
+    // (derivedFrom winnow_base_index) and round-tripped in
+    // DurableIndexSpec. IngestJob's per-job checkpoint now resolves this
+    // directly instead of re-joining.
+    Tables.cachedFrame(s, dir, "winnow_base_capped")(
+      idx.join(dfs.filter(col("df") <= MaxFpDf), "fp")
+        .select(col("fp"), col("doc_id")))
   }
 
   /** Generalized BM25 (q_id, rank, doc_id) top-8 per bm25Queries row via
@@ -622,7 +632,16 @@ object TextOps {
       val boiler = lined.groupBy(col("lh").as("h"))
         .agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") >= 2).select(col("h"))
-      lined.join(broadcast(boiler), col("lh") === col("h"), "left")
+      // NO broadcast hint (round 19, VERDICT r18 #4): the repeated-line
+      // set GROWS WITH THE CORPUS — the one forced-broadcast build side
+      // in the query fleet that wasn't bounded (every other broadcast is
+      // single-row stats, query vectors, fixed pools, or capped
+      // sketches). AQE decides from the aggregate's ACTUAL size: at
+      // bench SF it broadcasts (same plan as the old hint); past the
+      // threshold it degrades to a shuffle join instead of OOMing the
+      // driver. Left-join NULL semantics (h null = keep the line) are
+      // strategy-independent.
+      lined.join(boiler, col("lh") === col("h"), "left")
         .groupBy("doc_id")
         .agg(
           count(lit(1)).as("n_lines"),
@@ -1712,14 +1731,25 @@ object TextOps {
       val idf = tf.groupBy("word").agg(count(lit(1)).as("df"))
         .crossJoin(broadcast(nd))
         .select(col("word"), expr(idf6Sql).as("idf6"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy(col("s6").desc, col("word"))
       // the idf side is VOCAB-sized and grows with the corpus — Spark's
       // post-agg size estimate under-guesses it and picked a broadcast at
       // the 30× probe (a multi-million-entry driver broadcast: measured
       // 13.0 s at 30× vs 7.0 s at 100× where the estimate overflowed into
       // sort-merge). shuffle_hash pins the scale-correct shape: hash join
       // on word, vocab side built per partition, corpus side never sorted
+      //
+      // (r19 A/B, REJECTED on measurement: replacing the rank window
+      // with the bounded min_k_collect aggregate over a fixed-width
+      // (1e14−1−s6)∥word encoding — exact (s6 DESC, word ASC) order,
+      // 3 rows/doc into the doc-keyed exchange instead of the full
+      // stream, no sort. Scale-attractive, but the per-(doc,word)
+      // encode CONCAT cost more than the window sort saved at sf0.1:
+      // scoring job 0.12 → 0.14-0.22 s, rep min 0.67 → 0.82 s under
+      // identical profiling. The window shape stays; at a SF where the
+      // doc-keyed shuffle dominates the encode, the bounded-agg spelling
+      // is the documented swap.)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("s6").desc, col("word"))
       tf.join(idf.hint("shuffle_hash"), "word")
         .select(col("doc_id"), col("word"), (col("tf") * col("idf6")).as("s6"))
         .withColumn("rank", row_number().over(w).cast("long"))

@@ -60,6 +60,25 @@ class AlertPipelineSpec extends SparkSpec {
     assert(alerts.count() == names.length) // bag semantics, one alert per rule
   }
 
+  test("balancedUnion ≡ left-fold unionAll at every branch count (r19)") {
+    // the balanced pair tree exists for O(N log N) analyzer work (the
+    // left-deep fold re-analyzed a growing prefix per unionAll); the
+    // optimizer flattens both to one N-child Union, so rows AND bag
+    // multiplicity must be identical — checked across odd/even/1-branch
+    // shapes, including the power-of-two boundary
+    import org.apache.spark.sql.functions.lit
+    for (n <- Seq(1, 2, 3, 5, 8, 25)) {
+      val branches = (0 until n).map(i => spark.range(3).toDF("v")
+        .withColumn("branch", lit(i)))
+      val bal = AlertPipeline.balancedUnion(branches)
+      val fold = branches.reduce(_ unionAll _)
+      assert(bal.schema == fold.schema, s"n=$n schema")
+      val a = bal.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+      val b = fold.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+      assert(a == b, s"n=$n bag contents")
+    }
+  }
+
   test("C6 SQL-text render path produces identical alerts to the Column path") {
     val events = Seq(
       ev("TargetImage" -> """C:\Windows\System32\lsass.exe""",
