@@ -96,6 +96,10 @@ object IndexRefresh {
     // the new postings
     Plan("winnow_pair_dfs", "documents", "dedup_winnowing_pairs",
       derivedFrom = Some("winnow_pair_index")),
+    // df-capped probe table over the two artifacts above (round 19 —
+    // the winnow_base_capped convention)
+    Plan("winnow_pair_capped", "documents", "dedup_winnowing_pairs",
+      derivedFrom = Some("winnow_pair_index")),
     Plan("winnow_base_index", "documents", "dedup_winnowing_incr"),
     Plan("winnow_base_dfs", "documents", "dedup_winnowing_incr"),
     // the df-capped probe table derived from the two artifacts above

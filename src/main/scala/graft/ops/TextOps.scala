@@ -810,10 +810,14 @@ object TextOps {
       // still recomputed per invocation
       val dfs = Tables.cachedFrame(s, dir, "winnow_pair_dfs")(
         postings.groupBy("fp").agg(count(lit(1)).as("df")))
-      // df-capped postings: one fp-keyed shuffle each; the self-join
-      // reuses the same fp partitioning
-      val keep = postings.join(dfs.filter(col("df") <= MaxFpDf), "fp")
-        .select(col("fp"), col("doc_id"))
+      // df-capped postings as the stored probe-side table (round 19 —
+      // the winnow_base_capped convention): the cap join was re-derived
+      // THREE times per invocation (the count aggregate + both self-join
+      // sides each carried their own postings⋈dfs subtree); now all
+      // three read one artifact derived once from the two stored inputs
+      val keep = Tables.cachedFrame(s, dir, "winnow_pair_capped")(
+        postings.join(dfs.filter(col("df") <= MaxFpDf), "fp")
+          .select(col("fp"), col("doc_id")))
       val cnt = keep.groupBy("doc_id").agg(count(lit(1)).as("n"))
       keep.as("a").join(keep.as("b"),
           col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))

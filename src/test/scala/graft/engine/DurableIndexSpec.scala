@@ -45,7 +45,8 @@ class DurableIndexSpec extends SparkSpec {
       "winnow_base_index", "winnow_base_dfs", "knn_cluster_centarr",
       "knn_pagerank", "knn_edges_deg", "phash_sig_index", "card_by_lang",
       "domain_decisions", "ngram_posting_index", "cms_bigram_base",
-      "winnow_pair_dfs", "decontam_bench_gids", "winnow_base_capped")
+      "winnow_pair_dfs", "decontam_bench_gids", "winnow_base_capped",
+      "winnow_pair_capped")
 
   test("second session serves index-backed queries from the store with zero rebuilds") {
     val root = Files.createTempDirectory("graft-idx-root").toString
